@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver parquet tables (TESTDATA.md / FIXTURES.md §1).
+  *
+  * 100 TB design notes:
+  *  - Parquet schema-on-read is fine (self-describing footers); we never
+  *    infer schemas over text formats at scale (see ingest.MediaWikiXml
+  *    for the declared-schema XML path).
+  *  - At cluster scale these would be catalog tables partitioned by a
+  *    natural key (orders by month, events by day, documents by source)
+  *    and bucketed on join keys (`o_orderkey`, `user_id`) so the big
+  *    fact-fact joins below are co-located and shuffle-free. The loaders
+  *    keep that concern out of the operators: swapping a path scan for a
+  *    catalog table changes nothing downstream.
+  *  - No `.cache()` here: the graded fact tables are streamed once per
+  *    query; caching 100 TB is not a plan, pushdown+pruning is.
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  /** events.ts is physically INT64 TIMESTAMP(NANOS), which Spark 4
+    * refuses to read as a timestamp. Read it as raw nanos (legacy conf)
+    * and integer-divide to µs — the driver's values are µs-exact, so
+    * this matches DuckDB's ns→µs TIMESTAMP cast bit-for-bit. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Cross-engine-deterministic helper columns.
+  *
+  * The t2 gate hash-compares Spark output against DuckDB output, so any
+  * value that depends on partition/accumulation order (double sums) or
+  * on engine-specific types (DuckDB SUM(BIGINT)→HUGEINT) must be
+  * canonicalized. The pattern used throughout:
+  *
+  *  - money/measure sums: cast each value to an exact DECIMAL first,
+  *    sum (exact, associative → order-insensitive), cast the total back
+  *    to DOUBLE, then ROUND. Bit-identical on both engines regardless
+  *    of partitioning — which is exactly what survives a 1000-executor
+  *    shuffle at 100 TB.
+  *  - averages: exact decimal sum / count, divided in DOUBLE (both
+  *    engines do the same single IEEE-754 division).
+  *  - vector math: cast float arrays to double and fold sequentially;
+  *    both engines do identical left-to-right IEEE adds.
+  */
+object GraftFunctions {
+
+  /** The canonical money/measure decimal: scale 8 comfortably exceeds
+    * the true decimal scale of every testdata column (≤4) and of
+    * price*(1-disc)*(1+tax) products (≤8 on-grid), so the per-value
+    * double→decimal cast is exact on both engines; precision 28 holds
+    * ~1e19 — room for 100 TB-scale sums. NOTE: never rescale
+    * decimal→decimal in oracle SQL (DuckDB truncates, Spark half-ups)
+    * and never ROUND a clean-decimal double (the engines' tie rules
+    * differ); the exact-sum-cast-to-double below needs neither. */
+  val MoneyDec: DecimalType = DecimalType(28, 8)
+
+  /** Order-insensitive sum of a double column via exact decimals;
+    * bit-identical across engines and partitionings, unrounded. */
+  def dsum(c: Column): Column = sum(c.cast(MoneyDec)).cast("double")
+
+  /** Deterministic average: exact decimal sum / non-null count, divided
+    * in double (one IEEE division — identical on both engines). */
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** SQL fragment twins for the above (DuckDB side). */
+  def dsumSql(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(28,8))) AS DOUBLE)"
+  def davgSql(x: String): String = s"${dsumSql(x)}/COUNT($x)"
+
+  /** Dot product of two float/double array columns in double precision,
+    * folded left-to-right (matches DuckDB list_sum over a comprehension). */
+  def dotd(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Cosine similarity in double precision. */
+  def cosineSim(a: Column, b: Column): Column =
+    dotd(a, b) / (sqrt(dotd(a, a)) * sqrt(dotd(b, b)))
+
+  /** MinHash family over hex digests: permutation i = rotate the md5 hex
+    * string left by 2*i chars; MIN over a set approximates a random
+    * permutation min. One md5 per element total (cheap at scale), and
+    * string MIN is engine-portable — no 64-bit hash dialect issues.
+    * Seed of the idea: MediaWiki's own sha1-based revision dedup
+    * (SURVEY.md §0.2) generalized to Broder-style minhash sketching. */
+  def minhashComponent(token: Column, i: Int): Column = {
+    val h = md5(token)
+    if (i == 0) h
+    else concat(substring(h, 2 * i + 1, 32 - 2 * i), substring(h, 1, 2 * i))
+  }
+
+  /** SHA-1 in base-36 — the encoding MediaWiki stores in `<sha1>`
+    * (SURVEY.md §2.A10). A Scala UDF (not on any oracle path). */
+  val sha1Base36 = udf { (s: String) =>
+    if (s == null) null
+    else {
+      val d = java.security.MessageDigest.getInstance("SHA-1")
+        .digest(s.getBytes("UTF-8"))
+      new java.math.BigInteger(1, d).toString(36)
+    }
+  }
+}

@@ -1,0 +1,558 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions._
+
+/** Relational operator surface — SURVEY.md §2.B1–B24.
+  *
+  * Every query is a pure `(SparkSession, sfDir) => DataFrame` with a
+  * DuckDB oracle twin; all follow the determinism rules of SURVEY.md §2
+  * (total ORDER BY + unique tie-break, exact-decimal aggregation, no
+  * cross-engine-ambiguous rounding).
+  *
+  * Scale posture (the 100 TB story, per query in its scaladoc):
+  * dimension joins are broadcast; fact-fact joins shuffle on their keys
+  * and would be bucket-co-located in a catalog deployment; aggregations
+  * are partial (map-side combine) by construction since everything is
+  * declarative — Catalyst/Tungsten handle partial agg, pushdown, and
+  * pruning (verified via explain() in RelationalSpec).
+  */
+object Relational {
+
+  private val ts = (s: String) => lit(s).cast("timestamp")
+
+  /** B10 hash aggregate — TPC-H Q1-shaped pricing summary.
+    * Map-side partial agg on 4 groups → ~no shuffle payload at any SF. */
+  def pricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= ts("1998-09-02"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val pricingSummarySql =
+    s"""SELECT l_returnflag, l_linestatus,
+       | ${dsumSql("l_quantity")} AS sum_qty,
+       | ${dsumSql("l_extendedprice")} AS sum_base_price,
+       | ${dsumSql("l_extendedprice*(1-l_discount)")} AS sum_disc_price,
+       | ${dsumSql("l_extendedprice*(1-l_discount)*(1+l_tax)")} AS sum_charge,
+       | ${davgSql("l_quantity")} AS avg_qty,
+       | ${davgSql("l_extendedprice")} AS avg_price,
+       | ${davgSql("l_discount")} AS avg_disc,
+       | COUNT(*) AS count_order
+       |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       |GROUP BY l_returnflag, l_linestatus
+       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** B1/B2 parquet scan + conjunctive predicates (range, BETWEEN, IN, <).
+    * All four predicates push to the parquet reader (row-group skip). */
+  def filterScan(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1996-07-01")
+        && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24
+        && col("l_returnflag").isin("N", "A"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val filterScanSql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+      |  AND l_returnflag IN ('N','A')
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** B3 projection + scalar expressions (CASE, derived money).
+    * Derived money goes through the exact-decimal recovery cast. */
+  def projectCase(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "big")
+          .when(col("o_totalprice") > 100000, "mid")
+          .otherwise("small").as("bucket"),
+        (col("o_totalprice") * 1.1).cast(MoneyDec).cast("double").as("gross"),
+        concat_ws("/", col("o_orderstatus"), col("o_orderpriority")).as("status_tag"))
+      .orderBy(col("o_orderkey"))
+
+  private val projectCaseSql =
+    """SELECT o_orderkey,
+      | CASE WHEN o_totalprice > 300000 THEN 'big' WHEN o_totalprice > 100000 THEN 'mid' ELSE 'small' END AS bucket,
+      | CAST(CAST(o_totalprice * 1.1 AS DECIMAL(28,8)) AS DOUBLE) AS gross,
+      | CONCAT_WS('/', o_orderstatus, o_orderpriority) AS status_tag
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** B4 star join, broadcast dimensions — the flagship (SparkEntry.entry).
+    * lineitem⋈orders shuffles on the order key (bucket-co-locatable at
+    * 100 TB); customer/nation/region are broadcast — no shuffle for any
+    * dimension at any scale. */
+  def revenueByNation(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1998-01-01"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .filter(col("r_name") === "ASIA")
+      .groupBy(col("n_name"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val revenueByNationSql =
+    s"""SELECT n_name, ${dsumSql("l_extendedprice*(1-l_discount)")} AS revenue, COUNT(*) AS n_items
+       |FROM lineitem
+       | JOIN orders   ON l_orderkey = o_orderkey
+       | JOIN customer ON o_custkey = c_custkey
+       | JOIN nation   ON c_nationkey = n_nationkey
+       | JOIN region   ON n_regionkey = r_regionkey
+       |WHERE r_name = 'ASIA'
+       |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+       |GROUP BY n_name
+       |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** B5 fact-fact join (shuffle/sort-merge at scale) + aggregate. */
+  def joinLarge(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        dsum(col("l_extendedprice")).as("total_price"))
+      .orderBy(col("o_orderpriority"))
+
+  private val joinLargeSql =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_items, ${dsumSql("l_extendedprice")} AS total_price
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** B6 left outer join + aggregate over the nullable side. */
+  def leftJoinOrders(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        dsum(coalesce(col("o_totalprice"), lit(0.0))).as("total_spend"))
+      .orderBy(col("c_custkey"))
+
+  private val leftJoinOrdersSql =
+    s"""SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders,
+       | ${dsumSql("COALESCE(o_totalprice, 0)")} AS total_spend
+       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
+
+  /** B6 full outer join of two aggregates (nation coverage differs). */
+  def fullOuterNation(s: SparkSession, d: String): DataFrame = {
+    val cn = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_customers"))
+    val sn = Tables.supplier(s, d).groupBy(col("s_nationkey").as("snk"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    cn.join(sn, col("nk") === col("snk"), "full_outer")
+      .select(coalesce(col("nk"), col("snk")).as("nationkey"),
+        coalesce(col("n_customers"), lit(0L)).as("n_customers"),
+        coalesce(col("n_suppliers"), lit(0L)).as("n_suppliers"))
+      .orderBy(col("nationkey"))
+  }
+
+  private val fullOuterNationSql =
+    """WITH cn AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY 1),
+      |     sn AS (SELECT s_nationkey AS snk, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1)
+      |SELECT COALESCE(nk, snk) AS nationkey,
+      |       COALESCE(n_customers, 0) AS n_customers,
+      |       COALESCE(n_suppliers, 0) AS n_suppliers
+      |FROM cn FULL JOIN sn ON nk = snk ORDER BY nationkey""".stripMargin
+
+  /** B7 anti join: customers with no 400k+ order. */
+  def antiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  private val antiJoinSql =
+    """SELECT c_custkey, c_name, c_acctbal FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** B7 semi join: parts that ever shipped in quantity ≥ 48. */
+  def semiJoin(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 48),
+        col("p_partkey") === col("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      .orderBy(col("p_partkey"))
+
+  private val semiJoinSql =
+    """SELECT p_partkey, p_name, p_brand FROM part
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 48)
+      |ORDER BY p_partkey""".stripMargin
+
+  /** B8 range (theta) band join against a tiny inline dimension —
+    * broadcast nested-loop; the band table never shuffles the fact. */
+  def rangeBandJoin(s: SparkSession, d: String): DataFrame = {
+    val bands = s.createDataFrame(Seq(
+      (0.0, 10.0, "low"), (10.0, 30.0, "mid"), (30.0, 100.0, "high")))
+      .toDF("lo", "hi", "band")
+    Tables.lineitem(s, d)
+      .join(broadcast(bands), col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_items"), davg(col("l_extendedprice")).as("avg_price"))
+      .orderBy(col("band"))
+  }
+
+  private val rangeBandJoinSql =
+    s"""SELECT band, COUNT(*) AS n_items, ${davgSql("l_extendedprice")} AS avg_price
+       |FROM lineitem JOIN (VALUES (0.0,10.0,'low'),(10.0,30.0,'mid'),(30.0,100.0,'high')) b(lo, hi, band)
+       |  ON l_quantity >= lo AND l_quantity < hi
+       |GROUP BY band ORDER BY band""".stripMargin
+
+  /** B9 as-of join: for each purchase, the latest view at ts ≤ purchase
+    * ts by the same user. Implemented the scale-correct way: one shuffle
+    * on user_id and a running `last(view ts)` window — no join blow-up,
+    * no per-key driver loop; DuckDB's native ASOF JOIN is the oracle. */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts")) // default RANGE frame → ts-ties included, matching <=
+    Tables.events(s, d)
+      .withColumn("view_ts",
+        last(when(col("event_type") === "view", col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("view_ts"))
+      .orderBy(col("event_id"))
+  }
+
+  private val asofJoinSql =
+    """SELECT p.event_id, p.user_id, p.ts, v.ts AS view_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      |  ON p.user_id = v.user_id AND v.ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  /** B11 rollup + grouping_id. */
+  def rollupAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  private val rollupAggSql =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ${dsumSql("l_quantity")} AS sum_qty,
+       | CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+       |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** B11 cube. */
+  def cubeAgg(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  private val cubeAggSql =
+    s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n, ${dsumSql("o_totalprice")} AS total,
+       | CAST(GROUPING(o_orderstatus)*2 + GROUPING(o_orderpriority) AS BIGINT) AS gid
+       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+       |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** B12 distinct. */
+  def distinctPairs(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_nationkey"))
+      .distinct()
+      .orderBy(col("c_mktsegment"), col("c_nationkey"))
+
+  private val distinctPairsSql =
+    """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+      |ORDER BY c_mktsegment, c_nationkey""".stripMargin
+
+  /** B14 ranking window: top-3 orders per customer. */
+  def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      .withColumn("rn", row_number().over(w).cast("int"))
+      .withColumn("rnk", rank().over(w).cast("int"))
+      .filter(col("rn") <= 3)
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val windowRankSql =
+    """SELECT * FROM (
+      | SELECT o_custkey, o_orderkey, o_totalprice,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn,
+      |  CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+      | FROM orders) t
+      |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
+
+  /** B15 analytic window: per-user running sum + lag/lead. */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .withColumn("run_sum",
+        sum(col("value").cast(MoneyDec))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("double"))
+      .withColumn("prev_value", lag(col("value"), 1).over(w))
+      .withColumn("next_value", lead(col("value"), 1).over(w))
+      .orderBy(col("event_id"))
+  }
+
+  private val windowRunningSql =
+    """SELECT event_id, user_id, ts, value,
+      | CAST(SUM(CAST(value AS DECIMAL(28,8))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
+      | LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
+      | LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** B16 top-k (TakeOrderedAndProject: per-partition top-k then merge —
+    * never a full sort at scale). */
+  def topkOrders(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  private val topkOrdersSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** B17 set ops: 3-way membership split (EXCEPT / INTERSECT / UNION ALL). */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.customer(s, d).filter(col("c_acctbal") > 8000)
+      .select(col("c_custkey").as("custkey"))
+    val b = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+      .select(col("o_custkey").as("custkey")).distinct()
+    a.except(b).withColumn("side", lit("high_bal_only"))
+      .union(b.except(a).withColumn("side", lit("big_order_only")))
+      .union(a.intersect(b).withColumn("side", lit("both")))
+      .orderBy(col("custkey"), col("side"))
+  }
+
+  private val setOpsSql =
+    """WITH a AS (SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 8000),
+      |     b AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000)
+      |SELECT custkey, 'high_bal_only' AS side FROM (SELECT custkey FROM a EXCEPT SELECT custkey FROM b)
+      |UNION ALL
+      |SELECT custkey, 'big_order_only' AS side FROM (SELECT custkey FROM b EXCEPT SELECT custkey FROM a)
+      |UNION ALL
+      |SELECT custkey, 'both' AS side FROM (SELECT custkey FROM a INTERSECT SELECT custkey FROM b)
+      |ORDER BY custkey, side""".stripMargin
+
+  /** B18 string functions (all codegen'd builtins, no UDFs). */
+  def stringFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_name").like("%o%"))
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        lower(col("p_type")).as("type_l"),
+        substring(col("p_name"), 1, 5).as("name_pfx"),
+        concat_ws("-", col("p_brand"), col("p_size").cast("string")).as("tag"),
+        length(col("p_name")).as("name_len"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("no_vowels"),
+        split(col("p_name"), " ").getItem(1).as("second_tok"))
+      .orderBy(col("p_partkey"))
+
+  private val stringFuncsSql =
+    """SELECT p_partkey,
+      | UPPER(p_brand) AS brand_u,
+      | LOWER(p_type) AS type_l,
+      | SUBSTRING(p_name, 1, 5) AS name_pfx,
+      | CONCAT_WS('-', p_brand, CAST(p_size AS VARCHAR)) AS tag,
+      | CAST(LENGTH(p_name) AS INT) AS name_len,
+      | REGEXP_EXTRACT(p_name, '([a-z]+)', 1) AS first_word,
+      | REGEXP_REPLACE(p_name, '[aeiou]', '', 'g') AS no_vowels,
+      | string_split(p_name, ' ')[2] AS second_tok
+      |FROM part WHERE p_name LIKE '%o%' ORDER BY p_partkey""".stripMargin
+
+  /** B19 date parts aggregation. */
+  def dateParts(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .orderBy(col("yr"), col("mo"))
+
+  private val datePartsSql =
+    s"""SELECT CAST(YEAR(o_orderdate) AS INT) AS yr, CAST(MONTH(o_orderdate) AS INT) AS mo,
+       | COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total
+       |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin
+
+  /** B19 datediff: ship delay per priority (lineitem⋈orders). */
+  def shipDelay(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        (sum(datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))).cast("double")
+          / count(lit(1))).as("avg_delay_days"))
+      .orderBy(col("o_orderpriority"))
+
+  private val shipDelaySql =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      | CAST(SUM(DATE_DIFF('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS DOUBLE)/COUNT(*) AS avg_delay_days
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** B20 math functions. ln/sqrt outputs are irrational → ROUND(6) is
+    * tie-safe; integer-valued floor/ceil/sign/pow are exact. */
+  def mathFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_orderkey") <= 500)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+        round(log(col("l_extendedprice")), 6).as("ln_price"),
+        floor(col("l_quantity")).cast("long").as("qty_floor"),
+        ceil(col("l_quantity")).cast("long").as("qty_ceil"),
+        pow(col("l_quantity"), 2).as("qty_sq"),
+        abs(col("l_discount") - lit(0.05)).cast(MoneyDec).cast("double").as("disc_dev"),
+        signum(col("l_discount") - lit(0.05)).cast("int").as("disc_sign"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val mathFuncsSql =
+    """SELECT l_orderkey, l_linenumber,
+      | ROUND(SQRT(l_extendedprice), 6) AS sqrt_price,
+      | ROUND(LN(l_extendedprice), 6) AS ln_price,
+      | CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+      | CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+      | POWER(l_quantity, 2) AS qty_sq,
+      | CAST(CAST(ABS(l_discount - 0.05) AS DECIMAL(28,8)) AS DOUBLE) AS disc_dev,
+      | CAST(SIGN(l_discount - 0.05) AS INT) AS disc_sign
+      |FROM lineitem WHERE l_orderkey <= 500
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** B21 array functions over the embedding column (higher-order
+    * transform/filter/aggregate stay inside codegen). */
+  def arrayFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_val"),
+        round(aggregate(col("embedding").cast("array<double>"), lit(0.0), (a, x) => a + x), 6).as("vec_sum"),
+        array_max(col("embedding")).cast("double").as("vec_max"),
+        array_min(col("embedding")).cast("double").as("vec_min"),
+        size(filter(col("embedding"), x => x > 0)).as("n_pos"))
+      .orderBy(col("vec_id"))
+
+  private val arrayFuncsSql =
+    """SELECT vec_id, label,
+      | CAST(len(embedding) AS INT) AS dim,
+      | CAST(embedding[1] AS DOUBLE) AS first_val,
+      | ROUND(list_sum([CAST(x AS DOUBLE) for x in embedding]), 6) AS vec_sum,
+      | CAST(list_max(embedding) AS DOUBLE) AS vec_max,
+      | CAST(list_min(embedding) AS DOUBLE) AS vec_min,
+      | CAST(len(list_filter(embedding, x -> x > 0)) AS INT) AS n_pos
+      |FROM embeddings ORDER BY vec_id""".stripMargin
+
+  /** B22 JSON extraction from events.props. */
+  def jsonExtract(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+        count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("event_type"))
+
+  private val jsonExtractSql =
+    """SELECT event_type,
+      | CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+      | COUNT(*) AS n,
+      | COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** B23 subqueries (scalar + IN) through the SQL entry point —
+    * Catalyst decorrelates both. */
+  def subquerySql(s: SparkSession, d: String): DataFrame = {
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_v
+        |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE)/COUNT(*) * 1.5 FROM orders_v)
+        |  AND o_custkey IN (SELECT c_custkey FROM customer_v WHERE c_acctbal > 0)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  private val subquerySqlSql =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE)/COUNT(*) * 1.5 FROM orders)
+      |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** B24 pivot with pinned values (single scan, no value discovery). */
+  def pivotEvents(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("view", "click", "signup", "purchase", "error"))
+      .count()
+      .select(col("user_id"),
+        coalesce(col("view"), lit(0L)).as("n_view"),
+        coalesce(col("click"), lit(0L)).as("n_click"),
+        coalesce(col("signup"), lit(0L)).as("n_signup"),
+        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("error"), lit(0L)).as("n_error"))
+      .orderBy(col("user_id"))
+
+  private val pivotEventsSql =
+    """SELECT user_id,
+      | COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+      | COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+      | COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+      | COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      | COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** B13 approx distinct (HLL++) — engine-specific estimate, so no SQL
+    * oracle; exact count rides along for the ScalaTest bounds check. */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql), "B10 hash aggregate"),
+    QueryDef("q02_filter_scan", filterScan, Some(filterScanSql), "B1/B2 scan + predicates"),
+    QueryDef("q03_project_case", projectCase, Some(projectCaseSql), "B3 projection + CASE"),
+    QueryDef("q04_revenue_by_nation", revenueByNation, Some(revenueByNationSql), "B4 broadcast star join"),
+    QueryDef("q05_join_large", joinLarge, Some(joinLargeSql), "B5 shuffle join"),
+    QueryDef("q06_left_join", leftJoinOrders, Some(leftJoinOrdersSql), "B6 left outer join"),
+    QueryDef("q07_full_outer", fullOuterNation, Some(fullOuterNationSql), "B6 full outer join"),
+    QueryDef("q08_anti_join", antiJoin, Some(antiJoinSql), "B7 anti join"),
+    QueryDef("q09_semi_join", semiJoin, Some(semiJoinSql), "B7 semi join"),
+    QueryDef("q10_range_band_join", rangeBandJoin, Some(rangeBandJoinSql), "B8 range/theta join"),
+    QueryDef("q11_asof_join", asofJoin, Some(asofJoinSql), "B9 as-of join"),
+    QueryDef("q12_rollup", rollupAgg, Some(rollupAggSql), "B11 rollup"),
+    QueryDef("q13_cube", cubeAgg, Some(cubeAggSql), "B11 cube"),
+    QueryDef("q14_distinct", distinctPairs, Some(distinctPairsSql), "B12 distinct"),
+    QueryDef("q15_window_rank", windowRank, Some(windowRankSql), "B14 ranking window"),
+    QueryDef("q16_window_running", windowRunning, Some(windowRunningSql), "B15 analytic window"),
+    QueryDef("q17_topk", topkOrders, Some(topkOrdersSql), "B16 top-k"),
+    QueryDef("q18_set_ops", setOps, Some(setOpsSql), "B17 set operations"),
+    QueryDef("q19_string_funcs", stringFuncs, Some(stringFuncsSql), "B18 string functions"),
+    QueryDef("q20_date_parts", dateParts, Some(datePartsSql), "B19 date functions"),
+    QueryDef("q21_ship_delay", shipDelay, Some(shipDelaySql), "B19 datediff"),
+    QueryDef("q22_math_funcs", mathFuncs, Some(mathFuncsSql), "B20 math functions"),
+    QueryDef("q23_array_funcs", arrayFuncs, Some(arrayFuncsSql), "B21 array functions"),
+    QueryDef("q24_json_extract", jsonExtract, Some(jsonExtractSql), "B22 JSON functions"),
+    QueryDef("q25_subquery", subquerySql, Some(subquerySqlSql), "B23 subqueries"),
+    QueryDef("q26_pivot", pivotEvents, Some(pivotEventsSql), "B24 pivot"),
+    QueryDef("q27_approx_distinct", approxDistinct, None, "B13 approx distinct (non-oracle)"))
+}
