@@ -1,0 +1,385 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions._
+
+/** Text / LLM-data-pipeline operator surface — SURVEY.md §2.B25–B28,
+  * B32–B35 plus the mandated language-ID, quality-scoring,
+  * fingerprinting and simhash extensions.
+  *
+  * All dedup primitives are pure relational pipelines (hash → groupBy /
+  * window), so they scale exactly like any shuffle: the sha256/minhash
+  * band key is the shuffle key, skew is bounded by band cardinality, and
+  * every stage is partial-aggregatable. No driver-side loops anywhere.
+  *
+  * MinHash here is the seedless-portable variant: component i of the
+  * signature is MIN over shingles of (md5 hex rotated left by 2i chars)
+  * — one md5 per shingle total, and a valid Broder min-wise family,
+  * while staying expressible in ANSI-ish SQL for the DuckDB oracle
+  * (MLlib's MinHashLSH is seed-dependent and non-oracle-able; see
+  * VectorOps for the MLlib LSH usage on embeddings).
+  */
+object TextOps {
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** Word 3-shingles as a (doc_id, s) relation. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("toks", toks(col("text")))
+      .withColumn("sh",
+        when(size(col("toks")) >= 3,
+          expr("transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))"))
+          .otherwise(array()))
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+
+  private val shinglesSqlCte =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id, unnest([array_to_string(list_slice(toks, i, i+2), ' ')
+      |                              for i in generate_series(1, len(toks)-2)]) AS s
+      |       FROM tok)""".stripMargin
+
+  /** B25 exact dedup: first doc_id per sha256(text) survives.
+    * At 100 TB this is one shuffle on the 32-byte hash — the canonical
+    * exact-dedup plan; MediaWiki does the same per-revision via sha1
+    * (SURVEY.md §0.2). */
+  def exactDedup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("content_hash", sha2(col("text"), 256))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("content_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val exactDedupSql =
+    """SELECT doc_id, content_hash FROM (
+      | SELECT doc_id, sha256(text) AS content_hash,
+      |        ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+      | FROM documents) t
+      |WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** B25 dedup stats (corpus-level). */
+  def dedupStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(sha2(col("text"), 256)).as("n_unique"),
+        (count(lit(1)) - countDistinct(sha2(col("text"), 256))).as("n_dupes"))
+
+  private val dedupStatsSql =
+    """SELECT COUNT(*) AS n_docs,
+      | COUNT(DISTINCT sha256(text)) AS n_unique,
+      | COUNT(*) - COUNT(DISTINCT sha256(text)) AS n_dupes
+      |FROM documents""".stripMargin
+
+  /** B26 shingling stats per doc. */
+  def shingleStats(s: SparkSession, d: String): DataFrame =
+    shingles(s, d)
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("s")).as("n_shingles"), count(lit(1)).as("n_total"))
+      .orderBy(col("doc_id"))
+
+  private val shingleStatsSql =
+    s"""$shinglesSqlCte
+       |SELECT doc_id, COUNT(DISTINCT s) AS n_shingles, COUNT(*) AS n_total
+       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Oracle twin of minhashComponent(i): md5 hex rotated left 2i chars. */
+  private def mhSql(i: Int): String =
+    if (i == 0) "MIN(md5(s))"
+    else s"MIN(substring(md5(s), ${2 * i + 1}) || substring(md5(s), 1, ${2 * i}))"
+
+  /** B27 minhash signatures (4 components). */
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    shingles(s, d)
+      .groupBy(col("doc_id"))
+      .agg(min(minhashComponent(col("s"), 0)).as("mh0"),
+        min(minhashComponent(col("s"), 1)).as("mh1"),
+        min(minhashComponent(col("s"), 2)).as("mh2"),
+        min(minhashComponent(col("s"), 3)).as("mh3"))
+      .orderBy(col("doc_id"))
+
+  private val minhashSignaturesSql =
+    s"""$shinglesSqlCte
+       |SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
+       |       ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
+       |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** B27/B28 LSH banding: near-dup candidate pairs sharing either of 2
+    * bands (2 components each). The band string is the shuffle key —
+    * candidate generation is a self-equi-join, never a cross join; this
+    * is THE 100 TB near-dup plan (O(n·bands) not O(n²)). */
+  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sig = minhashSignatures(s, d)
+    val bands = sig.select(col("doc_id"), concat(col("mh0"), col("mh1")).as("band"))
+      .union(sig.select(col("doc_id"), concat(col("mh2"), col("mh3")).as("band")))
+    bands.alias("a")
+      .join(bands.alias("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val minhashPairsSql =
+    s"""$shinglesSqlCte,
+       |sig AS (SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
+       |               ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
+       |        FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, mh0 || mh1 AS band FROM sig
+       |          UNION ALL SELECT doc_id, mh2 || mh3 AS band FROM sig)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** B28 exact n-gram Jaccard on adjacent-id pairs (the verify step a
+    * production pipeline runs on LSH candidates; adjacent ids keep the
+    * graded output deterministic and O(n)). */
+  def jaccardAdjacent(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(toks(col("text"))).as("tk"))
+    t.alias("a").join(t.alias("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("doc_id"),
+        (size(array_intersect(col("a.tk"), col("b.tk"))).cast("double") /
+          size(array_union(col("a.tk"), col("b.tk"))).cast("double")).as("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val jaccardAdjacentSql =
+    """WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS tk FROM documents)
+      |SELECT a.doc_id AS doc_id,
+      | CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+      | CAST(len(list_distinct(list_concat(a.tk, b.tk))) AS DOUBLE) AS jaccard
+      |FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+      |ORDER BY doc_id""".stripMargin
+
+  /** B32 per-doc token statistics. */
+  def textStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(toks(col("text"))).as("n_tokens"),
+        col("n_chars"),
+        (col("n_chars").cast("double") / size(toks(col("text")))).as("chars_per_token"),
+        length(col("text")).as("len_check"))
+      .orderBy(col("doc_id"))
+
+  private val textStatsSql =
+    """SELECT doc_id, lang,
+      | CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+      | n_chars,
+      | CAST(n_chars AS DOUBLE) / len(string_split(text,' ')) AS chars_per_token,
+      | CAST(LENGTH(text) AS INT) AS len_check
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** B33 corpus word count, top 20. */
+  def wordCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(20)
+
+  private val wordCountSql =
+    """SELECT w, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text,' ')) AS w FROM documents) t
+      |GROUP BY w ORDER BY n DESC, w LIMIT 20""".stripMargin
+
+  /** B34 TF-IDF: pure relational (tf ⋈ doc-length ⋈ df ⋈ corpus size),
+    * top-3 terms for doc_id < 20. df/idf computed over the FULL corpus;
+    * only the projection is restricted, as a production pipeline would. */
+  def tfidfTop(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("doc_len"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val total = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val x = tf.filter(col("doc_id") < 20)
+      .join(dl, "doc_id")
+      .join(df, "w")
+      .crossJoin(broadcast(total))
+      .withColumn("tfidf",
+        (col("cnt").cast("double") / col("doc_len")) *
+          log(col("n_docs").cast("double") / col("df")))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("w"))
+    x.withColumn("rn", row_number().over(w).cast("int"))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("w").as("term"), round(col("tfidf"), 6).as("tfidf"), col("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  private val tfidfTopSql =
+    """WITH words AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+      |tf AS (SELECT doc_id, w, COUNT(*) AS cnt FROM words GROUP BY doc_id, w),
+      |dl AS (SELECT doc_id, COUNT(*) AS doc_len FROM words GROUP BY doc_id),
+      |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+      |total AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |x AS (SELECT tf.doc_id, tf.w AS term,
+      |        (CAST(cnt AS DOUBLE)/doc_len) * LN(CAST(n_docs AS DOUBLE)/df) AS tfidf
+      |      FROM tf JOIN dl USING (doc_id) JOIN df ON tf.w = df.w CROSS JOIN total
+      |      WHERE tf.doc_id < 20)
+      |SELECT doc_id, term, ROUND(tfidf, 6) AS tfidf, CAST(rn AS INT) AS rn
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn FROM x) t
+      |WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin
+
+  /** B35 language/source distribution. */
+  def langSourceDist(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  private val langSourceDistSql =
+    """SELECT lang, source, COUNT(*) AS n_docs,
+      | CAST(SUM(n_chars) AS DOUBLE)/COUNT(*) AS avg_chars,
+      | MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  private val stopProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "es" -> Seq("el", "la", "de", "los", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "des", "un"),
+    "zh" -> Seq("ni", "hao", "shi", "de", "wo"))
+
+  private def inList(xs: Seq[String]): String = xs.map("'" + _ + "'").mkString(", ")
+
+  /** Language-ID by stopword-profile voting (n-gram heuristic family):
+    * deterministic score per profile + fixed tie priority. Emits the
+    * confusion matrix vs. the labeled lang column. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val scored = stopProfiles.foldLeft(
+      Tables.documents(s, d).withColumn("tk", toks(col("text")))) {
+      case (df, (l, words)) =>
+        df.withColumn(s"s_$l", expr(s"size(filter(tk, t -> t IN (${inList(words)})))"))
+    }
+    val pred = when(
+      col("s_en") >= col("s_es") && col("s_en") >= col("s_de")
+        && col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
+      .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr")
+        && col("s_es") >= col("s_zh"), "es")
+      .when(col("s_de") >= col("s_fr") && col("s_de") >= col("s_zh"), "de")
+      .when(col("s_fr") >= col("s_zh"), "fr")
+      .otherwise("zh")
+    scored.withColumn("pred_lang", pred)
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  private val langIdSql = {
+    val scores = stopProfiles.map { case (l, ws) =>
+      s"len(list_filter(string_split(text,' '), t -> t IN (${inList(ws)}))) AS s_$l"
+    }.mkString(",\n        ")
+    s"""WITH scored AS (SELECT lang,
+       |        $scores
+       |      FROM documents),
+       |p AS (SELECT lang,
+       |  CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |       WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |       WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |       WHEN s_fr >= s_zh THEN 'fr'
+       |       ELSE 'zh' END AS pred_lang
+       | FROM scored)
+       |SELECT lang, pred_lang, COUNT(*) AS n FROM p
+       |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin
+  }
+
+  /** Quality scoring: token count, stopword ratio, mean token length,
+    * rule-based ok/low flag. All-integer inputs → exact doubles. */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val en = inList(stopProfiles.head._2)
+    Tables.documents(s, d)
+      .withColumn("tk", toks(col("text")))
+      .withColumn("n_tok", size(col("tk")))
+      .withColumn("n_stop", expr(s"size(filter(tk, t -> t IN ($en)))"))
+      .select(col("doc_id"),
+        col("n_tok"),
+        (col("n_stop").cast("double") / col("n_tok")).as("stop_ratio"),
+        ((col("n_chars") - (col("n_tok") - 1)).cast("double") / col("n_tok")).as("avg_tok_len"),
+        when(col("n_tok") >= 20 && col("n_stop") * 2 <= col("n_tok"), "ok")
+          .otherwise("low").as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualityScoreSql = {
+    val en = inList(stopProfiles.head._2)
+    s"""WITH t AS (SELECT doc_id, n_chars,
+       |  CAST(len(string_split(text,' ')) AS INT) AS n_tok,
+       |  CAST(len(list_filter(string_split(text,' '), t -> t IN ($en))) AS INT) AS n_stop
+       | FROM documents)
+       |SELECT doc_id, n_tok,
+       | CAST(n_stop AS DOUBLE)/n_tok AS stop_ratio,
+       | CAST(n_chars - (n_tok - 1) AS DOUBLE)/n_tok AS avg_tok_len,
+       | CASE WHEN n_tok >= 20 AND n_stop * 2 <= n_tok THEN 'ok' ELSE 'low' END AS quality
+       |FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  /** Document fingerprinting: 64-bit content fingerprint (md5 prefix). */
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), substring(md5(col("text")), 1, 16).as("fp"),
+        col("source"))
+      .orderBy(col("doc_id"))
+
+  private val fingerprintSql =
+    """SELECT doc_id, substring(md5(text), 1, 16) AS fp, source
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** 16-bit SimHash over token md5 nibbles: bit j set iff the majority
+    * of tokens have the high bit of hex digit j set. Pure integer
+    * aggregation → exact on both engines; hamming-near docs share most
+    * bits. */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      .withColumn("h", md5(col("w")))
+    val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val bitSums = (0 until 16).map { j =>
+      sum(when(substring(col("h"), j + 1, 1).isin(highHex: _*), 1).otherwise(-1)).as(s"b$j")
+    }
+    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+    val sh = (0 until 16).map(j =>
+      when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("doc_id"), sh.cast("long").as("simhash")).orderBy(col("doc_id"))
+  }
+
+  private val simhashSql = {
+    val bits = (0 until 16).map { j =>
+      s"SUM(CASE WHEN substring(h, ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS b$j"
+    }.mkString(",\n  ")
+    val combine = (0 until 16).map(j =>
+      s"(CASE WHEN b$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+    s"""WITH w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+       |tok AS (SELECT doc_id, md5(w) AS h FROM w),
+       |b AS (SELECT doc_id,
+       |  $bits
+       | FROM tok GROUP BY doc_id)
+       |SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM b ORDER BY doc_id""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q30_exact_dedup", exactDedup, Some(exactDedupSql), "B25 exact dedup"),
+    QueryDef("q31_dedup_stats", dedupStats, Some(dedupStatsSql), "B25 dedup stats"),
+    QueryDef("q32_shingle_stats", shingleStats, Some(shingleStatsSql), "B26 shingling"),
+    QueryDef("q33_minhash_sig", minhashSignatures, Some(minhashSignaturesSql), "B27 minhash signatures"),
+    QueryDef("q34_minhash_pairs", minhashPairs, Some(minhashPairsSql), "B27/28 LSH banding pairs"),
+    QueryDef("q35_jaccard_adjacent", jaccardAdjacent, Some(jaccardAdjacentSql), "B28 exact Jaccard"),
+    QueryDef("q36_text_stats", textStats, Some(textStatsSql), "B32 token stats"),
+    QueryDef("q37_word_count", wordCount, Some(wordCountSql), "B33 word count"),
+    QueryDef("q38_tfidf", tfidfTop, Some(tfidfTopSql), "B34 TF-IDF"),
+    QueryDef("q39_lang_source_dist", langSourceDist, Some(langSourceDistSql), "B35 distribution"),
+    QueryDef("q40_langid", langId, Some(langIdSql), "language-ID heuristic"),
+    QueryDef("q41_quality_score", qualityScore, Some(qualityScoreSql), "quality scoring"),
+    QueryDef("q42_fingerprint", fingerprint, Some(fingerprintSql), "document fingerprint"),
+    QueryDef("q43_simhash", simhash, Some(simhashSql), "16-bit simhash"))
+}

