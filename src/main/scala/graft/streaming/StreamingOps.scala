@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface — SURVEY.md §2.B38/B41/B42.
+  *
+  * The batch twins of the window operators live in
+  * graft.ops.WindowedOps (and are oracle-graded there); these wire the
+  * SAME operators to unbounded sources with watermarks and state. The
+  * streaming story at 100 TB: a continuously-arriving dump/event feed
+  * is ingested incrementally — watermark bounds state, windows close
+  * and emit exactly once, and dedup state expires instead of growing
+  * forever. ScalaTest drives these with MemoryStream
+  * (StreamingSpec). */
+object StreamingOps {
+
+  final case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class UserCount(user_id: Long, n: Long)
+
+  /** B38/B41: watermarked tumbling-window counts. Late rows beyond the
+    * 10-minute watermark are dropped once the window finalizes
+    * (append mode). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("event_type"), col("n"))
+
+  /** B42: stateful dedup on the natural key; state for a key is freed
+    * once the watermark passes it — bounded memory on an unbounded
+    * stream (vs. dropDuplicates which keeps keys forever). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** B42: custom keyed state — running per-user event counts via
+    * flatMapGroupsWithState (update mode). */
+  def runningUserCounts(events: Dataset[Ev]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, UserCount](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + evs.size
+          state.update(n)
+          Iterator(UserCount(uid, n))
+      }
+  }
+}

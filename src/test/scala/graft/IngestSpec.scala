@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.{MediaWikiXml, Sinks}
+
+/** MediaWiki XML ingest — every branch of FIXTURES.md §2. */
+class IngestSpec extends AnyFunSuite with LocalSparkSuite {
+
+  private val dump = "src/test/resources/minidump.xml"
+  private lazy val pages = MediaWikiXml.readPages(spark, dump)
+  private lazy val flat = MediaWikiXml.flattenRevisions(pages).cache()
+  private lazy val ns = MediaWikiXml.readNamespaces(spark, dump)
+
+  test("A1 page scan: 8 pages with declared schema") {
+    assert(pages.count() === 8)
+    assert(pages.schema === MediaWikiXml.pageSchema)
+  }
+
+  test("A2 namespace table: 5 entries, key 0 has empty name") {
+    val m = ns.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(m === Map(-2 -> "Media", -1 -> "Special", 0 -> "", 1 -> "Talk", 2 -> "User"))
+  }
+
+  test("A4 revision normalize: 9 revisions from 8 pages") {
+    assert(flat.count() === 9)
+  }
+
+  test("A6 redirect presence decode") {
+    val r = flat.filter(col("page_id") === 2).head()
+    assert(r.getAs[Boolean]("is_redirect"))
+    assert(r.getAs[String]("redirect_title") === "Alpha Article")
+    assert(flat.filter(col("is_redirect")).count() === 1)
+  }
+
+  test("A5 contributor union: anonymous edit") {
+    val r = flat.filter(col("page_id") === 3).head()
+    assert(r.getAs[Boolean]("is_anon"))
+    assert(r.getAs[String]("contributor_ip") === "203.0.113.5")
+    assert(r.getAs[String]("contributor_name") == null)
+    assert(flat.filter(col("is_anon")).count() === 1)
+  }
+
+  test("A6 minor flag presence decode") {
+    assert(flat.filter(col("is_minor")).select("page_id").head().getLong(0) === 4)
+    assert(flat.filter(col("is_minor")).count() === 1)
+  }
+
+  test("A8 deleted text: null body, metadata kept") {
+    val r = flat.filter(col("page_id") === 5).head()
+    assert(r.getAs[String]("text") == null)
+    assert(r.getAs[String]("sha1") != null)
+  }
+
+  test("A4 multi-revision page keeps parentid chain") {
+    val revs = flat.filter(col("page_id") === 6).orderBy("rev_id").collect()
+    assert(revs.length === 2)
+    assert(revs(0).getAs[Any]("parent_id") == null)
+    assert(revs(1).getAs[Long]("parent_id") === 106L)
+  }
+
+  test("A7 timestamps parse as UTC instants") {
+    val t = flat.filter(col("rev_id") === 101)
+      .select(col("ts").cast("long")).head().getLong(0)
+    assert(t === 1704103200L) // 2024-01-01T10:00:00Z
+  }
+
+  test("unicode + entity escaping round-trips") {
+    val r = flat.filter(col("page_id") === 8).head()
+    assert(r.getAs[String]("title") === "Ætherwissenschaft 科学")
+    assert(r.getAs[String]("contributor_name") === "Ünïcodé-User")
+    assert(r.getAs[String]("comment") === "entities & escapes <test>")
+    val body = r.getAs[String]("text")
+    assert(body.contains("<angle>") && body.contains("&") && body.contains("\n"))
+    assert(r.getAs[Long]("text_bytes") === 68L)
+  }
+
+  test("A9 classification: broadcast ns join + article rule") {
+    val c = MediaWikiXml.classify(flat, ns)
+    assert(c.filter(col("page_id") === 7).head().getAs[String]("ns_name") === "Talk")
+    val articles = c.filter(col("is_article")).select("page_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(articles === Set(1L, 3L, 4L, 5L, 6L, 8L)) // not 2 (redirect), not 7 (ns 1)
+  }
+
+  test("A10 sha1 verify: base-36, 31 chars, deterministic vs JDK digest") {
+    val v = MediaWikiXml.verifySha1(flat.filter(col("page_id") === 1))
+    val got = v.head().getAs[String]("sha1_computed")
+    val text = "Alpha body text with [[Beta Link]]."
+    val d = java.security.MessageDigest.getInstance("SHA-1").digest(text.getBytes("UTF-8"))
+    val want = new java.math.BigInteger(1, d).toString(36)
+    assert(got.length === 31)
+    assert(got.dropWhile(_ == '0') === want.dropWhile(_ == '0'))
+  }
+
+  test("A12 latest revision per page") {
+    val latest = MediaWikiXml.latestRevisionPerPage(flat)
+    assert(latest.count() === 8)
+    assert(latest.filter(col("page_id") === 6).head().getAs[Long]("rev_id") === 107L)
+  }
+
+  test("A12 incremental import: anti join keeps only new revisions") {
+    val existing = flat.filter(col("rev_id") <= 105)
+    val incoming = flat
+    val fresh = Sinks.newRevisionsOnly(incoming, existing)
+    assert(fresh.select("rev_id").collect().map(_.getLong(0)).sorted.toSeq
+      === Seq(106L, 107L, 108L, 109L))
+  }
+}

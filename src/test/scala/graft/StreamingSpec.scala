@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.Ev
+
+/** B38/B41/B42 streaming semantics on MemoryStream (SURVEY.md §5.5). */
+class StreamingSpec extends AnyFunSuite with LocalSparkSuite {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("B41 watermarked tumbling window emits closed windows, drops late rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.tumblingCounts(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("tumble").start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:05:00"), 1, "view", 1.0),
+        Ev(2, ts("2024-01-01 10:20:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      // advance watermark far past the 10:00 window
+      in.addData(Ev(3, ts("2024-01-01 13:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // a late event for the already-closed 10:00 window must be dropped
+      in.addData(Ev(4, ts("2024-01-01 10:40:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(5, ts("2024-01-01 15:00:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("tumble")
+        .filter(col("wstart") === ts("2024-01-01 10:00:00")).collect()
+      assert(out.length === 1)
+      assert(out.head.getAs[Long]("n") === 2) // late row 4 not counted
+    } finally q.stop()
+  }
+
+  test("B42 dropDuplicatesWithinWatermark dedups the natural key") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.dedupEvents(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("dedup").start()
+    try {
+      in.addData(
+        Ev(10, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Ev(10, ts("2024-01-01 10:00:30"), 1, "view", 1.0), // dup key
+        Ev(11, ts("2024-01-01 10:01:00"), 2, "click", 2.0))
+      q.processAllAvailable()
+      in.addData(Ev(10, ts("2024-01-01 10:02:00"), 1, "view", 1.0)) // dup again
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id").collect().map(_.getLong(0))
+      assert(ids.sorted.toSeq === Seq(10L, 11L))
+    } finally q.stop()
+  }
+
+  test("B42 flatMapGroupsWithState keeps running per-user counts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.runningUserCounts(in.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("ucount").start()
+    try {
+      in.addData(Ev(1, ts("2024-01-01 10:00:00"), 7, "view", 1.0),
+        Ev(2, ts("2024-01-01 10:01:00"), 7, "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(3, ts("2024-01-01 10:02:00"), 7, "click", 1.0))
+      q.processAllAvailable()
+      val ns = spark.table("ucount").filter(col("user_id") === 7)
+        .select("n").collect().map(_.getLong(0))
+      assert(ns.max === 3L) // state carried across batches
+    } finally q.stop()
+  }
+}
