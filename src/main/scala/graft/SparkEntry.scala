@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
 
   private lazy val all: Seq[QueryDef] =
-    ops.Relational.defs ++ ops.TextOps.defs ++ ops.VectorOps.defs ++ ops.WindowedOps.defs
+    ops.Relational.defs ++ ops.TextOps.defs ++ ops.VectorOps.defs ++
+      ops.WindowedOps.defs ++ ops.UdfOps.defs ++ ops.MultimodalOps.defs
 
   /** Flagship query (broadcast star join → agg → sort) on sf0.001;
     * driver smoke-checks rows > 0. */
