@@ -1,5 +1,14 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every declared query at
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * An untimed warmup runs three representative queries first so
+  * whole-stage-codegen/JIT compilation of the parquet-scan, shuffle,
+  * and string/hash paths isn't charged to whichever query happens to
+  * run first; queries are then timed in name order (deterministic). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -7,17 +16,24 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val warmupDir = "/root/testdata/sf0.001"
+    Seq("q01_pricing_summary", "q32_shingle_stats", "q50_cosine_adjacent")
+      .foreach { q =>
+        try SparkEntry.queries(q)(spark, warmupDir).count()
+        catch { case _: Throwable => () }
+      }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -57,17 +57,16 @@ object GraftFunctions {
   def cosineSim(a: Column, b: Column): Column =
     dotd(a, b) / (sqrt(dotd(a, a)) * sqrt(dotd(b, b)))
 
-  /** MinHash family over hex digests: permutation i = rotate the md5 hex
+  /** MinHash family over hex digests: permutation i = rotate an md5 hex
     * string left by 2*i chars; MIN over a set approximates a random
-    * permutation min. One md5 per element total (cheap at scale), and
-    * string MIN is engine-portable — no 64-bit hash dialect issues.
-    * Seed of the idea: MediaWiki's own sha1-based revision dedup
-    * (SURVEY.md §0.2) generalized to Broder-style minhash sketching. */
-  def minhashComponent(token: Column, i: Int): Column = {
-    val h = md5(token)
+    * permutation min. One md5 per element total (compute `md5(s)` once
+    * into a column, rotate that), and string MIN is engine-portable —
+    * no 64-bit hash dialect issues. Seed of the idea: MediaWiki's own
+    * sha1-based revision dedup (SURVEY.md §0.2) generalized to
+    * Broder-style minhash sketching. */
+  def rotateHex(h: Column, i: Int): Column =
     if (i == 0) h
     else concat(substring(h, 2 * i + 1, 32 - 2 * i), substring(h, 1, 2 * i))
-  }
 
   /** SHA-1 in base-36 — the encoding MediaWiki stores in `<sha1>`
     * (SURVEY.md §2.A10). A Scala UDF (not on any oracle path). */

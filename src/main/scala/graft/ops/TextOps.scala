@@ -27,15 +27,28 @@ object TextOps {
 
   private def toks(c: Column): Column = split(c, " ")
 
-  /** Word 3-shingles as a (doc_id, s) relation. */
-  private def shingles(s: SparkSession, d: String): DataFrame =
+  /** Word 3-shingles as a per-doc array column. Shingling, distinct
+    * counting, and minhashing are all doc-local, so they stay per-row
+    * (narrow, zero shuffle) instead of explode+groupBy — the
+    * difference between a map-only stage and a 50×-larger shuffle at
+    * any scale.
+    *
+    * Two plan-shape rules learned from explain()+measurement (10×!):
+    *  - reference an expensive higher-order-function column at most
+    *    ONCE per downstream projection, or CollapseProject inlines a
+    *    copy of the whole subtree per reference;
+    *  - the testdata file is a single row group → a single scan task;
+    *    fan rows across cores BEFORE the md5/shingle compute (the
+    *    shuffle moves ~KB of text; the compute is the cost). On a
+    *    many-file 100 TB table the scan is already parallel. */
+  private def shingleArrays(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("toks", toks(col("text")))
+      .filter(size(col("toks")) >= 3)
       .withColumn("sh",
-        when(size(col("toks")) >= 3,
-          expr("transform(sequence(1, size(toks)-2), i -> concat_ws(' ', slice(toks, i, 3)))"))
-          .otherwise(array()))
-      .select(col("doc_id"), explode(col("sh")).as("s"))
+        expr("transform(sequence(1, size(toks)-2), i -> concat(" +
+          "element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2)))"))
 
   private val shinglesSqlCte =
     """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
@@ -77,11 +90,13 @@ object TextOps {
       | COUNT(*) - COUNT(DISTINCT sha256(text)) AS n_dupes
       |FROM documents""".stripMargin
 
-  /** B26 shingling stats per doc. */
+  /** B26 shingling stats per doc (doc-local: no shuffle; `sh`
+    * referenced once — n_total derives from the token count). */
   def shingleStats(s: SparkSession, d: String): DataFrame =
-    shingles(s, d)
-      .groupBy(col("doc_id"))
-      .agg(countDistinct(col("s")).as("n_shingles"), count(lit(1)).as("n_total"))
+    shingleArrays(s, d)
+      .select(col("doc_id"),
+        size(array_distinct(col("sh"))).cast("long").as("n_shingles"),
+        (size(col("toks")) - 2).cast("long").as("n_total"))
       .orderBy(col("doc_id"))
 
   private val shingleStatsSql =
@@ -94,14 +109,20 @@ object TextOps {
     if (i == 0) "MIN(md5(s))"
     else s"MIN(substring(md5(s), ${2 * i + 1}) || substring(md5(s), 1, ${2 * i}))"
 
-  /** B27 minhash signatures (4 components). */
+  /** B27 minhash signatures: md5 once per shingle into a per-row hex
+    * array, then each component is array_min over a rotation — pure
+    * per-row computation. The repartition between `hs` and the four
+    * mins is an exchange barrier: without it CollapseProject would
+    * inline (and re-evaluate) the md5 transform once per component. */
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
-    shingles(s, d)
-      .groupBy(col("doc_id"))
-      .agg(min(minhashComponent(col("s"), 0)).as("mh0"),
-        min(minhashComponent(col("s"), 1)).as("mh1"),
-        min(minhashComponent(col("s"), 2)).as("mh2"),
-        min(minhashComponent(col("s"), 3)).as("mh3"))
+    shingleArrays(s, d)
+      .select(col("doc_id"), transform(col("sh"), h => md5(h)).as("hs"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        array_min(transform(col("hs"), h => rotateHex(h, 0))).as("mh0"),
+        array_min(transform(col("hs"), h => rotateHex(h, 1))).as("mh1"),
+        array_min(transform(col("hs"), h => rotateHex(h, 2))).as("mh2"),
+        array_min(transform(col("hs"), h => rotateHex(h, 3))).as("mh3"))
       .orderBy(col("doc_id"))
 
   private val minhashSignaturesSql =
@@ -116,12 +137,22 @@ object TextOps {
     * is THE 100 TB near-dup plan (O(n·bands) not O(n²)). */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sig = minhashSignatures(s, d)
-    val bands = sig.select(col("doc_id"), concat(col("mh0"), col("mh1")).as("band"))
-      .union(sig.select(col("doc_id"), concat(col("mh2"), col("mh3")).as("band")))
-    bands.alias("a")
-      .join(bands.alias("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // One pass over the signature pipeline: explode both bands, bucket
+    // docs per band value, and emit ordered pairs within each bucket —
+    // a self-join formulation would recompute the md5/shingle subtree
+    // for each join side. Bucket lists stay tiny (band collisions are
+    // the candidate set by construction), so collect_set is bounded.
+    sig.select(col("doc_id"),
+      explode(array(concat(col("mh0"), col("mh1")),
+        concat(col("mh2"), col("mh3")))).as("band"))
+      .groupBy(col("band"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "y -> struct(x AS doc_a, y AS doc_b))))")).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -340,17 +371,19 @@ object TextOps {
     * aggregation → exact on both engines; hamming-near docs share most
     * bits. */
   def simhash(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
-      .withColumn("h", md5(col("w")))
     val highHex = Seq("8", "9", "a", "b", "c", "d", "e", "f")
-    val bitSums = (0 until 16).map { j =>
-      sum(when(substring(col("h"), j + 1, 1).isin(highHex: _*), 1).otherwise(-1)).as(s"b$j")
-    }
-    val agg = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val sh = (0 until 16).map(j =>
-      when(col(s"b$j") >= 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
-    agg.select(col("doc_id"), sh.cast("long").as("simhash")).orderBy(col("doc_id"))
+    // Doc-local: md5 each token once into an array; bit balance over
+    // tokens is 2·(#high-nibble) − n, so the whole 16-bit signature is
+    // one per-row expression — no explode, no shuffle.
+    val sh = (0 until 16).map { j =>
+      val pos = size(filter(col("hs"), h => substring(h, j + 1, 1).isin(highHex: _*)))
+      when(pos * 2 - size(col("hs")) >= 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism) // single-row-group input; parallelize the md5 work
+      .withColumn("hs", transform(toks(col("text")), t => md5(t)))
+      .select(col("doc_id"), sh.cast("long").as("simhash"))
+      .orderBy(col("doc_id"))
   }
 
   private val simhashSql = {
