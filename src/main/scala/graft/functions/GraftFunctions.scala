@@ -53,9 +53,22 @@ object GraftFunctions {
       lit(0.0),
       (acc, v) => acc + v)
 
-  /** Cosine similarity in double precision. */
+  /** Cosine similarity in double precision (HOF form). */
   def cosineSim(a: Column, b: Column): Column =
     dotd(a, b) / (sqrt(dotd(a, a)) * sqrt(dotd(b, b)))
+
+  /** Codegen'd dot product (same values as dotd; see DotProduct).
+    * Column↔Expression bridging goes through the classic-API utils
+    * (Spark 4 decoupled Column from catalyst Expressions). */
+  def dotFast(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftShims.{column, expression}
+    column(DotProduct(expression(a), expression(b)))
+  }
+
+  /** Cosine similarity on float arrays via the native expression —
+    * value-identical to cosineSim, ~10× faster per row. */
+  def cosineSimFast(a: Column, b: Column): Column =
+    dotFast(a, b) / (sqrt(dotFast(a, a)) * sqrt(dotFast(b, b)))
 
   /** MinHash family over hex digests: permutation i = rotate an md5 hex
     * string left by 2*i chars; MIN over a set approximates a random

@@ -518,6 +518,25 @@ object Relational {
       | COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** B22 map functions over parsed JSON (from_json → MapType). */
+  def mapFuncs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, MapType, StringType}
+    Tables.events(s, d)
+      .withColumn("m", from_json(col("props"), MapType(StringType, LongType)))
+      .select(col("event_id"),
+        size(map_keys(col("m"))).as("n_keys"),
+        array_join(sort_array(map_keys(col("m"))), ",").as("keys_csv"),
+        element_at(col("m"), "k").as("k_val"))
+      .orderBy(col("event_id"))
+  }
+
+  private val mapFuncsSql =
+    """SELECT event_id,
+      | CAST(len(json_keys(props)) AS INT) AS n_keys,
+      | array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+      | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+      |FROM events ORDER BY event_id""".stripMargin
+
   /** B13 approx distinct (HLL++) — engine-specific estimate, so no SQL
     * oracle; exact count rides along for the ScalaTest bounds check. */
   def approxDistinct(s: SparkSession, d: String): DataFrame =
@@ -554,5 +573,6 @@ object Relational {
     QueryDef("q24_json_extract", jsonExtract, Some(jsonExtractSql), "B22 JSON functions"),
     QueryDef("q25_subquery", subquerySql, Some(subquerySqlSql), "B23 subqueries"),
     QueryDef("q26_pivot", pivotEvents, Some(pivotEventsSql), "B24 pivot"),
+    QueryDef("q44_map_funcs", mapFuncs, Some(mapFuncsSql), "B22 map functions"),
     QueryDef("q27_approx_distinct", approxDistinct, None, "B13 approx distinct (non-oracle)"))
 }

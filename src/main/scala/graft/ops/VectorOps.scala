@@ -28,7 +28,7 @@ object VectorOps {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     e.alias("a").join(e.alias("b"), col("b.vec_id") === col("a.vec_id") + 1)
       .select(col("a.vec_id").as("vec_id"),
-        round(cosineSim(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
+        round(cosineSimFast(col("a.embedding"), col("b.embedding")), 6).as("cos_sim"))
       .orderBy(col("vec_id"))
   }
 
@@ -49,7 +49,7 @@ object VectorOps {
     e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(cosineSim(col("embedding"), col("qv")), 6).as("cos_sim"))
+        round(cosineSimFast(col("embedding"), col("qv")), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(10)
   }
@@ -90,7 +90,7 @@ object VectorOps {
       .filter(col("vec_id") =!= 0 &&
         shiftright(col("bucket"), 1) === shiftright(col("qbucket"), 1))
       .select(col("vec_id"),
-        round(cosineSim(col("embedding"), col("qv")), 6).as("cos_sim"),
+        round(cosineSimFast(col("embedding"), col("qv")), 6).as("cos_sim"),
         col("bucket"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(5)

