@@ -96,6 +96,71 @@ object VectorOps {
       .limit(5)
   }
 
+  /** Embedding-cosine near-dup (the vector member of the dedup family):
+    * same-label candidate pairs above a cosine threshold, aggregated
+    * per label. Norms are computed once per vector BEFORE the pair
+    * join (n·cost, not n²·cost); the vec_id<300 cap keeps the oracle's
+    * O(pairs·dims) cost flat across SFs. At 100 TB the label column is
+    * the blocking key exactly like an LSH band. */
+  def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(dotFast(col("embedding"), col("embedding"))).as("nrm"))
+    n.alias("a")
+      .join(n.alias("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.label").as("label"),
+        (dotFast(col("a.embedding"), col("b.embedding")) /
+          (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") > 0.3)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_pairs"), round(max(col("cos")), 6).as("max_cos"))
+      .orderBy(col("label"))
+  }
+
+  private val embeddingNearDupSql =
+    s"""WITH n AS (SELECT vec_id, label, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       | FROM embeddings WHERE vec_id < 300),
+       |p AS (SELECT a.label,
+       |  ${dotSql("a.embedding", "b.embedding")}/(a.nrm*b.nrm) AS cos
+       | FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id)
+       |SELECT label, COUNT(*) AS n_pairs, ROUND(MAX(cos), 6) AS max_cos
+       |FROM p WHERE cos > 0.3 GROUP BY label ORDER BY label""".stripMargin
+
+  /** IVF ANN (the other scale path besides LSH): k-means coarse
+    * quantizer, probe the nProbe nearest centroids, exact re-rank
+    * inside them — candidates drop to ~nProbe/k of the corpus. The
+    * 16×64 centroid model is driver-resident (it IS the index
+    * metadata); only the assignment and re-rank are distributed.
+    * Test-only (MLlib k-means seeds are engine-internal → no oracle;
+    * kept out of the bench set to keep bench fit-free). */
+  def annIvf(s: SparkSession, d: String, k: Int = 16, nProbe: Int = 2,
+      topK: Int = 5): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vector, Vectors}
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val withF = Tables.embeddings(s, d).withColumn("features", toVec(col("embedding")))
+    val model = new KMeans().setK(k).setSeed(42).setMaxIter(5)
+      .setFeaturesCol("features").setPredictionCol("cluster").fit(withF)
+    val assigned = model.transform(withF)
+    val qrow = assigned.filter(col("vec_id") === 0)
+      .select(col("features"), col("embedding")).head()
+    val qvec = qrow.getAs[Vector]("features")
+    val probe = model.clusterCenters.zipWithIndex
+      .sortBy { case (c, _) => Vectors.sqdist(c, qvec) }
+      .take(nProbe).map(_._2)
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    assigned.filter(col("cluster").isin(probe.map(Integer.valueOf): _*) && col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosineSimFast(col("embedding"), col("qv")), 6).as("cos_sim"),
+        col("cluster"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+
   /** Multimodal plumbing (oracle-able slice): opaque binary payload +
     * typed metadata — byte length and content digest survive the
     * string→binary boundary identically on both engines. */
@@ -118,5 +183,7 @@ object VectorOps {
     QueryDef("q50_cosine_adjacent", cosineAdjacent, Some(cosineAdjacentSql), "B29 cosine similarity"),
     QueryDef("q51_topk_similar", topkSimilar, Some(topkSimilarSql), "B30 brute-force top-k ANN baseline"),
     QueryDef("q52_ann_lsh", annLsh, None, "B31 LSH-bucketed ANN (non-oracle)"),
-    QueryDef("q53_binary_meta", binaryMeta, Some(binaryMetaSql), "multimodal binary column"))
+    QueryDef("q53_binary_meta", binaryMeta, Some(binaryMetaSql), "multimodal binary column"),
+    QueryDef("q55_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql),
+      "embedding-cosine near-dup"))
 }

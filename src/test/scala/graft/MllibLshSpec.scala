@@ -31,6 +31,26 @@ class MllibLshSpec extends AnyFunSuite with LocalSparkSuite {
     assert(dists.min < dists.max)
   }
 
+  test("IVF ANN recall: probed top-5 overlaps brute-force top-10") {
+    val ivf = graft.ops.VectorOps.annIvf(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(ivf.size === 5)
+    val brute = graft.ops.VectorOps.topkSimilar(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert((ivf intersect brute).nonEmpty)
+  }
+
+  test("GraftExtensions registers graft_dot for SQL") {
+    import graft.functions.DotProduct
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    Tables.embeddings(spark, sfDir).limit(5).createOrReplaceTempView("emb_v")
+    val r = spark.sql(
+      "SELECT vec_id, graft_dot(embedding, embedding) AS sq FROM emb_v ORDER BY vec_id")
+    assert(r.count() === 5)
+    assert(r.head().getDouble(1) > 0.0)
+  }
+
   test("MinHashLSH approxSimilarityJoin self-join finds only plausible pairs") {
     val toSet = udf((s: String) =>
       Vectors.sparse(1 << 18,
