@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+import graft.functions.GraftFunctions._
+
+/** Property tests (SURVEY.md §5.4). Spark-backed properties run few
+  * cases (a job per case); algebraic ones run the full default count
+  * on the JVM. */
+object GraftProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  // Pure algebraic property of the minhash family: the component of a
+  // union is the min of the components (what makes banding sound).
+  property("minhash(A ∪ B) = min(minhash A, minhash B)") = {
+    val g = Gen.nonEmptyListOf(Gen.alphaNumStr.suchThat(_.nonEmpty))
+    forAll(g, g) { (a, b) =>
+      val mh = (xs: List[String]) => xs.map(md5hex).min
+      mh(a ++ b) == Seq(mh(a), mh(b)).min
+    }
+  }
+
+  property("exact dedup is idempotent") = {
+    val g = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "dd", "ee"))
+    forAll(g) { texts =>
+      import spark.implicits._
+      val df = texts.toDF("text")
+      def dedup(d: org.apache.spark.sql.DataFrame) =
+        d.withColumn("h", sha2(col("text"), 256)).dropDuplicates("h").drop("h")
+      dedup(dedup(df)).count() == dedup(df).count()
+    }
+  }
+
+  property("jaccard ∈ [0,1] and jaccard(x,x) = 1") = {
+    val g = Gen.nonEmptyListOf(Gen.oneOf("w1", "w2", "w3", "w4", "w5"))
+    forAll(g, g) { (xs, ys) =>
+      import spark.implicits._
+      val df = Seq((xs, ys)).toDF("a", "b")
+        .select(
+          (size(array_intersect(col("a"), col("b"))).cast("double") /
+            size(array_union(col("a"), col("b")))).as("j"),
+          (size(array_intersect(col("a"), col("a"))).cast("double") /
+            size(array_union(col("a"), col("a")))).as("jself"))
+      val r = df.head()
+      val j = r.getDouble(0)
+      j >= 0.0 && j <= 1.0 && r.getDouble(1) == 1.0
+    }
+  }
+
+  property("top-k ⊆ top-(k+1) under total order") = {
+    val g = Gen.nonEmptyListOf(Gen.chooseNum(-1000, 1000))
+    forAll(g) { vals =>
+      import spark.implicits._
+      val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+      def top(k: Int) = df.orderBy(col("v").desc, col("id")).limit(k)
+        .collect().map(_.getLong(0)).toSet
+      top(3).subsetOf(top(4))
+    }
+  }
+
+  property("cosine(v, v) ≈ 1 for nonzero vectors (codegen expression)") = {
+    val g = Gen.listOfN(8, Gen.chooseNum(-10.0f, 10.0f))
+      .suchThat(v => v.exists(x => math.abs(x) > 0.1f))
+    forAll(g) { v =>
+      import spark.implicits._
+      val df = Seq(Tuple1(v)).toDF("e")
+        .select(cosineSimFast(col("e"), col("e")).as("c"))
+      math.abs(df.head().getDouble(0) - 1.0) < 1e-9
+    }
+  }
+
+  property("union-all count additivity") = {
+    val g = Gen.listOf(Gen.chooseNum(0, 100))
+    forAll(g, g) { (a, b) =>
+      import spark.implicits._
+      val da = a.toDF("x"); val db = b.toDF("x")
+      da.union(db).count() == da.count() + db.count()
+    }
+  }
+}
