@@ -196,6 +196,7 @@ object TextOps {
         size(toks(col("text"))).as("n_tokens"),
         col("n_chars"),
         (col("n_chars").cast("double") / size(toks(col("text")))).as("chars_per_token"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+"), lit(0))).as("n_subtokens"),
         length(col("text")).as("len_check"))
       .orderBy(col("doc_id"))
 
@@ -204,6 +205,7 @@ object TextOps {
       | CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
       | n_chars,
       | CAST(n_chars AS DOUBLE) / len(string_split(text,' ')) AS chars_per_token,
+      | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INT) AS n_subtokens,
       | CAST(LENGTH(text) AS INT) AS len_check
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -355,6 +357,25 @@ object TextOps {
        |FROM t ORDER BY doc_id""".stripMargin
   }
 
+  /** Karp-Rabin-style polynomial rolling hash over the token stream —
+    * pure integer fold, exact on both engines, and incremental at
+    * scale (append-only corpora re-hash only the tail). */
+  def rollingHash(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        aggregate(
+          transform(toks(col("text")), t => ascii(t) * 131 + length(t)),
+          lit(7L),
+          (a, b) => (a * 31 + b) % 1000000007L).as("rhash"))
+      .orderBy(col("doc_id"))
+
+  private val rollingHashSql =
+    """SELECT doc_id,
+      | list_reduce(list_prepend(7::BIGINT,
+      |   [ascii(t)*131 + length(t) for t in string_split(text,' ')]),
+      |   (a, b) -> (a*31 + b) % 1000000007) AS rhash
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** Document fingerprinting: 64-bit content fingerprint (md5 prefix). */
   def fingerprint(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -414,5 +435,6 @@ object TextOps {
     QueryDef("q40_langid", langId, Some(langIdSql), "language-ID heuristic"),
     QueryDef("q41_quality_score", qualityScore, Some(qualityScoreSql), "quality scoring"),
     QueryDef("q42_fingerprint", fingerprint, Some(fingerprintSql), "document fingerprint"),
+    QueryDef("q45_rolling_hash", rollingHash, Some(rollingHashSql), "Karp-Rabin rolling hash"),
     QueryDef("q43_simhash", simhash, Some(simhashSql), "16-bit simhash"))
 }
