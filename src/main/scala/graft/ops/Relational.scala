@@ -518,6 +518,33 @@ object Relational {
       | COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** B10 statistical aggregates. Exact percentiles use linear
+    * interpolation with the same (n-1)·q rank definition on both
+    * engines; interpolated values of 4-decimal data at decile
+    * fractions stay ≤5 decimals → the DECIMAL(28,8) recovery cast
+    * makes them bit-exact cross-engine. stddev/corr round(4) — sqrt-based
+    * irrational outputs, so the engines' ~1e-12 algorithmic differences
+    * can't straddle a rounding boundary in practice. */
+  def statsAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_extendedprice, 0.5)").cast(MoneyDec).cast("double").as("med_price"),
+        expr("percentile(l_extendedprice, 0.9)").cast(MoneyDec).cast("double").as("p90_price"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("sd_price"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_corr"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  private val statsAggSql =
+    """SELECT l_returnflag,
+      | CAST(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(28,8)) AS DOUBLE) AS med_price,
+      | CAST(CAST(quantile_cont(l_extendedprice, 0.9) AS DECIMAL(28,8)) AS DOUBLE) AS p90_price,
+      | ROUND(stddev_samp(l_extendedprice), 4) AS sd_price,
+      | ROUND(corr(l_quantity, l_extendedprice), 4) AS qty_price_corr,
+      | COUNT(*) AS n
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** B22 map functions over parsed JSON (from_json → MapType). */
   def mapFuncs(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.types.{LongType, MapType, StringType}
@@ -574,5 +601,6 @@ object Relational {
     QueryDef("q25_subquery", subquerySql, Some(subquerySqlSql), "B23 subqueries"),
     QueryDef("q26_pivot", pivotEvents, Some(pivotEventsSql), "B24 pivot"),
     QueryDef("q44_map_funcs", mapFuncs, Some(mapFuncsSql), "B22 map functions"),
+    QueryDef("q46_stats_agg", statsAgg, Some(statsAggSql), "B10 percentiles/stddev/corr"),
     QueryDef("q27_approx_distinct", approxDistinct, None, "B13 approx distinct (non-oracle)"))
 }

@@ -18,6 +18,12 @@ class IngestSpec extends AnyFunSuite with LocalSparkSuite {
     assert(pages.schema === MediaWikiXml.pageSchema)
   }
 
+  test("A1 .bz2 dump reads through the codec transparently") {
+    val bz = MediaWikiXml.readPages(spark, "src/test/resources/minidump.xml.bz2")
+    assert(bz.count() === 8)
+    assert(MediaWikiXml.flattenRevisions(bz).count() === 9)
+  }
+
   test("A2 namespace table: 5 entries, key 0 has empty name") {
     val m = ns.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
     assert(m === Map(-2 -> "Media", -1 -> "Special", 0 -> "", 1 -> "Talk", 2 -> "User"))

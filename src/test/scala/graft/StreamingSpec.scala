@@ -40,6 +40,32 @@ class StreamingSpec extends AnyFunSuite with LocalSparkSuite {
     } finally q.stop()
   }
 
+  test("B40 session_window runs under readStream with a watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = in.toDF().withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("start"),
+        col("session_window.end").as("end"), col("user_id"), col("n"))
+      .writeStream.outputMode("append").format("memory").queryName("sess").start()
+    try {
+      in.addData(
+        Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Ev(2, ts("2024-01-01 10:10:00"), 1, "view", 1.0), // same session (gap < 30m)
+        Ev(3, ts("2024-01-01 12:00:00"), 1, "view", 1.0)) // new session
+      q.processAllAvailable()
+      in.addData(Ev(4, ts("2024-01-01 15:00:00"), 1, "view", 1.0)) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("sess").filter(col("user_id") === 1).collect()
+      assert(rows.length >= 2)
+      val first = rows.minBy(_.getAs[java.sql.Timestamp]("start").getTime)
+      assert(first.getAs[Long]("n") === 2) // events 1+2 merged into one session
+      assert(first.getAs[java.sql.Timestamp]("end") === ts("2024-01-01 10:40:00"))
+    } finally q.stop()
+  }
+
   test("B42 dropDuplicatesWithinWatermark dedups the natural key") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
