@@ -227,15 +227,19 @@ object TextOps {
     * top-3 terms for doc_id < 20. df/idf computed over the FULL corpus;
     * only the projection is restricted, as a production pipeline would. */
   def tfidfTop(s: SparkSession, d: String): DataFrame = {
-    val words = Tables.documents(s, d)
+    // Linear chain: one explode → one tf aggregate → doc_len and df as
+    // window sums OVER tf. Spark has no cross-branch common-subtree
+    // reuse, so the join formulation (tf ⋈ dl ⋈ df) would re-explode
+    // the corpus once per branch; the window form computes tf exactly
+    // once and shuffles only the (doc,w,cnt) aggregate.
+    val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("w"))
-    val tf = words.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
-    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("doc_len"))
-    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
     val total = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-    val x = tf.filter(col("doc_id") < 20)
-      .join(dl, "doc_id")
-      .join(df, "w")
+    val x = tf
+      .withColumn("doc_len", sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
+      .filter(col("doc_id") < 20)
       .crossJoin(broadcast(total))
       .withColumn("tfidf",
         (col("cnt").cast("double") / col("doc_len")) *
