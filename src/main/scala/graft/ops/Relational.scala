@@ -288,6 +288,8 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
       .withColumn("rn", row_number().over(w).cast("int"))
       .withColumn("rnk", rank().over(w).cast("int"))
+      .withColumn("drnk", dense_rank().over(w).cast("int"))
+      .withColumn("quartile", ntile(4).over(w).cast("int"))
       .filter(col("rn") <= 3)
       .orderBy(col("o_custkey"), col("rn"))
   }
@@ -296,7 +298,9 @@ object Relational {
     """SELECT * FROM (
       | SELECT o_custkey, o_orderkey, o_totalprice,
       |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn,
-      |  CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk
+      |  CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk,
+      |  CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS drnk,
+      |  CAST(NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS quartile
       | FROM orders) t
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
@@ -311,6 +315,8 @@ object Relational {
           .cast("double"))
       .withColumn("prev_value", lag(col("value"), 1).over(w))
       .withColumn("next_value", lead(col("value"), 1).over(w))
+      .withColumn("first_value",
+        first(col("value")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .orderBy(col("event_id"))
   }
 
@@ -319,7 +325,9 @@ object Relational {
       | CAST(SUM(CAST(value AS DECIMAL(28,8))) OVER (PARTITION BY user_id ORDER BY ts, event_id
       |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
       | LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
-      | LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value
+      | LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
+      | FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_value
       |FROM events ORDER BY event_id""".stripMargin
 
   /** B16 top-k (TakeOrderedAndProject: per-partition top-k then merge —
@@ -387,12 +395,16 @@ object Relational {
   def dateParts(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
       .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
-      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"),
+        min(unix_timestamp(col("o_orderdate"))).as("first_epoch"))
+      .withColumn("month_start", make_date(col("yr"), col("mo"), lit(1)))
       .orderBy(col("yr"), col("mo"))
 
   private val datePartsSql =
     s"""SELECT CAST(YEAR(o_orderdate) AS INT) AS yr, CAST(MONTH(o_orderdate) AS INT) AS mo,
-       | COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total
+       | COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total,
+       | CAST(epoch(MIN(o_orderdate)) AS BIGINT) AS first_epoch,
+       | make_date(CAST(YEAR(o_orderdate) AS INT), CAST(MONTH(o_orderdate) AS INT), 1) AS month_start
        |FROM orders GROUP BY yr, mo ORDER BY yr, mo""".stripMargin
 
   /** B19 datediff: ship delay per priority (lineitem⋈orders). */
