@@ -25,6 +25,9 @@ object ImportDump {
       .appName("graft-import")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // XML is CPU-bound at ~10 MB/s/core: split uncompressed dumps
+      // finer than the 128 MB default so every core parses.
+      .config("spark.sql.files.maxPartitionBytes", 32L * 1024 * 1024)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -37,9 +40,9 @@ object ImportDump {
 
     Sinks.writeParquetPartitioned(classified, s"$outDir/revision")
     ns.write.mode("overwrite").parquet(s"$outDir/namespace")
-    MediaWikiXml.latestRevisionPerPage(
-      MediaWikiXml.classify(MediaWikiXml.flattenRevisions(
-        MediaWikiXml.readPages(spark, dump)), ns))
+    // Derive the page table from the revision SINK, not the dump: the
+    // XML is parsed exactly once; this pass is a cheap columnar read.
+    MediaWikiXml.latestRevisionPerPage(spark.read.parquet(s"$outDir/revision"))
       .write.mode("overwrite").parquet(s"$outDir/page_latest")
 
     args.lift(2).foreach { url =>
