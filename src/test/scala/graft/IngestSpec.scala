@@ -24,6 +24,17 @@ class IngestSpec extends AnyFunSuite with LocalSparkSuite {
     assert(MediaWikiXml.flattenRevisions(bz).count() === 9)
   }
 
+  test("A1 multi-file dump directory reads in parallel (multistream chunks)") {
+    val dir = java.nio.file.Files.createTempDirectory("chunks")
+    java.nio.file.Files.copy(java.nio.file.Paths.get("src/test/resources/minidump.xml"),
+      dir.resolve("chunk-0.xml"))
+    java.nio.file.Files.copy(java.nio.file.Paths.get("src/test/resources/minidump.xml"),
+      dir.resolve("chunk-1.xml"))
+    val df = MediaWikiXml.readPages(spark, dir.toString)
+    assert(df.count() === 16)
+    assert(df.rdd.getNumPartitions >= 2) // one task per chunk, minimum
+  }
+
   test("A2 namespace table: 5 entries, key 0 has empty name") {
     val m = ns.collect().map(r => r.getInt(0) -> r.getString(1)).toMap
     assert(m === Map(-2 -> "Media", -1 -> "Special", 0 -> "", 1 -> "Talk", 2 -> "User"))

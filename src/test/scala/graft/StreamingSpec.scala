@@ -85,6 +85,29 @@ class StreamingSpec extends AnyFunSuite with LocalSparkSuite {
     } finally q.stop()
   }
 
+  test("incremental import: a file stream picks up newly arrived chunks only") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("arriving").toString
+    val batch1 = Seq((1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    batch1.write.mode("append").parquet(dir)
+    val stream = spark.readStream.schema(batch1.schema).parquet(dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("arrivals").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("arrivals").agg(sum("n")).head().getLong(0) === 1L)
+      // a new chunk lands; only the delta is processed
+      Seq((2L, ts("2024-01-01 11:00:00"), 2L, "click", 2.0),
+        (3L, ts("2024-01-01 11:05:00"), 2L, "view", 1.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+        .write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(spark.table("arrivals").agg(sum("n")).head().getLong(0) === 3L)
+    } finally q.stop()
+  }
+
   test("B42 flatMapGroupsWithState keeps running per-user counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
