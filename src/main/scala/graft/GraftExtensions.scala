@@ -20,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs.head, exprs(1))))
+    e.injectOptimizerRule(_ => plans.RewriteDotProduct)
   }
 }
