@@ -110,6 +110,25 @@ object MediaWikiXml {
         col("rev.text._bytes").as("text_bytes"),
         col("rev.sha1").as("sha1"))
 
+  /** Typed row of the flattened revision stream — the Dataset[T] API
+    * boundary (SURVEY.md §1.2): compile-time field checks for callers,
+    * identical Catalyst plan underneath. */
+  final case class FlatRevision(
+      page_id: Long, ns: Int, title: String, is_redirect: Boolean,
+      redirect_title: Option[String], restrictions: Option[String],
+      rev_id: Long, parent_id: Option[Long], ts: java.sql.Timestamp,
+      contributor_name: Option[String], contributor_id: Option[Long],
+      contributor_ip: Option[String], is_anon: Boolean, is_minor: Boolean,
+      comment: Option[String], model: String, format: String,
+      text: Option[String], text_bytes: Option[Long], sha1: String)
+
+  /** Typed view of [[flattenRevisions]]. */
+  def typedRevisions(pages: DataFrame): org.apache.spark.sql.Dataset[FlatRevision] = {
+    val df = flattenRevisions(pages)
+    import df.sparkSession.implicits._
+    df.as[FlatRevision]
+  }
+
   /** A9: namespace classification via broadcast join; an article is
     * ns 0 and not a redirect. */
   def classify(flat: DataFrame, namespaces: DataFrame): DataFrame =

@@ -42,11 +42,10 @@ object UdfOps {
     * text for storage" shape (MediaWiki text table rows). */
   def chunkDocs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .withColumn("chunk",
-        explode(expr("transform(sequence(0, CAST(ceil(n_chars/100.0) AS INT) - 1), " +
-          "i -> struct(i AS chunk_no, substring(text, i*100 + 1, 100) AS body))")))
-      .select(col("doc_id"), col("chunk.chunk_no").as("chunk_no"),
-        col("chunk.body").as("body"))
+      .select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, CAST(ceil(n_chars/100.0) AS INT) - 1), " +
+          "i -> substring(text, i*100 + 1, 100))")))
+      .select(col("doc_id"), col("pos").as("chunk_no"), col("col").as("body"))
       .orderBy(col("doc_id"), col("chunk_no"))
 
   private val chunkDocsSql =

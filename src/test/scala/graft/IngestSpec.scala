@@ -111,6 +111,16 @@ class IngestSpec extends AnyFunSuite with LocalSparkSuite {
     assert(got.dropWhile(_ == '0') === want.dropWhile(_ == '0'))
   }
 
+  test("typed Dataset boundary: Dataset[FlatRevision] round-trips") {
+    val ds = MediaWikiXml.typedRevisions(pages)
+    val zeta = ds.filter(_.page_id == 6L).collect().sortBy(_.rev_id)
+    assert(zeta.map(_.rev_id).toSeq === Seq(106L, 107L))
+    assert(zeta(1).parent_id === Some(106L))
+    assert(ds.filter(_.is_anon).map(_.contributor_ip)(
+      org.apache.spark.sql.Encoders.product[Option[String]]
+    ).collect().flatten.toSeq === Seq("203.0.113.5"))
+  }
+
   test("A12 latest revision per page") {
     val latest = MediaWikiXml.latestRevisionPerPage(flat)
     assert(latest.count() === 8)

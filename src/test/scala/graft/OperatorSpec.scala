@@ -29,6 +29,16 @@ class OperatorSpec extends AnyFunSuite with LocalSparkSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("plan: aggregation pipeline stays inside WholeStageCodegen") {
+    val df = Relational.pricingSummary(spark, sfDir)
+    df.collect() // materialize so AQE finalizes the physical plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks WholeStageCodegen stages; partial_sum
+    // before the exchange confirms map-side combine
+    assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(plan).isDefined)
+    assert(plan.contains("partial_sum"))
+  }
+
   test("plan: scan prunes to referenced columns only") {
     val plan = Relational.joinLarge(spark, sfDir)
       .queryExecution.executedPlan.toString
