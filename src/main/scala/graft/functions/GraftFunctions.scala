@@ -41,8 +41,14 @@ object GraftFunctions {
     * in double (one IEEE division — identical on both engines). */
   def davg(c: Column): Column = dsum(c) / count(c)
 
-  /** SQL fragment twins for the above (DuckDB side). */
-  def dsumSql(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(28,8))) AS DOUBLE)"
+  /** SQL fragment twins for the above (DuckDB side). The VARCHAR hop
+    * matters: DuckDB's direct DECIMAL→DOUBLE cast double-rounds through
+    * int128 and is off by one ulp once the scaled integer exceeds 2^53
+    * (seen at sf0.1 sums ~6e9 → 6e17 scaled), while decimal→string is
+    * exact and string→double is correctly rounded — matching Spark's
+    * BigDecimal.doubleValue bit-for-bit at any magnitude. */
+  def dsumSql(x: String): String =
+    s"CAST(CAST(SUM(CAST($x AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)"
   def davgSql(x: String): String = s"${dsumSql(x)}/COUNT($x)"
 
   /** Dot product of two float/double array columns in double precision,

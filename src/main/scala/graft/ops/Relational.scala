@@ -322,8 +322,8 @@ object Relational {
 
   private val windowRunningSql =
     """SELECT event_id, user_id, ts, value,
-      | CAST(SUM(CAST(value AS DECIMAL(28,8))) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_sum,
+      | CAST(CAST(SUM(CAST(value AS DECIMAL(28,8))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS run_sum,
       | LAG(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_value,
       | LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_value,
       | FIRST_VALUE(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -503,7 +503,7 @@ object Relational {
 
   private val subquerySqlSql =
     """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-      |WHERE o_totalprice > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS DOUBLE)/COUNT(*) * 1.5 FROM orders)
+      |WHERE o_totalprice > (SELECT CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)/COUNT(*) * 1.5 FROM orders)
       |  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 0)
       |ORDER BY o_orderkey""".stripMargin
 

@@ -25,7 +25,7 @@ object UdfOps {
 
   private val weightedAvgPriceSql =
     """SELECT l_returnflag,
-      | CAST(SUM(CAST(round(l_extendedprice*10000) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS DOUBLE)
+      | CAST(CAST(SUM(CAST(round(l_extendedprice*10000) AS BIGINT) * CAST(l_quantity AS BIGINT)) AS VARCHAR) AS DOUBLE)
       |   / 10000.0 / CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS w_avg_price,
       | COUNT(*) AS n
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
