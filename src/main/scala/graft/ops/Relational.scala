@@ -364,6 +364,31 @@ object Relational {
       |SELECT custkey, 'both' AS side FROM (SELECT custkey FROM a INTERSECT SELECT custkey FROM b)
       |ORDER BY custkey, side""".stripMargin
 
+  /** B17 bag-semantics set ops (INTERSECT ALL / EXCEPT ALL keep
+    * multiplicities — the SQL-standard twin of the distinct forms in
+    * q18). Operand: per-order line counts as a multiset of quantities. */
+  def setOpsBag(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.lineitem(s, d).filter(col("l_returnflag") === "N")
+      .select(col("l_quantity").cast("int").as("qty"))
+    val b = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .select(col("l_quantity").cast("int").as("qty"))
+    a.intersectAll(b).groupBy(col("qty")).agg(count(lit(1)).as("n_common"))
+      .join(a.exceptAll(b).groupBy(col("qty")).agg(count(lit(1)).as("n_n_only")),
+        Seq("qty"), "full_outer")
+      .select(col("qty"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("n_n_only"), lit(0L)).as("n_n_only"))
+      .orderBy(col("qty"))
+  }
+
+  private val setOpsBagSql =
+    """WITH a AS (SELECT CAST(l_quantity AS INT) AS qty FROM lineitem WHERE l_returnflag = 'N'),
+      |     b AS (SELECT CAST(l_quantity AS INT) AS qty FROM lineitem WHERE l_returnflag = 'R'),
+      |     ia AS (SELECT qty, COUNT(*) AS n_common FROM (SELECT qty FROM a INTERSECT ALL SELECT qty FROM b) GROUP BY qty),
+      |     ea AS (SELECT qty, COUNT(*) AS n_n_only FROM (SELECT qty FROM a EXCEPT ALL SELECT qty FROM b) GROUP BY qty)
+      |SELECT qty, COALESCE(n_common, 0) AS n_common, COALESCE(n_n_only, 0) AS n_n_only
+      |FROM ia FULL JOIN ea USING (qty) ORDER BY qty""".stripMargin
+
   /** B18 string functions (all codegen'd builtins, no UDFs). */
   def stringFuncs(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d)
@@ -604,6 +629,7 @@ object Relational {
     QueryDef("q16_window_running", windowRunning, Some(windowRunningSql), "B15 analytic window"),
     QueryDef("q17_topk", topkOrders, Some(topkOrdersSql), "B16 top-k"),
     QueryDef("q18_set_ops", setOps, Some(setOpsSql), "B17 set operations"),
+    QueryDef("q47_set_ops_bag", setOpsBag, Some(setOpsBagSql), "B17 bag set operations"),
     QueryDef("q19_string_funcs", stringFuncs, Some(stringFuncsSql), "B18 string functions"),
     QueryDef("q20_date_parts", dateParts, Some(datePartsSql), "B19 date functions"),
     QueryDef("q21_ship_delay", shipDelay, Some(shipDelaySql), "B19 datediff"),

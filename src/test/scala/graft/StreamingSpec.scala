@@ -85,6 +85,33 @@ class StreamingSpec extends AnyFunSuite with LocalSparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchases match views within 30 minutes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[Ev]
+    val purchases = MemoryStream[Ev]
+    val v = views.toDF().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("event_id").as("v_id"))
+    val joined = purchases.toDF().withWatermark("ts", "10 minutes")
+      .join(v, col("user_id") === col("v_user") &&
+        col("v_ts") >= col("ts") - expr("INTERVAL 30 MINUTES") &&
+        col("v_ts") <= col("ts"))
+      .select(col("event_id"), col("user_id"), col("v_id"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssjoin").start()
+    try {
+      views.addData(Ev(100, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Ev(101, ts("2024-01-01 08:00:00"), 1, "view", 1.0)) // too old to match
+      purchases.addData(Ev(200, ts("2024-01-01 10:20:00"), 1, "purchase", 5.0),
+        Ev(201, ts("2024-01-01 10:20:00"), 2, "purchase", 5.0)) // no view for user 2
+      q.processAllAvailable()
+      val rows = spark.table("ssjoin").collect()
+        .map(r => (r.getLong(0), r.getLong(2))).toSet
+      assert(rows === Set((200L, 100L))) // only the in-window same-user pair
+    } finally q.stop()
+  }
+
   test("incremental import: a file stream picks up newly arrived chunks only") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("arriving").toString
