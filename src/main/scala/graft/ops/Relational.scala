@@ -269,6 +269,27 @@ object Relational {
        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** B11 explicit GROUPING SETS through the SQL entry point (rollup and
+    * cube are the shorthand forms; this is the general one). */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_v")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        | CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,8))) AS STRING) AS DOUBLE) AS total,
+        | CAST(grouping_id() AS BIGINT) AS gid
+        |FROM lineitem_v
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  private val groupingSetsSql =
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       | ${dsumSql("l_extendedprice")} AS total,
+       | CAST(GROUPING(l_returnflag)*2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+       |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
   /** B12 distinct. */
   def distinctPairs(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
@@ -625,6 +646,7 @@ object Relational {
     QueryDef("q12_rollup", rollupAgg, Some(rollupAggSql), "B11 rollup"),
     QueryDef("q13_cube", cubeAgg, Some(cubeAggSql), "B11 cube"),
     QueryDef("q14_distinct", distinctPairs, Some(distinctPairsSql), "B12 distinct"),
+    QueryDef("q48_grouping_sets", groupingSets, Some(groupingSetsSql), "B11 grouping sets"),
     QueryDef("q15_window_rank", windowRank, Some(windowRankSql), "B14 ranking window"),
     QueryDef("q16_window_running", windowRunning, Some(windowRunningSql), "B15 analytic window"),
     QueryDef("q17_topk", topkOrders, Some(topkOrdersSql), "B16 top-k"),

@@ -46,6 +46,17 @@ class OperatorSpec extends AnyFunSuite with LocalSparkSuite {
     assert(!plan.contains("l_comment") && !plan.contains("l_shipdate"))
   }
 
+  test("plan: doc-local text ops shuffle only at the deliberate barriers") {
+    // shingle stats: one fan-out repartition + the final sort — nothing else
+    val stats = TextOps.shingleStats(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(stats).length <= 2, stats)
+    // simhash: fan-out + sort only
+    val sh = TextOps.simhash(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(sh).length <= 2, sh)
+  }
+
   test("property: dedup is idempotent") {
     val once = TextOps.exactDedup(spark, sfDir)
     assert(once.count() === once.dropDuplicates("content_hash").count())
