@@ -28,6 +28,17 @@ object Sinks {
       .mode("overwrite")
       .save()
 
+  /** Append-mode twin of writeJdbc for incremental/streaming loads. */
+  def appendJdbc(df: DataFrame, url: String, table: String,
+      batchSize: Int = 1000): Unit =
+    df.write.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .option("batchsize", batchSize)
+      .mode("append")
+      .save()
+
   def readJdbc(spark: org.apache.spark.sql.SparkSession, url: String,
       table: String): DataFrame =
     spark.read.format("jdbc")

@@ -37,6 +37,20 @@ object StreamingOps {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** A11-streaming: continuous import. Each micro-batch appends to the
+    * RDBMS through the same batched JDBC writer the batch path uses —
+    * the incremental-import story for a continuously-arriving dump
+    * (exactly-once per batch id is the sink's job; Derby demo keeps it
+    * at-least-once like the reference's resumable INSERTs). */
+  def streamToJdbc(events: DataFrame, url: String, table: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.ingest.Sinks.appendJdbc(batch.toDF(), url, table)
+      }
+      .start()
+
   /** B42: custom keyed state — running per-user event counts via
     * flatMapGroupsWithState (update mode). */
   def runningUserCounts(events: Dataset[Ev]): Dataset[UserCount] = {

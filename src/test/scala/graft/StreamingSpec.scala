@@ -135,6 +135,24 @@ class StreamingSpec extends AnyFunSuite with LocalSparkSuite {
     } finally q.stop()
   }
 
+  test("A11-streaming: foreachBatch appends each micro-batch to Derby") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val url = s"jdbc:derby:${java.nio.file.Files.createTempDirectory("graftsdb")}/stream;create=true"
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.streamToJdbc(
+      in.toDF().select("event_id", "user_id", "event_type"), url, "events_sink")
+    try {
+      in.addData(Ev(1, ts("2024-01-01 10:00:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      assert(graft.ingest.Sinks.readJdbc(spark, url, "events_sink").count() === 1)
+      in.addData(Ev(2, ts("2024-01-01 10:01:00"), 1, "click", 1.0),
+        Ev(3, ts("2024-01-01 10:02:00"), 2, "view", 1.0))
+      q.processAllAvailable()
+      assert(graft.ingest.Sinks.readJdbc(spark, url, "events_sink").count() === 3)
+    } finally q.stop()
+  }
+
   test("B42 flatMapGroupsWithState keeps running per-user counts") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
