@@ -125,6 +125,44 @@ object Relational {
        |GROUP BY n_name
        |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** B4/B16 compound: unshipped-revenue priority (TPC-H Q3 shape —
+    * join → agg on a high-cardinality key → top-k). */
+  def shippingPriority(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).filter(col("l_shipdate") > ts("1996-03-15"))
+      .join(Tables.orders(s, d).filter(col("o_orderdate") < ts("1996-03-15")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  private val shippingPrioritySql =
+    s"""SELECT l_orderkey, o_orderdate, ${dsumSql("l_extendedprice*(1-l_discount)")} AS revenue
+       |FROM lineitem
+       | JOIN orders ON l_orderkey = o_orderkey
+       | JOIN customer ON o_custkey = c_custkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1996-03-15' AND l_shipdate > TIMESTAMP '1996-03-15'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** B2/B10 compound: forecast-revenue change (TPC-H Q6 shape — pure
+    * scan-filter-aggregate, one row out; the pushdown benchmark). */
+  def forecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= ts("1996-01-01") && col("l_shipdate") < ts("1997-01-01")
+        && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue_delta"),
+        count(lit(1)).as("n_items"))
+
+  private val forecastRevenueSql =
+    s"""SELECT ${dsumSql("l_extendedprice*l_discount")} AS revenue_delta, COUNT(*) AS n_items
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+       |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin
+
   /** B5 fact-fact join (shuffle/sort-merge at scale) + aggregate. */
   def joinLarge(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)
@@ -637,6 +675,8 @@ object Relational {
     QueryDef("q03_project_case", projectCase, Some(projectCaseSql), "B3 projection + CASE"),
     QueryDef("q04_revenue_by_nation", revenueByNation, Some(revenueByNationSql), "B4 broadcast star join"),
     QueryDef("q05_join_large", joinLarge, Some(joinLargeSql), "B5 shuffle join"),
+    QueryDef("q49_shipping_priority", shippingPriority, Some(shippingPrioritySql), "Q3-shape join+agg+topk"),
+    QueryDef("q56_forecast_revenue", forecastRevenue, Some(forecastRevenueSql), "Q6-shape scan-agg"),
     QueryDef("q06_left_join", leftJoinOrders, Some(leftJoinOrdersSql), "B6 left outer join"),
     QueryDef("q07_full_outer", fullOuterNation, Some(fullOuterNationSql), "B6 full outer join"),
     QueryDef("q08_anti_join", antiJoin, Some(antiJoinSql), "B7 anti join"),
