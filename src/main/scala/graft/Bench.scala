@@ -38,15 +38,18 @@ object Bench {
         try SparkEntry.queries(q)(spark, warmupDir).count()
         catch { case _: Throwable => () }
       }
+    // a failed query is recorded as -1.0 (never its elapsed time) and
+    // counted in "errors", so failures can't silently shrink the total
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.count(_._2 < 0)
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -9,8 +9,9 @@ import graft.functions.DotProduct
 /** SparkSessionExtensions entry point (SURVEY.md §4): registers the
   * engine's native expressions for SQL use. Deployments opt in with
   *   SparkSession.builder().withExtensions(new GraftExtensions).…
-  * or spark.sql.extensions=graft.GraftExtensions. This is also the
-  * documented injection point for a future LSH-rewrite
+  * or spark.sql.extensions=graft.GraftExtensions. Function
+  * registration only — it never changes query semantics. This is also
+  * the documented injection point for a future LSH-rewrite
   * Rule[LogicalPlan] / ANN SparkStrategy (none is required for the
   * graded surface — built-ins + AQE cover it). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -20,6 +21,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs.head, exprs(1))))
+  }
+}
+
+/** Separate opt-in for the [[plans.RewriteDotProduct]] optimizer rule.
+  * The rule is semantic-narrowing (the HOF idiom returns NULL for
+  * unequal-length or null-element arrays; DotProduct computes a
+  * min-length dot product), so it must never ride along with plain
+  * function registration. Enable it deliberately with
+  *   spark.sql.extensions=graft.GraftExtensions,graft.GraftRewriteExtensions
+  * (extensions compose) or via experimental.extraOptimizations. */
+class GraftRewriteExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => plans.RewriteDotProduct)
   }
 }

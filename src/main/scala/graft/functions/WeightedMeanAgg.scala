@@ -12,8 +12,11 @@ import org.apache.spark.sql.expressions.Aggregator
 object WeightedMeanAgg extends Aggregator[(Double, Double), (Long, Long), Double] {
   override def zero: (Long, Long) = (0L, 0L)
 
+  // math.round on the weight mirrors the oracle's CAST(… AS BIGINT),
+  // which rounds in DuckDB — .toLong would truncate and diverge for
+  // fractional weights
   override def reduce(b: (Long, Long), a: (Double, Double)): (Long, Long) =
-    (b._1 + math.round(a._1 * 10000) * a._2.toLong, b._2 + a._2.toLong)
+    (b._1 + math.round(a._1 * 10000) * math.round(a._2), b._2 + math.round(a._2))
 
   override def merge(x: (Long, Long), y: (Long, Long)): (Long, Long) =
     (x._1 + y._1, x._2 + y._2)

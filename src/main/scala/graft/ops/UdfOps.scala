@@ -42,15 +42,21 @@ object UdfOps {
     * text for storage" shape (MediaWiki text table rows). */
   def chunkDocs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      // empty docs emit zero chunks; the CASE guard matters because
+      // Spark's sequence(0, -1) steps DOWN and would yield [0, -1]
       .select(col("doc_id"),
-        posexplode(expr("transform(sequence(0, CAST(ceil(n_chars/100.0) AS INT) - 1), " +
-          "i -> substring(text, i*100 + 1, 100))")))
+        posexplode(expr("CASE WHEN n_chars > 0 THEN " +
+          "transform(sequence(0, CAST(ceil(n_chars/100.0) AS INT) - 1), " +
+          "i -> substring(text, i*100 + 1, 100)) " +
+          "ELSE CAST(array() AS array<string>) END")))
       .select(col("doc_id"), col("pos").as("chunk_no"), col("col").as("body"))
       .orderBy(col("doc_id"), col("chunk_no"))
 
   private val chunkDocsSql =
     """SELECT doc_id, CAST(i AS INT) AS chunk_no, substring(text, CAST(i*100 + 1 AS INT), 100) AS body
-      |FROM documents, (SELECT unnest(generate_series(0, 19)) AS i) g
+      |FROM documents,
+      |  (SELECT unnest(generate_series(0,
+      |     (SELECT CAST(ceil(max(n_chars)/100.0) AS BIGINT) FROM documents))) AS i) g
       |WHERE i <= CAST(ceil(n_chars/100.0) AS INT) - 1
       |ORDER BY doc_id, chunk_no""".stripMargin
 

@@ -35,7 +35,11 @@ object WindowedOps {
 
   /** B39 sliding window: 1 hour every 15 minutes. Spark emits only
     * windows containing events; the oracle's inner join to the slide
-    * grid reproduces exactly that. */
+    * grid reproduces exactly that. The grid bounds derive from the
+    * data's own ts range (date_trunc('hour', min) is epoch-aligned, so
+    * 15-minute steps stay slide-aligned; slots past max(ts) are empty
+    * and drop out of the inner join), so the oracle holds at any scale
+    * factor's time span. */
   def slidingQuarter(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .groupBy(window(col("ts"), "1 hour", "15 minutes"))
@@ -46,9 +50,10 @@ object WindowedOps {
   private val slidingQuarterSql =
     s"""SELECT ws, COUNT(*) AS n, ${dsumSql("value")} AS total_value
        |FROM events
-       |JOIN (SELECT unnest(generate_series(TIMESTAMP '2023-12-31 23:00:00',
-       |                                    TIMESTAMP '2024-02-01 01:00:00',
-       |                                    INTERVAL 15 MINUTE)) AS ws) grid
+       |JOIN (SELECT unnest(generate_series(
+       |        (SELECT date_trunc('hour', min(ts)) - INTERVAL 45 MINUTE FROM events),
+       |        (SELECT max(ts) FROM events),
+       |        INTERVAL 15 MINUTE)) AS ws) grid
        |  ON ts >= ws AND ts < ws + INTERVAL 1 HOUR
        |GROUP BY ws ORDER BY ws""".stripMargin
 

@@ -20,7 +20,8 @@ import graft.functions.DotProduct
   * invariant — both forms then do identical left-to-right double
   * accumulation); mismatched lengths keep the HOF form's semantics
   * only if unrewritten, so this rule is registered via
-  * [[graft.GraftExtensions]] / experimental.extraOptimizations as an
+  * [[graft.GraftRewriteExtensions]] (NOT the function-registration
+  * [[graft.GraftExtensions]]) / experimental.extraOptimizations as an
   * opt-in, the standard contract for semantic-narrowing rewrites.
   */
 object RewriteDotProduct extends Rule[LogicalPlan] {
