@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+
+/** Corpus-curation operator surface — the sampling / quality-filter
+  * half of the LLM-data-pipeline mandate (BASELINE.json north star;
+  * complements TextOps' dedup/fingerprint family).
+  *
+  * Scale posture: hash-sampling and masking are pure per-row
+  * expressions (map-only at any corpus size); the repetition statistics
+  * shuffle once on (doc_id, bigram) — the same explode→partial-agg
+  * shape as word count, so wire volume is bounded by per-doc distinct
+  * bigrams, not corpus size.
+  */
+object CurationOps {
+
+  /** Deterministic seeded sampling: keep a doc iff the first hex char
+    * of md5("smpl:" || doc_id) is '0' — a reproducible 1/16 sample that
+    * is stable across engines, partitionings, and reruns (unlike
+    * TABLESAMPLE / rand(seed), which are engine-private). Changing the
+    * salt draws an independent sample; this is how a 100 TB pipeline
+    * carves eval holdouts so membership never drifts between runs. */
+  def hashSample(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .filter(substring(md5(concat(lit("smpl:"), col("doc_id").cast("string"))), 1, 1) === "0")
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  private val hashSampleSql =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE substring(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+      |ORDER BY doc_id""".stripMargin
+
+  /** Gopher-style repetition signals per doc: duplicate-word fraction
+    * (1 - distinct/total) and top-bigram fraction (most frequent
+    * bigram's share of all bigrams) — the standard "is this doc
+    * degenerate repetition?" quality gates. Duplicate-word fraction is
+    * doc-local array math (no shuffle); the top-bigram count shuffles
+    * once on (doc_id, bigram). Both ratios are single IEEE divisions of
+    * exact integers — deterministic cross-engine without rounding.
+    * Docs with <2 tokens have no bigrams and are excluded (the oracle's
+    * unnest of an empty slide list drops them identically). */
+  def repetitionStats(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+    base.select(col("doc_id"),
+        size(col("t")).cast("long").as("n"),
+        size(array_distinct(col("t"))).cast("long").as("nd"),
+        explode(expr("transform(sequence(1, size(t)-1), " +
+          "i -> concat(element_at(t,i), ' ', element_at(t,i+1)))")).as("bg"))
+      .groupBy(col("doc_id"), col("n"), col("nd"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n"), col("nd"))
+      .agg(max(col("c")).as("max_bg"))
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        ((col("n") - col("nd")).cast("double") / col("n")).as("dup_word_frac"),
+        (col("max_bg").cast("double") / (col("n") - 1)).as("top_bigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val repetitionStatsSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd,
+      |  unnest([array_to_string(list_slice(t, i, i+1),' ')
+      |          for i in generate_series(1, len(t)-1)]) AS bg FROM t),
+      |c AS (SELECT doc_id, n, nd, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, n, nd, bg)
+      |SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+      | CAST(n - nd AS DOUBLE)/n AS dup_word_frac,
+      | CAST(MAX(c) AS DOUBLE)/(n-1) AS top_bigram_frac
+      |FROM c GROUP BY doc_id, n, nd ORDER BY doc_id""".stripMargin
+
+  /** Sensitive-term masking (the PII-scrub shape): replace every match
+    * of a term pattern with a mask token and count the spans masked.
+    * Pure per-row regex (map-only); the pattern stays POSIX-simple so
+    * Java regex and RE2 agree. On this corpus the masked terms are
+    * entity words — on a real one the same plan carries phone/email/ID
+    * patterns. */
+  def piiScrub(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("customer|supplier|part"), lit(0)))
+          .cast("long").as("n_masked"),
+        substring(regexp_replace(col("text"), "customer|supplier|part", "<ENT>"), 1, 80)
+          .as("masked_head"))
+      .orderBy(col("doc_id"))
+
+  private val piiScrubSql =
+    """SELECT doc_id,
+      | CAST(len(regexp_extract_all(text, 'customer|supplier|part')) AS BIGINT) AS n_masked,
+      | substring(regexp_replace(text, 'customer|supplier|part', '<ENT>', 'g'), 1, 80) AS masked_head
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q57_hash_sample", hashSample, Some(hashSampleSql), "deterministic seeded sampling"),
+    QueryDef("q58_repetition_filter", repetitionStats, Some(repetitionStatsSql), "Gopher-style repetition quality signals"),
+    QueryDef("q59_pii_scrub", piiScrub, Some(piiScrubSql), "sensitive-term masking"))
+}

@@ -669,6 +669,94 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** B10 arg-max/arg-min aggregates (max_by/min_by): the "which row
+    * holds the extreme?" shape a pipeline uses to pick exemplar docs
+    * per group without a window pass — one partial-aggregatable shuffle
+    * on the group key, no row_number. The selector key folds the
+    * tie-break into one BIGINT (n_chars·1e8 + doc_id, unique because
+    * doc_id < 1e8) so both engines resolve ties identically. */
+  def argMaxByLang(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        max_by(col("doc_id"), col("n_chars") * lit(100000000L) + col("doc_id")).as("longest_doc"),
+        min_by(col("doc_id"), col("n_chars") * lit(100000000L) + col("doc_id")).as("shortest_doc"),
+        max(col("n_chars")).as("max_chars"),
+        min(col("n_chars")).as("min_chars"))
+      .orderBy(col("lang"))
+
+  private val argMaxByLangSql =
+    """SELECT lang,
+      | max_by(doc_id, n_chars*100000000+doc_id) AS longest_doc,
+      | min_by(doc_id, n_chars*100000000+doc_id) AS shortest_doc,
+      | MAX(n_chars) AS max_chars, MIN(n_chars) AS min_chars
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** B23 LATERAL correlated subquery (SQL): per-outer-row top-k — the
+    * other decorrelation family next to q25's scalar/IN subqueries.
+    * Catalyst plans the correlated ORDER BY+LIMIT as a domain join +
+    * per-key window, so it stays a join, never a driver loop. */
+  def lateralTopPerRegion(s: SparkSession, d: String): DataFrame = {
+    Tables.region(s, d).createOrReplaceTempView("region_v")
+    Tables.nation(s, d).createOrReplaceTempView("nation_lv")
+    s.sql("""SELECT r.r_name, l.n_name FROM region_v r,
+      LATERAL (SELECT n_name FROM nation_lv n WHERE n.n_regionkey = r.r_regionkey
+               ORDER BY n_name LIMIT 2) l
+      ORDER BY r_name, n_name""")
+  }
+
+  private val lateralTopPerRegionSql =
+    """SELECT r.r_name, l.n_name FROM region r,
+      | LATERAL (SELECT n_name FROM nation n WHERE n.n_regionkey = r.r_regionkey
+      |          ORDER BY n_name LIMIT 2) l
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** B15 RANGE window frame: 7-day rolling revenue over per-day
+    * aggregates. The daily pre-aggregate shrinks the fact table to one
+    * row per day before the unpartitioned window — at 100 TB the window
+    * input is still only ~365 rows/year, so the single-partition frame
+    * scan is free; never run a RANGE frame over raw fact rows. Spark's
+    * integer rangeBetween over a day ordinal is exactly DuckDB's
+    * RANGE INTERVAL 6 DAY PRECEDING on the date. */
+  def rollingRevenue(s: SparkSession, d: String): DataFrame = {
+    val daily = Tables.orders(s, d)
+      .groupBy(col("o_orderdate"))
+      .agg(dsum(col("o_totalprice")).as("day_rev"))
+    val w = Window.orderBy(col("day_num")).rangeBetween(-6, 0)
+    daily
+      .withColumn("day_num", datediff(col("o_orderdate"), lit("1992-01-01").cast("date")))
+      .withColumn("rev7", sum(col("day_rev").cast(MoneyDec)).over(w).cast("double"))
+      .select(col("o_orderdate"), col("day_rev"), col("rev7"))
+      .orderBy(col("o_orderdate"))
+  }
+
+  private val rollingRevenueSql =
+    s"""WITH daily AS (SELECT o_orderdate, ${dsumSql("o_totalprice")} AS day_rev
+       | FROM orders GROUP BY o_orderdate)
+       |SELECT o_orderdate, day_rev,
+       | CAST(CAST(SUM(CAST(day_rev AS DECIMAL(28,8))) OVER (ORDER BY o_orderdate
+       |   RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS rev7
+       |FROM daily ORDER BY o_orderdate""".stripMargin
+
+  /** B17 union-by-name: schema-aligned union of heterogenous branches
+    * (different column orders, one branch missing a column → NULL).
+    * This is the multi-source corpus merge shape — positional UNION
+    * would silently cross-wire columns. */
+  def unionByNameMerge(s: SparkSession, d: String): DataFrame = {
+    val a = Tables.documents(s, d).groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .select(col("lang").as("k"), col("n"), lit("doc").as("src"), lit(1).as("flag"))
+    val b = Tables.events(s, d).groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .select(lit("evt").as("src"), col("event_type").as("k"), col("n"))
+    a.unionByName(b, allowMissingColumns = true).orderBy(col("src"), col("k"))
+  }
+
+  private val unionByNameMergeSql =
+    """SELECT * FROM (
+      | SELECT lang AS k, COUNT(*) AS n, 'doc' AS src, 1 AS flag FROM documents GROUP BY lang
+      | UNION ALL BY NAME
+      | SELECT 'evt' AS src, event_type AS k, COUNT(*) AS n FROM events GROUP BY event_type)
+      |ORDER BY src, k""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql), "B10 hash aggregate"),
     QueryDef("q02_filter_scan", filterScan, Some(filterScanSql), "B1/B2 scan + predicates"),
@@ -702,5 +790,9 @@ object Relational {
     QueryDef("q26_pivot", pivotEvents, Some(pivotEventsSql), "B24 pivot"),
     QueryDef("q44_map_funcs", mapFuncs, Some(mapFuncsSql), "B22 map functions"),
     QueryDef("q46_stats_agg", statsAgg, Some(statsAggSql), "B10 percentiles/stddev/corr"),
+    QueryDef("q63_arg_max", argMaxByLang, Some(argMaxByLangSql), "B10 max_by/min_by"),
+    QueryDef("q64_lateral_topk", lateralTopPerRegion, Some(lateralTopPerRegionSql), "B23 LATERAL subquery"),
+    QueryDef("q65_rolling_revenue", rollingRevenue, Some(rollingRevenueSql), "B15 RANGE window frame"),
+    QueryDef("q66_union_by_name", unionByNameMerge, Some(unionByNameMergeSql), "B17 union-by-name"),
     QueryDef("q27_approx_distinct", approxDistinct, None, "B13 approx distinct (non-oracle)"))
 }

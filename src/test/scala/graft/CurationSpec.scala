@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{CurationOps, Relational}
+
+/** Semantics of the curation/sampling surface and the round-2
+  * relational additions — properties the DuckDB differential can't
+  * state (determinism across reruns, invariants, plan shape). */
+class CurationSpec extends AnyFunSuite with LocalSparkSuite {
+
+  test("hash sample is deterministic and selects only matching ids") {
+    val a = CurationOps.hashSample(spark, sfDir).collect()
+    val b = CurationOps.hashSample(spark, sfDir).collect()
+    assert(a.sameElements(b))
+    assert(a.nonEmpty && a.length < 500) // a strict, non-empty subsample
+  }
+
+  test("repetition fractions are well-formed") {
+    val rows = CurationOps.repetitionStats(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, dup, top) = (r.getLong(1), r.getDouble(2), r.getDouble(3))
+      assert(dup >= 0.0 && dup < 1.0)
+      // the most frequent bigram holds at least its 1/(n-1) share
+      assert(top >= 1.0 / (n - 1) - 1e-12 && top <= 1.0)
+    }
+  }
+
+  test("pii scrub masks every occurrence of the target terms") {
+    val leaked = CurationOps.piiScrub(spark, sfDir)
+      .filter(col("masked_head").contains("customer") ||
+        col("masked_head").contains("supplier"))
+      .count()
+    assert(leaked === 0)
+    // corpus really contains the terms (the op is not vacuous)
+    assert(CurationOps.piiScrub(spark, sfDir)
+      .agg(sum(col("n_masked"))).head().getLong(0) > 0)
+  }
+
+  test("arg-max picks the row holding the group max") {
+    val picks = Relational.argMaxByLang(spark, sfDir).collect()
+    val chars = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    picks.foreach { r =>
+      assert(chars(r.getLong(1)) === r.getLong(3)) // longest_doc has max_chars
+      assert(chars(r.getLong(2)) === r.getLong(4)) // shortest_doc has min_chars
+    }
+  }
+
+  test("lateral top-k returns exactly k rows per outer row") {
+    val counts = Relational.lateralTopPerRegion(spark, sfDir)
+      .groupBy(col("r_name")).count().collect()
+    assert(counts.length === 5 && counts.forall(_.getLong(1) === 2))
+  }
+
+  test("rolling 7-day revenue dominates the daily value and starts equal") {
+    val rows = Relational.rollingRevenue(spark, sfDir)
+      .orderBy(col("o_orderdate")).collect()
+    assert(rows.head.getDouble(1) === rows.head.getDouble(2))
+    rows.foreach(r => assert(r.getDouble(2) >= r.getDouble(1) - 1e-9))
+  }
+
+  test("union-by-name aligns columns and nulls the missing one") {
+    val df = Relational.unionByNameMerge(spark, sfDir)
+    val rows = df.collect()
+    val (doc, evt) = rows.partition(_.getString(2) == "doc")
+    assert(doc.forall(!_.isNullAt(3)) && evt.forall(_.isNullAt(3)))
+    assert(doc.map(_.getLong(1)).sum === 500 && evt.map(_.getLong(1)).sum === 1000)
+  }
+}
