@@ -179,8 +179,31 @@ object VectorOps {
       | CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[a-m]', '', 'g')) AS INT) AS n_am_bytes
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Per-label centroids — the k-means/IVF training step (annIvf's
+    * coarse quantizer, computed as a query). posexplode turns the
+    * element-wise mean into one partial-aggregatable shuffle keyed on
+    * (label, dim): 640 groups regardless of corpus size, so at 100 TB
+    * the wire carries only num_labels × dims partial sums per task.
+    * Floats hop float→double (exact) →DECIMAL(28,8) before summing so
+    * both engines round identically off the binary grid. */
+  def labelCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(dsum(col("col").cast("double")).as("csum"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos").as("dim"), (col("csum") / col("n")).as("centroid"))
+      .orderBy(col("label"), col("dim"))
+
+  private val labelCentroidsSql =
+    """SELECT label, CAST(i-1 AS INT) AS dim,
+      | CAST(CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS centroid
+      |FROM (SELECT label, unnest(embedding) AS e,
+      |      generate_subscripts(embedding, 1) AS i FROM embeddings) t
+      |GROUP BY label, i ORDER BY label, dim""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q50_cosine_adjacent", cosineAdjacent, Some(cosineAdjacentSql), "B29 cosine similarity"),
+    QueryDef("q67_label_centroids", labelCentroids, Some(labelCentroidsSql), "per-label centroids (IVF training step)"),
     QueryDef("q51_topk_similar", topkSimilar, Some(topkSimilarSql), "B30 brute-force top-k ANN baseline"),
     QueryDef("q52_ann_lsh", annLsh, None, "B31 LSH-bucketed ANN (non-oracle)"),
     QueryDef("q53_binary_meta", binaryMeta, Some(binaryMetaSql), "multimodal binary column"),
