@@ -24,7 +24,10 @@ object PlanDump {
       "q17_topk" -> "B16: TakeOrderedAndProject, no global sort",
       "q33_minhash_sig" -> "B27: map-only shingle/md5 stages, one doc_id exchange",
       "q51_topk_similar" -> "B30: codegen'd graft_dot inside WholeStageCodegen",
-      "q60_tumbling_hourly" -> "B38: single partial/final window aggregate")
+      "q60_tumbling_hourly" -> "B38: single partial/final window aggregate",
+      "q58_repetition_filter" -> "curation: map-only quality signals (no bigram shuffle)",
+      "q65_rolling_revenue" -> "B15: RANGE frame over a daily pre-aggregate",
+      "q67_label_centroids" -> "IVF training: (label,dim)-keyed partial aggregation")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")
     picks.foreach { case (name, why) =>

@@ -85,8 +85,34 @@ object WindowedOps {
        |FROM sid GROUP BY user_id, sid
        |ORDER BY user_id, session_start""".stripMargin
 
+  /** Sequence/funnel analytics: users whose ordered event path matches
+    * view→…→click→…→purchase. One shuffle on user_id; the per-user
+    * path is built from a sorted struct collect (ts, event_id tiebreak
+    * ⇒ total order, so collect_list's partition nondeterminism washes
+    * out) and matched with a portable regex. At 100 TB per-user state
+    * is bounded by events-per-user, the same bound the streaming
+    * session operators rely on. */
+  def funnelUsers(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .filter(col("path").rlike("view.*click.*purchase"))
+      .select(col("user_id"), col("n_events"))
+      .orderBy(col("user_id"))
+
+  private val funnelUsersSql =
+    """SELECT user_id, COUNT(*) AS n_events
+      |FROM events GROUP BY user_id
+      |HAVING regexp_matches(string_agg(event_type, '>' ORDER BY ts, event_id),
+      |                      'view.*click.*purchase')
+      |ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q60_tumbling_hourly", tumblingHourly, Some(tumblingHourlySql), "B38 tumbling window"),
+    QueryDef("q68_funnel_path", funnelUsers, Some(funnelUsersSql), "sequence/funnel analytics"),
     QueryDef("q61_sliding_quarter", slidingQuarter, Some(slidingQuarterSql), "B39 sliding window"),
     QueryDef("q62_session_windows", sessionWindows, Some(sessionWindowsSql), "B40 session window"))
 }
