@@ -425,7 +425,38 @@ object TextOps {
        |SELECT doc_id, CAST($combine AS BIGINT) AS simhash FROM b ORDER BY doc_id""".stripMargin
   }
 
+  /** Benchmark decontamination: flag train docs sharing ≥3 distinct
+    * 3-shingles with a probe ("benchmark") set — here the doc_id%31
+    * slice stands in for the eval suite a real pipeline guards. The
+    * probe side's filter pushes down BEFORE the shingle transform, so
+    * only ~1% of docs pay shingling twice, its distinct shingle set is
+    * broadcast, and the train side stays a map-only scan + broadcast
+    * semi-shape join + one groupBy(doc_id) — no shuffle keyed on
+    * shingles at any scale. */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val shd = shingleArrays(s, d)
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
+    val probe = shd.filter(col("doc_id") % 31 === 0)
+      .select(col("shingle")).distinct()
+    shd.filter(col("doc_id") % 31 =!= 0)
+      .join(broadcast(probe), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy(col("doc_id"))
+  }
+
+  private val contaminationSql =
+    s"""$shinglesSqlCte,
+       |shd AS (SELECT DISTINCT doc_id, s FROM sh),
+       |probe AS (SELECT DISTINCT s FROM shd WHERE doc_id % 31 = 0)
+       |SELECT doc_id, COUNT(*) AS n_shared
+       |FROM shd JOIN probe USING (s)
+       |WHERE doc_id % 31 <> 0
+       |GROUP BY doc_id HAVING COUNT(*) >= 3 ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q69_contamination", contamination, Some(contaminationSql), "benchmark decontamination (shingle overlap)"),
     QueryDef("q30_exact_dedup", exactDedup, Some(exactDedupSql), "B25 exact dedup"),
     QueryDef("q31_dedup_stats", dedupStats, Some(dedupStatsSql), "B25 dedup stats"),
     QueryDef("q32_shingle_stats", shingleStats, Some(shingleStatsSql), "B26 shingling"),
