@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Structured Streaming surface — SURVEY.md §2.B38/B41/B42.
   *
@@ -63,5 +64,31 @@ object StreamingOps {
           state.update(n)
           Iterator(UserCount(uid, n))
       }
+  }
+
+  /** B42 on the Spark 4 arbitrary-state API: the same running per-user
+    * count as a [[StatefulProcessor]] with typed [[ValueState]] —
+    * transformWithState is the successor to flatMapGroupsWithState
+    * (composable state variables, timers, TTL; RocksDB-backed state
+    * store required). At 100 TB this is the preferred custom-state
+    * operator: state lives off-heap per key group and TTLConfig bounds
+    * it without hand-rolled timeout plumbing. */
+  class RunningCountProcessor extends StatefulProcessor[Long, Ev, UserCount] {
+    @transient private var count: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[UserCount] = {
+      val n = (if (count.exists()) count.get() else 0L) + rows.size
+      count.update(n)
+      Iterator.single(UserCount(uid, n))
+    }
+  }
+
+  def runningUserCountsTws(events: Dataset[Ev]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningCountProcessor,
+        TimeMode.None(), OutputMode.Update())
   }
 }

@@ -170,4 +170,33 @@ class StreamingSpec extends AnyFunSuite with LocalSparkSuite {
       assert(ns.max === 3L) // state carried across batches
     } finally q.stop()
   }
+
+  test("B42 transformWithState (Spark 4 arbitrary state) carries ValueState across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.runningUserCountsTws(in.toDS())
+      .writeStream.outputMode("update").format("memory").queryName("twscount").start()
+    try {
+      in.addData(Ev(1, ts("2024-01-01 10:00:00"), 9, "view", 1.0),
+        Ev(2, ts("2024-01-01 10:01:00"), 9, "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(3, ts("2024-01-01 10:02:00"), 9, "click", 1.0),
+        Ev(4, ts("2024-01-01 10:03:00"), 5, "view", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("twscount").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.filter(_._1 == 9).map(_._2).max === 3L)
+      assert(rows.filter(_._1 == 5).map(_._2).max === 1L)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
