@@ -349,6 +349,14 @@ object Relational {
       .withColumn("rnk", rank().over(w).cast("int"))
       .withColumn("drnk", dense_rank().over(w).cast("int"))
       .withColumn("quartile", ntile(4).over(w).cast("int"))
+      // percent_rank/cume_dist are exact integer ratios (one IEEE
+      // division) and the unique o_orderkey tiebreak removes frame
+      // peers, so all three are cross-engine deterministic
+      .withColumn("prank", percent_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+      .withColumn("second_ok",
+        nth_value(col("o_orderkey"), 2)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .filter(col("rn") <= 3)
       .orderBy(col("o_custkey"), col("rn"))
   }
@@ -359,7 +367,11 @@ object Relational {
       |  CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn,
       |  CAST(RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rnk,
       |  CAST(DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS drnk,
-      |  CAST(NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS quartile
+      |  CAST(NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS quartile,
+      |  PERCENT_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS prank,
+      |  CUME_DIST() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS cdist,
+      |  NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_ok
       | FROM orders) t
       |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin
 
