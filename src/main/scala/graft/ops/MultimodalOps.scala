@@ -87,6 +87,24 @@ object MultimodalOps {
     }.toDF("asset_id", "frame_no", "frame_bytes")
   }
 
+  /** Resize/resample: decimate each payload to a fixed target length
+    * (every k-th byte) — the "thumbnail"/downsample shape. Output width
+    * is constant per asset, so downstream batch shapes (fixed-width
+    * tensors) hold regardless of input size. Swap the decimation for a
+    * real scaler; the per-partition plumbing is the production shape. */
+  def resize(assets: Dataset[Asset], target: Int = 32): Dataset[(Long, Array[Byte])] = {
+    import assets.sparkSession.implicits._
+    assets.map { a =>
+      val out = new Array[Byte](math.min(target, math.max(a.payload.length, 1)))
+      val step = math.max(1, a.payload.length / out.length)
+      var i = 0
+      while (i < out.length && i * step < a.payload.length) {
+        out(i) = a.payload(i * step); i += 1
+      }
+      (a.asset_id, out)
+    }
+  }
+
   /** Graded query (rows-only: binary feature plumbing isn't
     * SQL-expressible in the oracle): per-modality feature summary. */
   def featureSummary(s: SparkSession, d: String): DataFrame = {

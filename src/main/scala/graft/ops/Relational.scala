@@ -769,8 +769,31 @@ object Relational {
       | SELECT 'evt' AS src, event_type AS k, COUNT(*) AS n FROM events GROUP BY event_type)
       |ORDER BY src, k""".stripMargin
 
+  /** B24's inverse — unpivot/melt wide aggregates back to long form
+    * (metric, value) rows. Narrow Expand operator: no shuffle beyond
+    * the source aggregate; value columns must share a type, like SQL
+    * UNPIVOT. */
+  def unpivotStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("lang"))
+      .agg(max(col("n_chars")).as("max_chars"),
+        min(col("n_chars")).as("min_chars"),
+        count(lit(1)).as("n_docs"))
+      .unpivot(Array(col("lang")),
+        Array(col("max_chars"), col("min_chars"), col("n_docs")),
+        "metric", "value")
+      .orderBy(col("lang"), col("metric"))
+
+  private val unpivotStatsSql =
+    """WITH wide AS (SELECT lang, MAX(n_chars) AS max_chars,
+      |  MIN(n_chars) AS min_chars, COUNT(*) AS n_docs FROM documents GROUP BY lang)
+      |SELECT * FROM (UNPIVOT wide ON max_chars, min_chars, n_docs
+      |               INTO NAME metric VALUE value)
+      |ORDER BY lang, metric""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql), "B10 hash aggregate"),
+    QueryDef("q71_unpivot", unpivotStats, Some(unpivotStatsSql), "B24 unpivot/melt"),
     QueryDef("q02_filter_scan", filterScan, Some(filterScanSql), "B1/B2 scan + predicates"),
     QueryDef("q03_project_case", projectCase, Some(projectCaseSql), "B3 projection + CASE"),
     QueryDef("q04_revenue_by_nation", revenueByNation, Some(revenueByNationSql), "B4 broadcast star join"),

@@ -43,4 +43,13 @@ class MultimodalSpec extends AnyFunSuite with LocalSparkSuite {
     assert(maxPerAsset <= 8)
     assert(frames.filter(length(col("frame_bytes")) > 16).count() === 0)
   }
+
+  test("resize decimates every payload to a bounded fixed width") {
+    val resized = MultimodalOps.resize(assets, target = 32).collect()
+    assert(resized.nonEmpty)
+    resized.foreach { case (_, bytes) => assert(bytes.length <= 32 && bytes.nonEmpty) }
+    // deterministic: same input → same bytes
+    val again = MultimodalOps.resize(assets, target = 32).collect()
+    assert(resized.map(_._2.toSeq).toSeq === again.map(_._2.toSeq).toSeq)
+  }
 }
