@@ -75,8 +75,9 @@ object VectorOps {
   /** B31 ANN via sign-random-projection LSH. The bucket id is a plain
     * integer column → candidate generation is an equi-match on
     * (bucket >> 1), i.e. a 3-bit super-bucket (one-bit multiprobe), not
-    * a corpus scan. Non-oracle (estimate quality is engine-specific);
-    * ScalaTest checks recall against the brute-force baseline. */
+    * a corpus scan. Oracle-backed: the planes are deterministic
+    * constants, so the whole pipeline replays in SQL (annLshSql);
+    * ScalaTest additionally checks recall against brute force. */
   def annLsh(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
     val bucket = planes.zipWithIndex.map { case (p, j) =>
@@ -94,6 +95,30 @@ object VectorOps {
         col("bucket"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(5)
+  }
+
+  /** Oracle twin of annLsh, generated from the same plane constants:
+    * the ±1 hyperplanes inline as DuckDB list literals, so the bucket
+    * assignment (identical sequential double folds ⇒ identical signs),
+    * super-bucket probe, and re-rank replay exactly in SQL. */
+  private def planeDotSql(p: Array[Double]): String = {
+    val lits = p.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+    s"list_sum([CAST(embedding[i] AS DOUBLE) * ($lits)[i] for i in generate_series(1,64)])"
+  }
+
+  private lazy val annLshSql = {
+    val bucketExpr = planes.zipWithIndex.map { case (p, j) =>
+      s"(CASE WHEN ${planeDotSql(p)} >= 0 THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH b AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+       |q AS (SELECT bucket AS qbucket, embedding AS qv FROM b WHERE vec_id = 0)
+       |SELECT vec_id,
+       | ROUND(${dotSql("b.embedding", "q.qv")} /
+       |   (sqrt(${dotSql("b.embedding", "b.embedding")}) * sqrt(${dotSql("q.qv", "q.qv")})), 6) AS cos_sim,
+       | bucket
+       |FROM b, q
+       |WHERE vec_id <> 0 AND bucket // 2 = qbucket // 2
+       |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
   }
 
   /** Embedding-cosine near-dup (the vector member of the dedup family):
@@ -205,7 +230,7 @@ object VectorOps {
     QueryDef("q50_cosine_adjacent", cosineAdjacent, Some(cosineAdjacentSql), "B29 cosine similarity"),
     QueryDef("q67_label_centroids", labelCentroids, Some(labelCentroidsSql), "per-label centroids (IVF training step)"),
     QueryDef("q51_topk_similar", topkSimilar, Some(topkSimilarSql), "B30 brute-force top-k ANN baseline"),
-    QueryDef("q52_ann_lsh", annLsh, None, "B31 LSH-bucketed ANN (non-oracle)"),
+    QueryDef("q52_ann_lsh", annLsh, Some(annLshSql), "B31 LSH-bucketed ANN"),
     QueryDef("q53_binary_meta", binaryMeta, Some(binaryMetaSql), "multimodal binary column"),
     QueryDef("q55_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql),
       "embedding-cosine near-dup"))

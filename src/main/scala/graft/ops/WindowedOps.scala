@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
@@ -110,9 +111,30 @@ object WindowedOps {
       |                      'view.*click.*purchase')
       |ORDER BY user_id""".stripMargin
 
+  /** Retention curve: distinct users active N days after their first
+    * event. The per-user first-day is a window min (one shuffle on
+    * user_id), then a distinct count per day-offset — the standard
+    * cohort/retention pattern over an events fact table. */
+  def retentionCurve(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    Tables.events(s, d)
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withColumn("day0", min(col("day")).over(w))
+      .groupBy(datediff(col("day"), col("day0")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("day_offset"))
+  }
+
+  private val retentionCurveSql =
+    """WITH e AS (SELECT user_id, date_trunc('day', ts) AS d,
+      |  MIN(date_trunc('day', ts)) OVER (PARTITION BY user_id) AS d0 FROM events)
+      |SELECT date_diff('day', d0, d) AS day_offset, COUNT(DISTINCT user_id) AS n_users
+      |FROM e GROUP BY day_offset ORDER BY day_offset""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q60_tumbling_hourly", tumblingHourly, Some(tumblingHourlySql), "B38 tumbling window"),
     QueryDef("q68_funnel_path", funnelUsers, Some(funnelUsersSql), "sequence/funnel analytics"),
+    QueryDef("q72_retention_curve", retentionCurve, Some(retentionCurveSql), "cohort/retention analytics"),
     QueryDef("q61_sliding_quarter", slidingQuarter, Some(slidingQuarterSql), "B39 sliding window"),
     QueryDef("q62_session_windows", sessionWindows, Some(sessionWindowsSql), "B40 session window"))
 }
