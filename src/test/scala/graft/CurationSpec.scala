@@ -63,6 +63,29 @@ class CurationSpec extends AnyFunSuite with LocalSparkSuite {
     rows.foreach(r => assert(r.getDouble(2) >= r.getDouble(1) - 1e-9))
   }
 
+  test("contamination flags only non-probe docs above the threshold") {
+    val rows = graft.ops.TextOps.contamination(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) % 31 !== 0L) // probe slice never flags itself
+      assert(r.getLong(1) >= 3L)
+    }
+  }
+
+  test("retention curve starts with the full user base at offset 0") {
+    val rows = graft.ops.WindowedOps.retentionCurve(spark, sfDir).collect()
+    val allUsers = Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct().count()
+    assert(rows.head.getLong(0) === 0L) // first offset is day 0
+    assert(rows.head.getLong(1) === allUsers) // everyone is active on their day 0
+    rows.foreach(r => assert(r.getLong(1) <= allUsers))
+  }
+
+  test("funnel conversions need at least the three matched events") {
+    graft.ops.WindowedOps.funnelUsers(spark, sfDir).collect()
+      .foreach(r => assert(r.getLong(1) >= 3L))
+  }
+
   test("union-by-name aligns columns and nulls the missing one") {
     val df = Relational.unionByNameMerge(spark, sfDir)
     val rows = df.collect()
