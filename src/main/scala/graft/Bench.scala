@@ -36,8 +36,7 @@ object Bench {
     // so the bench session keeps them materialized (the buffer-pool
     // behavior any single-node engine gets for free). Opt out with
     // SPARK_GRAFT_CACHE_TABLES=false.
-    Tables.cacheForSession =
-      !sys.env.get("SPARK_GRAFT_CACHE_TABLES").contains("false")
+    Tables.cacheForSession = Tables.envCache.getOrElse(true)
     val warmupDir = "/root/testdata/sf0.001"
     Seq("q01_pricing_summary", "q32_shingle_stats", "q50_cosine_adjacent")
       .foreach { q =>
@@ -56,6 +55,7 @@ object Bench {
     val errors = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"}""")
+    Tables.clearCache()
     spark.stop()
   }
 }

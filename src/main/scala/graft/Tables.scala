@@ -28,10 +28,23 @@ object Tables {
   private val memo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   /** Bench turns this on for its session (measured 7-9% off the suite
-    * total at sf0.1); everything else defaults to plain scans. */
+    * total at sf0.1); everything else defaults to plain scans. One
+    * parser for the env override: only the literal "true"/"false"
+    * change behavior, anything else falls back to the caller default. */
+  private[graft] def envCache: Option[Boolean] =
+    sys.env.get("SPARK_GRAFT_CACHE_TABLES").collect {
+      case "true" => true
+      case "false" => false
+    }
   @volatile private[graft] var cacheForSession: Boolean = false
-  private def cacheOn: Boolean =
-    cacheForSession || sys.env.get("SPARK_GRAFT_CACHE_TABLES").contains("true")
+  private def cacheOn: Boolean = cacheForSession || envCache.getOrElse(false)
+
+  /** Unpersist and drop every memoized table (for long-lived JVMs that
+    * outlive a cached session; Bench calls it before stop). */
+  private[graft] def clearCache(): Unit = {
+    memo.values.foreach(_.unpersist())
+    memo.clear()
+  }
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"

@@ -95,8 +95,9 @@ object MultimodalOps {
   def resize(assets: Dataset[Asset], target: Int = 32): Dataset[(Long, Array[Byte])] = {
     import assets.sparkSession.implicits._
     assets.map { a =>
-      val out = new Array[Byte](math.min(target, math.max(a.payload.length, 1)))
-      val step = math.max(1, a.payload.length / out.length)
+      // empty payload → empty output (never fabricate bytes)
+      val out = new Array[Byte](math.min(target, a.payload.length))
+      val step = if (out.isEmpty) 1 else math.max(1, a.payload.length / out.length)
       var i = 0
       while (i < out.length && i * step < a.payload.length) {
         out(i) = a.payload(i * step); i += 1

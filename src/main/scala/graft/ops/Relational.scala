@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -684,23 +684,28 @@ object Relational {
   /** B10 arg-max/arg-min aggregates (max_by/min_by): the "which row
     * holds the extreme?" shape a pipeline uses to pick exemplar docs
     * per group without a window pass — one partial-aggregatable shuffle
-    * on the group key, no row_number. The selector key folds the
-    * tie-break into one BIGINT (n_chars·1e8 + doc_id, unique because
-    * doc_id < 1e8) so both engines resolve ties identically. */
+    * on the group key, no row_number. The selector key is the
+    * zero-padded string (n_chars, doc_id) — lexicographic = numeric
+    * order for 12-digit padding (values < 1e12; no arithmetic, so no
+    * overflow at any corpus size) and both engines resolve ties
+    * identically on the unique doc_id suffix. */
+  private def padKey(a: Column, b: Column): Column =
+    concat(lpad(a.cast("string"), 12, "0"), lpad(b.cast("string"), 12, "0"))
+
   def argMaxByLang(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .groupBy(col("lang"))
       .agg(
-        max_by(col("doc_id"), col("n_chars") * lit(100000000L) + col("doc_id")).as("longest_doc"),
-        min_by(col("doc_id"), col("n_chars") * lit(100000000L) + col("doc_id")).as("shortest_doc"),
+        max_by(col("doc_id"), padKey(col("n_chars"), col("doc_id"))).as("longest_doc"),
+        min_by(col("doc_id"), padKey(col("n_chars"), col("doc_id"))).as("shortest_doc"),
         max(col("n_chars")).as("max_chars"),
         min(col("n_chars")).as("min_chars"))
       .orderBy(col("lang"))
 
   private val argMaxByLangSql =
     """SELECT lang,
-      | max_by(doc_id, n_chars*100000000+doc_id) AS longest_doc,
-      | min_by(doc_id, n_chars*100000000+doc_id) AS shortest_doc,
+      | max_by(doc_id, lpad(CAST(n_chars AS VARCHAR),12,'0') || lpad(CAST(doc_id AS VARCHAR),12,'0')) AS longest_doc,
+      | min_by(doc_id, lpad(CAST(n_chars AS VARCHAR),12,'0') || lpad(CAST(doc_id AS VARCHAR),12,'0')) AS shortest_doc,
       | MAX(n_chars) AS max_chars, MIN(n_chars) AS min_chars
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
 

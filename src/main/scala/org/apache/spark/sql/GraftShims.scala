@@ -10,4 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShims {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Test-only visibility shim: materialize the optimizer rules an
+    * extensions class injected, so specs can assert the
+    * spark.sql.extensions wiring without building a second session. */
+  def optimizerRules(e: SparkSessionExtensions, s: SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    e.buildOptimizerRules(s)
 }

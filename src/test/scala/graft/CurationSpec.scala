@@ -82,8 +82,9 @@ class CurationSpec extends AnyFunSuite with LocalSparkSuite {
   }
 
   test("funnel conversions need at least the three matched events") {
-    graft.ops.WindowedOps.funnelUsers(spark, sfDir).collect()
-      .foreach(r => assert(r.getLong(1) >= 3L))
+    val rows = graft.ops.WindowedOps.funnelUsers(spark, sfDir).collect()
+    assert(rows.nonEmpty) // testdata users do convert; empty = broken match
+    rows.foreach(r => assert(r.getLong(1) >= 3L))
   }
 
   test("union-by-name aligns columns and nulls the missing one") {

@@ -47,9 +47,16 @@ class MultimodalSpec extends AnyFunSuite with LocalSparkSuite {
   test("resize decimates every payload to a bounded fixed width") {
     val resized = MultimodalOps.resize(assets, target = 32).collect()
     assert(resized.nonEmpty)
-    resized.foreach { case (_, bytes) => assert(bytes.length <= 32 && bytes.nonEmpty) }
+    resized.foreach { case (_, bytes) => assert(bytes.length <= 32) }
     // deterministic: same input → same bytes
     val again = MultimodalOps.resize(assets, target = 32).collect()
     assert(resized.map(_._2.toSeq).toSeq === again.map(_._2.toSeq).toSeq)
+  }
+
+  test("resize never fabricates bytes for an empty payload") {
+    import spark.implicits._
+    val empty = Seq(MultimodalOps.Asset(1L, "image", Array.empty[Byte], 64, 16000)).toDS()
+    val out = MultimodalOps.resize(empty, target = 32).collect()
+    assert(out.head._2.isEmpty)
   }
 }

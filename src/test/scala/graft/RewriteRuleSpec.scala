@@ -26,6 +26,17 @@ class RewriteRuleSpec extends AnyFunSuite with LocalSparkSuite {
     } finally spark.experimental.extraOptimizations = Nil
   }
 
+  test("GraftRewriteExtensions injects exactly the rewrite rule") {
+    val exts = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftRewriteExtensions().apply(exts)
+    val rules = org.apache.spark.sql.GraftShims.optimizerRules(exts, spark)
+    assert(rules == Seq(RewriteDotProduct))
+    // and the function-registration class injects none
+    val fexts = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(fexts)
+    assert(org.apache.spark.sql.GraftShims.optimizerRules(fexts, spark).isEmpty)
+  }
+
   test("rule leaves non-matching aggregates alone") {
     spark.experimental.extraOptimizations = Seq(RewriteDotProduct)
     try {
