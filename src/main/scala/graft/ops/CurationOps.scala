@@ -99,8 +99,28 @@ object CurationOps {
       | substring(regexp_replace(text, 'customer|supplier|part', '<ENT>', 'g'), 1, 80) AS masked_head
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Fuzzy near-dup verification by edit distance on adjacent-id
+    * pairs — the character-level complement to token Jaccard (q35).
+    * The 100-char prefix cap bounds the O(len²) DP per pair, the same
+    * budget cap a production verifier applies to LSH candidates. */
+  def editDistanceAdjacent(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), substring(col("text"), 1, 100).as("head"))
+    t.alias("a").join(t.alias("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .select(col("a.doc_id").as("doc_id"),
+        levenshtein(col("a.head"), col("b.head")).as("edit_dist"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val editDistanceAdjacentSql =
+    """SELECT a.doc_id AS doc_id,
+      | CAST(levenshtein(substring(a.text,1,100), substring(b.text,1,100)) AS INT) AS edit_dist
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q57_hash_sample", hashSample, Some(hashSampleSql), "deterministic seeded sampling"),
+    QueryDef("q73_edit_distance", editDistanceAdjacent, Some(editDistanceAdjacentSql), "fuzzy near-dup verify (levenshtein)"),
     QueryDef("q58_repetition_filter", repetitionStats, Some(repetitionStatsSql), "Gopher-style repetition quality signals"),
     QueryDef("q59_pii_scrub", piiScrub, Some(piiScrubSql), "sensitive-term masking"))
 }
