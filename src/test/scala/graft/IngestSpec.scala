@@ -24,6 +24,29 @@ class IngestSpec extends AnyFunSuite with LocalSparkSuite {
     assert(MediaWikiXml.flattenRevisions(bz).count() === 9)
   }
 
+  test("A1 malformed page degrades permissively, good pages unaffected") {
+    // a real 20 GB dump has occasional damage; PERMISSIVE (the
+    // default) nulls the bad fields instead of killing the import
+    val dir = java.nio.file.Files.createTempDirectory("maldump")
+    val xml =
+      """<mediawiki><page><title>Good</title><ns>0</ns><id>1</id>
+        |<revision><id>10</id><timestamp>2024-01-01T00:00:00Z</timestamp>
+        |<contributor><username>u</username><id>5</id></contributor>
+        |<text bytes="2">hi</text><sha1>x</sha1></revision></page>
+        |<page><title>Bad</title><ns>NOT_A_NUMBER</ns><id>2</id>
+        |<revision><id>11</id><timestamp>2024-01-01T00:00:00Z</timestamp>
+        |<contributor><ip>1.2.3.4</ip></contributor>
+        |<text bytes="2">yo</text><sha1>y</sha1></revision></page>
+        |</mediawiki>""".stripMargin
+    java.nio.file.Files.writeString(dir.resolve("d.xml"), xml)
+    val pages = MediaWikiXml.readPages(spark, dir.resolve("d.xml").toString)
+    assert(pages.count() === 2) // nothing dropped, nothing thrown
+    val bad = pages.filter(col("title") === "Bad").head()
+    assert(bad.isNullAt(bad.fieldIndex("ns"))) // damaged field nulled
+    val good = pages.filter(col("title") === "Good").head()
+    assert(good.getLong(good.fieldIndex("ns")) === 0L) // sibling intact
+  }
+
   test("A1 multi-file dump directory reads in parallel (multistream chunks)") {
     val dir = java.nio.file.Files.createTempDirectory("chunks")
     java.nio.file.Files.copy(java.nio.file.Paths.get("src/test/resources/minidump.xml"),

@@ -135,6 +135,24 @@ class StreamingSpec extends AnyFunSuite with LocalSparkSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the backlog and terminates on its own") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("backlog").toString
+    val data = Seq((1L, ts("2024-01-01 10:00:00"), 1L, "view", 1.0),
+      (2L, ts("2024-01-01 11:00:00"), 2L, "click", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    data.write.mode("append").parquet(dir)
+    val q = spark.readStream.schema(data.schema).parquet(dir)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("drain").start()
+    // the batch-drain mode for scheduled incremental imports: process
+    // everything available, then stop without an external signal
+    assert(q.awaitTermination(60000))
+    assert(spark.table("drain").agg(sum("n")).head().getLong(0) === 2L)
+  }
+
   test("A11-streaming: foreachBatch appends each micro-batch to Derby") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
