@@ -114,7 +114,7 @@ object TextOps {
     * per-row computation. The repartition between `hs` and the four
     * mins is an exchange barrier: without it CollapseProject would
     * inline (and re-evaluate) the md5 transform once per component. */
-  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+  private def signatures(s: SparkSession, d: String): DataFrame =
     shingleArrays(s, d)
       .select(col("doc_id"), transform(col("sh"), h => md5(h)).as("hs"))
       .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
@@ -123,7 +123,9 @@ object TextOps {
         array_min(transform(col("hs"), h => rotateHex(h, 1))).as("mh1"),
         array_min(transform(col("hs"), h => rotateHex(h, 2))).as("mh2"),
         array_min(transform(col("hs"), h => rotateHex(h, 3))).as("mh3"))
-      .orderBy(col("doc_id"))
+
+  def minhashSignatures(s: SparkSession, d: String): DataFrame =
+    signatures(s, d).orderBy(col("doc_id"))
 
   private val minhashSignaturesSql =
     s"""$shinglesSqlCte
@@ -136,7 +138,10 @@ object TextOps {
     * candidate generation is a self-equi-join, never a cross join; this
     * is THE 100 TB near-dup plan (O(n·bands) not O(n²)). */
   def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sig = minhashSignatures(s, d)
+    // Build on the UNORDERED signatures: a mid-pipeline orderBy would
+    // insert a range exchange whose sampling pass re-executes the
+    // whole md5/shingle subtree a second time.
+    val sig = signatures(s, d)
     // One pass over the signature pipeline: explode both bands, bucket
     // docs per band value, and emit ordered pairs within each bucket —
     // a self-join formulation would recompute the md5/shingle subtree
