@@ -118,8 +118,37 @@ object CurationOps {
       |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
       |ORDER BY doc_id""".stripMargin
 
+  /** Tokenizer-prep vocabulary coverage: per-doc fraction of tokens in
+    * the corpus top-20 vocabulary (n desc, word tiebreak — a total
+    * order, so the cut is deterministic). The vocab aggregate is tiny
+    * by construction and broadcasts; the per-doc pass is explode →
+    * broadcast lookup → partial-aggregatable count. At 100 TB the
+    * vocab side comes from a sample or a precomputed dictionary table;
+    * the per-doc plan is unchanged. */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+    val top = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w")).limit(20)
+      .select(col("w"), lit(1).as("in_vocab"))
+    tok.join(broadcast(top), Seq("w"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(coalesce(col("in_vocab"), lit(0))).cast("double") / count(lit(1)))
+          .as("vocab_coverage"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val vocabCoverageSql =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+      |top AS (SELECT w FROM tok GROUP BY w ORDER BY COUNT(*) DESC, w LIMIT 20)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      | CAST(COUNT(*) FILTER (WHERE w IN (SELECT w FROM top)) AS DOUBLE)/COUNT(*) AS vocab_coverage
+      |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q57_hash_sample", hashSample, Some(hashSampleSql), "deterministic seeded sampling"),
+    QueryDef("q74_vocab_coverage", vocabCoverage, Some(vocabCoverageSql), "tokenizer-prep vocabulary coverage"),
     QueryDef("q73_edit_distance", editDistanceAdjacent, Some(editDistanceAdjacentSql), "fuzzy near-dup verify (levenshtein)"),
     QueryDef("q58_repetition_filter", repetitionStats, Some(repetitionStatsSql), "Gopher-style repetition quality signals"),
     QueryDef("q59_pii_scrub", piiScrub, Some(piiScrubSql), "sensitive-term masking"))
