@@ -460,8 +460,31 @@ object TextOps {
        |WHERE doc_id % 31 <> 0
        |GROUP BY doc_id HAVING COUNT(*) >= 3 ORDER BY doc_id""".stripMargin
 
+  /** Near-dup cluster rollup by fingerprint prefix: group docs on a
+    * 40-char prefix key, keep clusters of ≥2, and report the member
+    * count plus the distinct sources involved — the "which feeds are
+    * mirroring each other" rollup a dedup pass reports. collect_set is
+    * bounded by cluster size, and the sorted-array join makes the set
+    * column hash-stable across engines and partitionings. */
+  def dupClusters(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(substring(col("text"), 1, 40).as("pfx"))
+      .agg(min(col("doc_id")).as("rep_doc"),
+        count(lit(1)).as("n_members"),
+        array_join(sort_array(collect_set(col("source"))), ",").as("sources"))
+      .filter(col("n_members") > 1)
+      .select(col("rep_doc"), col("n_members"), col("sources"))
+      .orderBy(col("rep_doc"))
+
+  private val dupClustersSql =
+    """SELECT MIN(doc_id) AS rep_doc, COUNT(*) AS n_members,
+      | array_to_string(list_sort(list(DISTINCT source)), ',') AS sources
+      |FROM documents GROUP BY substring(text, 1, 40) HAVING COUNT(*) > 1
+      |ORDER BY rep_doc""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q69_contamination", contamination, Some(contaminationSql), "benchmark decontamination (shingle overlap)"),
+    QueryDef("q75_dup_clusters", dupClusters, Some(dupClustersSql), "near-dup cluster rollup (collect_set)"),
     QueryDef("q30_exact_dedup", exactDedup, Some(exactDedupSql), "B25 exact dedup"),
     QueryDef("q31_dedup_stats", dedupStats, Some(dedupStatsSql), "B25 dedup stats"),
     QueryDef("q32_shingle_stats", shingleStats, Some(shingleStatsSql), "B26 shingling"),
