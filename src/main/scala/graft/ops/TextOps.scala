@@ -137,7 +137,10 @@ object TextOps {
     * bands (2 components each). The band string is the shuffle key —
     * candidate generation is a self-equi-join, never a cross join; this
     * is THE 100 TB near-dup plan (O(n·bands) not O(n²)). */
-  def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  def minhashPairs(s: SparkSession, d: String): DataFrame =
+    candidatePairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  private def candidatePairs(s: SparkSession, d: String): DataFrame = {
     // Build on the UNORDERED signatures: a mid-pipeline orderBy would
     // insert a range exchange whose sampling pass re-executes the
     // whole md5/shingle subtree a second time.
@@ -159,8 +162,60 @@ object TextOps {
           "y -> struct(x AS doc_a, y AS doc_b))))")).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Transitive dedup clustering: connected components over the LSH
+    * candidate-pair graph via iterative min-label propagation — each
+    * doc lands in the cluster of the smallest reachable doc_id, the
+    * step that turns pairwise candidates into dedup groups. Every
+    * iteration is a distributed join+aggregate (the driver loop only
+    * orchestrates and checks convergence — O(cluster diameter)
+    * rounds, and LSH band buckets are near-cliques so it converges in
+    * 2-3). The oracle replays the same fixpoint as a recursive CTE. */
+  def dedupComponents(s: SparkSession, d: String): DataFrame = {
+    val pairs = candidatePairs(s, d)
+    // localCheckpoint (eager) rather than cache: it TRUNCATES lineage,
+    // so per-iteration plans stay constant-size instead of doubling —
+    // the standard fix for iterative DataFrame algorithms
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("lbl", col("node"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val next = labels
+        .union(edges.join(labels, col("src") === col("node"))
+          .select(col("dst").as("node"), col("lbl")))
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.alias("n").join(labels.alias("o"), col("n.node") === col("o.node"))
+        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dedupComponentsSql =
+    s"""${shinglesSqlCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |sig AS (SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
+       |               ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
+       |        FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, mh0 || mh1 AS band FROM sig
+       |          UNION ALL SELECT doc_id, mh2 || mh3 AS band FROM sig),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach AS (SELECT src, src AS lbl FROM (SELECT DISTINCT src FROM edges)
+       |          UNION
+       |          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.src)
+       |SELECT src AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY src
+       |ORDER BY doc_id""".stripMargin
 
   private val minhashPairsSql =
     s"""$shinglesSqlCte,
@@ -485,6 +540,7 @@ object TextOps {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q69_contamination", contamination, Some(contaminationSql), "benchmark decontamination (shingle overlap)"),
     QueryDef("q75_dup_clusters", dupClusters, Some(dupClustersSql), "near-dup cluster rollup (collect_set)"),
+    QueryDef("q76_dedup_components", dedupComponents, Some(dedupComponentsSql), "connected-components dedup clustering"),
     QueryDef("q30_exact_dedup", exactDedup, Some(exactDedupSql), "B25 exact dedup"),
     QueryDef("q31_dedup_stats", dedupStats, Some(dedupStatsSql), "B25 dedup stats"),
     QueryDef("q32_shingle_stats", shingleStats, Some(shingleStatsSql), "B26 shingling"),
