@@ -87,6 +87,20 @@ class CurationSpec extends AnyFunSuite with LocalSparkSuite {
     rows.foreach(r => assert(r.getLong(1) >= 3L))
   }
 
+  test("dedup components reach a true fixpoint") {
+    val rows = graft.ops.TextOps.dedupComponents(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    val cluster = rows.toMap
+    rows.foreach { case (doc, c) =>
+      assert(c <= doc) // the label is the smallest reachable id
+      assert(cluster(c) === c) // the representative is its own cluster
+    }
+    // every candidate-pair endpoint landed in the same cluster as its partner
+    graft.ops.TextOps.minhashPairs(spark, sfDir).collect()
+      .foreach(r => assert(cluster(r.getLong(0)) === cluster(r.getLong(1))))
+  }
+
   test("union-by-name aligns columns and nulls the missing one") {
     val df = Relational.unionByNameMerge(spark, sfDir)
     val rows = df.collect()
