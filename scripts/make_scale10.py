@@ -13,6 +13,7 @@ Usage: python3 scripts/make_scale10.py [srcDir] [dstDir]
 Then:  SPARK_GRAFT_SF_DIR=<dstDir> sbt "runMain graft.Bench"
 """
 import os
+import shutil
 import sys
 
 import duckdb
@@ -51,6 +52,9 @@ def main():
                       if t == "events" and c == "ts" else c)
                 for c in cols)
             sels.append(f"SELECT {proj} FROM '{SRC}/{t}.parquet'")
+        # clear stale part-files: a rerun emitting fewer files than the
+        # previous run would otherwise silently inflate the corpus
+        shutil.rmtree(f"{DST}/{t}.parquet", ignore_errors=True)
         os.makedirs(f"{DST}/{t}.parquet", exist_ok=True)
         con.execute(
             f"COPY ({' UNION ALL '.join(sels)}) TO '{DST}/{t}.parquet' "

@@ -46,9 +46,8 @@ object Bench {
     // materialize the session table cache outside the timed section
     // (same role as the JIT warmup) so no single query absorbs a
     // cache build that every later query benefits from
-    if (Tables.envCache.getOrElse(true)) {
-      Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "documents", "embeddings").foreach { t =>
+    if (Tables.cacheForSession) {
+      Tables.baseNames.foreach { t =>
         try Tables.table(spark, sfDir, t).count() catch { case _: Throwable => () }
       }
       try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }

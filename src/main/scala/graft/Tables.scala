@@ -46,6 +46,12 @@ object Tables {
     memo.clear()
   }
 
+  /** The plain-parquet table inventory (events is separate — it needs
+    * the nanos decode below). Single source of truth for warmup /
+    * tooling loops. */
+  val baseNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "documents", "embeddings")
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     if (cacheOn) memo.getOrElseUpdate((spark, path), spark.read.parquet(path).cache())

@@ -119,23 +119,24 @@ object CurationOps {
       |ORDER BY doc_id""".stripMargin
 
   /** Tokenizer-prep vocabulary coverage: per-doc fraction of tokens in
-    * the corpus top-20 vocabulary (n desc, word tiebreak — a total
-    * order, so the cut is deterministic). The vocab aggregate is tiny
-    * by construction and broadcasts; the per-doc pass is explode →
-    * broadcast lookup → partial-aggregatable count. At 100 TB the
-    * vocab side comes from a sample or a precomputed dictionary table;
-    * the per-doc plan is unchanged. */
+    * the corpus top-20 vocabulary ((count, word) is a total order, so
+    * the cut is deterministic). Single-explode formulation, the same
+    * lesson tfidfTop records: one tf aggregate, the vocabulary rank as
+    * windows OVER tf (a branch-and-join would re-explode the corpus
+    * per branch). The global rank window sees one row per distinct
+    * (doc, word) — vocabulary-sized, not corpus-sized — and at 100 TB
+    * the vocab side would come from a precomputed dictionary table. */
   def vocabCoverage(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val top = tok.groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .orderBy(col("n").desc, col("w")).limit(20)
-      .select(col("w"), lit(1).as("in_vocab"))
-    tok.join(broadcast(top), Seq("w"), "left")
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+    tf.withColumn("wtot", sum(col("cnt")).over(Window.partitionBy(col("w"))))
+      .withColumn("rk", dense_rank().over(Window.orderBy(col("wtot").desc, col("w"))))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        (sum(coalesce(col("in_vocab"), lit(0))).cast("double") / count(lit(1)))
-          .as("vocab_coverage"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        (sum(when(col("rk") <= 20, col("cnt")).otherwise(lit(0L))).cast("double") /
+          sum(col("cnt"))).as("vocab_coverage"))
       .orderBy(col("doc_id"))
   }
 

@@ -185,7 +185,7 @@ object TextOps {
       .localCheckpoint()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < 50) {
       val next = labels
         .union(edges.join(labels, col("src") === col("node"))
           .select(col("dst").as("node"), col("lbl")))
@@ -193,9 +193,14 @@ object TextOps {
         .localCheckpoint()
       changed = next.alias("n").join(labels.alias("o"), col("n.node") === col("o.node"))
         .filter(col("n.lbl") =!= col("o.lbl")).count()
+      labels.unpersist() // superseded checkpoint blocks are released eagerly
       labels = next
       iter += 1
     }
+    edges.unpersist()
+    // fail loudly rather than return a non-fixpoint labeling: an
+    // unconverged result would present as a data bug downstream
+    require(changed == 0, s"dedupComponents did not converge within $iter rounds")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
       .orderBy(col("doc_id"))
   }

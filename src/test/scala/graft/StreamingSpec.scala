@@ -149,8 +149,10 @@ class StreamingSpec extends AnyFunSuite with LocalSparkSuite {
       .format("memory").queryName("drain").start()
     // the batch-drain mode for scheduled incremental imports: process
     // everything available, then stop without an external signal
-    assert(q.awaitTermination(60000))
-    assert(spark.table("drain").agg(sum("n")).head().getLong(0) === 2L)
+    try {
+      assert(q.awaitTermination(60000))
+      assert(spark.table("drain").agg(sum("n")).head().getLong(0) === 2L)
+    } finally q.stop()
   }
 
   test("A11-streaming: foreachBatch appends each micro-batch to Derby") {
