@@ -93,4 +93,42 @@ object GraftProps extends Properties("graft") {
       da.union(db).count() == da.count() + db.count()
     }
   }
+
+  // Pure JVM twin of the q59 scrub: masking is idempotent because the
+  // mask token contains no target substring.
+  property("sensitive-term scrub is idempotent") = {
+    val word = Gen.oneOf("customer", "supplier", "part", "table", "row", "x1")
+    val g = Gen.listOf(word).map(_.mkString(" "))
+    forAll(g) { text =>
+      val scrub = (s: String) => s.replaceAll("customer|supplier|part", "<ENT>")
+      scrub(scrub(text)) == scrub(text)
+    }
+  }
+
+  // JVM twin of q58's run-length top-bigram count: equals the naive
+  // groupBy count on arbitrary token lists.
+  property("sorted run-length max equals naive top-bigram count") = {
+    val g = Gen.listOfN(12, Gen.oneOf("a", "b", "c")).suchThat(_.size >= 2)
+    forAll(g) { toks =>
+      val bigrams = toks.sliding(2).map(_.mkString(" ")).toList
+      val naive = bigrams.groupBy(identity).values.map(_.size).max
+      val sorted = bigrams.sorted
+      val runMax = sorted.foldLeft(("", 0, 0)) { case ((prev, run, best), x) =>
+        val r = if (x == prev) run + 1 else 1
+        (x, r, math.max(best, r))
+      }._3
+      runMax == naive
+    }
+  }
+
+  // The q57 sampling predicate: first-hex-char membership equals the
+  // numeric first-nibble rule (cross-formulation check), i.e. the cut
+  // is exactly 1/16 of hash space, a pure function of (salt, id).
+  property("hash-sample membership matches the first-nibble rule") = {
+    val g = Gen.chooseNum(0L, 1000000L)
+    forAll(g) { id =>
+      val h = md5hex(s"smpl:$id")
+      h.startsWith("0") == (Integer.parseInt(h.substring(0, 1), 16) == 0)
+    }
+  }
 }
