@@ -49,7 +49,7 @@ object CurationOps {
     * cross-engine without rounding. Docs with <2 tokens have no bigrams
     * and are excluded (the oracle's unnest of an empty slide list drops
     * them identically). */
-  def repetitionStats(s: SparkSession, d: String): DataFrame =
+  private[ops] def repetitionCore(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -65,7 +65,9 @@ object CurationOps {
           "(a, x) -> struct(x as prev, if(x = a.prev, a.run + 1, 1L) as run, " +
           "greatest(a.best, if(x = a.prev, a.run + 1, 1L)) as best), a -> a.best)")
           .cast("double") / (col("n") - 1)).as("top_bigram_frac"))
-      .orderBy(col("doc_id"))
+
+  def repetitionStats(s: SparkSession, d: String): DataFrame =
+    repetitionCore(s, d).orderBy(col("doc_id"))
 
   private val repetitionStatsSql =
     """WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
@@ -146,6 +148,38 @@ object CurationOps {
       |SELECT doc_id, COUNT(*) AS n_tokens,
       | CAST(COUNT(*) FILTER (WHERE w IN (SELECT w FROM top)) AS DOUBLE)/COUNT(*) AS vocab_coverage
       |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The end-to-end corpus-curation composition every training-data
+    * pipeline runs, built from the graded operators' unordered cores
+    * so no mid-pipeline sort sneaks in:
+    *
+    *   quality gate (repetition signals) → exact dedup (sha256
+    *   survivor) → near-dup dedup (drop docs whose LSH cluster
+    *   representative is another doc) → reproducible hash sample.
+    *
+    * Returns the curated corpus slice. Each stage is a semi/anti join
+    * against a per-doc key set — broadcast-sized here, shuffle-keyed at
+    * 100 TB — and the whole chain is one lazy plan except the
+    * clustering fixpoint. */
+  def curateCorpus(s: SparkSession, d: String, sampleHex: String = "0123456789abcdef")
+      : DataFrame = {
+    val docs = Tables.documents(s, d)
+    val lowQuality = repetitionCore(s, d)
+      .filter(col("dup_word_frac") > 0.95 || col("top_bigram_frac") > 0.5)
+      .select(col("doc_id"))
+    val exactSurvivors = TextOps.exactDedupCore(s, d).select(col("doc_id"))
+    val nearDupLosers = TextOps.dedupComponentsCore(s, d)
+      .filter(col("cluster") =!= col("doc_id"))
+      .select(col("doc_id"))
+    docs
+      .join(lowQuality, Seq("doc_id"), "left_anti")
+      .join(exactSurvivors, Seq("doc_id"), "left_semi")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .filter(substring(md5(concat(lit("smpl:"), col("doc_id").cast("string"))), 1, 1)
+        .isin(sampleHex.map(_.toString): _*))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q57_hash_sample", hashSample, Some(hashSampleSql), "deterministic seeded sampling"),

@@ -60,15 +60,17 @@ object TextOps {
     * At 100 TB this is one shuffle on the 32-byte hash — the canonical
     * exact-dedup plan; MediaWiki does the same per-revision via sha1
     * (SURVEY.md §0.2). */
-  def exactDedup(s: SparkSession, d: String): DataFrame = {
+  private[ops] def exactDedupCore(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("content_hash")).orderBy(col("doc_id"))
     Tables.documents(s, d)
       .withColumn("content_hash", sha2(col("text"), 256))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("content_hash"))
-      .orderBy(col("doc_id"))
   }
+
+  def exactDedup(s: SparkSession, d: String): DataFrame =
+    exactDedupCore(s, d).orderBy(col("doc_id"))
 
   private val exactDedupSql =
     """SELECT doc_id, content_hash FROM (
@@ -172,7 +174,10 @@ object TextOps {
     * orchestrates and checks convergence — O(cluster diameter)
     * rounds, and LSH band buckets are near-cliques so it converges in
     * 2-3). The oracle replays the same fixpoint as a recursive CTE. */
-  def dedupComponents(s: SparkSession, d: String): DataFrame = {
+  def dedupComponents(s: SparkSession, d: String): DataFrame =
+    dedupComponentsCore(s, d).orderBy(col("doc_id"))
+
+  private[ops] def dedupComponentsCore(s: SparkSession, d: String): DataFrame = {
     val pairs = candidatePairs(s, d)
     // localCheckpoint (eager) rather than cache: it TRUNCATES lineage,
     // so per-iteration plans stay constant-size instead of doubling —
@@ -202,7 +207,6 @@ object TextOps {
     // unconverged result would present as a data bug downstream
     require(changed == 0, s"dedupComponents did not converge within $iter rounds")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
-      .orderBy(col("doc_id"))
   }
 
   private val dedupComponentsSql =

@@ -101,6 +101,23 @@ class CurationSpec extends AnyFunSuite with LocalSparkSuite {
       .foreach(r => assert(cluster(r.getLong(0)) === cluster(r.getLong(1))))
   }
 
+  test("curateCorpus composes quality gate, dedups and sampling") {
+    val all = Tables.documents(spark, sfDir).count()
+    val out = CurationOps.curateCorpus(spark, sfDir).collect().map(_.getLong(0)).toSet
+    assert(out.nonEmpty && out.size <= all)
+    // every near-dup cluster loser is gone, representatives may stay
+    val losers = graft.ops.TextOps.dedupComponents(spark, sfDir)
+      .filter(col("cluster") =!= col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(out.intersect(losers).isEmpty)
+    // narrowing the sample hex space yields a strict, deterministic subset
+    val half = CurationOps.curateCorpus(spark, sfDir, "01234567")
+      .collect().map(_.getLong(0)).toSet
+    assert(half.subsetOf(out) && half.size < out.size)
+    val again = CurationOps.curateCorpus(spark, sfDir, "01234567")
+      .collect().map(_.getLong(0)).toSet
+    assert(again === half)
+  }
+
   test("union-by-name aligns columns and nulls the missing one") {
     val df = Relational.unionByNameMerge(spark, sfDir)
     val rows = df.collect()
