@@ -118,6 +118,15 @@ class CurationSpec extends AnyFunSuite with LocalSparkSuite {
     assert(again === half)
   }
 
+  test("typed corpus boundary round-trips the tables") {
+    val docs = Tables.documentsTyped(spark, sfDir)
+    assert(docs.count() === 500)
+    val d0 = docs.filter(_.doc_id == 0L).head()
+    assert(d0.n_chars === d0.text.length) // typed fields line up with the schema
+    val emb = Tables.embeddingsTyped(spark, sfDir).head()
+    assert(emb.embedding.length === 64 && emb.label >= 0 && emb.label <= 9)
+  }
+
   test("union-by-name aligns columns and nulls the missing one") {
     val df = Relational.unionByNameMerge(spark, sfDir)
     val rows = df.collect()
