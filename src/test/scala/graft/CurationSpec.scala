@@ -105,10 +105,15 @@ class CurationSpec extends AnyFunSuite with LocalSparkSuite {
     val all = Tables.documents(spark, sfDir).count()
     val out = CurationOps.curateCorpus(spark, sfDir).collect().map(_.getLong(0)).toSet
     assert(out.nonEmpty && out.size <= all)
-    // every near-dup cluster loser is gone, representatives may stay
-    val losers = graft.ops.TextOps.dedupComponents(spark, sfDir)
-      .filter(col("cluster") =!= col("doc_id")).collect().map(_.getLong(0)).toSet
-    assert(out.intersect(losers).isEmpty)
+    // at most one member of each near-dup cluster survives, and no
+    // cluster is wiped out entirely (representatives re-elected among
+    // survivors)
+    val cluster = graft.ops.TextOps.dedupComponents(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val survivorsPerCluster = out.toSeq.flatMap(d => cluster.get(d).map(_ -> d))
+      .groupBy(_._1).view.mapValues(_.size)
+    assert(survivorsPerCluster.values.forall(_ == 1))
+    assert(survivorsPerCluster.size === cluster.values.toSet.size)
     // narrowing the sample hex space yields a strict, deterministic subset
     val half = CurationOps.curateCorpus(spark, sfDir, "01234567")
       .collect().map(_.getLong(0)).toSet

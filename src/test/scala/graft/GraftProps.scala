@@ -106,9 +106,10 @@ object GraftProps extends Properties("graft") {
   }
 
   // JVM twin of q58's run-length top-bigram count: equals the naive
-  // groupBy count on arbitrary token lists.
+  // groupBy count on arbitrary token lists, including the 2-token edge
+  // (a single bigram) the (n-1) divisor depends on.
   property("sorted run-length max equals naive top-bigram count") = {
-    val g = Gen.listOfN(12, Gen.oneOf("a", "b", "c")).suchThat(_.size >= 2)
+    val g = Gen.choose(2, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b", "c")))
     forAll(g) { toks =>
       val bigrams = toks.sliding(2).map(_.mkString(" ")).toList
       val naive = bigrams.groupBy(identity).values.map(_.size).max
@@ -121,14 +122,18 @@ object GraftProps extends Properties("graft") {
     }
   }
 
-  // The q57 sampling predicate: first-hex-char membership equals the
-  // numeric first-nibble rule (cross-formulation check), i.e. the cut
-  // is exactly 1/16 of hash space, a pure function of (salt, id).
-  property("hash-sample membership matches the first-nibble rule") = {
+  // The q57 sampling predicate against an INDEPENDENT formulation:
+  // "first hex char is 0" iff the digest, read as a 128-bit unsigned
+  // integer, is below 2^124 — i.e. the cut really is the lowest 1/16
+  // of hash space, a pure function of (salt, id).
+  property("hash-sample membership = lowest 1/16 of the digest space") = {
     val g = Gen.chooseNum(0L, 1000000L)
     forAll(g) { id =>
-      val h = md5hex(s"smpl:$id")
-      h.startsWith("0") == (Integer.parseInt(h.substring(0, 1), 16) == 0)
+      val bytes = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"smpl:$id".getBytes("UTF-8"))
+      val asInt = new java.math.BigInteger(1, bytes)
+      md5hex(s"smpl:$id").startsWith("0") ==
+        (asInt.compareTo(java.math.BigInteger.ONE.shiftLeft(124)) < 0)
     }
   }
 }
