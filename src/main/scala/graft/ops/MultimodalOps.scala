@@ -106,8 +106,11 @@ object MultimodalOps {
     }
   }
 
-  /** Graded query (rows-only: binary feature plumbing isn't
-    * SQL-expressible in the oracle): per-modality feature summary. */
+  /** Graded query: per-modality feature summary through the decode
+    * stub. Oracle-backed — the stub's bin 0 counts bytes < 0x20, which
+    * SQL can count too (UTF-8 continuation bytes are ≥ 0x80, so
+    * byte-wise and char-wise control counts agree), and the byte
+    * totals go through the same encode() the binary cast applies. */
   def featureSummary(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     extractFeatures(assets(s, d)).toDF()
@@ -120,7 +123,17 @@ object MultimodalOps {
       .orderBy(col("modality"))
   }
 
+  private val featureSummarySql =
+    """SELECT modality, COUNT(*) AS n_assets,
+      | CAST(SUM(OCTET_LENGTH(encode(text))) AS BIGINT) AS total_bytes,
+      | ROUND(AVG(CAST(LENGTH(text) - LENGTH(regexp_replace(text, '[\x00-\x1f]', '', 'g')) AS DOUBLE)
+      |           / OCTET_LENGTH(encode(text))), 4) AS avg_f0
+      |FROM (SELECT CASE CAST(doc_id % 3 AS INT)
+      |        WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+      |       text FROM documents) t
+      |GROUP BY modality ORDER BY modality""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q54_multimodal_features", featureSummary, None,
-      "multimodal decode-stub feature pipeline (non-oracle)"))
+    QueryDef("q54_multimodal_features", featureSummary, Some(featureSummarySql),
+      "multimodal decode-stub feature pipeline"))
 }
