@@ -13,7 +13,8 @@ import graft.functions.DotProduct
   *   aggregate(zip_with(CAST(a), CAST(b), (x, y) -> x * y),
   *             0.0D, (acc, v) -> acc + v)
   *
-  * over float arrays into the codegen'd [[DotProduct]] expression, so
+  * over float arrays into the codegen'd
+  * [[graft.functions.DotProduct]] expression, so
   * user code written in the portable higher-order-function form gets
   * the native ~10× per-row implementation automatically.
   * Value-preserving for equal-length arrays (the engine's embedding

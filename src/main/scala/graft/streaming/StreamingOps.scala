@@ -67,7 +67,7 @@ object StreamingOps {
   }
 
   /** B42 on the Spark 4 arbitrary-state API: the same running per-user
-    * count as a [[StatefulProcessor]] with typed [[ValueState]] —
+    * count as a `StatefulProcessor` with a typed `ValueState` —
     * transformWithState is the successor to flatMapGroupsWithState
     * (composable state variables, timers, TTL; RocksDB-backed state
     * store required). At 100 TB this is the preferred custom-state
