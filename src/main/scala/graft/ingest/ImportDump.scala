@@ -46,8 +46,12 @@ object ImportDump {
       .write.mode("overwrite").parquet(s"$outDir/page_latest")
 
     args.lift(2).foreach { url =>
-      Sinks.writeJdbc(classified.select("page_id", "ns", "title", "rev_id",
-        "parent_id", "ts", "is_minor", "is_anon", "text_bytes", "sha1"),
+      // load the RDBMS from the parquet sink just written, not from
+      // `classified` — re-using the plan would parse the XML and run
+      // the sha1 UDF a second time ("parsed exactly once" above)
+      Sinks.writeJdbc(spark.read.parquet(s"$outDir/revision")
+        .select("page_id", "ns", "title", "rev_id",
+          "parent_id", "ts", "is_minor", "is_anon", "text_bytes", "sha1"),
         url, "revision")
     }
 

@@ -72,12 +72,12 @@ object WindowedOps {
       .orderBy(col("user_id"), col("session_start"))
 
   private val sessionWindowsSql =
-    s"""WITH e AS (SELECT user_id, ts, value,
+    s"""WITH e AS (SELECT user_id, ts, event_id, value,
        |  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
        |            > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
        | FROM events),
        |sid AS (SELECT user_id, ts, value,
-       |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+       |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
        | FROM e)
        |SELECT user_id, MIN(ts) AS session_start,
