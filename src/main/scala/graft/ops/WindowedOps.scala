@@ -131,8 +131,35 @@ object WindowedOps {
       |SELECT date_diff('day', d0, d) AS day_offset, COUNT(DISTINCT user_id) AS n_users
       |FROM e GROUP BY day_offset ORDER BY day_offset""".stripMargin
 
+  /** Batch twin of the stream-stream interval join (StreamingSpec
+    * drives the same shape under readStream with watermarks):
+    * purchase↔view attribution within a 2-hour lookback. The equi key
+    * (user_id) carries the shuffle; the time band is a residual
+    * predicate on co-partitioned rows — never a cross join. */
+  def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id").as("vuid"), col("ts").as("vts"))
+    p.join(v, col("user_id") === col("vuid") &&
+        col("vts") <= col("pts") && col("vts") > col("pts") - expr("INTERVAL 2 HOURS"))
+      .select(col("purchase_id"), col("view_id"),
+        (unix_timestamp(col("pts")) - unix_timestamp(col("vts"))).as("gap_s"))
+      .orderBy(col("purchase_id"), col("view_id"))
+  }
+
+  private val intervalJoinSql =
+    """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+      | CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS gap_s
+      |FROM (SELECT * FROM events WHERE event_type='purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type='view') v
+      |  ON p.user_id = v.user_id AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 2 HOUR
+      |ORDER BY purchase_id, view_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q60_tumbling_hourly", tumblingHourly, Some(tumblingHourlySql), "B38 tumbling window"),
+    QueryDef("q77_interval_join", intervalJoin, Some(intervalJoinSql), "interval join (batch twin of stream-stream join)"),
     QueryDef("q68_funnel_path", funnelUsers, Some(funnelUsersSql), "sequence/funnel analytics"),
     QueryDef("q72_retention_curve", retentionCurve, Some(retentionCurveSql), "cohort/retention analytics"),
     QueryDef("q61_sliding_quarter", slidingQuarter, Some(slidingQuarterSql), "B39 sliding window"),
