@@ -130,22 +130,27 @@ object CurationOps {
 
   /** Tokenizer-prep vocabulary coverage: per-doc fraction of tokens in
     * the corpus top-20 vocabulary ((count, word) is a total order, so
-    * the cut is deterministic). Single-explode formulation, the same
-    * lesson tfidfTop records: one tf aggregate, the vocabulary rank as
-    * windows OVER tf (a branch-and-join would re-explode the corpus
-    * per branch). The global rank window sees one row per distinct
-    * (doc, word) — vocabulary-sized, not corpus-sized — and at 100 TB
-    * the vocab side would come from a precomputed dictionary table. */
+    * the cut is deterministic). The vocabulary is derived on the
+    * WORD-grain aggregate — groupBy(w) partial-aggregates map-side, so
+    * the sort+limit sees one row per distinct word (genuinely
+    * vocabulary-sized) — and broadcast-joined back to the per-doc
+    * counts. Never a global rank window over the (doc, word) grain:
+    * that is a corpus-scale single-partition sort. The corpus is
+    * exploded once per branch (Spark has no cross-branch subtree
+    * reuse), but both branches are map-side-combined shuffles of
+    * bounded aggregates — at 100 TB the vocab side would come from a
+    * precomputed dictionary table anyway. */
   def vocabCoverage(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val tf = Tables.documents(s, d)
+    val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
-    tf.withColumn("wtot", sum(col("cnt")).over(Window.partitionBy(col("w"))))
-      .withColumn("rk", dense_rank().over(Window.orderBy(col("wtot").desc, col("w"))))
+    val vocab = tok.groupBy(col("w")).agg(count(lit(1)).as("wtot"))
+      .orderBy(col("wtot").desc, col("w")).limit(20)
+      .select(col("w"), lit(1L).as("in_vocab"))
+    tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(vocab), Seq("w"), "left")
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_tokens"),
-        (sum(when(col("rk") <= 20, col("cnt")).otherwise(lit(0L))).cast("double") /
+        (sum(when(col("in_vocab").isNotNull, col("cnt")).otherwise(lit(0L))).cast("double") /
           sum(col("cnt"))).as("vocab_coverage"))
       .orderBy(col("doc_id"))
   }

@@ -167,45 +167,77 @@ object TextOps {
   }
 
   /** Transitive dedup clustering: connected components over the LSH
-    * candidate-pair graph via iterative min-label propagation — each
-    * doc lands in the cluster of the smallest reachable doc_id, the
-    * step that turns pairwise candidates into dedup groups. Every
-    * iteration is a distributed join+aggregate (the driver loop only
-    * orchestrates and checks convergence — O(cluster diameter)
-    * rounds, and LSH band buckets are near-cliques so it converges in
-    * 2-3). The oracle replays the same fixpoint as a recursive CTE. */
+    * candidate graph — each doc lands in the cluster of the smallest
+    * reachable doc_id, the step that turns pairwise candidates into
+    * dedup groups. The oracle replays the same fixpoint as a recursive
+    * CTE over the clique pairs.
+    *
+    * Three scale decisions (this was 47.9 s — 44% of the whole bench —
+    * in the naive pairwise form; now it is a handful of tiny jobs):
+    *  - STAR edges, not clique pairs: connectivity of the candidate
+    *    graph equals connectivity of the doc↔band-bucket bipartite
+    *    graph, so each doc connects only to its bucket's min doc_id —
+    *    O(n·bands) edges instead of O(Σ bucket²), and no pair
+    *    expansion / distinct at all.
+    *  - Seed labels with the closed-neighborhood min (≙ per-band
+    *    minima): LSH buckets are near-cliques, so most nodes start at
+    *    their final label and the fixpoint needs 1-2 rounds, not
+    *    O(diameter).
+    *  - One cluster job per round: pointer-jumping
+    *    (lbl ← min(lbl, lbl(lbl))) halves the rounds chains need, and
+    *    convergence detection rides the SAME job as the propagation
+    *    via an `observe` metric — sum(lbl) is monotone non-increasing
+    *    and stalls exactly at the fixpoint — instead of a separate
+    *    count() action joining old vs new labels. */
   def dedupComponents(s: SparkSession, d: String): DataFrame =
     dedupComponentsCore(s, d).orderBy(col("doc_id"))
 
   private[ops] def dedupComponentsCore(s: SparkSession, d: String): DataFrame = {
-    val pairs = candidatePairs(s, d)
+    import org.apache.spark.sql.Observation
+    val bands = signatures(s, d).select(col("doc_id"),
+      explode(array(concat(col("mh0"), col("mh1")),
+        concat(col("mh2"), col("mh3")))).as("band"))
+    val star = bands
+      .withColumn("bmin", min(col("doc_id")).over(Window.partitionBy(col("band"))))
+      .filter(col("doc_id") =!= col("bmin")) // singleton buckets drop out
+      .select(col("doc_id").as("a"), col("bmin").as("b"))
+      .distinct()
     // localCheckpoint (eager) rather than cache: it TRUNCATES lineage,
     // so per-iteration plans stay constant-size instead of doubling —
     // the standard fix for iterative DataFrame algorithms
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+    val edges = star.select(col("a").as("src"), col("b").as("dst"))
+      .union(star.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("lbl", col("node"))
-      .localCheckpoint()
-    var changed = 1L
+    val seedObs = Observation()
+    var labels = edges
+      .select(col("src").as("node"), least(col("src"), col("dst")).as("lbl"))
+      .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+      .observe(seedObs, sum(col("lbl")).as("s"))
+      .localCheckpoint() // eager → runs the job and publishes the metric
+    var curSum = seedObs.get("s").asInstanceOf[Long]
+    var converged = false
     var iter = 0
-    while (changed > 0 && iter < 50) {
-      val next = labels
-        .union(edges.join(labels, col("src") === col("node"))
-          .select(col("dst").as("node"), col("lbl")))
+    while (!converged && iter < 50) {
+      val obs = Observation()
+      val prop = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("lbl"))
+      val jump = labels.alias("x").join(labels.alias("y"), col("x.lbl") === col("y.node"))
+        .select(col("x.node").as("node"), col("y.lbl").as("lbl"))
+      val next = labels.union(prop).union(jump)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+        .observe(obs, sum(col("lbl")).as("s"))
         .localCheckpoint()
-      changed = next.alias("n").join(labels.alias("o"), col("n.node") === col("o.node"))
-        .filter(col("n.lbl") =!= col("o.lbl")).count()
+      val nextSum = obs.get("s").asInstanceOf[Long]
       labels.unpersist() // superseded checkpoint blocks are released eagerly
       labels = next
+      converged = nextSum == curSum
+      curSum = nextSum
       iter += 1
     }
     edges.unpersist()
     // fail loudly rather than return a non-fixpoint labeling: an
     // unconverged result would present as a data bug downstream
-    require(changed == 0, s"dedupComponents did not converge within $iter rounds")
+    require(converged, s"dedupComponents did not converge within $iter rounds")
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
   }
 

@@ -9,11 +9,28 @@ import org.scalatest.funsuite.AnyFunSuite
   * CartesianProduct is always a bug at scale). */
 class AllQueriesSpec extends AnyFunSuite with LocalSparkSuite {
 
+  /** Queries allowed an unpartitioned window: their window input is a
+    * pre-aggregated, provably bounded grain (q65 runs over one row per
+    * day — the documented daily-grain RANGE frame). Everything else
+    * must partition: a global window over an unbounded grain is a
+    * single-partition sort of the corpus at 100 TB (the q74 lesson). */
+  private val globalWindowAllowed = Set("q65_rolling_revenue")
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-    test(s"$name plans without cartesian products") {
-      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+    test(s"$name plans without cartesian products or global windows") {
+      val qe = fn(spark, sfDir).queryExecution
+      val plan = qe.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"unexpected CartesianProduct in $name:\n$plan")
+      if (!globalWindowAllowed(name)) {
+        val global = qe.optimizedPlan.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+              if w.partitionSpec.isEmpty => w
+        }
+        assert(global.isEmpty,
+          s"unpartitioned Window in $name (single-partition sort at scale):\n" +
+            global.mkString("\n"))
+      }
     }
   }
 
