@@ -30,6 +30,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.codegen.wholeStage", sys.env.getOrElse("SPARK_GRAFT_WSCG", "true"))
+      .config(Tables.NanosConf, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // session-scoped base-table cache: the suite reads each table ~25x,
@@ -63,7 +64,18 @@ object Bench {
       .mkString("{", ",", "}")
     val errors = results.count(_._2 < 0)
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"queries":$qs,"sf":"$sfDir"}""")
+    // dominance guard (the q76 lesson: one query was 44% of the suite
+    // for a whole round before anyone looked): report the slowest
+    // queries sorted desc and flag any single query above ~20% of the
+    // suite total, so a hot spot is visible in the bench line itself
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val dominant = results.filter { case (_, v) => v >= 0 && v > 0.2 * total }
+      .map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$errors,"slowest":$slowest,"dominant":$dominant,"queries":$qs,"sf":"$sfDir"}""")
+    results.filter { case (_, v) => v >= 0 && v > 0.2 * total }.foreach { case (k, v) =>
+      System.err.println(f"[bench] WARN $k is ${100 * v / total}%.0f%% of the suite ($v%.1f s) — investigate before shipping")
+    }
     Tables.clearCache()
     spark.stop()
   }

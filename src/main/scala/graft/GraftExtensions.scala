@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.DotProduct
+import graft.functions.{DotProduct, HllSketchAgg}
 
 /** SparkSessionExtensions entry point (SURVEY.md §4): registers the
   * engine's native expressions for SQL use. Deployments opt in with
@@ -21,6 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         DotProduct(exprs.head, exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("graft_hll_distinct"),
+      new ExpressionInfo(classOf[HllSketchAgg].getName, "graft_hll_distinct"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        HllSketchAgg(exprs.head).toAggregateExpression()))
   }
 }
 

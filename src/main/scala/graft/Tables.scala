@@ -65,12 +65,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.ts is physically INT64 TIMESTAMP(NANOS), which Spark 4
-    * refuses to read as a timestamp. Read it as raw nanos (legacy conf)
-    * and integer-divide to µs — the driver's values are µs-exact, so
-    * this matches DuckDB's ns→µs TIMESTAMP cast bit-for-bit. */
+  /** The one session conf the corpus needs beyond defaults: events.ts
+    * is physically INT64 TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read as a timestamp, so sessions opt into reading it as raw nanos.
+    * Belongs at session CONSTRUCTION (Bench/Verify/PlanDump/test
+    * builders all set it) — a table loader must never mutate session
+    * state as a side effect. */
+  val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
+
+  /** events.ts arrives as raw nanos (see [[NanosConf]]); integer-divide
+    * to µs — the driver's values are µs-exact, so this matches DuckDB's
+    * ns→µs TIMESTAMP cast bit-for-bit. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get(NanosConf, "false") == "true",
+      s"events.parquet is INT64 TIMESTAMP(NANOS): set $NanosConf=true at " +
+        "session construction (as the Bench/Verify builders do)")
     table(s, d, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }

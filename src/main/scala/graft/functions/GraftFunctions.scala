@@ -87,6 +87,14 @@ object GraftFunctions {
     if (i == 0) h
     else concat(substring(h, 2 * i + 1, 32 - 2 * i), substring(h, 1, 2 * i))
 
+  /** HLL distinct-count sketch column (see [[HllSketchAgg]]): the
+    * TypedImperativeAggregate twin of `approx_count_distinct`, with a
+    * partitioning-independent (deterministic) estimate. */
+  def hllDistinct(c: Column, precision: Int = 12): Column = {
+    import org.apache.spark.sql.GraftShims.{column, expression}
+    column(HllSketchAgg(expression(c), precision).toAggregateExpression())
+  }
+
   /** SHA-1 in base-36 — the encoding MediaWiki stores in `<sha1>`
     * (SURVEY.md §2.A10). A Scala UDF (not on any oracle path). */
   val sha1Base36 = udf { (s: String) =>

@@ -681,6 +681,18 @@ object Relational {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** B37 TypedImperativeAggregate: the engine's own HLL sketch
+    * (graft.functions.HllSketchAgg) next to the exact count it
+    * estimates. Like q27, engine-specific estimator → no SQL oracle;
+    * HllSketchSpec grades the error bound, the partitioning
+    * independence, and the SQL registration. */
+  def hllSketchDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(graft.functions.GraftFunctions.hllDistinct(col("l_partkey")).as("hll_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy(col("l_returnflag"))
+
   /** B10 arg-max/arg-min aggregates (max_by/min_by): the "which row
     * holds the extreme?" shape a pipeline uses to pick exemplar docs
     * per group without a window pass — one partial-aggregatable shuffle
@@ -834,5 +846,6 @@ object Relational {
     QueryDef("q64_lateral_topk", lateralTopPerRegion, Some(lateralTopPerRegionSql), "B23 LATERAL subquery"),
     QueryDef("q65_rolling_revenue", rollingRevenue, Some(rollingRevenueSql), "B15 RANGE window frame"),
     QueryDef("q66_union_by_name", unionByNameMerge, Some(unionByNameMergeSql), "B17 union-by-name"),
-    QueryDef("q27_approx_distinct", approxDistinct, None, "B13 approx distinct (non-oracle)"))
+    QueryDef("q27_approx_distinct", approxDistinct, None, "B13 approx distinct (non-oracle)"),
+    QueryDef("q78_hll_sketch", hllSketchDistinct, None, "B37 TypedImperativeAggregate HLL sketch (non-oracle)"))
 }

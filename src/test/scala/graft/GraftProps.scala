@@ -20,6 +20,7 @@ object GraftProps extends Properties("graft") {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config(Tables.NanosConf, "true")
     .getOrCreate()
 
   private def md5hex(s: String): String =

@@ -10,6 +10,7 @@ trait LocalSparkSuite {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    .config(Tables.NanosConf, "true")
     .getOrCreate()
 
   val sfDir = "/root/testdata/sf0.001"
