@@ -53,13 +53,26 @@ object Bench {
       }
       try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
     }
+    // iteration knobs (not used by the driver): SPARK_GRAFT_ONLY
+    // restricts the timed set to a comma-separated name list,
+    // SPARK_GRAFT_REPEAT times each query N times and keeps the last
+    // (steady-state) measurement
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     // a failed query is recorded as -1.0 (never its elapsed time) and
     // counted in "errors", so failures can't silently shrink the total
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
+        val times = (1 to repeat).map { _ =>
+          val t0 = System.nanoTime()
+          val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        }
+        if (repeat > 1) System.err.println(
+          f"[bench] $name runs: ${times.map(t => f"$t%.2f").mkString(", ")}")
+        name -> times.last
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val errors = results.count(_._2 < 0)

@@ -15,18 +15,40 @@ import graft.functions.{DotProduct, HllSketchAgg}
   * Rule[LogicalPlan] / ANN SparkStrategy (none is required for the
   * graded surface — built-ins + AQE cover it). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        DotProduct(exprs.head, exprs(1))))
-    e.injectFunction((
-      FunctionIdentifier("graft_hll_distinct"),
-      new ExpressionInfo(classOf[HllSketchAgg].getName, "graft_hll_distinct"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        HllSketchAgg(exprs.head).toAggregateExpression()))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach(e.injectFunction)
+}
+
+/** The injected (identifier, info, builder) tuples, exposed so tests
+  * exercise the EXACT builder lambdas the extension installs (a test
+  * that re-implements the builder would keep passing with a broken
+  * injection). Builders validate arity — a silently dropped argument
+  * (e.g. a precision the caller believes is in effect) is a
+  * correctness trap, not a convenience. */
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+  import org.apache.spark.sql.types.IntegerType
+
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] =
+    Seq(
+      (FunctionIdentifier("graft_dot"),
+        new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+        (exprs: Seq[Expression]) => {
+          require(exprs.size == 2,
+            s"graft_dot expects exactly 2 arguments, got ${exprs.size}")
+          DotProduct(exprs.head, exprs(1))
+        }),
+      (FunctionIdentifier("graft_hll_distinct"),
+        new ExpressionInfo(classOf[HllSketchAgg].getName, "graft_hll_distinct"),
+        (exprs: Seq[Expression]) => exprs match {
+          case Seq(child) => HllSketchAgg(child).toAggregateExpression()
+          case Seq(child, Literal(p: Int, IntegerType)) =>
+            HllSketchAgg(child, p).toAggregateExpression()
+          case Seq(_, other) => throw new IllegalArgumentException(
+            s"graft_hll_distinct precision must be an INT literal, got $other")
+          case _ => throw new IllegalArgumentException(
+            s"graft_hll_distinct expects (col) or (col, precision), got ${exprs.size} arguments")
+        }))
 }
 
 /** Separate opt-in for the [[plans.RewriteDotProduct]] optimizer rule.

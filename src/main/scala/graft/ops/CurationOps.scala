@@ -206,7 +206,45 @@ object CurationOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q79: the curateCorpus composition, graded end-to-end. The sample
+    * keeps half the hash space ('0'-'7') so the sampling stage is
+    * actually exercised (the default all-hex sample would be a no-op).
+    * The oracle replays every stage in DuckDB: the recursive-CTE
+    * clustering (shared with q76 via [[TextOps.componentsSqlCtes]]),
+    * the repetition gate, sha256 survivor election, survivor-aware
+    * cluster re-election, and the md5 sample predicate. */
+  def curateCorpusQuery(s: SparkSession, d: String): DataFrame =
+    curateCorpus(s, d, "01234567")
+
+  private val curateCorpusSql =
+    s"""${TextOps.componentsSqlCtes},
+       |rt AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       |rbg AS (SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd,
+       |        unnest([array_to_string(list_slice(t, i, i+1),' ')
+       |                for i in generate_series(1, len(t)-1)]) AS bg FROM rt),
+       |rc AS (SELECT doc_id, n, nd, bg, COUNT(*) AS c FROM rbg GROUP BY doc_id, n, nd, bg),
+       |lowq AS (SELECT doc_id FROM (
+       |    SELECT doc_id, CAST(n - nd AS DOUBLE)/n AS dwf,
+       |           CAST(MAX(c) AS DOUBLE)/(n-1) AS tbf
+       |    FROM rc GROUP BY doc_id, n, nd) WHERE dwf > 0.95 OR tbf > 0.5),
+       |exact AS (SELECT doc_id FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn
+       |    FROM documents) WHERE rn = 1),
+       |pre AS (SELECT d.doc_id, d.lang, d.source, d.n_chars FROM documents d
+       |        WHERE d.doc_id IN (SELECT doc_id FROM exact)
+       |          AND d.doc_id NOT IN (SELECT doc_id FROM lowq)),
+       |losers AS (SELECT doc_id FROM (
+       |    SELECT p.doc_id, MIN(p.doc_id) OVER (PARTITION BY c.cluster) AS keep
+       |    FROM pre p JOIN comp c ON c.doc_id = p.doc_id) WHERE doc_id <> keep)
+       |SELECT doc_id, lang, source, n_chars FROM pre
+       |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+       |  AND substring(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 1) IN
+       |      ('0','1','2','3','4','5','6','7')
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q79_curate_corpus", curateCorpusQuery, Some(curateCorpusSql),
+      "end-to-end corpus curation: quality gate → exact dedup → cluster dedup → sample"),
     QueryDef("q57_hash_sample", hashSample, Some(hashSampleSql), "deterministic seeded sampling"),
     QueryDef("q74_vocab_coverage", vocabCoverage, Some(vocabCoverageSql), "tokenizer-prep vocabulary coverage"),
     QueryDef("q73_edit_distance", editDistanceAdjacent, Some(editDistanceAdjacentSql), "fuzzy near-dup verify (levenshtein)"),

@@ -241,7 +241,11 @@ object TextOps {
     labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
   }
 
-  private val dedupComponentsSql =
+  /** The full clustering CTE chain (shingles → signatures → bands →
+    * pairs → edges → recursive reachability → per-doc min label),
+    * ending in `comp(doc_id, cluster)` — shared by the q76 oracle and
+    * the q79 curation-composition oracle. */
+  private[ops] val componentsSqlCtes: String =
     s"""${shinglesSqlCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
        |sig AS (SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
        |               ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
@@ -254,9 +258,12 @@ object TextOps {
        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
        |reach AS (SELECT src, src AS lbl FROM (SELECT DISTINCT src FROM edges)
        |          UNION
-       |          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.src)
-       |SELECT src AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY src
-       |ORDER BY doc_id""".stripMargin
+       |          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.src),
+       |comp AS (SELECT src AS doc_id, MIN(lbl) AS cluster FROM reach GROUP BY src)""".stripMargin
+
+  private val dedupComponentsSql =
+    s"""$componentsSqlCtes
+       |SELECT doc_id, cluster FROM comp ORDER BY doc_id""".stripMargin
 
   private val minhashPairsSql =
     s"""$shinglesSqlCte,

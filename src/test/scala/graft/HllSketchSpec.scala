@@ -43,21 +43,45 @@ class HllSketchSpec extends AnyFunSuite with LocalSparkSuite {
   }
 
   test("graft_hll_distinct is SQL-registered via GraftExtensions") {
-    val ext = new org.apache.spark.sql.SparkSessionExtensions
-    new GraftExtensions()(ext)
     // the shared test session predates extension wiring, so register
-    // through the same builder the injection point uses
-    spark.sessionState.functionRegistry.registerFunction(
-      org.apache.spark.sql.catalyst.FunctionIdentifier("graft_hll_distinct"),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-        classOf[graft.functions.HllSketchAgg].getName, "graft_hll_distinct"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        graft.functions.HllSketchAgg(exprs.head).toAggregateExpression())
+    // the ACTUAL builder tuples the extension injects — a broken
+    // injection lambda must fail here, not just a hand-rolled copy
+    GraftExtensions.functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
     Tables.documents(spark, sfDir).createOrReplaceTempView("docs_hll")
     val viaSql = spark.sql(
       "SELECT graft_hll_distinct(doc_id) FROM docs_hll").head().getLong(0)
     val viaCol = Tables.documents(spark, sfDir)
       .agg(hllDistinct(col("doc_id"))).head().getLong(0)
     assert(viaSql === viaCol)
+  }
+
+  test("graft_hll_distinct honors a SQL precision argument and rejects bad arity") {
+    GraftExtensions.functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    Tables.orders(spark, sfDir).createOrReplaceTempView("orders_hll")
+    val viaSql = spark.sql(
+      "SELECT graft_hll_distinct(o_custkey, 14) FROM orders_hll").head().getLong(0)
+    val viaCol = Tables.orders(spark, sfDir)
+      .agg(hllDistinct(col("o_custkey"), 14)).head().getLong(0)
+    assert(viaSql === viaCol)
+    // estimates can coincide across precisions at small cardinality, so
+    // also check the builder structurally: the 2-arg form must carry
+    // the precision into the aggregate, the 3-arg form must throw
+    val hllBuilder = GraftExtensions.functions
+      .find(_._1.funcName == "graft_hll_distinct").get._3
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+    val child = AttributeReference("x", org.apache.spark.sql.types.LongType)()
+    val built = hllBuilder(Seq(child, Literal(14)))
+      .asInstanceOf[AggregateExpression].aggregateFunction
+      .asInstanceOf[graft.functions.HllSketchAgg]
+    assert(built.precision === 14)
+    intercept[Exception] { hllBuilder(Seq(child, Literal(14), Literal(99))) }
+    intercept[Exception] {
+      spark.sql("SELECT graft_hll_distinct(o_custkey, 14, 99) FROM orders_hll").head()
+    }
   }
 }
