@@ -95,6 +95,28 @@ object GraftFunctions {
     column(HllSketchAgg(expression(c), precision).toAggregateExpression())
   }
 
+  /** MinHash signature array in one codegen'd pass (see [[MinhashHex]]):
+    * one md5 per shingle, rotations compared in place. */
+  def minhashHex(shingles: Column, components: Int = 4): Column = {
+    import org.apache.spark.sql.GraftShims.{column, expression}
+    column(MinhashHex(expression(shingles), components))
+  }
+
+  /** Repetition-signal triple `[n, n_distinct, top_bigram_count]` in
+    * one codegen'd hash pass (see [[BigramStats]]). */
+  def bigramStats(tokens: Column): Column = {
+    import org.apache.spark.sql.GraftShims.{column, expression}
+    column(BigramStats(expression(tokens)))
+  }
+
+  /** Per-profile stopword occurrence counts in one codegen'd pass over
+    * a token array (see [[StopwordCounts]]) — replaces one interpreted
+    * `filter` HOF per profile on the language-ID/quality hot path. */
+  def stopwordCounts(tokens: Column, profiles: Seq[Seq[String]]): Column = {
+    import org.apache.spark.sql.GraftShims.{column, expression}
+    column(StopwordCounts(expression(tokens), profiles))
+  }
+
   /** SHA-1 in base-36 — the encoding MediaWiki stores in `<sha1>`
     * (SURVEY.md §2.A10). A Scala UDF (not on any oracle path). */
   val sha1Base36 = udf { (s: String) =>

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions.bigramStats
 
 /** Corpus-curation operator surface — the sampling / quality-filter
   * half of the LLM-data-pipeline mandate (BASELINE.json north star;
@@ -45,12 +46,15 @@ object CurationOps {
   /** Gopher-style repetition signals per doc: duplicate-word fraction
     * (1 - distinct/total) and top-bigram fraction (most frequent
     * bigram's share of all bigrams) — the standard "is this doc
-    * degenerate repetition?" quality gates. Everything is doc-local
-    * array math: the top-bigram count is a run-length max over the
-    * SORTED bigram array, so the whole query is a map-only stage (plus
-    * the output sort) — measured 5-6× faster than the
-    * explode→groupBy(doc,bigram)→max formulation, and at 100 TB it
-    * ships zero bigram rows across the wire. The repartition fans the
+    * degenerate repetition?" quality gates. Everything is doc-local:
+    * one codegen'd hash pass over the token array
+    * ([[graft.functions.BigramStats]]) yields the exact integer triple,
+    * so the query is a map-only stage (plus the output sort) and at
+    * 100 TB ships zero bigram rows across the wire. An earlier
+    * sort_array + interpreted `aggregate` run-max fold computed the
+    * same integers 5× slower — invisible behind `.count()` (column
+    * pruning skips the fractions) but paid by every consumer that
+    * reads them, e.g. the q79 quality gate. The repartition fans the
     * single-row-group testdata scan across cores before the per-row
     * compute (a many-file table is already parallel). Both ratios are
     * single IEEE divisions of exact integers — deterministic
@@ -62,17 +66,10 @@ object CurationOps {
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(col("text"), " ").as("t"))
       .filter(size(col("t")) >= 2)
-      .select(col("doc_id"),
-        size(col("t")).cast("long").as("n"),
-        size(array_distinct(col("t"))).cast("long").as("nd"),
-        sort_array(expr("transform(sequence(1, size(t)-1), " +
-          "i -> concat(element_at(t,i), ' ', element_at(t,i+1)))")).as("sb"))
-      .select(col("doc_id"), col("n").as("n_tokens"),
-        ((col("n") - col("nd")).cast("double") / col("n")).as("dup_word_frac"),
-        (expr("aggregate(sb, struct(cast('' as string) as prev, 0L as run, 0L as best), " +
-          "(a, x) -> struct(x as prev, if(x = a.prev, a.run + 1, 1L) as run, " +
-          "greatest(a.best, if(x = a.prev, a.run + 1, 1L)) as best), a -> a.best)")
-          .cast("double") / (col("n") - 1)).as("top_bigram_frac"))
+      .select(col("doc_id"), bigramStats(col("t")).as("bs"))
+      .select(col("doc_id"), col("bs")(0).as("n_tokens"),
+        ((col("bs")(0) - col("bs")(1)).cast("double") / col("bs")(0)).as("dup_word_frac"),
+        (col("bs")(2).cast("double") / (col("bs")(0) - 1)).as("top_bigram_frac"))
 
   def repetitionStats(s: SparkSession, d: String): DataFrame =
     repetitionCore(s, d).orderBy(col("doc_id"))
@@ -188,19 +185,22 @@ object CurationOps {
     val preDedup = docs
       .join(lowQuality, Seq("doc_id"), "left_anti")
       .join(exactSurvivors, Seq("doc_id"), "left_semi")
-    // near-dup dedup over survivors: the representative is re-elected
-    // per cluster among docs still standing, never losing a whole
-    // cluster to an earlier gate
-    val clustered = preDedup.select(col("doc_id"))
-      .join(TextOps.dedupComponentsCore(s, d), Seq("doc_id"))
-    val losers = clustered
-      .withColumn("keep_id",
-        min(col("doc_id")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cluster"))))
-      .filter(col("doc_id") =!= col("keep_id"))
-      .select(col("doc_id"))
+    // Near-dup dedup over survivors in ONE pass over preDedup (an
+    // earlier two-branch formulation — losers computed on one branch,
+    // anti-joined on the other — evaluated the repetition-gate and
+    // sha256 subtrees twice, doubling the query's cost): left-join the
+    // cluster labels and re-elect the representative per cluster AMONG
+    // THE DOCS STILL STANDING, so a cluster whose original rep was
+    // quality-filtered still keeps one copy. Unclustered docs window
+    // over their own doc_id — singleton partitions, no null-key skew
+    // at scale, and no collision is possible (a cluster label is a
+    // component member, so a doc with that id would be clustered too).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(coalesce(col("cluster"), col("doc_id")))
     preDedup
-      .join(losers, Seq("doc_id"), "left_anti")
+      .join(TextOps.dedupComponentsCore(s, d), Seq("doc_id"), "left")
+      .withColumn("keep_id", min(col("doc_id")).over(w))
+      .filter(col("doc_id") === col("keep_id"))
       .filter(samplePred(sampleHex))
       .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
       .orderBy(col("doc_id"))

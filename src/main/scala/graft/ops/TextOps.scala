@@ -111,20 +111,19 @@ object TextOps {
     if (i == 0) "MIN(md5(s))"
     else s"MIN(substring(md5(s), ${2 * i + 1}) || substring(md5(s), 1, ${2 * i}))"
 
-  /** B27 minhash signatures: md5 once per shingle into a per-row hex
-    * array, then each component is array_min over a rotation — pure
-    * per-row computation. The repartition between `hs` and the four
-    * mins is an exchange barrier: without it CollapseProject would
-    * inline (and re-evaluate) the md5 transform once per component. */
+  /** B27 minhash signatures: all four components in one codegen'd pass
+    * over the shingle array ([[graft.functions.MinhashHex]] — one md5
+    * per shingle, in-place rotation compare). The old HOF form needed a
+    * repartition barrier to stop CollapseProject re-evaluating the md5
+    * transform per component; here the four `ms[i]` extractions share
+    * the single MinhashHex call via codegen subexpression elimination,
+    * so no barrier shuffle at all. */
   private def signatures(s: SparkSession, d: String): DataFrame =
     shingleArrays(s, d)
-      .select(col("doc_id"), transform(col("sh"), h => md5(h)).as("hs"))
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"), minhashHex(col("sh"), 4).as("ms"))
       .select(col("doc_id"),
-        array_min(transform(col("hs"), h => rotateHex(h, 0))).as("mh0"),
-        array_min(transform(col("hs"), h => rotateHex(h, 1))).as("mh1"),
-        array_min(transform(col("hs"), h => rotateHex(h, 2))).as("mh2"),
-        array_min(transform(col("hs"), h => rotateHex(h, 3))).as("mh3"))
+        col("ms")(0).as("mh0"), col("ms")(1).as("mh1"),
+        col("ms")(2).as("mh2"), col("ms")(3).as("mh3"))
 
   def minhashSignatures(s: SparkSession, d: String): DataFrame =
     signatures(s, d).orderBy(col("doc_id"))
@@ -400,13 +399,19 @@ object TextOps {
 
   /** Language-ID by stopword-profile voting (n-gram heuristic family):
     * deterministic score per profile + fixed tie priority. Emits the
-    * confusion matrix vs. the labeled lang column. */
+    * confusion matrix vs. the labeled lang column.
+    *
+    * All five profile scores come from ONE codegen'd pass over the
+    * token array ([[graft.functions.StopwordCounts]]) instead of five
+    * interpreted `filter` HOFs — this was the slowest map-only query
+    * in the suite, and under whole-stage codegen the repeated `sc[i]`
+    * references dedupe via subexpression elimination. */
   def langId(s: SparkSession, d: String): DataFrame = {
-    val scored = stopProfiles.foldLeft(
-      Tables.documents(s, d).withColumn("tk", toks(col("text")))) {
-      case (df, (l, words)) =>
-        df.withColumn(s"s_$l", expr(s"size(filter(tk, t -> t IN (${inList(words)})))"))
-    }
+    val scored = Tables.documents(s, d)
+      .withColumn("sc", stopwordCounts(toks(col("text")), stopProfiles.map(_._2)))
+      .select((col("lang") +: stopProfiles.zipWithIndex.map {
+        case ((l, _), i) => col("sc")(i).as(s"s_$l")
+      }): _*)
     val pred = when(
       col("s_en") >= col("s_es") && col("s_en") >= col("s_de")
         && col("s_en") >= col("s_fr") && col("s_en") >= col("s_zh"), "en")
@@ -440,13 +445,14 @@ object TextOps {
   }
 
   /** Quality scoring: token count, stopword ratio, mean token length,
-    * rule-based ok/low flag. All-integer inputs → exact doubles. */
+    * rule-based ok/low flag. All-integer inputs → exact doubles; the
+    * stopword count is the codegen'd single-profile
+    * [[graft.functions.StopwordCounts]] pass. */
   def qualityScore(s: SparkSession, d: String): DataFrame = {
-    val en = inList(stopProfiles.head._2)
     Tables.documents(s, d)
       .withColumn("tk", toks(col("text")))
       .withColumn("n_tok", size(col("tk")))
-      .withColumn("n_stop", expr(s"size(filter(tk, t -> t IN ($en)))"))
+      .withColumn("n_stop", stopwordCounts(col("tk"), Seq(stopProfiles.head._2))(0))
       .select(col("doc_id"),
         col("n_tok"),
         (col("n_stop").cast("double") / col("n_tok")).as("stop_ratio"),
