@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{BigramStats, GraftFunctions, MinhashHex, StopwordCounts}
+import graft.functions.GraftFunctions.{bigramStats, minhashHex, rotateHex, stopwordCounts}
+
+/** Grades the codegen'd scalar expressions that replaced interpreted
+  * HOF hot paths: each must be value-identical to the HOF formulation
+  * it displaced (that formulation IS the DuckDB-oracle semantics), and
+  * the interpreted eval must agree with the codegen path the DataFrame
+  * queries take. */
+class NativeExpressionsSpec extends AnyFunSuite with LocalSparkSuite {
+
+  private def docsWithToks = Tables.documents(spark, sfDir)
+    .select(col("doc_id"), split(col("text"), " ").as("tk"))
+
+  test("MinhashHex matches the HOF md5-rotate-min formulation on the corpus") {
+    val viaHof = docsWithToks
+      .filter(size(col("tk")) >= 3)
+      .withColumn("sh", expr("transform(sequence(1, size(tk)-2), i -> concat(" +
+        "element_at(tk, i), ' ', element_at(tk, i+1), ' ', element_at(tk, i+2)))"))
+      .select(col("doc_id"), transform(col("sh"), h => md5(h)).as("hs"))
+      .select(col("doc_id"),
+        array_min(transform(col("hs"), h => rotateHex(h, 0))).as("mh0"),
+        array_min(transform(col("hs"), h => rotateHex(h, 3))).as("mh3"))
+    val viaNative = docsWithToks
+      .filter(size(col("tk")) >= 3)
+      .withColumn("sh", expr("transform(sequence(1, size(tk)-2), i -> concat(" +
+        "element_at(tk, i), ' ', element_at(tk, i+1), ' ', element_at(tk, i+2)))"))
+      .select(col("doc_id"), minhashHex(col("sh"), 4).as("ms"))
+      .select(col("doc_id"), col("ms")(0).as("mh0"), col("ms")(3).as("mh3"))
+    val diff = viaHof.join(viaNative, Seq("doc_id"))
+      .filter(viaHof("mh0") =!= viaNative("mh0") || viaHof("mh3") =!= viaNative("mh3"))
+    assert(diff.count() === 0)
+  }
+
+  test("MinhashHex eval (interpreted) agrees with the DataFrame (codegen) path") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val shingles = Seq("a b c", "b c d", "c d e")
+    val viaEval = MinhashHex.compute(
+      new GenericArrayData(shingles.map(UTF8String.fromString).toArray[Any]), 4)
+    val viaDf = spark.range(1)
+      .select(minhashHex(typedLit(shingles), 4).as("ms"))
+      .head().getSeq[String](0)
+    assert(viaEval.array.map(_.toString).toSeq === viaDf)
+  }
+
+  test("MinhashHex yields NULL for an empty shingle array (as array_min did)") {
+    val r = spark.range(1)
+      .select(minhashHex(typedLit(Seq.empty[String]), 4).as("ms")).head()
+    assert(r.isNullAt(0))
+  }
+
+  test("BigramStats matches the sorted-run-max formulation on the corpus") {
+    val viaHof = docsWithToks.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n"),
+        size(array_distinct(col("tk"))).cast("long").as("nd"),
+        sort_array(expr("transform(sequence(1, size(tk)-1), " +
+          "i -> concat(element_at(tk,i), ' ', element_at(tk,i+1)))")).as("sb"))
+      .select(col("doc_id"), col("n"), col("nd"),
+        expr("aggregate(sb, struct(cast('' as string) as prev, 0L as run, 0L as best), " +
+          "(a, x) -> struct(x as prev, if(x = a.prev, a.run + 1, 1L) as run, " +
+          "greatest(a.best, if(x = a.prev, a.run + 1, 1L)) as best), a -> a.best)").as("top"))
+    val viaNative = docsWithToks.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), bigramStats(col("tk")).as("bs"))
+      .select(col("doc_id"), col("bs")(0).as("n"), col("bs")(1).as("nd"),
+        col("bs")(2).as("top"))
+    val joined = viaHof.alias("h").join(viaNative.alias("v"), Seq("doc_id"))
+    assert(joined.filter(col("h.n") =!= col("v.n") || col("h.nd") =!= col("v.nd")
+      || col("h.top") =!= col("v.top")).count() === 0)
+  }
+
+  test("BigramStats on degenerate repetition counts the dominant bigram") {
+    // "x x x x" → 3 bigrams, all "x x": top = 3; 1 distinct of 4 tokens
+    val r = spark.range(1)
+      .select(bigramStats(typedLit(Seq("x", "x", "x", "x"))).as("bs"))
+      .head().getSeq[Long](0)
+    assert(r === Seq(4L, 1L, 3L))
+  }
+
+  test("StopwordCounts matches per-profile filter() scans and double-counts shared words") {
+    val profiles = Seq(Seq("the", "de", "of"), Seq("de", "la"))
+    val viaHof = docsWithToks.select(col("doc_id"),
+      expr("size(filter(tk, t -> t IN ('the','de','of')))").as("s0"),
+      expr("size(filter(tk, t -> t IN ('de','la')))").as("s1"))
+    val viaNative = docsWithToks
+      .select(col("doc_id"), stopwordCounts(col("tk"), profiles).as("sc"))
+      .select(col("doc_id"), col("sc")(0).as("s0"), col("sc")(1).as("s1"))
+    val joined = viaHof.alias("h").join(viaNative.alias("v"), Seq("doc_id"))
+    assert(joined.filter(col("h.s0") =!= col("v.s0")
+      || col("h.s1") =!= col("v.s1")).count() === 0)
+    // a token in BOTH profiles increments both counters
+    val both = spark.range(1)
+      .select(stopwordCounts(typedLit(Seq("de", "x", "de")), profiles).as("sc"))
+      .head().getSeq[Int](0)
+    assert(both === Seq(2, 2))
+  }
+
+  test("native expressions sit inside WholeStageCodegen (no CodegenFallback)") {
+    val plan = docsWithToks
+      .select(bigramStats(col("tk"))(0).as("a"),
+        stopwordCounts(col("tk"), Seq(Seq("the")))(0).as("b"))
+      .queryExecution.executedPlan.toString
+    // "*(n)" marks a whole-stage-codegen'd operator in plan strings;
+    // the projection holding both expressions must carry it
+    assert(plan.linesIterator.exists(l =>
+      l.contains("graft_bigram_stats") && l.trim.startsWith("*(")))
+    // the displaced HOF forms were CodegenFallback; these must not be
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[BigramStats]))
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[StopwordCounts]))
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[MinhashHex]))
+  }
+}
