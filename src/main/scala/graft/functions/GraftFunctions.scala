@@ -95,6 +95,12 @@ object GraftFunctions {
     column(HllSketchAgg(expression(c), precision).toAggregateExpression())
   }
 
+  /** Word k-shingle array in one codegen'd pass (see [[Shingles]]). */
+  def shingles(tokens: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftShims.{column, expression}
+    column(Shingles(expression(tokens), k))
+  }
+
   /** MinHash signature array in one codegen'd pass (see [[MinhashHex]]):
     * one md5 per shingle, rotations compared in place. */
   def minhashHex(shingles: Column, components: Int = 4): Column = {

@@ -46,9 +46,7 @@ object TextOps {
       .repartition(s.sparkContext.defaultParallelism)
       .withColumn("toks", toks(col("text")))
       .filter(size(col("toks")) >= 3)
-      .withColumn("sh",
-        expr("transform(sequence(1, size(toks)-2), i -> concat(" +
-          "element_at(toks, i), ' ', element_at(toks, i+1), ' ', element_at(toks, i+2)))"))
+      .withColumn("sh", shingles(col("toks"), 3))
 
   private val shinglesSqlCte =
     """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
@@ -334,19 +332,24 @@ object TextOps {
     * top-3 terms for doc_id < 20. df/idf computed over the FULL corpus;
     * only the projection is restricted, as a production pipeline would. */
   def tfidfTop(s: SparkSession, d: String): DataFrame = {
-    // Linear chain: one explode → one tf aggregate → doc_len and df as
-    // window sums OVER tf. Spark has no cross-branch common-subtree
-    // reuse, so the join formulation (tf ⋈ dl ⋈ df) would re-explode
-    // the corpus once per branch; the window form computes tf exactly
-    // once and shuffles only the (doc,w,cnt) aggregate.
+    // df is a vocabulary-bounded HASH aggregate over tf (map-side
+    // partial, no sort); doc_len is a window over the PROJECTED doc
+    // slice only. An earlier formulation computed both as windows over
+    // the full corpus-grain tf — two corpus-wide shuffle+sorts just to
+    // keep a linear chain; the tf branch point costs nothing on the
+    // projected side because the doc_id<20 predicate pushes through
+    // the aggregate to the scan, so only ~20 docs re-explode. At
+    // 100 TB the df side is the standard dictionary aggregate and the
+    // projection side scans one partition-pruned slice.
     val tf = Tables.documents(s, d)
       .select(col("doc_id"), explode(toks(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("cnt"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
     val total = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
     val x = tf
-      .withColumn("doc_len", sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("w"))))
       .filter(col("doc_id") < 20)
+      .withColumn("doc_len", sum(col("cnt")).over(Window.partitionBy(col("doc_id"))))
+      .join(df, Seq("w"))
       .crossJoin(broadcast(total))
       .withColumn("tfidf",
         (col("cnt").cast("double") / col("doc_len")) *
