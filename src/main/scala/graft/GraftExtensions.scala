@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{DotProduct, HllSketchAgg}
+import graft.functions.{BigramStats, DotProduct, HllSketchAgg, MinhashHex, Shingles, StopwordCounts}
 
 /** SparkSessionExtensions entry point (SURVEY.md §4): registers the
   * engine's native expressions for SQL use. Deployments opt in with
@@ -48,6 +48,48 @@ object GraftExtensions {
             s"graft_hll_distinct precision must be an INT literal, got $other")
           case _ => throw new IllegalArgumentException(
             s"graft_hll_distinct expects (col) or (col, precision), got ${exprs.size} arguments")
+        }),
+      (FunctionIdentifier("graft_shingles"),
+        new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),
+        (exprs: Seq[Expression]) => exprs match {
+          case Seq(child, Literal(k: Int, IntegerType)) => Shingles(child, k)
+          case _ => throw new IllegalArgumentException(
+            "graft_shingles expects (tokens, k INT literal), got " + exprs.mkString(", "))
+        }),
+      (FunctionIdentifier("graft_minhash"),
+        new ExpressionInfo(classOf[MinhashHex].getName, "graft_minhash"),
+        (exprs: Seq[Expression]) => exprs match {
+          case Seq(child) => MinhashHex(child)
+          case Seq(child, Literal(c: Int, IntegerType)) => MinhashHex(child, c)
+          case _ => throw new IllegalArgumentException(
+            "graft_minhash expects (shingles) or (shingles, components INT literal), got " +
+              exprs.mkString(", "))
+        }),
+      (FunctionIdentifier("graft_bigram_stats"),
+        new ExpressionInfo(classOf[BigramStats].getName, "graft_bigram_stats"),
+        (exprs: Seq[Expression]) => exprs match {
+          case Seq(child) => BigramStats(child)
+          case _ => throw new IllegalArgumentException(
+            s"graft_bigram_stats expects exactly 1 argument, got ${exprs.size}")
+        }),
+      (FunctionIdentifier("graft_stopword_counts"),
+        new ExpressionInfo(classOf[StopwordCounts].getName, "graft_stopword_counts"),
+        (exprs: Seq[Expression]) => exprs match {
+          case child +: rest if rest.nonEmpty =>
+            // each profile is a foldable array<string> (e.g.
+            // array('the','and')) evaluated at registration time
+            val profiles = rest.map { e =>
+              require(e.foldable && e.dataType.isInstanceOf[
+                org.apache.spark.sql.types.ArrayType],
+                s"graft_stopword_counts profiles must be array<string> literals, got $e")
+              e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+                .toObjectArray(org.apache.spark.sql.types.StringType)
+                .map(_.toString).toSeq
+            }
+            StopwordCounts(child, profiles)
+          case _ => throw new IllegalArgumentException(
+            "graft_stopword_counts expects (tokens, profile array<string>...), got " +
+              exprs.mkString(", "))
         }))
 }
 

@@ -206,6 +206,61 @@ object CurationOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequence packing — the step that turns a curated corpus into
+    * fixed-budget training sequences: greedy first-fit in doc_id order
+    * within each language, opening a new pack when the next doc would
+    * overflow the token budget (an oversized doc overflows a pack of
+    * its own; docs are never split). Implemented on the TYPED Dataset
+    * surface: `groupByKey(lang).flatMapSortedGroups(doc_id)` streams
+    * each group in order through constant-state packing — the
+    * per-partition imperative logic Spark's typed API exists for,
+    * with no driver involvement and no window recurrence contortions
+    * (greedy fill is a sequential recurrence, NOT floor(cumsum/C) —
+    * a doc that would straddle a boundary moves wholly to the next
+    * pack). The oracle replays the recurrence as a recursive CTE.
+    *
+    * Scale posture: parallelism = #groups, so at 100 TB the grouping
+    * key is (lang, shard) with shard = a hash of doc_id at whatever
+    * granularity keeps groups executor-sized — the packing loop is
+    * already O(group) streaming state; testdata keys by lang alone so
+    * the graded output is one deterministic packing per language. */
+  def sequencePacking(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val budget = 512L
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._2)
+      .flatMapSortedGroups(col("doc_id")) { (lang, docs) =>
+        var pack = 0L
+        var fill = 0L
+        var first = true
+        docs.map { case (id, _, n) =>
+          if (!first && fill + n > budget) { pack += 1; fill = n }
+          else { fill += n; first = false }
+          (id, lang, pack, n)
+        }
+      }
+      .toDF("doc_id", "lang", "pack_id", "n_tokens")
+      .orderBy(col("doc_id"))
+  }
+
+  private val sequencePackingSql =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, lang, CAST(len(string_split(text,' ')) AS BIGINT) AS n,
+      |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, lang, n, rn, CAST(0 AS BIGINT) AS pack_id, n AS fill
+      |  FROM t WHERE rn = 1
+      |  UNION ALL
+      |  SELECT t.doc_id, t.lang, t.n, t.rn,
+      |         CASE WHEN p.fill + t.n > 512 THEN p.pack_id + 1 ELSE p.pack_id END,
+      |         CASE WHEN p.fill + t.n > 512 THEN t.n ELSE p.fill + t.n END
+      |  FROM t JOIN p ON t.lang = p.lang AND t.rn = p.rn + 1)
+      |SELECT doc_id, lang, pack_id, n AS n_tokens FROM p ORDER BY doc_id""".stripMargin
+
   /** q79: the curateCorpus composition, graded end-to-end. The sample
     * keeps half the hash space ('0'-'7') so the sampling stage is
     * actually exercised (the default all-hex sample would be a no-op).
@@ -245,6 +300,8 @@ object CurationOps {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q79_curate_corpus", curateCorpusQuery, Some(curateCorpusSql),
       "end-to-end corpus curation: quality gate → exact dedup → cluster dedup → sample"),
+    QueryDef("q80_sequence_packing", sequencePacking, Some(sequencePackingSql),
+      "greedy first-fit sequence packing into fixed token budgets (typed flatMapSortedGroups)"),
     QueryDef("q57_hash_sample", hashSample, Some(hashSampleSql), "deterministic seeded sampling"),
     QueryDef("q74_vocab_coverage", vocabCoverage, Some(vocabCoverageSql), "tokenizer-prep vocabulary coverage"),
     QueryDef("q73_edit_distance", editDistanceAdjacent, Some(editDistanceAdjacentSql), "fuzzy near-dup verify (levenshtein)"),

@@ -123,6 +123,34 @@ class CurationSpec extends AnyFunSuite with LocalSparkSuite {
     assert(again === half)
   }
 
+  test("sequence packing fills greedily: budget respected, nothing lost, packs dense") {
+    val out = CurationOps.sequencePacking(spark, sfDir).collect()
+    // every doc appears exactly once
+    assert(out.map(_.getLong(0)).distinct.length === out.length)
+    assert(out.length === Tables.documents(spark, sfDir).count())
+    val byPack = out.groupBy(r => (r.getString(1), r.getLong(2)))
+    byPack.foreach { case ((lang, pack), docs) =>
+      val total = docs.map(_.getLong(3)).sum
+      // a pack only exceeds the budget when a single doc does
+      assert(total <= 512 || docs.length === 1,
+        s"pack ($lang,$pack) holds $total tokens across ${docs.length} docs")
+    }
+    // greedy tightness: consecutive packs cannot be merged (the first
+    // doc of pack k+1 must not fit in pack k), and ids are dense from 0
+    out.groupBy(_.getString(1)).foreach { case (lang, docs) =>
+      val packs = docs.sortBy(_.getLong(0)).groupBy(_.getLong(2))
+      val ids = packs.keys.toSeq.sorted
+      assert(ids === (0L until ids.length).toSeq, s"$lang pack ids not dense")
+      ids.sliding(2).foreach {
+        case Seq(a, b) =>
+          val fillA = packs(a).map(_.getLong(3)).sum
+          val firstB = packs(b).minBy(_.getLong(0)).getLong(3)
+          assert(fillA + firstB > 512, s"$lang packs $a/$b could have merged")
+        case _ => ()
+      }
+    }
+  }
+
   test("typed corpus boundary round-trips the tables") {
     val docs = Tables.documentsTyped(spark, sfDir)
     assert(docs.count() === 500)

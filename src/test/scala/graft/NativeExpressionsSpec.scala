@@ -101,6 +101,24 @@ class NativeExpressionsSpec extends AnyFunSuite with LocalSparkSuite {
     assert(both === Seq(2, 2))
   }
 
+  test("SQL registration covers the full native-expression surface") {
+    GraftExtensions.functions.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+    Tables.documents(spark, sfDir).createOrReplaceTempView("docs_native")
+    val r = spark.sql(
+      """SELECT graft_minhash(graft_shingles(split(text, ' '), 3), 4)[0] AS mh0,
+        |       graft_bigram_stats(split(text, ' '))[2] AS top_bigram,
+        |       graft_stopword_counts(split(text, ' '), array('the','and'), array('de'))[1] AS s_de
+        |FROM docs_native WHERE size(split(text, ' ')) >= 3 AND doc_id = 0""".stripMargin)
+      .head()
+    assert(r.getString(0).length === 32)
+    assert(r.getLong(1) >= 0L && r.getInt(2) >= 0)
+    intercept[Exception] { // non-literal shingle width must be rejected
+      spark.sql("SELECT graft_shingles(split(text,' '), doc_id) FROM docs_native").head()
+    }
+  }
+
   test("native expressions sit inside WholeStageCodegen (no CodegenFallback)") {
     val plan = docsWithToks
       .select(bigramStats(col("tk"))(0).as("a"),
