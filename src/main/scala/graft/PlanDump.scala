@@ -23,12 +23,15 @@ object PlanDump {
       "q02_filter_scan" -> "B2: predicates reach the parquet scan (PushedFilters)",
       "q04_revenue_by_nation" -> "B4: dimensions broadcast, fact join shuffles once",
       "q17_topk" -> "B16: TakeOrderedAndProject, no global sort",
-      "q33_minhash_sig" -> "B27: map-only shingle/md5 stages, one doc_id exchange",
+      "q33_minhash_sig" -> "B27: one codegen'd graft_minhash pass, no exchange before the sort",
       "q51_topk_similar" -> "B30: codegen'd graft_dot inside WholeStageCodegen",
       "q60_tumbling_hourly" -> "B38: single partial/final window aggregate",
-      "q58_repetition_filter" -> "curation: map-only quality signals (no bigram shuffle)",
+      "q58_repetition_filter" -> "curation: map-only graft_bigram_stats, no bigram shuffle",
       "q65_rolling_revenue" -> "B15: RANGE frame over a daily pre-aggregate",
-      "q67_label_centroids" -> "IVF training: (label,dim)-keyed partial aggregation")
+      "q67_label_centroids" -> "IVF training: (label,dim)-keyed partial aggregation",
+      "q38_tfidf" -> "B34: df as vocab-bounded hash agg, window only over the projected docs",
+      "q40_langid" -> "lang-ID: one graft_stopword_counts pass scoring all five profiles",
+      "q80_sequence_packing" -> "typed flatMapSortedGroups: per-group streaming pack state")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")
     picks.foreach { case (name, why) =>
