@@ -15,8 +15,13 @@ import graft.functions.{BigramStats, DotProduct, HllSketchAgg, MinhashHex, Shing
   * Rule[LogicalPlan] / ANN SparkStrategy (none is required for the
   * graded surface — built-ins + AQE cover it). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(e.injectFunction)
+    // additive planner strategy: only ever matches the engine's own
+    // TopKPerKey logical node, so (unlike the rewrite rule) it cannot
+    // change the semantics of any existing plan
+    e.injectPlannerStrategy(_ => plans.TopKPerKeyStrategy)
+  }
 }
 
 /** The injected (identifier, info, builder) tuples, exposed so tests

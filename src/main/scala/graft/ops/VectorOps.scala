@@ -226,7 +226,36 @@ object VectorOps {
       |      generate_subscripts(embedding, 1) AS i FROM embeddings) t
       |GROUP BY label, i ORDER BY label, dim""".stripMargin
 
+  /** Per-key bounded top-k through the custom operator stack
+    * ([[graft.plans.TopKPerKey]] — logical node → strategy → heap
+    * exec): the 5 highest-energy vectors per label, selection ordered
+    * by the RAW double norm with vec_id tie-break (total order), the
+    * rounding applied only in the projection. The window/LATERAL
+    * formulation (q64) sorts every label's whole group; this one
+    * heaps. The oracle replays selection with a ROW_NUMBER window —
+    * same rows, which is exactly the point. */
+  def labelTopNorm(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val e = Tables.embeddings(s, d)
+      .select(col("label"), col("vec_id"),
+        dotFast(col("embedding"), col("embedding")).as("energy"))
+    graft.plans.TopKPerKey
+      .topKPerKey(e, Seq(col("label")), Seq(col("energy").desc, col("vec_id").asc), 5)
+      .orderBy(col("label"), col("vec_id"))
+      .select(col("label"), col("vec_id"), round(col("energy"), 6).as("energy"))
+  }
+
+  private val labelTopNormSql =
+    s"""WITH n AS (SELECT label, vec_id,
+       |  ${dotSql("embedding", "embedding")} AS energy FROM embeddings),
+       |r AS (SELECT label, vec_id, energy,
+       |  ROW_NUMBER() OVER (PARTITION BY label ORDER BY energy DESC, vec_id) AS rn FROM n)
+       |SELECT label, vec_id, ROUND(energy, 6) AS energy FROM r
+       |WHERE rn <= 5 ORDER BY label, vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q81_label_top_norm", labelTopNorm, Some(labelTopNormSql),
+      "per-key bounded top-k via the custom TopKPerKey operator stack"),
     QueryDef("q50_cosine_adjacent", cosineAdjacent, Some(cosineAdjacentSql), "B29 cosine similarity"),
     QueryDef("q67_label_centroids", labelCentroids, Some(labelCentroidsSql), "per-label centroids (IVF training step)"),
     QueryDef("q51_topk_similar", topkSimilar, Some(topkSimilarSql), "B30 brute-force top-k ANN baseline"),
