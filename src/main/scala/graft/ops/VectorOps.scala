@@ -253,9 +253,54 @@ object VectorOps {
        |SELECT label, vec_id, ROUND(energy, 6) AS energy FROM r
        |WHERE rn <= 5 ORDER BY label, vec_id""".stripMargin
 
+  /** Per-vector int8 scalar quantization with reconstruction error —
+    * the embedding-compression step a 100 TB vector store runs before
+    * ANN serving: min/max scale per vector, 256 levels, midpoint
+    * dequantization, mean absolute reconstruction error. Map-only
+    * (all per-row array math; one narrow stage at any scale). `floor`
+    * (not `round`) keeps the level assignment tie-free cross-engine;
+    * all arithmetic is double-widened floats so Spark and DuckDB fold
+    * identical IEEE sequences ([[graft.SparkEntry]] determinism
+    * rules). */
+  def embeddingQuant(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .withColumn("mn", array_min(col("v")))
+      .withColumn("mx", array_max(col("v")))
+      .withColumn("q", expr("transform(v, x -> CASE WHEN mx = mn THEN 0 " +
+        "ELSE least(cast(floor((x - mn) / (mx - mn) * 256) as int), 255) END)"))
+      .select(col("vec_id"), col("label"),
+        size(array_distinct(col("q"))).as("n_levels"),
+        round(expr("aggregate(zip_with(v, q, (x, qq) -> " +
+          "abs(x - (mn + (qq + 0.5) * (mx - mn) / 256))), " +
+          "cast(0.0 as double), (a, b) -> a + b)") / 64, 8).as("mean_abs_err"))
+      .orderBy(col("vec_id"))
+
+  private val embeddingQuantSql =
+    """WITH s AS (SELECT vec_id, CAST(list_min(embedding) AS DOUBLE) AS mn,
+      |                  CAST(list_max(embedding) AS DOUBLE) AS mx FROM embeddings),
+      |qz AS (SELECT e.vec_id, e.label, s.mn, s.mx,
+      |    [CASE WHEN s.mx = s.mn THEN 0
+      |          ELSE LEAST(CAST(floor((CAST(e.embedding[i] AS DOUBLE) - s.mn)
+      |                          / (s.mx - s.mn) * 256) AS INT), 255)
+      |     END for i in generate_series(1, 64)] AS q
+      |  FROM embeddings e JOIN s ON s.vec_id = e.vec_id),
+      |rec AS (SELECT qz.vec_id AS vec_id, qz.label AS label,
+      |    len(list_distinct(qz.q)) AS n_levels,
+      |    list_sum([abs(CAST(e2.embedding[i] AS DOUBLE)
+      |                  - (qz.mn + (qz.q[i] + 0.5) * (qz.mx - qz.mn) / 256))
+      |              for i in generate_series(1, 64)]) AS abs_err_sum
+      |  FROM qz JOIN embeddings e2 ON e2.vec_id = qz.vec_id)
+      |SELECT vec_id, label, CAST(n_levels AS INT) AS n_levels,
+      |       ROUND(abs_err_sum / 64, 8) AS mean_abs_err
+      |FROM rec ORDER BY vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_label_top_norm", labelTopNorm, Some(labelTopNormSql),
       "per-key bounded top-k via the custom TopKPerKey operator stack"),
+    QueryDef("q82_embedding_quant", embeddingQuant, Some(embeddingQuantSql),
+      "int8 scalar quantization + reconstruction error (map-only)"),
     QueryDef("q50_cosine_adjacent", cosineAdjacent, Some(cosineAdjacentSql), "B29 cosine similarity"),
     QueryDef("q67_label_centroids", labelCentroids, Some(labelCentroidsSql), "per-label centroids (IVF training step)"),
     QueryDef("q51_topk_similar", topkSimilar, Some(topkSimilarSql), "B30 brute-force top-k ANN baseline"),
