@@ -261,6 +261,33 @@ object CurationOps {
       |  FROM t JOIN p ON t.lang = p.lang AND t.rn = p.rn + 1)
       |SELECT doc_id, lang, pack_id, n AS n_tokens FROM p ORDER BY doc_id""".stripMargin
 
+  /** Stratified sampling with per-stratum quotas: the first 20 docs of
+    * every (lang, source) stratum in md5-hash order — the "balance the
+    * mixture" downsampling a corpus assembly runs, reproducible across
+    * engines/reruns because the order key is a content-independent
+    * deterministic hash (same family as [[hashSample]]'s membership
+    * predicate). Runs through the custom bounded-heap top-k operator
+    * ([[graft.plans.TopKPerKey]]): one hash exchange on the stratum
+    * key, O(n log k) comparisons, no per-stratum sort — the window
+    * formulation the oracle uses would sort every stratum in full. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val keyed = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        md5(concat(lit("strat:"), col("doc_id").cast("string"))).as("h"))
+    graft.plans.TopKPerKey
+      .topKPerKey(keyed, Seq(col("lang"), col("source")), Seq(col("h").asc), 20)
+      .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  private val stratifiedSampleSql =
+    """WITH h AS (SELECT doc_id, lang, source,
+      |    md5('strat:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      |r AS (SELECT doc_id, lang, source,
+      |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY h) AS rn FROM h)
+      |SELECT doc_id, lang, source FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin
+
   /** q79: the curateCorpus composition, graded end-to-end. The sample
     * keeps half the hash space ('0'-'7') so the sampling stage is
     * actually exercised (the default all-hex sample would be a no-op).
@@ -302,6 +329,8 @@ object CurationOps {
       "end-to-end corpus curation: quality gate → exact dedup → cluster dedup → sample"),
     QueryDef("q80_sequence_packing", sequencePacking, Some(sequencePackingSql),
       "greedy first-fit sequence packing into fixed token budgets (typed flatMapSortedGroups)"),
+    QueryDef("q83_stratified_sample", stratifiedSample, Some(stratifiedSampleSql),
+      "per-stratum quota sampling in deterministic hash order (TopKPerKey)"),
     QueryDef("q57_hash_sample", hashSample, Some(hashSampleSql), "deterministic seeded sampling"),
     QueryDef("q74_vocab_coverage", vocabCoverage, Some(vocabCoverageSql), "tokenizer-prep vocabulary coverage"),
     QueryDef("q73_edit_distance", editDistanceAdjacent, Some(editDistanceAdjacentSql), "fuzzy near-dup verify (levenshtein)"),
