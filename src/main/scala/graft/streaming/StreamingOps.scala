@@ -38,6 +38,31 @@ object StreamingOps {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  /** The near-dup GATE under Structured Streaming: incoming docs are
+    * shingled and minhashed with the same codegen'd expressions the
+    * batch dedup uses (stateless scalars — streaming-safe by
+    * construction), and the first doc per LSH band wins within the
+    * watermark horizon. This is the incremental-corpus form of
+    * q30/q34: a continuously-ingested feed gets deduplicated
+    * online with BOUNDED state (band keys expire with the watermark)
+    * instead of re-clustering the corpus per batch. Docs too short to
+    * shingle pass through on their exact-hash band. */
+  def nearDupGate(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("ms",
+        when(size(col("toks")) >= 3,
+          graft.functions.GraftFunctions.minhashHex(
+            graft.functions.GraftFunctions.shingles(col("toks"), 3), 4)))
+      .withColumn("band",
+        when(col("ms").isNotNull, concat(col("ms")(0), col("ms")(1)))
+          .otherwise(sha2(col("text"), 256)))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("band"))
+      .select(col("doc_id"), col("ts"), col("text"))
+
   /** A11-streaming: continuous import. Each micro-batch appends to the
     * RDBMS through the same batched JDBC writer the batch path uses —
     * the incremental-import story for a continuously-arriving dump

@@ -85,6 +85,30 @@ class StreamingSpec extends AnyFunSuite with LocalSparkSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup gate: first doc per LSH band wins, short docs pass on exact hash") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.Doc]
+    val q = StreamingOps.nearDupGate(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("ndgate").start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      in.addData(
+        StreamingOps.Doc(1, ts("2024-01-01 10:00:00"), base),
+        // identical text -> identical signature -> same band: dropped
+        StreamingOps.Doc(2, ts("2024-01-01 10:00:10"), base),
+        // unrelated text -> different band: kept
+        StreamingOps.Doc(3, ts("2024-01-01 10:00:20"),
+          "completely different words about spark physical plans here"),
+        // too short to shingle twice -> exact-hash band, dup dropped
+        StreamingOps.Doc(4, ts("2024-01-01 10:00:30"), "hi there"),
+        StreamingOps.Doc(5, ts("2024-01-01 10:00:40"), "hi there"))
+      q.processAllAvailable()
+      val kept = spark.table("ndgate").select("doc_id").collect().map(_.getLong(0)).sorted
+      assert(kept.toSeq === Seq(1L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: purchases match views within 30 minutes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
