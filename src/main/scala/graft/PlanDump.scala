@@ -31,7 +31,8 @@ object PlanDump {
       "q67_label_centroids" -> "IVF training: (label,dim)-keyed partial aggregation",
       "q38_tfidf" -> "B34: df as vocab-bounded hash agg, window only over the projected docs",
       "q40_langid" -> "lang-ID: one graft_stopword_counts pass scoring all five profiles",
-      "q80_sequence_packing" -> "typed flatMapSortedGroups: per-group streaming pack state")
+      "q80_sequence_packing" -> "typed flatMapSortedGroups: per-group streaming pack state",
+      "q81_label_top_norm" -> "custom operator stack: TopKPerKeyExec after one key exchange, NO per-group sort")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")
     picks.foreach { case (name, why) =>
