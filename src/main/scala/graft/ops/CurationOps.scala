@@ -224,12 +224,12 @@ object CurationOps {
     * granularity keeps groups executor-sized — the packing loop is
     * already O(group) streaming state; testdata keys by lang alone so
     * the graded output is one deterministic packing per language. */
-  def sequencePacking(s: SparkSession, d: String): DataFrame = {
+  /** The packing recurrence over any (doc_id, lang, n) slice —
+    * shared by q80 (whole corpus) and q84 (curated subset). */
+  private def packCore(s: SparkSession, docsWithN: DataFrame): DataFrame = {
     import s.implicits._
     val budget = 512L
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n"))
+    docsWithN.select(col("doc_id"), col("lang"), col("n"))
       .as[(Long, String, Long)]
       .groupByKey(_._2)
       .flatMapSortedGroups(col("doc_id")) { (lang, docs) =>
@@ -243,8 +243,13 @@ object CurationOps {
         }
       }
       .toDF("doc_id", "lang", "pack_id", "n_tokens")
-      .orderBy(col("doc_id"))
   }
+
+  def sequencePacking(s: SparkSession, d: String): DataFrame =
+    packCore(s, Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n")))
+      .orderBy(col("doc_id"))
 
   private val sequencePackingSql =
     """WITH RECURSIVE t AS (
@@ -298,7 +303,10 @@ object CurationOps {
   def curateCorpusQuery(s: SparkSession, d: String): DataFrame =
     curateCorpus(s, d, "01234567")
 
-  private val curateCorpusSql =
+  /** The full curation chain as reusable CTEs ending in
+    * `cur(doc_id, lang, source, n_chars)` — q79 selects it, q84 packs
+    * it. */
+  private val curateSqlCtes =
     s"""${TextOps.componentsSqlCtes},
        |rt AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
        |rbg AS (SELECT doc_id, len(t) AS n, len(list_distinct(t)) AS nd,
@@ -317,12 +325,48 @@ object CurationOps {
        |          AND d.doc_id NOT IN (SELECT doc_id FROM lowq)),
        |losers AS (SELECT doc_id FROM (
        |    SELECT p.doc_id, MIN(p.doc_id) OVER (PARTITION BY c.cluster) AS keep
-       |    FROM pre p JOIN comp c ON c.doc_id = p.doc_id) WHERE doc_id <> keep)
-       |SELECT doc_id, lang, source, n_chars FROM pre
-       |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
-       |  AND substring(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 1) IN
-       |      ('0','1','2','3','4','5','6','7')
-       |ORDER BY doc_id""".stripMargin
+       |    FROM pre p JOIN comp c ON c.doc_id = p.doc_id) WHERE doc_id <> keep),
+       |cur AS (SELECT doc_id, lang, source, n_chars FROM pre
+       |        WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+       |          AND substring(md5('smpl:' || CAST(doc_id AS VARCHAR)), 1, 1) IN
+       |              ('0','1','2','3','4','5','6','7'))""".stripMargin
+
+  private val curateCorpusSql =
+    s"""$curateSqlCtes
+       |SELECT doc_id, lang, source, n_chars FROM cur ORDER BY doc_id""".stripMargin
+
+  /** q84: the COMPLETE training-data assembly as one query — quality
+    * gate → exact dedup → near-dup cluster dedup → reproducible sample
+    * → greedy sequence packing. The packing recurrence runs over the
+    * curated slice (join back to documents only for the token count),
+    * so pack ids are dense per language over exactly the docs that
+    * survived curation. This is the query a user of the engine runs to
+    * produce training shards; every stage is individually graded
+    * (q58/q30/q76/q57/q80) and the composition is graded here
+    * end-to-end. */
+  def curateAndPack(s: SparkSession, d: String): DataFrame = {
+    val curated = curateCorpus(s, d, "01234567").select(col("doc_id"), col("lang"))
+    val withN = curated.join(
+      Tables.documents(s, d).select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n")),
+      Seq("doc_id"))
+    packCore(s, withN).orderBy(col("doc_id"))
+  }
+
+  private val curateAndPackSql =
+    s"""$curateSqlCtes,
+       |pt AS (SELECT c.doc_id AS doc_id, c.lang AS lang,
+       |        CAST(len(string_split(d.text,' ')) AS BIGINT) AS n,
+       |        ROW_NUMBER() OVER (PARTITION BY c.lang ORDER BY c.doc_id) AS rn
+       |       FROM cur c JOIN documents d ON d.doc_id = c.doc_id),
+       |pp AS (SELECT doc_id, lang, n, rn, CAST(0 AS BIGINT) AS pack_id, n AS fill
+       |       FROM pt WHERE rn = 1
+       |       UNION ALL
+       |       SELECT pt.doc_id, pt.lang, pt.n, pt.rn,
+       |              CASE WHEN pp.fill + pt.n > 512 THEN pp.pack_id + 1 ELSE pp.pack_id END,
+       |              CASE WHEN pp.fill + pt.n > 512 THEN pt.n ELSE pp.fill + pt.n END
+       |       FROM pt JOIN pp ON pt.lang = pp.lang AND pt.rn = pp.rn + 1)
+       |SELECT doc_id, lang, pack_id, n AS n_tokens FROM pp ORDER BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q79_curate_corpus", curateCorpusQuery, Some(curateCorpusSql),
@@ -331,6 +375,8 @@ object CurationOps {
       "greedy first-fit sequence packing into fixed token budgets (typed flatMapSortedGroups)"),
     QueryDef("q83_stratified_sample", stratifiedSample, Some(stratifiedSampleSql),
       "per-stratum quota sampling in deterministic hash order (TopKPerKey)"),
+    QueryDef("q84_curate_and_pack", curateAndPack, Some(curateAndPackSql),
+      "complete training-data assembly: curate then pack into token budgets"),
     QueryDef("q57_hash_sample", hashSample, Some(hashSampleSql), "deterministic seeded sampling"),
     QueryDef("q74_vocab_coverage", vocabCoverage, Some(vocabCoverageSql), "tokenizer-prep vocabulary coverage"),
     QueryDef("q73_edit_distance", editDistanceAdjacent, Some(editDistanceAdjacentSql), "fuzzy near-dup verify (levenshtein)"),
