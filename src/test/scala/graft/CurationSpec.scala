@@ -151,6 +151,27 @@ class CurationSpec extends AnyFunSuite with LocalSparkSuite {
     }
   }
 
+  test("curate-and-pack packs exactly the curated docs, densely per language") {
+    val packed = CurationOps.curateAndPack(spark, sfDir).collect()
+    val curated = CurationOps.curateCorpus(spark, sfDir, "01234567")
+      .collect().map(_.getLong(0)).toSet
+    // the packed set IS the curated set — no doc lost or invented
+    assert(packed.map(_.getLong(0)).toSet === curated)
+    assert(packed.map(_.getLong(0)).distinct.length === packed.length)
+    // budget + density hold over the curated slice (pack ids are
+    // recomputed over survivors, not inherited from the full corpus)
+    packed.groupBy(r => (r.getString(1), r.getLong(2))).foreach {
+      case ((lang, pack), docs) =>
+        val total = docs.map(_.getLong(3)).sum
+        assert(total <= 512 || docs.length === 1,
+          s"pack ($lang,$pack) holds $total tokens across ${docs.length} docs")
+    }
+    packed.groupBy(_.getString(1)).foreach { case (lang, docs) =>
+      val ids = docs.map(_.getLong(2)).distinct.sorted.toSeq
+      assert(ids === (0L until ids.length).toSeq, s"$lang pack ids not dense")
+    }
+  }
+
   test("typed corpus boundary round-trips the tables") {
     val docs = Tables.documentsTyped(spark, sfDir)
     assert(docs.count() === 500)
