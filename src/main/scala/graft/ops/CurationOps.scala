@@ -293,6 +293,67 @@ object CurationOps {
       |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY h) AS rn FROM h)
       |SELECT doc_id, lang, source FROM r WHERE rn <= 20 ORDER BY doc_id""".stripMargin
 
+  /** q85: domain mixing — the step that turns "we want 2.5× more books
+    * than web" into a concrete doc selection. Each source gets a target
+    * token budget (permille weight × corpus tokens; the weight here is
+    * a deterministic formula over the source id standing in for a
+    * config map), and docs are admitted in md5-hash order until their
+    * source's budget is filled — the doc that crosses the line is kept,
+    * so every source with a nonzero weight contributes. Oversubscribed
+    * sources truncate; undersubscribed sources keep everything.
+    *
+    * The running token total is a DISTRIBUTED prefix sum, not a
+    * per-source window over the corpus: docs are range-bucketed by the
+    * first hex char of their hash (bucket order == hash order, so
+    * (bucket, h) sorts identically to h), per-bucket token sums roll up
+    * into broadcastable cross-bucket offsets (sources × 16 rows), and
+    * the in-bucket cumsum window partitions by (source, bucket) — 16×
+    * the parallelism of a naive per-source window and no single task
+    * ever sees a whole source. At 100 TB widen the bucket prefix to 2-3
+    * hex chars; the offset table stays tiny (sources × 4096). Budgets
+    * use integer permille arithmetic (`div 1000`) so Spark and the
+    * oracle agree exactly — no float × total rounding at the boundary. */
+  def sourceMixing(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        md5(concat(lit("mix:"), col("doc_id").cast("string"))).as("h"))
+      .withColumn("bucket", substring(col("h"), 1, 1))
+    val tot = docs.agg(sum(col("n")).as("t"))
+    val offsets = docs.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n")).as("bn"))
+      .withColumn("off", coalesce(
+        sum(col("bn")).over(w.partitionBy(col("source")).orderBy(col("bucket"))
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .drop("bn")
+    docs
+      .join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("cum", col("off") + sum(col("n")).over(
+        w.partitionBy(col("source"), col("bucket")).orderBy(col("h"), col("doc_id"))
+          .rowsBetween(w.unboundedPreceding, w.currentRow)))
+      .crossJoin(broadcast(tot))
+      .filter(col("cum") - col("n") <
+        expr("((CAST(substring(source, 4) AS INT) % 4 + 1) * 25 * t) div 1000"))
+      .select(col("doc_id"), col("source"), col("n").as("n_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val sourceMixingSql =
+    """WITH n AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text,' ')) AS BIGINT) AS n,
+      |    md5('mix:' || CAST(doc_id AS VARCHAR)) AS h FROM documents),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM n),
+      |c AS (SELECT doc_id, source, n,
+      |    SUM(n) OVER (PARTITION BY source ORDER BY h, doc_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |    FROM n)
+      |SELECT c.doc_id, c.source, c.n AS n_tokens
+      |FROM c, tot
+      |WHERE c.cum - c.n <
+      |      ((CAST(substring(c.source, 4) AS INT) % 4 + 1) * 25 * tot.t) // 1000
+      |ORDER BY c.doc_id""".stripMargin
+
   /** q79: the curateCorpus composition, graded end-to-end. The sample
     * keeps half the hash space ('0'-'7') so the sampling stage is
     * actually exercised (the default all-hex sample would be a no-op).
@@ -377,6 +438,8 @@ object CurationOps {
       "per-stratum quota sampling in deterministic hash order (TopKPerKey)"),
     QueryDef("q84_curate_and_pack", curateAndPack, Some(curateAndPackSql),
       "complete training-data assembly: curate then pack into token budgets"),
+    QueryDef("q85_source_mixing", sourceMixing, Some(sourceMixingSql),
+      "domain mixing: per-source token budgets filled in deterministic hash order"),
     QueryDef("q57_hash_sample", hashSample, Some(hashSampleSql), "deterministic seeded sampling"),
     QueryDef("q74_vocab_coverage", vocabCoverage, Some(vocabCoverageSql), "tokenizer-prep vocabulary coverage"),
     QueryDef("q73_edit_distance", editDistanceAdjacent, Some(editDistanceAdjacentSql), "fuzzy near-dup verify (levenshtein)"),

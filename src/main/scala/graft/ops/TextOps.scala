@@ -90,6 +90,58 @@ object TextOps {
       | COUNT(*) - COUNT(DISTINCT sha256(text)) AS n_dupes
       |FROM documents""".stripMargin
 
+  /** q86: sub-document exact dedup — the C4-style "remove repeated
+    * paragraphs corpus-wide" pass, with 32-token chunks standing in
+    * for paragraphs (this corpus has no line structure; on real data
+    * the splitter is `split(text, '\n')` and the rest is identical).
+    * Every chunk's first occurrence in (doc_id, position) order
+    * survives; later occurrences — whether in the same doc or another
+    * one — are marked duplicate, and each doc reports how much of its
+    * token mass a rewrite would drop.
+    *
+    * Scale posture: the ONLY corpus-wide exchange ships
+    * (md5(chunk), doc_id, pos, n_tok) — the chunk text itself never
+    * shuffles (md5's 128 bits make collisions vanishingly unlikely at
+    * 10^12 chunks, where a 64-bit key would already collide). The
+    * first-occurrence window partitions on the hash, so groups are
+    * occurrence lists (tiny, skew-free); the per-doc rollup is a
+    * second shuffle back on doc_id. Both keys are high-cardinality and
+    * uniform — the same plan at 1000 executors. */
+  def chunkDedup(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("doc_id"), col("pos"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), size(col("t")).as("nt"), posexplode(expr(
+        "transform(sequence(0, CAST(ceil(size(t)/32.0) AS INT) - 1), " +
+          "i -> array_join(slice(t, i*32+1, 32), ' '))")))
+      .select(col("doc_id"), col("pos"),
+        md5(col("col")).as("k"),
+        least(lit(32L), col("nt") - col("pos") * 32L).as("n_tok"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+        (sum(when(col("rn") > 1, col("n_tok")).otherwise(0L)).cast("double") /
+          sum(col("n_tok"))).as("dup_token_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val chunkDedupSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |ch AS (SELECT doc_id, i,
+      |    md5(array_to_string(list_slice(t, CAST(i*32+1 AS BIGINT), CAST(i*32+32 AS BIGINT)), ' ')) AS k,
+      |    least(32, len(t) - i*32) AS n_tok
+      |  FROM t, (SELECT unnest(generate_series(0,
+      |     (SELECT CAST(ceil(max(len(t))/32.0) AS BIGINT) FROM t))) AS i) g
+      |  WHERE i <= CAST(ceil(len(t)/32.0) AS BIGINT) - 1),
+      |r AS (SELECT doc_id, n_tok,
+      |    ROW_NUMBER() OVER (PARTITION BY k ORDER BY doc_id, i) AS rn FROM ch)
+      |SELECT doc_id, COUNT(*) AS n_chunks,
+      |  CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+      |  CAST(SUM(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS DOUBLE) / SUM(n_tok)
+      |    AS dup_token_frac
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** B26 shingling stats per doc (doc-local: no shuffle; `sh`
     * referenced once — n_total derives from the token count). */
   def shingleStats(s: SparkSession, d: String): DataFrame =
@@ -605,6 +657,8 @@ object TextOps {
     QueryDef("q76_dedup_components", dedupComponents, Some(dedupComponentsSql), "connected-components dedup clustering"),
     QueryDef("q30_exact_dedup", exactDedup, Some(exactDedupSql), "B25 exact dedup"),
     QueryDef("q31_dedup_stats", dedupStats, Some(dedupStatsSql), "B25 dedup stats"),
+    QueryDef("q86_chunk_dedup", chunkDedup, Some(chunkDedupSql),
+      "sub-document exact dedup: first occurrence of each 32-token chunk survives"),
     QueryDef("q32_shingle_stats", shingleStats, Some(shingleStatsSql), "B26 shingling"),
     QueryDef("q33_minhash_sig", minhashSignatures, Some(minhashSignaturesSql), "B27 minhash signatures"),
     QueryDef("q34_minhash_pairs", minhashPairs, Some(minhashPairsSql), "B27/28 LSH banding pairs"),
