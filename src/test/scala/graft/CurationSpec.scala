@@ -172,6 +172,67 @@ class CurationSpec extends AnyFunSuite with LocalSparkSuite {
     }
   }
 
+  test("source mixing is deterministic and fills each budget exactly to the crossing doc") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val totalTokens = docs.map(_._3).sum
+    val kept = CurationOps.sourceMixing(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val again = CurationOps.sourceMixing(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(kept.sameElements(again))
+    docs.groupBy(_._2).foreach { case (source, srcDocs) =>
+      val target = (source.drop(3).toInt % 4 + 1) * 25 * totalTokens / 1000
+      val keptHere = kept.filter(_._2 == source)
+      val srcTokens = srcDocs.map(_._3).sum
+      if (srcTokens <= target) {
+        // undersubscribed: the whole source survives
+        assert(keptHere.length === srcDocs.length, s"$source lost docs under budget")
+      } else {
+        // truncated exactly at the crossing doc in hash order: the
+        // prefix before every kept doc is under target, and the kept
+        // mass reaches it (dropping the last kept doc would not)
+        val keptTokens = keptHere.map(_._3).sum
+        val lastN = keptHere
+          .maxBy(d => (md5hex(s"mix:${d._1}"), d._1))._3
+        assert(keptTokens >= target, s"$source stopped short of its budget")
+        assert(keptTokens - lastN < target, s"$source kept a doc past its budget")
+      }
+    }
+  }
+
+  test("chunk dedup matches a sequential first-occurrence replay") {
+    import graft.ops.TextOps
+    // replay the corpus in (doc_id, pos) order with a plain hash set —
+    // the single-machine formulation the distributed plan must equal
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    val expected = docs.map { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val chunks = toks.grouped(32).map(_.mkString(" ")).toSeq
+      val dupTok = chunks.zipWithIndex.collect {
+        case (c, i) if !seen.add(c) => math.min(32, toks.length - i * 32)
+      }
+      id -> (chunks.length.toLong, dupTok.length.toLong,
+        dupTok.sum.toDouble / toks.length)
+    }.toMap
+    val out = TextOps.chunkDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet === expected.keySet)
+    out.foreach { case (id, got) =>
+      assert(got === expected(id), s"doc $id diverges from the replay")
+    }
+    // the pass is not vacuous: the corpus contains repeated chunks
+    assert(out.values.map(_._2).sum > 0)
+  }
+
   test("typed corpus boundary round-trips the tables") {
     val docs = Tables.documentsTyped(spark, sfDir)
     assert(docs.count() === 500)
