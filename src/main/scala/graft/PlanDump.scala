@@ -32,7 +32,9 @@ object PlanDump {
       "q38_tfidf" -> "B34: df as vocab-bounded hash agg, window only over the projected docs",
       "q40_langid" -> "lang-ID: one graft_stopword_counts pass scoring all five profiles",
       "q80_sequence_packing" -> "typed flatMapSortedGroups: per-group streaming pack state",
-      "q81_label_top_norm" -> "custom operator stack: TopKPerKeyExec after one key exchange, NO per-group sort")
+      "q81_label_top_norm" -> "custom operator stack: TopKPerKeyExec after one key exchange, NO per-group sort",
+      "q85_source_mixing" -> "domain mixing: bucketed distributed prefix sum, offsets broadcast, no whole-source window",
+      "q86_chunk_dedup" -> "sub-document dedup: only (md5, doc_id, pos, n_tok) shuffles, never chunk text")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")
     picks.foreach { case (name, why) =>
