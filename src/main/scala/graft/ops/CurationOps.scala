@@ -225,8 +225,9 @@ object CurationOps {
     * already O(group) streaming state; testdata keys by lang alone so
     * the graded output is one deterministic packing per language. */
   /** The packing recurrence over any (doc_id, lang, n) slice —
-    * shared by q80 (whole corpus) and q84 (curated subset). */
-  private def packCore(s: SparkSession, docsWithN: DataFrame): DataFrame = {
+    * shared by q80 (whole corpus) and q84 (curated subset), and
+    * property-tested over random corpora (GraftProps). */
+  private[graft] def packCore(s: SparkSession, docsWithN: DataFrame): DataFrame = {
     import s.implicits._
     val budget = 512L
     docsWithN.select(col("doc_id"), col("lang"), col("n"))

@@ -63,6 +63,27 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(Seq("band"))
       .select(col("doc_id"), col("ts"), col("text"))
 
+  /** q86's streaming form: sub-document dedup as a gate. Incoming docs
+    * explode into the same 32-token chunks as the batch pass, and only
+    * a chunk's FIRST corpus-wide occurrence within the watermark
+    * horizon survives — the continuously-ingested version of the
+    * C4-style repeated-paragraph removal, with state bounded to one
+    * md5 key per distinct chunk seen inside the horizon. Output is the
+    * surviving (doc_id, pos, chunk) stream; a downstream sink
+    * reassembles docs from their kept chunks. Stateless expressions up
+    * to the single dropDuplicates keep it streaming-safe, and the
+    * dedup key is the 128-bit hash, never the chunk text. */
+  def chunkDedupGate(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("t", split(col("text"), " "))
+      .select(col("doc_id"), col("ts"), posexplode(expr(
+        "transform(sequence(0, CAST(ceil(size(t)/32.0) AS INT) - 1), " +
+          "i -> array_join(slice(t, i*32+1, 32), ' '))")))
+      .withColumn("k", md5(col("col")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("k"))
+      .select(col("doc_id"), col("pos"), col("col").as("chunk"))
+
   /** A11-streaming: continuous import. Each micro-batch appends to the
     * RDBMS through the same batched JDBC writer the batch path uses —
     * the incremental-import story for a continuously-arriving dump

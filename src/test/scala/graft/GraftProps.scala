@@ -123,6 +123,36 @@ object GraftProps extends Properties("graft") {
     }
   }
 
+  // The distributed packing recurrence (q80/q84's packCore) equals a
+  // sequential greedy replay on ARBITRARY corpora — token counts
+  // above the 512 budget (oversized singleton packs), exactly at it,
+  // and tiny; multiple languages interleaved.
+  property("sequence packing equals the sequential greedy replay") = {
+    val doc = for {
+      lang <- Gen.oneOf("en", "de")
+      n <- Gen.oneOf(Gen.choose(1L, 60L), Gen.choose(400L, 700L), Gen.const(512L))
+    } yield (lang, n)
+    val g = Gen.nonEmptyListOf(doc).map(_.zipWithIndex
+      .map { case ((lang, n), i) => (i.toLong, lang, n) })
+    forAll(g) { docs =>
+      import spark.implicits._
+      val got = graft.ops.CurationOps
+        .packCore(spark, docs.toDF("doc_id", "lang", "n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1)
+      val expected = docs.groupBy(_._2).toSeq.flatMap { case (lang, ds) =>
+        var pack = 0L; var fill = 0L; var first = true
+        ds.sortBy(_._1).map { case (id, _, n) =>
+          if (!first && fill + n > 512L) { pack += 1; fill = n }
+          else { fill += n; first = false }
+          (id, lang, pack, n)
+        }
+      }.sortBy(_._1)
+      got.toSeq == expected
+    }
+  }
+
   // The q57 sampling predicate against an INDEPENDENT formulation:
   // "first hex char is 0" iff the digest, read as a 128-bit unsigned
   // integer, is below 2^124 — i.e. the cut really is the lowest 1/16

@@ -109,6 +109,27 @@ class StreamingSpec extends AnyFunSuite with LocalSparkSuite {
     } finally q.stop()
   }
 
+  test("chunk-dedup gate keeps only a chunk's first occurrence across docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.Doc]
+    val q = StreamingOps.chunkDedupGate(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("cdgate").start()
+    try {
+      // 40 tokens -> two chunks (32 + 8); doc 2 repeats doc 1's text
+      // exactly, so BOTH its chunks drop; doc 3 is fresh and survives
+      val words = (1 to 40).map(i => s"w$i").mkString(" ")
+      in.addData(
+        StreamingOps.Doc(1, ts("2024-01-01 10:00:00"), words),
+        StreamingOps.Doc(2, ts("2024-01-01 10:00:10"), words),
+        StreamingOps.Doc(3, ts("2024-01-01 10:00:20"), "novel text entirely"))
+      q.processAllAvailable()
+      val kept = spark.table("cdgate").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sorted
+      assert(kept.toSeq === Seq((1L, 0), (1L, 1), (3L, 0)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: purchases match views within 30 minutes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
