@@ -186,6 +186,85 @@ object VectorOps {
       .limit(topK)
   }
 
+  /** B31 IVF with a DETERMINISTIC coarse quantizer — the graded,
+    * oracle-backed counterpart of [[annIvf]]. MLlib k-means seeds are
+    * engine-internal, so that variant can never hash-match a SQL
+    * oracle; this one trains the quantizer as the q67 per-label
+    * centroid aggregate (exact DECIMAL(28,8) sums → identical doubles
+    * on both engines) and the whole IVF pipeline becomes replayable:
+    * assign every vector to its nearest centroid by
+    * ||c||² − 2·e·c (argmin tie-broken on label), probe the 2 cells
+    * nearest the query, exact-re-rank inside the probed cells only.
+    *
+    * Scale posture: the index (10 centroid arrays) is a broadcast, the
+    * assignment is one map-side cross against it with a 10-row
+    * per-vector argmin window (groups of exactly n_cells — skew-free),
+    * and the re-rank scans only the probed cells' members. Score dots
+    * run the double HOF fold (dotd — the centroid array is double,
+    * outside graft_dot's float-only signature; 10 rows per vector, so
+    * interpretation cost is bounded by the cell count); the re-rank
+    * uses the codegen'd fold. Both are sequential left folds ≡ DuckDB
+    * list_sum bit-for-bit (q51/q52 establish this). */
+  def annIvfCells(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val cents = Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(dsum(col("col").cast("double")).as("csum"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), (col("csum") / col("n")).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+    val scored = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        (dotd(col("cv"), col("cv")) -
+          lit(2.0) * dotd(col("embedding"), col("cv"))).as("score"))
+    val assigned = scored
+      .withColumn("rn", row_number().over(
+        w.partitionBy(col("vec_id")).orderBy(col("score"), col("label"))))
+      .filter(col("rn") === 1)
+    val probe = scored.filter(col("vec_id") === 0)
+      .orderBy(col("score"), col("label")).limit(2).select(col("label"))
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    assigned
+      .join(broadcast(probe), Seq("label"))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(cosineSimFast(col("embedding"), col("qv")), 6).as("cos_sim"),
+        col("label").as("cell"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(5)
+  }
+
+  private val annIvfCellsSql =
+    s"""WITH cent AS (
+       |  SELECT label, list(c ORDER BY i) AS cv FROM (
+       |    SELECT label, i,
+       |      CAST(CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS c
+       |    FROM (SELECT label, unnest(embedding) AS e,
+       |          generate_subscripts(embedding, 1) AS i FROM embeddings) t
+       |    GROUP BY label, i) u GROUP BY label),
+       |sc AS (SELECT e.vec_id, e.embedding, cent.label,
+       |    list_sum([cv[i]*cv[i] for i in generate_series(1,64)])
+       |    - 2 * list_sum([CAST(embedding[i] AS DOUBLE)*cv[i] for i in generate_series(1,64)]) AS score
+       |  FROM embeddings e, cent),
+       |asg AS (SELECT vec_id, embedding, label,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, label) AS rn FROM sc),
+       |probe AS (SELECT label FROM sc WHERE vec_id = 0 ORDER BY score, label LIMIT 2),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT vec_id, ROUND(dot/(SQRT(ne)*SQRT(nq)), 6) AS cos_sim, cell
+       |FROM (SELECT a.vec_id, a.label AS cell,
+       |        ${dotSql("a.embedding", "qv")} AS dot,
+       |        ${dotSql("a.embedding", "a.embedding")} AS ne,
+       |        ${dotSql("qv", "qv")} AS nq
+       |      FROM asg a, q
+       |      WHERE a.rn = 1 AND a.vec_id != 0
+       |        AND a.label IN (SELECT label FROM probe)) p
+       |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
+
   /** Multimodal plumbing (oracle-able slice): opaque binary payload +
     * typed metadata — byte length and content digest survive the
     * string→binary boundary identically on both engines. */
@@ -305,6 +384,8 @@ object VectorOps {
     QueryDef("q67_label_centroids", labelCentroids, Some(labelCentroidsSql), "per-label centroids (IVF training step)"),
     QueryDef("q51_topk_similar", topkSimilar, Some(topkSimilarSql), "B30 brute-force top-k ANN baseline"),
     QueryDef("q52_ann_lsh", annLsh, Some(annLshSql), "B31 LSH-bucketed ANN"),
+    QueryDef("q87_ann_ivf_cells", annIvfCells, Some(annIvfCellsSql),
+      "B31 IVF ANN: deterministic centroid quantizer, probed-cell re-rank"),
     QueryDef("q53_binary_meta", binaryMeta, Some(binaryMetaSql), "multimodal binary column"),
     QueryDef("q55_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql),
       "embedding-cosine near-dup"))

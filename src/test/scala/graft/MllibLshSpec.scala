@@ -40,6 +40,19 @@ class MllibLshSpec extends AnyFunSuite with LocalSparkSuite {
     assert((ivf intersect brute).nonEmpty)
   }
 
+  test("deterministic IVF (q87) recall: probed top-5 overlaps brute-force top-10") {
+    val ivf = graft.ops.VectorOps.annIvfCells(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(ivf.size === 5)
+    val brute = graft.ops.VectorOps.topkSimilar(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert((ivf intersect brute).nonEmpty)
+    // rerunning reproduces the identical hit set (no engine-internal seeds)
+    val again = graft.ops.VectorOps.annIvfCells(spark, sfDir).collect()
+      .map(_.getAs[Long]("vec_id")).toSet
+    assert(again === ivf)
+  }
+
   test("GraftExtensions registers graft_dot for SQL") {
     import graft.functions.DotProduct
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
