@@ -34,6 +34,7 @@ object PlanDump {
       "q80_sequence_packing" -> "typed flatMapSortedGroups: per-group streaming pack state",
       "q81_label_top_norm" -> "custom operator stack: TopKPerKeyExec after one key exchange, NO per-group sort",
       "q85_source_mixing" -> "domain mixing: bucketed distributed prefix sum, offsets broadcast, no whole-source window",
+      "q87_ann_ivf_cells" -> "IVF ANN: 10-row centroid index broadcast, cell-count-sized argmin windows, probed-cell re-rank",
       "q86_chunk_dedup" -> "sub-document dedup: only (md5, doc_id, pos, n_tok) shuffles, never chunk text")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")

@@ -214,12 +214,14 @@ object VectorOps {
       .select(col("label"), col("pos"), (col("csum") / col("n")).as("c"))
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+      // ||c||² is per-cell constant: fold it once over the 10-row index,
+      // not once per (vector, cell) pair
+      .withColumn("cnorm", dotd(col("cv"), col("cv")))
     val scored = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("label"),
-        (dotd(col("cv"), col("cv")) -
-          lit(2.0) * dotd(col("embedding"), col("cv"))).as("score"))
+        (col("cnorm") - lit(2.0) * dotd(col("embedding"), col("cv"))).as("score"))
     val assigned = scored
       .withColumn("rn", row_number().over(
         w.partitionBy(col("vec_id")).orderBy(col("score"), col("label"))))
