@@ -142,6 +142,49 @@ object TextOps {
       |    AS dup_token_frac
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q88: the rewrite half of the C4-style pass — q86 measures, this
+    * PRODUCES the deduplicated corpus: each doc reassembled from only
+    * its surviving (first-occurrence) chunks, in position order; a doc
+    * whose every chunk duplicates earlier text drops out entirely.
+    *
+    * Scale posture: unlike the stats pass, the output IS text, so the
+    * chunk bodies must flow through both exchanges (hash-partition for
+    * first-occurrence election, doc_id-partition for reassembly) —
+    * that's inherent to a rewrite, not a plan defect; a production run
+    * fuses this with [[chunkDedup]] so the corpus is read once. The
+    * reassembly aggregate is collect_list + sort over a doc's own
+    * chunks — bounded by doc length, skew-free across docs. */
+  def chunkRewrite(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("k")).orderBy(col("doc_id"), col("pos"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        "transform(sequence(0, CAST(ceil(size(t)/32.0) AS INT) - 1), " +
+          "i -> array_join(slice(t, i*32+1, 32), ' '))")))
+      .select(col("doc_id"), col("pos"), col("col").as("chunk"))
+      .withColumn("k", md5(col("chunk")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("doc_id"))
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, chunk))), " +
+        "x -> x.chunk), ' ')").as("clean_text"),
+        count(lit(1)).as("n_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val chunkRewriteSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |ch AS (SELECT doc_id, i,
+      |    array_to_string(list_slice(t, CAST(i*32+1 AS BIGINT), CAST(i*32+32 AS BIGINT)), ' ') AS chunk
+      |  FROM t, (SELECT unnest(generate_series(0,
+      |     (SELECT CAST(ceil(max(len(t))/32.0) AS BIGINT) FROM t))) AS i) g
+      |  WHERE i <= CAST(ceil(len(t)/32.0) AS BIGINT) - 1),
+      |r AS (SELECT doc_id, i, chunk,
+      |    ROW_NUMBER() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, i) AS rn FROM ch)
+      |SELECT doc_id, string_agg(chunk, ' ' ORDER BY i) AS clean_text,
+      |       COUNT(*) AS n_kept
+      |FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** B26 shingling stats per doc (doc-local: no shuffle; `sh`
     * referenced once — n_total derives from the token count). */
   def shingleStats(s: SparkSession, d: String): DataFrame =
@@ -659,6 +702,8 @@ object TextOps {
     QueryDef("q31_dedup_stats", dedupStats, Some(dedupStatsSql), "B25 dedup stats"),
     QueryDef("q86_chunk_dedup", chunkDedup, Some(chunkDedupSql),
       "sub-document exact dedup: first occurrence of each 32-token chunk survives"),
+    QueryDef("q88_chunk_rewrite", chunkRewrite, Some(chunkRewriteSql),
+      "sub-document dedup rewrite: docs reassembled from surviving chunks"),
     QueryDef("q32_shingle_stats", shingleStats, Some(shingleStatsSql), "B26 shingling"),
     QueryDef("q33_minhash_sig", minhashSignatures, Some(minhashSignaturesSql), "B27 minhash signatures"),
     QueryDef("q34_minhash_pairs", minhashPairs, Some(minhashPairsSql), "B27/28 LSH banding pairs"),
