@@ -35,6 +35,7 @@ object PlanDump {
       "q81_label_top_norm" -> "custom operator stack: TopKPerKeyExec after one key exchange, NO per-group sort",
       "q85_source_mixing" -> "domain mixing: bucketed distributed prefix sum, offsets broadcast, no whole-source window",
       "q87_ann_ivf_cells" -> "IVF ANN: 10-row centroid index broadcast, cell-count-sized argmin windows, probed-cell re-rank",
+      "q84_curate_and_pack" -> "end-to-end assembly (suite's most expensive): the clustering fixpoint sits behind a checkpoint (Scan ExistingRDD), everything downstream is one declarative plan",
       "q86_chunk_dedup" -> "sub-document dedup: only (md5, doc_id, pos, n_tok) shuffles, never chunk text")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")
