@@ -199,12 +199,11 @@ object VectorOps {
     * Scale posture: the index (10 centroid arrays) is a broadcast, the
     * assignment is one map-side cross against it with a 10-row
     * per-vector argmin window (groups of exactly n_cells — skew-free),
-    * and the re-rank scans only the probed cells' members. Score dots
-    * run the double HOF fold (dotd — the centroid array is double,
-    * outside graft_dot's float-only signature; 10 rows per vector, so
-    * interpretation cost is bounded by the cell count); the re-rank
-    * uses the codegen'd fold. Both are sequential left folds ≡ DuckDB
-    * list_sum bit-for-bit (q51/q52 establish this). */
+    * and the re-rank scans only the probed cells' members. Every dot —
+    * the float-embedding × double-centroid scoring included — runs the
+    * codegen'd [[graft.functions.DotProduct]] sequential fold, which
+    * is ≡ DuckDB list_sum bit-for-bit (q51/q52 establish this); ‖c‖²
+    * is folded once over the 10-row index, not per (vector, cell). */
   def annIvfCells(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val cents = Tables.embeddings(s, d)
@@ -216,12 +215,12 @@ object VectorOps {
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
       // ||c||² is per-cell constant: fold it once over the 10-row index,
       // not once per (vector, cell) pair
-      .withColumn("cnorm", dotd(col("cv"), col("cv")))
+      .withColumn("cnorm", dotFast(col("cv"), col("cv")))
     val scored = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("label"),
-        (col("cnorm") - lit(2.0) * dotd(col("embedding"), col("cv"))).as("score"))
+        (col("cnorm") - lit(2.0) * dotFast(col("embedding"), col("cv"))).as("score"))
     val assigned = scored
       .withColumn("rn", row_number().over(
         w.partitionBy(col("vec_id")).orderBy(col("score"), col("label"))))

@@ -118,6 +118,22 @@ class OperatorSpec extends AnyFunSuite with LocalSparkSuite {
     assert(diff === 0)
   }
 
+  test("graft_dot handles double and mixed float/double arrays like the HOF fold") {
+    // the q87 scoring shape: float embedding against a computed double
+    // centroid, plus a pure-double fold — all bit-identical to dotd
+    val withD = Tables.embeddings(spark, sfDir)
+      .withColumn("dv", col("embedding").cast("array<double>"))
+    val diff = withD.alias("a")
+      .join(withD.alias("b"), col("b.vec_id") === col("a.vec_id") + 1)
+      .select(
+        (dotFast(col("a.embedding"), col("b.dv")) -
+          dotd(col("a.embedding"), col("b.dv"))).as("m"),
+        (dotFast(col("a.dv"), col("b.dv")) -
+          dotd(col("a.dv"), col("b.dv"))).as("d"))
+      .filter(col("m") =!= 0.0 || col("d") =!= 0.0).count()
+    assert(diff === 0)
+  }
+
   test("A13 observe(): row-count metrics ride along the scan for free") {
     import org.apache.spark.sql.Observation
     val obs = Observation("ingest")
