@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BigramStats, DotProduct, HllSketchAgg, MinhashHex, Shingles, StopwordCounts}
+import graft.functions.{BigramStats, DotProduct, HllSketchAgg, MinhashHex, MisraGriesAgg, Shingles, StopwordCounts}
 
 /** SparkSessionExtensions entry point (SURVEY.md §4): registers the
   * engine's native expressions for SQL use. Deployments opt in with
@@ -53,6 +53,17 @@ object GraftExtensions {
             s"graft_hll_distinct precision must be an INT literal, got $other")
           case _ => throw new IllegalArgumentException(
             s"graft_hll_distinct expects (col) or (col, precision), got ${exprs.size} arguments")
+        }),
+      (FunctionIdentifier("graft_heavy_hitters"),
+        new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_heavy_hitters"),
+        (exprs: Seq[Expression]) => exprs match {
+          case Seq(child) => MisraGriesAgg(child).toAggregateExpression()
+          case Seq(child, Literal(k: Int, IntegerType)) =>
+            MisraGriesAgg(child, k).toAggregateExpression()
+          case Seq(_, other) => throw new IllegalArgumentException(
+            s"graft_heavy_hitters k must be an INT literal, got $other")
+          case _ => throw new IllegalArgumentException(
+            s"graft_heavy_hitters expects (col) or (col, k), got ${exprs.size} arguments")
         }),
       (FunctionIdentifier("graft_shingles"),
         new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),

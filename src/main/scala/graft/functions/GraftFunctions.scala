@@ -95,6 +95,15 @@ object GraftFunctions {
     column(HllSketchAgg(expression(c), precision).toAggregateExpression())
   }
 
+  /** Misra–Gries heavy-hitter candidate array (see [[MisraGriesAgg]]):
+    * ≤ k keys, guaranteed to contain every value with frequency
+    * > n/(k+1). Pair with an exact re-count of the candidates for a
+    * partitioning-independent two-pass heavy-hitter query (q93). */
+  def heavyHitterCandidates(c: Column, k: Int = 127): Column = {
+    import org.apache.spark.sql.GraftShims.{column, expression}
+    column(MisraGriesAgg(expression(c), k).toAggregateExpression())
+  }
+
   /** Word k-shingle array in one codegen'd pass (see [[Shingles]]). */
   def shingles(tokens: Column, k: Int): Column = {
     import org.apache.spark.sql.GraftShims.{column, expression}

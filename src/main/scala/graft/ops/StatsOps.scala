@@ -1,0 +1,275 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.GraftFunctions._
+
+/** Distribution analytics + skew-engineering surface — the profiling
+  * and robust-statistics operators a 100 TB pipeline runs before and
+  * after the heavy rewrites in TextOps/CurationOps: exact quantiles,
+  * regression/correlation, histograms, key-skew profiling, two-pass
+  * heavy hitters, a salted-join skew demonstration, and BM25 ranking.
+  *
+  * Determinism follows the house rules (SURVEY.md §2): exact-decimal
+  * sums for money, single-IEEE-division averages, ROUND only on
+  * computed doubles whose ulp noise sits far below the rounding grain,
+  * total ORDER BY with unique tie-breaks.
+  */
+object StatsOps {
+
+  private val toks = (c: Column) => split(c, " ")
+
+  /** Exact percentiles (p25/p50/p90/p99) of the order value per
+    * priority class. Exact `percentile` sorts each group — the right
+    * tool for the ≤5 groups here and for any group count that fits a
+    * sort; the 100 TB default for percentile-of-everything dashboards
+    * is `approx_percentile` (see q27's sketch posture), which is
+    * one pass and mergeable. Both engines interpolate linearly on the
+    * sorted values (index p·(n−1)); the interpolation arithmetic can
+    * differ in the last ulp, so scores are rounded 11 orders of
+    * magnitude above double ulp at this scale (~1e-11 of ~1e5). */
+  def percentileSummary(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"),
+        round(expr("percentile(o_totalprice, 0.99)"), 4).as("p99"))
+      .orderBy(col("o_orderpriority"))
+
+  private val percentileSummarySql =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      | ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      | ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      | ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+      | ROUND(quantile_cont(o_totalprice, 0.99), 4) AS p99
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Pearson correlation + OLS regression of revenue on quantity per
+    * return flag. Both engines accumulate co-moments (commutative
+    * merge — partitioning-independent up to ulp noise, which ROUND(6)
+    * absorbs: the co-moment sums carry ~1e-14 relative error against
+    * slope magnitudes ~1e3). One map-side-partial hash aggregate over
+    * 3 groups — nothing here grows with data volume except the scan. */
+  def regressionStats(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("l_extendedprice"), col("l_quantity")), 6).as("corr_pq"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 6).as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 6).as("intercept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"))
+      .orderBy(col("l_returnflag"))
+
+  private val regressionStatsSql =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      | ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+      | ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+      | ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+      | ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Fixed-width histogram of order values: 10 bins of 50k, top bin
+    * open. Pure integer bin arithmetic (exact on both engines) + an
+    * exact-decimal sum per bin; the aggregate is map-side partial over
+    * ≤10 groups, so the shuffle payload is ~10 rows per task at any
+    * scale — the canonical "histogram of a 100 TB column" plan. */
+  def priceHistogram(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .withColumn("bin", least(floor(col("o_totalprice") / 50000), lit(9L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"))
+      .withColumn("bin_lo", (col("bin") * 50000).cast("long"))
+      .select(col("bin"), col("bin_lo"), col("n"), col("sum_price"))
+      .orderBy(col("bin"))
+
+  private val priceHistogramSql =
+    s"""SELECT bin, CAST(bin * 50000 AS BIGINT) AS bin_lo, COUNT(*) AS n,
+       | ${dsumSql("o_totalprice")} AS sum_price
+       |FROM (SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT), 9) AS bin,
+       |             o_totalprice FROM orders) t
+       |GROUP BY bin ORDER BY bin""".stripMargin
+
+  /** Salted fact-fact join: revenue per order priority, with the
+    * lineitem⋈orders join key manually salted 8 ways (orders replicated
+    * per salt, lineitem routed by a key-independent attribute). This is
+    * the deterministic-plan answer to join skew — a hot o_orderkey's
+    * rows land in 8 different shuffle partitions instead of one — and
+    * it is value-identical to the plain join because every fact row
+    * still meets exactly one replica of its order row. At 100 TB the
+    * same rewrite applies per-hot-key (salt only keys above a count
+    * threshold); AQE's skew-join split is the runtime alternative when
+    * plans may adapt (SCALING.md measures it) — this query keeps the
+    * explicit form the optimizer can't be asked for. The post-join
+    * aggregate collapses the salt, so no schema leak. */
+  def saltedRevenue(s: SparkSession, d: String): DataFrame = {
+    val salted = Tables.lineitem(s, d)
+      .withColumn("salt", pmod(col("l_linenumber"), lit(8)))
+    val replicated = Tables.orders(s, d)
+      .withColumn("salt", explode(sequence(lit(0), lit(7))))
+    salted.join(replicated,
+        salted("l_orderkey") === replicated("o_orderkey") &&
+          salted("salt") === replicated("salt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val saltedRevenueSql =
+    s"""SELECT o_orderpriority, ${dsumSql("l_extendedprice*(1-l_discount)")} AS revenue,
+       | COUNT(*) AS n_items
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Exact two-pass heavy hitters over the corpus word stream: pass 1
+    * is the Misra–Gries sketch ([[graft.functions.MisraGriesAgg]],
+    * k=127 → O(k) state per task, no corpus-grain shuffle) whose
+    * candidate array is guaranteed ⊇ every word above the n/100
+    * threshold (n/100 > n/(k+1)); pass 2 re-counts ONLY rows matching
+    * the broadcast candidates and thresholds exactly. The final output
+    * is therefore partitioning-independent even though the sketch
+    * itself isn't — and the shuffled state is bounded by k keys no
+    * matter how wide or skewed the key domain, which is the whole
+    * point at 100 TB (contrast q37's full-vocabulary groupBy). */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("w"))
+    val cands = words
+      .agg(heavyHitterCandidates(col("w"), 127).as("cands"))
+      .select(explode(col("cands")).as("w"))
+    val total = words.agg(count(lit(1)).as("n_words"))
+    words.join(broadcast(cands), Seq("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") > col("n_words") / lit(100.0))
+      .select(col("w"), col("n"))
+      .orderBy(col("n").desc, col("w"))
+  }
+
+  private val heavyHittersSql =
+    """WITH words AS (SELECT unnest(string_split(text,' ')) AS w FROM documents)
+      |SELECT w, COUNT(*) AS n FROM words GROUP BY w
+      |HAVING COUNT(*) > (SELECT COUNT(*) FROM words)/100.0
+      |ORDER BY n DESC, w""".stripMargin
+
+  /** BM25 ranking (k1=1.2, b=0.75) of the corpus against a fixed
+    * 3-term query. Same relational skeleton as q38's TF-IDF — tf from
+    * one explode, df as a vocabulary-bounded hash aggregate, doc
+    * length at document grain — but only the ≤3 query-term slice of tf
+    * flows past the first aggregate (predicate pushes through), so the
+    * scoring join is query-terms × docs, broadcast on the tiny df
+    * side. ROUND(6) sits ~10 orders above the ln/division ulp noise
+    * of scores ~1e0; ordering ties at that grain break on doc_id. */
+  def bm25Rank(s: SparkSession, d: String): DataFrame = {
+    val qterms = Seq("join", "filter", "scan")
+    val words = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    val dl = words.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      dsum(col("dl").cast("double")).as("sum_dl"))
+    val tf = words.filter(col("w").isin(qterms: _*))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    // ≤1 scored row per (doc, term), so each term's contribution is
+    // extracted with MAX(CASE) — a single non-null value, no
+    // double-sum ordering — and the per-doc score folds the three
+    // terms in one fixed left-to-right expression on both engines
+    val scored = tf
+      .join(broadcast(df), Seq("w"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+          (col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") * col("n_docs") / col("sum_dl")))))
+    def term(t: String): Column =
+      coalesce(max(when(col("w") === t, col("contrib"))), lit(0.0))
+    scored.groupBy(col("doc_id"))
+      .agg(round(term(qterms(0)) + term(qterms(1)) + term(qterms(2)), 6).as("bm25"),
+        count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(10)
+  }
+
+  private val bm25RankSql =
+    s"""WITH words AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM documents),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM words GROUP BY doc_id),
+       |stats AS (SELECT COUNT(*) AS n_docs,
+       |            ${dsumSql("CAST(dl AS DOUBLE)")} AS sum_dl FROM dl),
+       |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM words
+       |       WHERE w IN ('join','filter','scan') GROUP BY doc_id, w),
+       |df AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.w,
+       |    LN((n_docs - df + 0.5)/(df + 0.5) + 1.0) *
+       |      (tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl * n_docs / sum_dl))) AS contrib
+       |  FROM tf JOIN df ON tf.w = df.w JOIN dl ON tf.doc_id = dl.doc_id
+       |  CROSS JOIN stats)
+       |SELECT doc_id,
+       |  ROUND(COALESCE(MAX(CASE WHEN w='join' THEN contrib END), 0.0)
+       |      + COALESCE(MAX(CASE WHEN w='filter' THEN contrib END), 0.0)
+       |      + COALESCE(MAX(CASE WHEN w='scan' THEN contrib END), 0.0), 6) AS bm25,
+       |  COUNT(*) AS n_terms
+       |FROM scored GROUP BY doc_id
+       |ORDER BY bm25 DESC, doc_id LIMIT 10""".stripMargin
+
+  /** Key-skew profiler over the three join keys the engine shuffles
+    * on most: rows, distinct keys, max/avg rows per key, and the top
+    * key's share. This is the diagnostic that DECIDES the physical
+    * strategy upstream (broadcast vs shuffle, salt or not, bucket
+    * count) — at 100 TB you run it on a sample or maintain it as table
+    * stats; the plan per table is one groupBy(key) + a 1-row rollup,
+    * all integer-exact, so the three branches union to 3 rows. */
+  def keySkewProfile(s: SparkSession, d: String): DataFrame = {
+    def profile(t: DataFrame, key: String, name: String): DataFrame =
+      t.groupBy(col(key)).agg(count(lit(1)).as("c"))
+        .agg(
+          sum(col("c")).as("n_rows"),
+          count(lit(1)).as("n_keys"),
+          max(col("c")).as("max_per_key"))
+        .select(lit(name).as("tbl"), col("n_rows"), col("n_keys"), col("max_per_key"),
+          round(col("n_rows").cast("double") / col("n_keys"), 4).as("avg_per_key"),
+          round(col("max_per_key").cast("double") / col("n_rows"), 6).as("top_share"))
+    profile(Tables.lineitem(s, d), "l_orderkey", "lineitem")
+      .union(profile(Tables.orders(s, d), "o_custkey", "orders"))
+      .union(profile(Tables.events(s, d), "user_id", "events"))
+      .orderBy(col("tbl"))
+  }
+
+  private def profileSql(table: String, key: String, name: String): String =
+    s"""SELECT '$name' AS tbl, CAST(SUM(c) AS BIGINT) AS n_rows,
+       | COUNT(*) AS n_keys, MAX(c) AS max_per_key,
+       | ROUND(CAST(CAST(SUM(c) AS BIGINT) AS DOUBLE)/COUNT(*), 4) AS avg_per_key,
+       | ROUND(CAST(MAX(c) AS DOUBLE)/CAST(SUM(c) AS BIGINT), 6) AS top_share
+       |FROM (SELECT $key, COUNT(*) AS c FROM $table GROUP BY $key) g""".stripMargin
+
+  private val keySkewProfileSql =
+    s"""SELECT * FROM (
+       |${profileSql("lineitem", "l_orderkey", "lineitem")}
+       |UNION ALL
+       |${profileSql("orders", "o_custkey", "orders")}
+       |UNION ALL
+       |${profileSql("events", "user_id", "events")}
+       |) ORDER BY tbl""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q89_percentile_summary", percentileSummary, Some(percentileSummarySql),
+      "exact group percentiles (sort-based; approx twin is q27)"),
+    QueryDef("q90_regression_stats", regressionStats, Some(regressionStatsSql),
+      "corr + OLS regression per group"),
+    QueryDef("q91_price_histogram", priceHistogram, Some(priceHistogramSql),
+      "fixed-width histogram, map-side partial"),
+    QueryDef("q92_salted_revenue", saltedRevenue, Some(saltedRevenueSql),
+      "manual 8-way salted skew join, value-identical to plain join"),
+    QueryDef("q93_heavy_hitters", heavyHitters, Some(heavyHittersSql),
+      "exact two-pass heavy hitters via Misra-Gries candidates"),
+    QueryDef("q94_bm25_rank", bm25Rank, Some(bm25RankSql),
+      "BM25 ranking against a fixed query"),
+    QueryDef("q95_key_skew_profile", keySkewProfile, Some(keySkewProfileSql),
+      "join-key skew diagnostics (rows/keys/max/top-share)"))
+}

@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions.heavyHitterCandidates
+
+/** Grades the StatsOps family (q89–q95) on invariants the DuckDB
+  * oracle can't see: the Misra–Gries superset guarantee and its
+  * partitioning independence END-TO-END, salted-join equivalence to
+  * the plain join, histogram mass conservation, and percentile
+  * ordering. Value-level equality is the t2 oracle's job. */
+class StatsOpsSpec extends AnyFunSuite with LocalSparkSuite {
+
+  test("q89 percentiles are ordered p25 <= p50 <= p90 <= p99 within every group") {
+    val rows = ops.StatsOps.percentileSummary(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(p25, p50, p90, p99) = Seq(2, 3, 4, 5).map(r.getDouble)
+      assert(p25 <= p50 && p50 <= p90 && p90 <= p99, s"disordered percentiles: $r")
+    }
+  }
+
+  test("q90 correlation is in [-1,1] and slope carries its sign") {
+    val rows = ops.StatsOps.regressionStats(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      val slope = r.getDouble(3)
+      val r2 = r.getDouble(5)
+      assert(c >= -1.0 && c <= 1.0)
+      assert(c * slope >= 0.0, s"corr $c and slope $slope disagree in sign")
+      assert(math.abs(c * c - r2) < 1e-4, s"r2 $r2 is not corr^2 of $c")
+    }
+  }
+
+  test("q91 histogram conserves row count and total value") {
+    val h = ops.StatsOps.priceHistogram(spark, sfDir)
+      .agg(sum(col("n")), sum(col("sum_price"))).head()
+    val t = Tables.orders(spark, sfDir)
+      .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(28,8)")).cast("double"))
+      .head()
+    assert(h.getLong(0) === t.getLong(0))
+    assert(math.abs(h.getDouble(1) - t.getDouble(1)) < 1e-6)
+  }
+
+  test("q92 salted join is value-identical to the plain join") {
+    val salted = ops.StatsOps.saltedRevenue(spark, sfDir).collect()
+    val plain = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .cast("decimal(28,8)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("o_orderpriority"))
+      .collect()
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("misra-gries candidates contain every item above n/(k+1) regardless of partitioning") {
+    import spark.implicits._
+    // skewed synthetic stream: item i appears 2^(10-i) times, i=0..10
+    val data = (0 to 10).flatMap(i => Seq.fill(1 << (10 - i))(s"item_$i"))
+    val n = data.size
+    val k = 7
+    val truth = data.groupBy(identity).view.mapValues(_.size)
+      .filter(_._2 > n / (k + 1)).keySet
+    Seq(1, 4, 13).foreach { parts =>
+      val cands = data.toDF("w").repartition(parts)
+        .agg(heavyHitterCandidates(col("w"), k)).head()
+        .getSeq[String](0).toSet
+      assert(cands.size <= k)
+      assert(truth.subsetOf(cands),
+        s"lost heavy hitters at $parts partitions: ${truth.diff(cands)}")
+    }
+  }
+
+  test("q93 end-to-end equals the direct groupBy-HAVING formulation at any partitioning") {
+    val twoPass = ops.StatsOps.heavyHitters(spark, sfDir).collect().toSeq
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+    val n = words.count()
+    val direct = words.groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > n / 100.0)
+      .orderBy(col("n").desc, col("w")).collect().toSeq
+    assert(twoPass === direct)
+    assert(twoPass.nonEmpty)
+  }
+
+  test("q94 bm25 rewards higher tf: top-ranked docs contain at least one query term") {
+    val rows = ops.StatsOps.bm25Rank(spark, sfDir).collect()
+    assert(rows.length === 10)
+    val scores = rows.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sortBy(-(_: Double))), "not sorted desc")
+    assert(scores.forall(s => s > 0.0 && java.lang.Double.isFinite(s)))
+  }
+
+  test("q95 profile invariants: keys*max >= rows >= keys, top_share = max/rows") {
+    val rows = ops.StatsOps.keySkewProfile(spark, sfDir).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      val (nRows, nKeys, maxK) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nKeys * maxK >= nRows && nRows >= nKeys)
+      assert(math.abs(r.getDouble(5) - maxK.toDouble / nRows) < 1e-6)
+    }
+  }
+
+  test("graft_heavy_hitters SQL registration validates arity and k type") {
+    val (_, _, builder) = GraftExtensions.functions
+      .find(_._1.funcName == "graft_heavy_hitters").get
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.GraftShims.expression
+    val childE = expression(col("x"))
+    assert(builder(Seq(childE)) != null)
+    assert(builder(Seq(childE, Literal(31))) != null)
+    intercept[IllegalArgumentException](builder(Seq(childE, Literal("oops"))))
+    intercept[IllegalArgumentException](builder(Seq(childE, Literal(1), Literal(2))))
+  }
+}
