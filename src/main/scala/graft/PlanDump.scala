@@ -36,7 +36,11 @@ object PlanDump {
       "q85_source_mixing" -> "domain mixing: bucketed distributed prefix sum, offsets broadcast, no whole-source window",
       "q87_ann_ivf_cells" -> "IVF ANN: 10-row centroid index broadcast, cell-count-sized argmin windows, probed-cell re-rank",
       "q84_curate_and_pack" -> "end-to-end assembly (suite's most expensive): the clustering fixpoint sits behind a checkpoint (Scan ExistingRDD), everything downstream is one declarative plan",
-      "q86_chunk_dedup" -> "sub-document dedup: only (md5, doc_id, pos, n_tok) shuffles, never chunk text")
+      "q86_chunk_dedup" -> "sub-document dedup: only (md5, doc_id, pos, n_tok) shuffles, never chunk text",
+      "q91_price_histogram" -> "histogram: 2-column scan, partial agg over <=10 bins before the exchange",
+      "q92_salted_revenue" -> "salted skew join: (key, salt) join keys spread a hot key 8 ways, salt collapsed by the aggregate; shuffle_hash pinned on the replicated side (merge join would sort the 8x-inflated side — 8-20x slower at 10x scale)",
+      "q93_heavy_hitters" -> "two-pass heavy hitters: ObjectHashAggregate partials for the MG sketch, candidates broadcast back",
+      "q94_bm25_rank" -> "BM25: df/stats broadcast, only the 3-term tf slice flows; TakeOrderedAndProject top-10")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")
     picks.foreach { case (name, why) =>

@@ -106,12 +106,20 @@ object StatsOps {
     * threshold); AQE's skew-join split is the runtime alternative when
     * plans may adapt (SCALING.md measures it) — this query keeps the
     * explicit form the optimizer can't be asked for. The post-join
-    * aggregate collapses the salt, so no schema leak. */
+    * aggregate collapses the salt, so no schema leak. The replicated
+    * side carries a shuffle_hash hint: its per-partition slice is
+    * bounded by rows×salts/shuffle-width (a hash table, no sort),
+    * while the default sort-merge join must SORT the 8×-inflated
+    * side — measured 6-20× slower and spill-prone at the 10× scale
+    * (SCALING.md round-4 cont.). Salting plus merge-join undoes the
+    * very cost salting is buying back; hash join is the pairing that
+    * makes the rewrite profitable. */
   def saltedRevenue(s: SparkSession, d: String): DataFrame = {
     val salted = Tables.lineitem(s, d)
       .withColumn("salt", pmod(col("l_linenumber"), lit(8)))
     val replicated = Tables.orders(s, d)
       .withColumn("salt", explode(sequence(lit(0), lit(7))))
+      .hint("shuffle_hash")
     salted.join(replicated,
         salted("l_orderkey") === replicated("o_orderkey") &&
           salted("salt") === replicated("salt"))
