@@ -166,6 +166,144 @@ object StatsOps {
       |HAVING COUNT(*) > (SELECT COUNT(*) FROM words)/100.0
       |ORDER BY n DESC, w""".stripMargin
 
+  /** Grouped heavy hitters: per-language frequent words above 2% of
+    * that language's token mass. Same two-pass exactness contract as
+    * q93, but the Misra–Gries sketch runs PER GROUP — the grouped
+    * `ObjectHashAggregate` merges one bounded counter map per
+    * language, so state is groups×k keys however wide each language's
+    * vocabulary is, and the exact second pass re-counts only the
+    * broadcast (lang, word) candidates. This is the shape a per-domain
+    * / per-source content profiler runs at corpus scale. */
+  def langHeavyHitters(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d)
+      .select(col("lang"), explode(toks(col("text"))).as("w"))
+    val cands = words
+      .groupBy(col("lang"))
+      .agg(heavyHitterCandidates(col("w"), 127).as("cands"))
+      .select(col("lang"), explode(col("cands")).as("w"))
+    val tot = words.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    words.join(broadcast(cands), Seq("lang", "w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
+      .join(broadcast(tot), Seq("lang"))
+      .filter(col("n") > col("n_lang") / lit(50.0))
+      .select(col("lang"), col("w"), col("n"))
+      .orderBy(col("lang"), col("n").desc, col("w"))
+  }
+
+  private val langHeavyHittersSql =
+    """WITH words AS (SELECT lang, unnest(string_split(text,' ')) AS w FROM documents),
+      |tot AS (SELECT lang, COUNT(*) AS n_lang FROM words GROUP BY lang)
+      |SELECT words.lang, w, COUNT(*) AS n
+      |FROM words JOIN tot ON words.lang = tot.lang
+      |GROUP BY words.lang, w, n_lang
+      |HAVING COUNT(*) > n_lang/50.0
+      |ORDER BY words.lang, n DESC, w""".stripMargin
+
+  /** Fixed-iteration PageRank (3 rounds, d=0.85) over the symmetric
+    * customer↔supplier trade graph (distinct partners from
+    * lineitem⋈orders). The iterative-graph pattern complementing
+    * q76's fixpoint clustering: a FIXED unroll needs no driver-side
+    * convergence action at all — the three rounds compose into one
+    * declarative plan, each round one shuffle on the destination key
+    * over an edge list that at 100 TB is co-partitioned once
+    * (localCheckpoint here; a bucketed table in a deployment) and
+    * reused by every round. Per-round sums take the exact-decimal
+    * route, so rank values are partitioning-independent
+    * bit-for-bit and the remaining scalar ops (one division, one
+    * multiply-add) are single IEEE ops identical on both engines —
+    * which is what lets a 3-deep iterative query hash-match a
+    * recursive SQL oracle with NO rounding slack. Symmetric edges
+    * mean no dangling mass: rank mass stays 1 and the oracle needs no
+    * correction term. */
+  def pageRank(s: SparkSession, d: String): DataFrame = {
+    val r3 = pageRankAll(s, d)
+    // display ids ('c<key>' / 's<key>') are built for the 20 output
+    // rows only — every join/shuffle upstream ran on packed longs
+    r3.select(
+        when(col("node") % 2 === 0, concat(lit("c"), expr("node div 2")))
+          .otherwise(concat(lit("s"), expr("node div 2"))).as("node"),
+        round(col("pr"), 9).as("pr"))
+      .orderBy(col("pr").desc, col("node")).limit(20)
+  }
+
+  /** All-node round-3 ranks (unrounded, unlimited) — the mass
+    * -conservation surface StatsOpsSpec grades. */
+  private[graft] def pageRankAll(s: SparkSession, d: String): DataFrame = {
+    // node id = key*2 + side bit: the distinct, every edge shuffle and
+    // all three iteration joins run on one long — measured ~4x faster
+    // than the string-id formulation at sf0.1 (string keys paid hash +
+    // compare + width on every exchange)
+    val pairs = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"),
+        (col("l_suppkey") * 2 + 1).as("sup"))
+      .distinct()
+    val edges0 = pairs.select(col("c").as("src"), col("sup").as("dst"))
+      .union(pairs.select(col("sup").as("src"), col("c").as("dst")))
+    val outdeg0 = edges0.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    // out-degree folds into the checkpointed edge list ONCE: a
+    // checkpoint scan carries no stats, so a frame derived from it and
+    // joined back later falls to sort-merge (measured 23 s/round at
+    // 10×) — pre-joining leaves each round exactly one join, against
+    // the node-sized rank table, broadcast EXPLICITLY for the same
+    // no-stats reason. At cluster scale with node tables too big to
+    // broadcast, edges would be bucketed by src and ranks
+    // co-partitioned — the rewrite is the hint, not the shape.
+    val edges = edges0.join(outdeg0, Seq("src")).localCheckpoint()
+    val nodes = edges.select(col("src").as("node")).distinct()
+    val nN = nodes.agg(count(lit(1)).as("n_nodes"))
+    val r0 = nodes.crossJoin(broadcast(nN))
+      .select(col("node"), (lit(1.0) / col("n_nodes")).as("pr"))
+    // rank contributions sit at ~1e-5: the house DECIMAL(28,8) would
+    // truncate them to 3 significant digits, so the per-round exact
+    // sum uses scale 18 (sums of ~1e-3 scale to ~1e15 < 2^53, so the
+    // varchar-hop double recovery stays exact — see dsumSql)
+    val d18sum = (c: Column) => sum(c.cast("decimal(38,18)")).cast("double")
+    def step(r: DataFrame): DataFrame =
+      edges.join(broadcast(r), col("src") === col("node"))
+        .select(col("dst"), (col("pr") / col("outdeg")).as("contrib"))
+        .groupBy(col("dst")).agg(d18sum(col("contrib")).as("m"))
+        .crossJoin(broadcast(nN))
+        .select(col("dst").as("node"),
+          (lit(0.15) / col("n_nodes") + lit(0.85) * col("m")).as("pr"))
+    // final ROUND(9) in pageRank: the double->decimal cast of off-grid
+    // quotients can differ between engines in the 18th digit (~1e-14
+    // after three rounds of accumulation); 1e-9 grain sits ~1e5 above
+    // that noise
+    step(step(step(r0)))
+  }
+
+  private val pageRankSql = {
+    // double literals must be CAST in the oracle: DuckDB parses 0.15
+    // as DECIMAL and would run the whole recurrence in decimal math
+    def d18sumSql(x: String): String =
+      s"CAST(CAST(SUM(CAST($x AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)"
+    def stepSql(prev: String, cur: String): String =
+      s"""$cur AS (
+         |  SELECT dst AS node,
+         |         CAST(0.15 AS DOUBLE)/n_nodes + CAST(0.85 AS DOUBLE)*m AS pr
+         |  FROM (SELECT dst, ${d18sumSql("pr/outdeg")} AS m
+         |        FROM edges JOIN outdeg USING (src) JOIN $prev ON src = $prev.node
+         |        GROUP BY dst) t CROSS JOIN nn)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS sup
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |edges AS (SELECT c AS src, sup AS dst FROM pairs
+       |          UNION ALL SELECT sup AS src, c AS dst FROM pairs),
+       |outdeg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+       |nodes AS (SELECT DISTINCT src AS node FROM edges),
+       |nn AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE)/n_nodes AS pr FROM nodes CROSS JOIN nn),
+       |${stepSql("r0", "r1")},
+       |${stepSql("r1", "r2")},
+       |${stepSql("r2", "r3")}
+       |SELECT CASE WHEN node % 2 = 0 THEN 'c' || (node // 2)
+       |            ELSE 's' || (node // 2) END AS node,
+       |  ROUND(pr, 9) AS pr
+       |FROM r3
+       |ORDER BY ROUND(pr, 9) DESC, 1 LIMIT 20""".stripMargin
+  }
+
   /** BM25 ranking (k1=1.2, b=0.75) of the corpus against a fixed
     * 3-term query. Same relational skeleton as q38's TF-IDF — tf from
     * one explode, df as a vocabulary-bounded hash aggregate, doc
@@ -279,5 +417,9 @@ object StatsOps {
     QueryDef("q94_bm25_rank", bm25Rank, Some(bm25RankSql),
       "BM25 ranking against a fixed query"),
     QueryDef("q95_key_skew_profile", keySkewProfile, Some(keySkewProfileSql),
-      "join-key skew diagnostics (rows/keys/max/top-share)"))
+      "join-key skew diagnostics (rows/keys/max/top-share)"),
+    QueryDef("q96_lang_heavy_hitters", langHeavyHitters, Some(langHeavyHittersSql),
+      "grouped Misra-Gries heavy hitters per language"),
+    QueryDef("q97_pagerank", pageRank, Some(pageRankSql),
+      "fixed-iteration PageRank over the customer-supplier graph"))
 }

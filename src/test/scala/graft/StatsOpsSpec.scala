@@ -105,6 +105,37 @@ class StatsOpsSpec extends AnyFunSuite with LocalSparkSuite {
     }
   }
 
+  test("q96 grouped heavy hitters equal the direct per-group HAVING formulation") {
+    val twoPass = ops.StatsOps.langHeavyHitters(spark, sfDir).collect().toSeq
+    val words = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+    val tot = words.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val direct = words.groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
+      .join(tot, Seq("lang"))
+      .filter(col("n") > col("n_lang") / lit(50.0))
+      .select(col("lang"), col("w"), col("n"))
+      .orderBy(col("lang"), col("n").desc, col("w")).collect().toSeq
+    assert(twoPass === direct)
+    assert(twoPass.nonEmpty)
+  }
+
+  test("q97 pagerank conserves rank mass and is partitioning-independent") {
+    val r = ops.StatsOps.pageRankAll(spark, sfDir)
+    val mass = r.agg(sum(col("pr"))).head().getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-6, s"rank mass leaked: $mass")
+    val top = ops.StatsOps.pageRank(spark, sfDir).collect().toSeq
+    assert(top.length === 20)
+    val scores = top.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sortBy(-(_: Double))))
+    val wide = {
+      val prev = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "13")
+      try ops.StatsOps.pageRank(spark, sfDir).collect().toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    }
+    assert(wide === top, "pagerank values depend on partitioning")
+  }
+
   test("graft_heavy_hitters SQL registration validates arity and k type") {
     val (_, _, builder) = GraftExtensions.functions
       .find(_._1.funcName == "graft_heavy_hitters").get
