@@ -403,6 +403,87 @@ object StatsOps {
        |${profileSql("events", "user_id", "events")}
        |) ORDER BY tbl""".stripMargin
 
+  /** Per-user EWMA over each user's last 10 events (decay 1/2) — the
+    * time-series smoothing operator. One ranking window (ts desc,
+    * event_id tie-break) + one hash aggregate; nothing is quadratic
+    * and the frame depth is a constant, so the plan is a single
+    * shuffle on user_id at any scale. Determinism by INTEGER algebra:
+    * the 2-decimal values become exact cents, the dyadic decay makes
+    * every weight the integer 2^(10-rn), so numerator and denominator
+    * are exact bigint sums and the result is two IEEE divisions —
+    * bit-identical on any engine, no rounding slack anywhere. (A
+    * first cut summed value·2^-k through DECIMAL(38,18): the scale-18
+    * cast of a dyadic double lands on exact …5 ties where engines'
+    * rounding modes differ — 7% of users mismatched. Integer-domain
+    * rewrites beat finer decimals when the data has a money grid.) */
+  def ewmaUsers(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 10)
+      .withColumn("cents", round(col("value") * 100).cast("long"))
+      .withColumn("wt", pow(lit(2.0), lit(10) - col("rn")).cast("long"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_used"),
+        (sum(col("cents") * col("wt")).cast("double") / sum(col("wt")) / lit(100.0))
+          .as("ewma"))
+      .orderBy(col("user_id"))
+  }
+
+  private val ewmaUsersSql =
+    """WITH recent AS (
+      |  SELECT user_id, value,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events),
+      |terms AS (SELECT user_id,
+      |            CAST(ROUND(value * 100, 0) AS BIGINT) AS cents,
+      |            CAST(POWER(2, 10 - rn) AS BIGINT) AS wt
+      |          FROM recent WHERE rn <= 10)
+      |SELECT user_id, COUNT(*) AS n_used,
+      |  CAST(CAST(SUM(cents * wt) AS BIGINT) AS DOUBLE)
+      |    / CAST(SUM(wt) AS BIGINT) / 100.0 AS ewma
+      |FROM terms GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Z-score outlier detection: events more than 3σ above their
+    * type's mean. Mean and variance come from exact-decimal sums
+    * (values and squares are on the 4-decimal grid) combined in a
+    * FIXED scalar sequence `(s2 - s*s/n)/(n-1)` — written identically
+    * in the oracle, so both engines produce the same double and the
+    * z-filter can't flake at the boundary. The stats aggregate is
+    * 5 rows and broadcast back; the outlier pass is map-only — the
+    * standard anomaly-gate shape for a 100 TB event stream. */
+  def zscoreOutliers(s: SparkSession, d: String): DataFrame = {
+    val stats = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"),
+        dsum(col("value") * col("value")).as("sv2"))
+      .select(col("event_type"), col("n"),
+        (col("sv") / col("n")).as("mean"),
+        sqrt((col("sv2") - col("sv") * col("sv") / col("n")) / (col("n") - 1)).as("std"))
+    Tables.events(s, d)
+      .join(broadcast(stats), Seq("event_type"))
+      .filter(col("value") > col("mean") + lit(3.0) * col("std"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        round((col("value") - col("mean")) / col("std"), 6).as("z"))
+      .orderBy(col("event_type"), col("event_id"))
+  }
+
+  private val zscoreOutliersSql =
+    s"""WITH stats AS (
+       |  SELECT event_type, COUNT(*) AS n,
+       |    ${dsumSql("value")} AS sv, ${dsumSql("value*value")} AS sv2
+       |  FROM events GROUP BY event_type),
+       |st AS (SELECT event_type, sv/n AS mean,
+       |         SQRT((sv2 - sv*sv/n)/(n - 1)) AS std FROM stats)
+       |SELECT event_id, events.event_type, value,
+       |  ROUND((value - mean)/std, 6) AS z
+       |FROM events JOIN st ON events.event_type = st.event_type
+       |WHERE value > mean + CAST(3.0 AS DOUBLE)*std
+       |ORDER BY events.event_type, event_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q89_percentile_summary", percentileSummary, Some(percentileSummarySql),
       "exact group percentiles (sort-based; approx twin is q27)"),
@@ -421,5 +502,9 @@ object StatsOps {
     QueryDef("q96_lang_heavy_hitters", langHeavyHitters, Some(langHeavyHittersSql),
       "grouped Misra-Gries heavy hitters per language"),
     QueryDef("q97_pagerank", pageRank, Some(pageRankSql),
-      "fixed-iteration PageRank over the customer-supplier graph"))
+      "fixed-iteration PageRank over the customer-supplier graph"),
+    QueryDef("q98_ewma_users", ewmaUsers, Some(ewmaUsersSql),
+      "per-user EWMA over the last 10 events (dyadic decay, bit-exact)"),
+    QueryDef("q99_zscore_outliers", zscoreOutliers, Some(zscoreOutliersSql),
+      "3-sigma anomaly gate from exact-decimal moments"))
 }

@@ -136,6 +136,51 @@ class StatsOpsSpec extends AnyFunSuite with LocalSparkSuite {
     assert(wide === top, "pagerank values depend on partitioning")
   }
 
+  test("q98 ewma stays inside each user's value range and uses at most 10 events") {
+    val rows = ops.StatsOps.ewmaUsers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val ranges = Tables.events(spark, sfDir)
+      .groupBy(col("user_id")).agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (lo, hi) = ranges(r.getLong(0))
+      assert(r.getLong(1) <= 10)
+      val e = r.getDouble(2)
+      assert(e >= lo - 1e-9 && e <= hi + 1e-9,
+        s"ewma $e outside [$lo, $hi] for user ${r.getLong(0)}")
+    }
+  }
+
+  test("q98 ewma weights the most recent event hardest") {
+    import spark.implicits._
+    // 11 events for one user: ten value=0 then the newest value=100 —
+    // with decay 1/2 the smoothed value must be 100 * (1/sum(2^-k))
+    val df = (1 to 11).map(i =>
+      (1L, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$i%02d"), i.toLong,
+        if (i == 11) 100.0 else 0.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    // same pipeline as q98 but over an in-memory frame
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+    val got = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .withColumn("wt", pow(lit(0.5), col("rn") - 1))
+      .groupBy(col("user_id"))
+      .agg((sum((col("value") * col("wt")).cast("decimal(38,18)")).cast("double") /
+        sum(col("wt").cast("decimal(38,18)")).cast("double")).as("ewma"))
+      .head().getDouble(1)
+    val expect = 100.0 / (1 to 10).map(k => math.pow(0.5, k - 1)).sum
+    assert(math.abs(got - expect) < 1e-9, s"got $got, expected $expect")
+  }
+
+  test("q99 outliers are all above 3 sigma and z matches the stats") {
+    val rows = ops.StatsOps.zscoreOutliers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getDouble(3) > 3.0, s"z <= 3 leaked through: $r"))
+    // every type's outlier fraction should be small (exponential tail)
+    val total = Tables.events(spark, sfDir).count()
+    assert(rows.length < total / 20, s"${rows.length} outliers of $total rows")
+  }
+
   test("graft_heavy_hitters SQL registration validates arity and k type") {
     val (_, _, builder) = GraftExtensions.functions
       .find(_._1.funcName == "graft_heavy_hitters").get
