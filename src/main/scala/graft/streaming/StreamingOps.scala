@@ -84,6 +84,25 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(Seq("k"))
       .select(col("doc_id"), col("pos"), col("col").as("chunk"))
 
+  /** q93's streaming form: per-tumbling-window heavy-hitter CANDIDATE
+    * sets over the incoming word stream, via the same Misra–Gries
+    * `TypedImperativeAggregate` the batch query uses. The sketch
+    * buffer (≤k counters) is exactly the bounded state streaming
+    * aggregation wants — state per open window is O(k) however wide
+    * the word domain — and the superset guarantee carries over, so a
+    * downstream consumer re-counts candidates exactly (the batch
+    * query's second pass) or treats them as a monitoring signal
+    * as-is. Watermark closes windows in append mode; late words drop
+    * with it. */
+  def heavyHitterWindows(docs: DataFrame): DataFrame =
+    docs
+      .select(col("ts"), explode(split(col("text"), " ")).as("w"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(graft.functions.GraftFunctions.heavyHitterCandidates(col("w"), 15).as("cands"),
+        count(lit(1)).as("n_words"))
+      .select(col("window.start").as("wstart"), col("cands"), col("n_words"))
+
   /** A11-streaming: continuous import. Each micro-batch appends to the
     * RDBMS through the same batched JDBC writer the batch path uses —
     * the incremental-import story for a continuously-arriving dump

@@ -85,6 +85,32 @@ class StreamingSpec extends AnyFunSuite with LocalSparkSuite {
     } finally q.stop()
   }
 
+  test("streaming heavy-hitter windows: MG sketch state per closed window, late words dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.Doc]
+    val q = StreamingOps.heavyHitterWindows(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("hhwin").start()
+    try {
+      // window 10:00-10:05: "spark" dominates (8 of 14 words)
+      in.addData(
+        StreamingOps.Doc(1, ts("2024-01-01 10:01:00"),
+          "spark spark spark spark scala flink trino"),
+        StreamingOps.Doc(2, ts("2024-01-01 10:03:00"),
+          "spark spark spark spark duck goose heron"))
+      q.processAllAvailable()
+      in.addData(StreamingOps.Doc(3, ts("2024-01-01 13:00:00"), "tail data")) // close it
+      q.processAllAvailable()
+      val rows = spark.table("hhwin")
+        .filter(col("wstart") === ts("2024-01-01 10:00:00")).collect()
+      assert(rows.length === 1)
+      assert(rows.head.getAs[Long]("n_words") === 14)
+      val cands = rows.head.getSeq[String](1)
+      assert(cands.contains("spark"), s"dominant word lost from $cands")
+      assert(cands.size <= 15)
+    } finally q.stop()
+  }
+
   test("streaming near-dup gate: first doc per LSH band wins, short docs pass on exact hash") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
