@@ -492,6 +492,62 @@ object StatsOps {
        |WHERE value > mean + CAST(3.0 AS DOUBLE)*std
        |ORDER BY events.event_type, event_id""".stripMargin
 
+  /** Pointwise mutual information over adjacent word pairs — the
+    * collocation detector ("which words travel together?") that
+    * tokenizer and phrase-mining pipelines run before vocabulary
+    * decisions. Every aggregate is vocabulary-bounded (unigrams,
+    * bigrams, two scalar totals), so the only corpus-scale work is
+    * the explode — the shuffle payload can't exceed vocab² however
+    * big the corpus. PMI's log-ratio is computed over exact integer
+    * counts cast to double in a FIXED division sequence (mirrored in
+    * the oracle — products like cnt·n² would overflow 2^53, ratios
+    * never leave ~1e±6), LN once, ROUND(6) like q38's idf. */
+  def pmiBigrams(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d).select(toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = t.select(explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+          "(x, y) -> struct(x AS w1, y AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val biCnt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nab"))
+    val nBi = bi.agg(count(lit(1)).as("n_bi"))
+    val words = Tables.documents(s, d).select(explode(toks(col("text"))).as("w"))
+    val uni = words.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val nW = words.agg(count(lit(1)).as("n_w"))
+    biCnt
+      .join(broadcast(uni.select(col("w").as("w1"), col("cnt").as("na"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("cnt").as("nb"))), Seq("w2"))
+      .crossJoin(broadcast(nBi)).crossJoin(broadcast(nW))
+      .filter(col("nab") >= 5)
+      .withColumn("pmi", round(log(
+        (col("nab").cast("double") / col("n_bi")) /
+          (col("na").cast("double") / col("n_w")) /
+          (col("nb").cast("double") / col("n_w"))), 6))
+      .select(col("w1"), col("w2"), col("nab"), col("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(20)
+  }
+
+  private val pmiBigramsSql =
+    """WITH toks AS (SELECT string_split(text,' ') AS t FROM documents WHERE len(string_split(text,' ')) >= 2),
+      |bi AS (SELECT t[i] AS w1, t[i+1] AS w2
+      |       FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+      |bic AS (SELECT w1, w2, COUNT(*) AS nab FROM bi GROUP BY w1, w2),
+      |nbi AS (SELECT COUNT(*) AS n_bi FROM bi),
+      |words AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+      |uni AS (SELECT w, COUNT(*) AS cnt FROM words GROUP BY w),
+      |nw AS (SELECT COUNT(*) AS n_w FROM words)
+      |SELECT w1, w2, nab,
+      |  ROUND(LN((CAST(nab AS DOUBLE) / n_bi)
+      |         / (CAST(a.cnt AS DOUBLE) / n_w)
+      |         / (CAST(b.cnt AS DOUBLE) / n_w)), 6) AS pmi
+      |FROM bic
+      |  JOIN uni a ON bic.w1 = a.w
+      |  JOIN uni b ON bic.w2 = b.w
+      |  CROSS JOIN nbi CROSS JOIN nw
+      |WHERE nab >= 5
+      |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q89_percentile_summary", percentileSummary, Some(percentileSummarySql),
       "exact group percentiles (sort-based; approx twin is q27)"),
@@ -514,5 +570,7 @@ object StatsOps {
     QueryDef("q98_ewma_users", ewmaUsers, Some(ewmaUsersSql),
       "per-user EWMA over the last 10 events (dyadic decay, bit-exact)"),
     QueryDef("q99_zscore_outliers", zscoreOutliers, Some(zscoreOutliersSql),
-      "3-sigma anomaly gate from exact-decimal moments"))
+      "3-sigma anomaly gate from exact-decimal moments"),
+    QueryDef("q100_pmi_bigrams", pmiBigrams, Some(pmiBigramsSql),
+      "PMI collocations over adjacent word pairs (vocab-bounded)"))
 }

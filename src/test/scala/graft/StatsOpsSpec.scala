@@ -181,6 +181,28 @@ class StatsOpsSpec extends AnyFunSuite with LocalSparkSuite {
     assert(rows.length < total / 20, s"${rows.length} outliers of $total rows")
   }
 
+  test("q100 pmi matches a hand-computed collocation score") {
+    val rows = ops.StatsOps.pmiBigrams(spark, sfDir).collect()
+    assert(rows.length === 20)
+    val pmis = rows.map(_.getDouble(3))
+    assert(pmis.sameElements(pmis.sortBy(-(_: Double))), "not sorted desc")
+    // recompute the top row's PMI from raw counts
+    val top = rows.head
+    val (w1, w2) = (top.getString(0), top.getString(1))
+    val words = Tables.documents(spark, sfDir)
+      .select(split(col("text"), " ").as("t"))
+    val nW = words.select(explode(col("t"))).count().toDouble
+    val na = words.select(explode(col("t")).as("w")).filter(col("w") === w1).count().toDouble
+    val nb = words.select(explode(col("t")).as("w")).filter(col("w") === w2).count().toDouble
+    val bi = words.filter(size(col("t")) >= 2).select(explode(expr(
+      "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), (x, y) -> struct(x AS w1, y AS w2))")).as("p"))
+    val nBi = bi.count().toDouble
+    val nab = bi.filter(col("p.w1") === w1 && col("p.w2") === w2).count().toDouble
+    val expect = math.log((nab / nBi) / (na / nW) / (nb / nW))
+    assert(math.abs(top.getDouble(3) - expect) < 1e-5,
+      s"pmi ${top.getDouble(3)} != $expect for ($w1, $w2)")
+  }
+
   test("graft_heavy_hitters SQL registration validates arity and k type") {
     val (_, _, builder) = GraftExtensions.functions
       .find(_._1.funcName == "graft_heavy_hitters").get
