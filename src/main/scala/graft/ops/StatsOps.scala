@@ -10,7 +10,9 @@ import graft.functions.GraftFunctions._
   * and robust-statistics operators a 100 TB pipeline runs before and
   * after the heavy rewrites in TextOps/CurationOps: exact quantiles,
   * regression/correlation, histograms, key-skew profiling, two-pass
-  * heavy hitters, a salted-join skew demonstration, and BM25 ranking.
+  * and grouped heavy hitters, a salted-join skew demonstration, BM25
+  * ranking, PMI collocations, fixed-iteration PageRank, per-key EWMA
+  * smoothing, and a z-score anomaly gate.
   *
   * Determinism follows the house rules (SURVEY.md §2): exact-decimal
   * sums for money, single-IEEE-division averages, ROUND only on
