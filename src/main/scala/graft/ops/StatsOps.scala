@@ -550,6 +550,57 @@ object StatsOps {
       |WHERE nab >= 5
       |ORDER BY pmi DESC, w1, w2 LIMIT 20""".stripMargin
 
+  /** Perplexity-based quality filtering — the classic LM-driven corpus
+    * gate: score every document under the corpus's own add-one
+    * -smoothed bigram model and keep the 20 most predictable (lowest
+    * perplexity). The model IS two vocabulary-bounded aggregates
+    * (bigram and unigram counts, broadcast back over the corpus), so
+    * scoring is map-side however large the corpus — the shape a real
+    * perplexity filter has when the LM table fits a broadcast, and a
+    * bucketed join when it doesn't. Per-doc log-prob sums go through
+    * the exact-decimal route (full-mantissa ln values sit ~1e8 ulps
+    * away from the 1e-8 decimal grain, so cast ties can't occur —
+    * unlike q98's short-dyadic terms); EXP differs across engines by
+    * ulps at most, absorbed by ROUND(4) on perplexities ~1e1. */
+  def perplexityFilter(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d).select(col("doc_id"), toks(col("text")).as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = t.select(col("doc_id"), explode(expr(
+        "zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), " +
+          "(x, y) -> struct(x AS w1, y AS w2))")).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val biCnt = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("nab"))
+    val words = Tables.documents(s, d).select(explode(toks(col("text"))).as("w"))
+    val uni = words.groupBy(col("w")).agg(count(lit(1)).as("na"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    bi.join(broadcast(biCnt), Seq("w1", "w2"))
+      .join(broadcast(uni.select(col("w").as("w1"), col("na"))), Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("lp", log((col("nab") + lit(1)).cast("double") / (col("na") + col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bi"),
+        round(exp(-dsum(col("lp")) / count(lit(1))), 4).as("ppl"))
+      .orderBy(col("ppl"), col("doc_id"))
+      .limit(20)
+  }
+
+  private val perplexityFilterSql =
+    s"""WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents
+       |              WHERE len(string_split(text,' ')) >= 2),
+       |bi AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+       |       FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i)),
+       |bic AS (SELECT w1, w2, COUNT(*) AS nab FROM bi GROUP BY w1, w2),
+       |words AS (SELECT unnest(string_split(text,' ')) AS w FROM documents),
+       |uni AS (SELECT w AS w1, COUNT(*) AS na FROM words GROUP BY w),
+       |vocab AS (SELECT COUNT(*) AS v FROM uni),
+       |lps AS (SELECT doc_id,
+       |          LN(CAST(nab + 1 AS DOUBLE) / (na + v)) AS lp
+       |        FROM bi JOIN bic USING (w1, w2) JOIN uni USING (w1) CROSS JOIN vocab)
+       |SELECT doc_id, COUNT(*) AS n_bi,
+       |  ROUND(EXP(-${dsumSql("lp")} / COUNT(*)), 4) AS ppl
+       |FROM lps GROUP BY doc_id
+       |ORDER BY ppl, doc_id LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q89_percentile_summary", percentileSummary, Some(percentileSummarySql),
       "exact group percentiles (sort-based; approx twin is q27)"),
@@ -574,5 +625,7 @@ object StatsOps {
     QueryDef("q99_zscore_outliers", zscoreOutliers, Some(zscoreOutliersSql),
       "3-sigma anomaly gate from exact-decimal moments"),
     QueryDef("q100_pmi_bigrams", pmiBigrams, Some(pmiBigramsSql),
-      "PMI collocations over adjacent word pairs (vocab-bounded)"))
+      "PMI collocations over adjacent word pairs (vocab-bounded)"),
+    QueryDef("q101_perplexity_filter", perplexityFilter, Some(perplexityFilterSql),
+      "bigram-LM perplexity quality gate (broadcast LM, map-side scoring)"))
 }

