@@ -56,14 +56,22 @@ object GraftExtensions {
         }),
       (FunctionIdentifier("graft_heavy_hitters"),
         new ExpressionInfo(classOf[MisraGriesAgg].getName, "graft_heavy_hitters"),
-        (exprs: Seq[Expression]) => exprs match {
-          case Seq(child) => MisraGriesAgg(child).toAggregateExpression()
-          case Seq(child, Literal(k: Int, IntegerType)) =>
-            MisraGriesAgg(child, k).toAggregateExpression()
-          case Seq(_, other) => throw new IllegalArgumentException(
-            s"graft_heavy_hitters k must be an INT literal, got $other")
-          case _ => throw new IllegalArgumentException(
-            s"graft_heavy_hitters expects (col) or (col, k), got ${exprs.size} arguments")
+        (exprs: Seq[Expression]) => {
+          // cast → keys are the external string form for any child
+          // type (dates as '1996-01-01', not epoch-day ints); Cast is
+          // a no-op for string children
+          def str(e: Expression) =
+            org.apache.spark.sql.catalyst.expressions.Cast(e,
+              org.apache.spark.sql.types.StringType)
+          exprs match {
+            case Seq(child) => MisraGriesAgg(str(child)).toAggregateExpression()
+            case Seq(child, Literal(k: Int, IntegerType)) =>
+              MisraGriesAgg(str(child), k).toAggregateExpression()
+            case Seq(_, other) => throw new IllegalArgumentException(
+              s"graft_heavy_hitters k must be an INT literal, got $other")
+            case _ => throw new IllegalArgumentException(
+              s"graft_heavy_hitters expects (col) or (col, k), got ${exprs.size} arguments")
+          }
         }),
       (FunctionIdentifier("graft_shingles"),
         new ExpressionInfo(classOf[Shingles].getName, "graft_shingles"),

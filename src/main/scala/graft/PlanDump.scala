@@ -38,7 +38,7 @@ object PlanDump {
       "q84_curate_and_pack" -> "end-to-end assembly (suite's most expensive): the clustering fixpoint sits behind a checkpoint (Scan ExistingRDD), everything downstream is one declarative plan",
       "q86_chunk_dedup" -> "sub-document dedup: only (md5, doc_id, pos, n_tok) shuffles, never chunk text",
       "q91_price_histogram" -> "histogram: 2-column scan, partial agg over <=10 bins before the exchange",
-      "q92_salted_revenue" -> "salted skew join: (key, salt) join keys spread a hot key 8 ways, salt collapsed by the aggregate; shuffle_hash pinned on the replicated side (merge join would sort the 8x-inflated side — 8-20x slower at 10x scale)",
+      "q92_salted_revenue" -> "salted skew join: (key, salt) join keys spread a hot key 7 ways (salt = pmod(l_linenumber-1,7), every replica reachable), salt collapsed by the aggregate; shuffle_hash pinned on the replicated side (merge join would sort the 7x-inflated side — 8-20x slower at 10x scale)",
       "q93_heavy_hitters" -> "two-pass heavy hitters: ObjectHashAggregate partials for the MG sketch, candidates broadcast back",
       "q94_bm25_rank" -> "BM25: df/stats broadcast, only the 3-term tf slice flows; TakeOrderedAndProject top-10",
       "q97_pagerank" -> "fixed-iteration PageRank: out-degrees folded into the checkpointed edge list (Scan ExistingRDD), each round ONE broadcast join + one dst-key shuffle, no sort-merge anywhere")

@@ -101,7 +101,9 @@ object GraftFunctions {
     * partitioning-independent two-pass heavy-hitter query (q93). */
   def heavyHitterCandidates(c: Column, k: Int = 127): Column = {
     import org.apache.spark.sql.GraftShims.{column, expression}
-    column(MisraGriesAgg(expression(c), k).toAggregateExpression())
+    // explicit cast → keys are the column's EXTERNAL string form
+    // ('1996-01-01', not epoch-day 9570); no-op for string columns
+    column(MisraGriesAgg(expression(c.cast("string")), k).toAggregateExpression())
   }
 
   /** Word k-shingle array in one codegen'd pass (see [[Shingles]]). */

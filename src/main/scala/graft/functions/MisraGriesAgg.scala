@@ -45,6 +45,21 @@ case class MisraGriesAgg(
 
   require(k >= 1 && k <= 65536, s"graft_heavy_hitters k must be in [1,65536], got $k")
 
+  // String child required (enforced via checkInputDataTypes rather
+  // than inputTypes: AbstractDataType is private[sql], so an extension
+  // can't override ExpectsInputTypes). Both public entry points — the
+  // Scala function and the SQL registration — wrap non-string children
+  // in an explicit CAST, so a DATE/TIMESTAMP column is keyed by its
+  // external SQL string ('1996-01-01'), never the internal
+  // epoch-day/micros int a raw eval().toString would have produced.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_heavy_hitters requires a STRING child (add a CAST), got ${child.dataType}")
+  }
+
   override def createAggregationBuffer(): mutable.HashMap[String, Long] =
     mutable.HashMap.empty[String, Long]
 
@@ -86,12 +101,17 @@ case class MisraGriesAgg(
     new GenericArrayData(
       buffer.keysIterator.toArray.sorted.map(UTF8String.fromString(_)))
 
+  // keys ship as length-prefixed raw UTF-8, not writeUTF: writeUTF
+  // caps a key at 65535 modified-UTF-8 bytes and THROWS past it, and a
+  // heavy-hitter sketch over a document-text column sees keys that big
   override def serialize(buffer: mutable.HashMap[String, Long]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
     out.writeInt(buffer.size)
     buffer.foreach { case (key, c) =>
-      out.writeUTF(key)
+      val bytes = key.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(bytes.length)
+      out.write(bytes)
       out.writeLong(c)
     }
     out.flush()
@@ -104,7 +124,9 @@ case class MisraGriesAgg(
     val buffer = mutable.HashMap.empty[String, Long]
     var i = 0
     while (i < n) {
-      val key = in.readUTF()
+      val keyBytes = new Array[Byte](in.readInt())
+      in.readFully(keyBytes)
+      val key = new String(keyBytes, java.nio.charset.StandardCharsets.UTF_8)
       buffer.update(key, in.readLong())
       i += 1
     }

@@ -98,29 +98,36 @@ object StatsOps {
        |GROUP BY bin ORDER BY bin""".stripMargin
 
   /** Salted fact-fact join: revenue per order priority, with the
-    * lineitem⋈orders join key manually salted 8 ways (orders replicated
+    * lineitem⋈orders join key manually salted 7 ways (orders replicated
     * per salt, lineitem routed by a key-independent attribute). This is
     * the deterministic-plan answer to join skew — a hot o_orderkey's
-    * rows land in 8 different shuffle partitions instead of one — and
+    * rows land in 7 different shuffle partitions instead of one — and
     * it is value-identical to the plain join because every fact row
-    * still meets exactly one replica of its order row. At 100 TB the
+    * still meets exactly one replica of its order row. The salt is
+    * pmod(l_linenumber-1, 7): l_linenumber ranges 1..7, so the -1/mod-7
+    * form covers every salt value — the earlier mod-8 form left salt 0
+    * unreachable, shipping a dead replica per order (1/8 of the
+    * replicated side could never match) and fanning a hot key only 7
+    * ways while claiming 8. At 100 TB the
     * same rewrite applies per-hot-key (salt only keys above a count
-    * threshold); AQE's skew-join split is the runtime alternative when
+    * threshold), with the salt drawn from a uniform hash rather than a
+    * bounded natural attribute; AQE's skew-join split is the runtime
+    * alternative when
     * plans may adapt (SCALING.md measures it) — this query keeps the
     * explicit form the optimizer can't be asked for. The post-join
     * aggregate collapses the salt, so no schema leak. The replicated
     * side carries a shuffle_hash hint: its per-partition slice is
     * bounded by rows×salts/shuffle-width (a hash table, no sort),
-    * while the default sort-merge join must SORT the 8×-inflated
+    * while the default sort-merge join must SORT the 7×-inflated
     * side — measured 6-20× slower and spill-prone at the 10× scale
     * (SCALING.md round-4 cont.). Salting plus merge-join undoes the
     * very cost salting is buying back; hash join is the pairing that
     * makes the rewrite profitable. */
   def saltedRevenue(s: SparkSession, d: String): DataFrame = {
     val salted = Tables.lineitem(s, d)
-      .withColumn("salt", pmod(col("l_linenumber"), lit(8)))
+      .withColumn("salt", pmod(col("l_linenumber") - 1, lit(7)))
     val replicated = Tables.orders(s, d)
-      .withColumn("salt", explode(sequence(lit(0), lit(7))))
+      .withColumn("salt", explode(sequence(lit(0), lit(6))))
       .hint("shuffle_hash")
     salted.join(replicated,
         salted("l_orderkey") === replicated("o_orderkey") &&

@@ -75,6 +75,29 @@ class StatsOpsSpec extends AnyFunSuite with LocalSparkSuite {
     }
   }
 
+  test("misra-gries survives partial-aggregate shipping of keys past writeUTF's 64KB cap") {
+    import spark.implicits._
+    // a dominant 70000-char key spread over several partitions forces
+    // the sketch buffer through serialize/deserialize with a key no
+    // modified-UTF-8 scheme could carry
+    val big = "x" * 70000
+    val data = Seq.fill(40)(big) ++ (0 to 9).map(i => s"small_$i")
+    val cands = data.toDF("w").repartition(5)
+      .agg(heavyHitterCandidates(col("w"), 3)).head()
+      .getSeq[String](0)
+    assert(cands.contains(big))
+  }
+
+  test("misra-gries keys non-string children by external value, not internal representation") {
+    import spark.implicits._
+    val cands = Seq.fill(5)("1996-03-15").toDF("s")
+      .select(col("s").cast("date").as("d"))
+      .agg(heavyHitterCandidates(col("d"), 3)).head()
+      .getSeq[String](0)
+    // epoch-day internal form would have surfaced as "9570"
+    assert(cands === Seq("1996-03-15"))
+  }
+
   test("q93 end-to-end equals the direct groupBy-HAVING formulation at any partitioning") {
     val twoPass = ops.StatsOps.heavyHitters(spark, sfDir).collect().toSeq
     val words = Tables.documents(spark, sfDir)
