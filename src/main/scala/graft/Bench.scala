@@ -129,6 +129,7 @@ object Bench {
       System.err.println(f"[bench] WARN $k is ${100 * v / total}%.0f%% of the suite ($v%.1f s) — investigate before shipping")
     }
     Tables.clearCache()
+    CheckpointMemo.clear()
     spark.stop()
   }
 }

@@ -280,11 +280,31 @@ object TextOps {
     *    convergence detection rides the SAME job as the propagation
     *    via an `observe` metric — sum(lbl) is monotone non-increasing
     *    and stalls exactly at the fixpoint — instead of a separate
-    *    count() action joining old vs new labels. */
+    *    count() action joining old vs new labels.
+    *  - The first TWO rounds compose into ONE declarative plan (no
+    *    checkpoint between them): near-fixpoint seeds converge within
+    *    two rounds in every observed run, so the common case is three
+    *    driver-blocking jobs total (edges, seed, double-round) with
+    *    both rounds' label sums riding the one job as observe metrics,
+    *    and the checkpoint-per-round loop remains only as the
+    *    O(diameter) fallback for adversarial chain graphs. The round-2
+    *    plan references round 1 four times (union + propagate + both
+    *    jump sides); identical canonical subtrees mean the physical
+    *    plan computes round 1 once and wires three ReusedExchange
+    *    nodes — see PLANS.md's iterative section.
+    *
+    * The converged labeling is memoized per (session, sfDir): q76,
+    * q79 and q84 all consume the SAME deterministic fixpoint, so one
+    * materialization serves all three ([[graft.CheckpointMemo]]). */
   def dedupComponents(s: SparkSession, d: String): DataFrame =
     dedupComponentsCore(s, d).orderBy(col("doc_id"))
 
-  private[ops] def dedupComponentsCore(s: SparkSession, d: String): DataFrame = {
+  private[ops] def dedupComponentsCore(s: SparkSession, d: String): DataFrame =
+    graft.CheckpointMemo.getOrElseUpdate(s, d, "dedup_labels") {
+      computeDedupComponents(s, d)
+    }
+
+  private def computeDedupComponents(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.Observation
     val bands = signatures(s, d).select(col("doc_id"),
       explode(array(concat(col("mh0"), col("mh1")),
@@ -300,23 +320,33 @@ object TextOps {
     val edges = star.select(col("a").as("src"), col("b").as("dst"))
       .union(star.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
-    val seedObs = Observation()
-    var labels = edges
+    // one propagation round: keep own label, take neighbors' labels,
+    // pointer-jump through the label map, fold with min
+    def step(l: DataFrame): DataFrame = {
+      val prop = edges.join(l, col("src") === col("node"))
+        .select(col("dst").as("node"), col("lbl"))
+      val jump = l.alias("x").join(l.alias("y"), col("x.lbl") === col("y.node"))
+        .select(col("x.node").as("node"), col("y.lbl").as("lbl"))
+      l.union(prop).union(jump)
+        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+    }
+    val seed = edges
       .select(col("src").as("node"), least(col("src"), col("dst")).as("lbl"))
       .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
-      .observe(seedObs, sum(col("lbl")).as("s"))
-      .localCheckpoint() // eager → runs the job and publishes the metric
-    var curSum = seedObs.get("s").asInstanceOf[Long]
-    var converged = false
-    var iter = 0
+      .localCheckpoint() // eager → truncates lineage for the unroll
+    // rounds 1+2 as one job; the sums of both rounds ride it as metrics
+    val o1 = Observation()
+    val o2 = Observation()
+    var labels = step(step(seed).observe(o1, sum(col("lbl")).as("s")))
+      .observe(o2, sum(col("lbl")).as("s"))
+      .localCheckpoint()
+    seed.unpersist()
+    var curSum = o2.get("s").asInstanceOf[Long]
+    var converged = o1.get("s").asInstanceOf[Long] == curSum
+    var iter = 2
     while (!converged && iter < 50) {
       val obs = Observation()
-      val prop = edges.join(labels, col("src") === col("node"))
-        .select(col("dst").as("node"), col("lbl"))
-      val jump = labels.alias("x").join(labels.alias("y"), col("x.lbl") === col("y.node"))
-        .select(col("x.node").as("node"), col("y.lbl").as("lbl"))
-      val next = labels.union(prop).union(jump)
-        .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
+      val next = step(labels)
         .observe(obs, sum(col("lbl")).as("s"))
         .localCheckpoint()
       val nextSum = obs.get("s").asInstanceOf[Long]
