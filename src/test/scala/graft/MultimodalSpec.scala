@@ -5,11 +5,55 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.MultimodalOps
 
-/** Multimodal binary-column plumbing (decode step stubbed — see
-  * MultimodalOps.decodeStub). */
+/** Multimodal binary-column plumbing: the real PPM/BMP decode tier
+  * over checked-in fixture bytes, and the histogram stub tier for
+  * everything a codec-free container cannot decode. */
 class MultimodalSpec extends AnyFunSuite with LocalSparkSuite {
 
   private lazy val assets = MultimodalOps.assets(spark, sfDir)
+
+  private def fixture(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream("/" + name)
+    try in.readAllBytes() finally in.close()
+  }
+
+  test("decodes the checked-in P6 PPM fixture: dims, comment skip, channel means") {
+    // fixture pixel (x,y) = (10x, 10y, x+y) over 4x3
+    val img = MultimodalOps.decodeImage(fixture("fixture_4x3.ppm")).get
+    assert(img.width === 4 && img.height === 3)
+    assert(img.meanR === 15.0 && img.meanG === 10.0 && img.meanB === 2.5)
+  }
+
+  test("decodes the checked-in 24-bit BMP fixture: BGR order and row padding honored") {
+    // 3x2, one pure-red row + one pure-blue row, rows padded 9 -> 12 bytes:
+    // reading padding as pixels (or R/B swapped asymmetrically) breaks the means
+    val img = MultimodalOps.decodeImage(fixture("fixture_3x2.bmp")).get
+    assert(img.width === 3 && img.height === 2)
+    assert(img.meanR === 127.5 && img.meanG === 0.0 && img.meanB === 127.5)
+  }
+
+  test("malformed image bytes fall back, not decode: truncation and magic-only") {
+    val ppm = fixture("fixture_4x3.ppm")
+    assert(MultimodalOps.decodeImage(ppm.dropRight(1)).isEmpty, "truncated raster")
+    assert(MultimodalOps.decodeImage(ppm ++ Array(0.toByte)).isEmpty, "trailing junk")
+    assert(MultimodalOps.decodeImage("P6 but not an image".getBytes).isEmpty)
+    val bmp = fixture("fixture_3x2.bmp")
+    assert(MultimodalOps.decodeImage(bmp.take(53)).isEmpty, "truncated header")
+    assert(MultimodalOps.decodeImage(bmp.dropRight(1)).isEmpty, "truncated pixels")
+  }
+
+  test("extractFeatures routes real images to the decode tier, text to the histogram tier") {
+    import spark.implicits._
+    val mixed = Seq(
+      MultimodalOps.Asset(1L, "image", fixture("fixture_4x3.ppm"), 64, 16000),
+      MultimodalOps.Asset(2L, "image", fixture("fixture_3x2.bmp"), 64, 16000),
+      MultimodalOps.Asset(3L, "image", "plain text payload".getBytes, 64, 16000)).toDS()
+    val f = MultimodalOps.extractFeatures(mixed).collect().sortBy(_.asset_id)
+    assert(f(0).features.toSeq === Seq(4f, 3f, 15f / 255, 10f / 255, 2.5f / 255, 0f, 0f, 1f))
+    assert(f(1).features.toSeq === Seq(3f, 2f, 0.5f, 0f, 0.5f, 0f, 0f, 1f))
+    // histogram tier: marker slot holds a fraction < 1, vector sums to 1
+    assert(f(2).features(7) < 1f && math.abs(f(2).features.sum - 1f) < 1e-3)
+  }
 
   test("assets carry opaque payloads + typed metadata") {
     val a = assets.filter(col("asset_id") === 0).head()
