@@ -151,6 +151,54 @@ class CurationSpec extends AnyFunSuite with LocalSparkSuite {
     }
   }
 
+  test("sharded packing holds every per-shard invariant at a 10x corpus") {
+    // The documented 100 TB posture (packCore scaladoc): parallelism =
+    // #groups, so at scale the grouping key is (lang, shard) with
+    // shard = hash(doc_id) at executor-sized granularity. Demonstrate
+    // it: a 5000-doc corpus (10x the testdata's 500) packed under the
+    // composite key, checked shard-by-shard against the sequential
+    // greedy replay.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, concat, hash, lit, pmod}
+    val nShards = 8
+    // deterministic pseudo-random corpus: sizes span tiny, mid, and
+    // oversized (> 512) docs; langs interleave
+    val docs = (0L until 5000L).map { id =>
+      val n = ((id * 2654435761L) % 613L) + 1L // 1..613, crosses the budget
+      (id, if (id % 3 == 0) "en" else if (id % 3 == 1) "de" else "fr", n)
+    }
+    val sharded = CurationOps.packCore(spark,
+        docs.toDF("doc_id", "lang", "n")
+          .withColumn("lang",
+            concat(col("lang"), lit("#"), pmod(hash(col("doc_id")), lit(nShards)))))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // nothing lost or duplicated by sharding
+    assert(sharded.map(_._1).distinct.length === 5000)
+    // sharding multiplied the parallelism: every (lang, shard) group
+    // is populated, so the typed groupBy fans 3 langs into 24 groups
+    assert(sharded.map(_._2).distinct.length === 3 * nShards)
+    // each shard is an independent greedy packing of ITS docs in
+    // doc_id order — equal to the sequential replay, budget and all
+    val shardOf = sharded.map(t => t._1 -> t._2).toMap
+    docs.foreach { case (id, lang, _) => // shard key extends the doc's own lang
+      assert(shardOf(id).startsWith(lang + "#"))
+    }
+    val jvmShard = (key: String) => {
+      val mine = docs.filter { case (id, _, _) => shardOf(id) == key }.sortBy(_._1)
+      var pack = 0L; var fill = 0L; var first = true
+      mine.map { case (id, _, n) =>
+        if (!first && fill + n > 512L) { pack += 1; fill = n }
+        else { fill += n; first = false }
+        (id, key, pack, n)
+      }
+    }
+    sharded.map(_._2).distinct.foreach { key =>
+      val got = sharded.filter(_._2 == key).sortBy(_._1).toSeq
+      assert(got === jvmShard(key), s"shard $key diverged from the greedy replay")
+    }
+  }
+
   test("curate-and-pack packs exactly the curated docs, densely per language") {
     val packed = CurationOps.curateAndPack(spark, sfDir).collect()
     val curated = CurationOps.curateCorpus(spark, sfDir, "01234567")
