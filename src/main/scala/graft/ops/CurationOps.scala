@@ -197,8 +197,14 @@ object CurationOps {
     // component member, so a doc with that id would be clustered too).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(coalesce(col("cluster"), col("doc_id")))
+    // the labels frame is checkpoint-backed (CheckpointMemo) and a
+    // checkpoint scan carries no stats, so without a hint this LEFT
+    // join falls to sort-merge — sorting the whole corpus side against
+    // a dup-subset-sized build. shuffle_hash pins the bounded-slice
+    // hash join at every scale (labels ≤ corpus by construction).
     preDedup
-      .join(TextOps.dedupComponentsCore(s, d), Seq("doc_id"), "left")
+      .join(TextOps.dedupComponentsCore(s, d).hint("shuffle_hash"),
+        Seq("doc_id"), "left")
       .withColumn("keep_id", min(col("doc_id")).over(w))
       .filter(col("doc_id") === col("keep_id"))
       .filter(samplePred(sampleHex))

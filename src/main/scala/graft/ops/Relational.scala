@@ -192,12 +192,19 @@ object Relational {
        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
 
-  /** B6 full outer join of two aggregates (nation coverage differs). */
+  /** B6 full outer join of two aggregates (nation coverage differs).
+    * FULL OUTER is the one equi-join shape broadcast hash can't run
+    * (both sides must emit unmatched rows), so the planner's default
+    * is a sort-merge join; the shuffle_hash hint on the build side
+    * keeps the same single exchange but hashes instead of sorting both
+    * sides — the bounded-slice plan at any scale (cf. q92's salted
+    * join, where the same pairing is what makes salting profitable). */
   def fullOuterNation(s: SparkSession, d: String): DataFrame = {
     val cn = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk"))
       .agg(count(lit(1)).as("n_customers"))
     val sn = Tables.supplier(s, d).groupBy(col("s_nationkey").as("snk"))
       .agg(count(lit(1)).as("n_suppliers"))
+      .hint("shuffle_hash")
     cn.join(sn, col("nk") === col("snk"), "full_outer")
       .select(coalesce(col("nk"), col("snk")).as("nationkey"),
         coalesce(col("n_customers"), lit(0L)).as("n_customers"),
