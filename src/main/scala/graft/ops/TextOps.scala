@@ -304,8 +304,12 @@ object TextOps {
       computeDedupComponents(s, d)
     }
 
-  private def computeDedupComponents(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.Observation
+  /** The fixpoint's building blocks — (checkpointed edges,
+    * checkpointed seed labels, one-round step) — shared by the compute
+    * path and the plan-evidence surface ([[fixpointUnrolledPlan]]).
+    * Constructing them runs the two driver-blocking build jobs. */
+  private def fixpointParts(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame => DataFrame) = {
     val bands = signatures(s, d).select(col("doc_id"),
       explode(array(concat(col("mh0"), col("mh1")),
         concat(col("mh2"), col("mh3")))).as("band"))
@@ -321,11 +325,19 @@ object TextOps {
       .union(star.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
     // one propagation round: keep own label, take neighbors' labels,
-    // pointer-jump through the label map, fold with min
+    // pointer-jump through the label map, fold with min. The label-map
+    // join side is pinned shuffle_hash: size ESTIMATES through an
+    // unexecuted round's aggregate inflate past the broadcast
+    // threshold (join-cardinality heuristics over checkpoint scans),
+    // so an unhinted round 2 falls to sort-merge — sorting the label
+    // map every round, at 100 TB the exact regression the plan guard
+    // exists for. Hash join on the (node/lbl)-keyed exchanges is the
+    // bounded-slice plan at every scale.
     def step(l: DataFrame): DataFrame = {
-      val prop = edges.join(l, col("src") === col("node"))
+      val prop = edges.join(l.hint("shuffle_hash"), col("src") === col("node"))
         .select(col("dst").as("node"), col("lbl"))
-      val jump = l.alias("x").join(l.alias("y"), col("x.lbl") === col("y.node"))
+      val jump = l.alias("x")
+        .join(l.hint("shuffle_hash").alias("y"), col("x.lbl") === col("y.node"))
         .select(col("x.node").as("node"), col("y.lbl").as("lbl"))
       l.union(prop).union(jump)
         .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
@@ -334,6 +346,23 @@ object TextOps {
       .select(col("src").as("node"), least(col("src"), col("dst")).as("lbl"))
       .groupBy(col("node")).agg(min(col("lbl")).as("lbl"))
       .localCheckpoint() // eager → truncates lineage for the unroll
+    (edges, seed, step)
+  }
+
+  /** The unrolled double-round plan, returned UNEXECUTED — the
+    * plan-evidence surface PlanDump's iterative section and the
+    * ReusedExchange spec read. Round 2 references round 1 four times
+    * (union + propagate + both jump sides); the physical plan must
+    * compute round 1 once and reuse its exchange for the rest, or the
+    * unroll would be doing 4x the work the loop did. */
+  private[graft] def fixpointUnrolledPlan(s: SparkSession, d: String): DataFrame = {
+    val (_, seed, step) = fixpointParts(s, d)
+    step(step(seed))
+  }
+
+  private def computeDedupComponents(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.Observation
+    val (edges, seed, step) = fixpointParts(s, d)
     // rounds 1+2 as one job; the sums of both rounds ride it as metrics
     val o1 = Observation()
     val o2 = Observation()

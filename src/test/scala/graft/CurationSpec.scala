@@ -151,6 +151,25 @@ class CurationSpec extends AnyFunSuite with LocalSparkSuite {
     }
   }
 
+  test("unrolled fixpoint double-round computes round 1 once (ReusedExchange)") {
+    // the two-round unroll references round 1 four times (union +
+    // propagate + both pointer-jump sides); if the canonical subtrees
+    // stopped deduplicating, the unroll would quietly do 4x the work
+    // the checkpoint-per-round loop did — assert the physical plan
+    // reuses round 1's exchange instead of recomputing it. AQE off for
+    // the read: adaptive plans only surface reuse in the runtime-final
+    // plan, while the static planner applies ReuseExchange up front.
+    val plan = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      graft.ops.TextOps.fixpointUnrolledPlan(spark, sfDir)
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(plan.contains("ReusedExchange"),
+      s"no ReusedExchange in the unrolled fixpoint plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      "fixpoint round joins must stay hash/broadcast (checkpoint-stats lesson)")
+  }
+
   test("sharded packing holds every per-shard invariant at a 10x corpus") {
     // The documented 100 TB posture (packCore scaladoc): parallelism =
     // #groups, so at scale the grouping key is (lang, shard) with
