@@ -27,9 +27,18 @@ object Bench {
     // three for experiments.
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
       math.min(cpus.toInt, 8).toString)
+    // AQE picks the effective width per stage: start every exchange at
+    // 4x cores and let coalescing shrink it to the data. A FIXED width
+    // cannot serve two volumes — 8 partitions measured best at sf0.1,
+    // but at the 10x corpus the same 8 puts ~13M-row hash builds in
+    // one task each (q92's salted join measured 74-105 s; 64-wide cut
+    // it to 7 s). shuffle.partitions stays the AQE-off fallback knob.
+    val initParts = sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS",
+      (4 * cpus.toInt).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", initParts)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
