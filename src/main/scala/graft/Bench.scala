@@ -28,13 +28,17 @@ object Bench {
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
       math.min(cpus.toInt, 8).toString)
     // AQE picks the effective width per stage: start every exchange at
-    // 4x cores and let coalescing shrink it to the data. A FIXED width
-    // cannot serve two volumes — 8 partitions measured best at sf0.1,
-    // but at the 10x corpus the same 8 puts ~13M-row hash builds in
-    // one task each (q92's salted join measured 74-105 s; 64-wide cut
-    // it to 7 s). shuffle.partitions stays the AQE-off fallback knob.
-    val initParts = sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS",
-      (4 * cpus.toInt).toString)
+    // one partition per core and let coalescing shrink it to the data.
+    // Clean-window sweep at the 10x corpus (sentinels verified, n=2,
+    // probes q18/q20/q92/q101): 32 ties-or-beats 8 on every probe
+    // (q92 1.29 s vs 1.71) while 128 loses 2-9x on ALL of them (q92
+    // 11.5 s, q18 4.5 s) — wide exchanges of small-ish data buy task
+    // overhead, not parallelism, and AQE can only coalesce DOWN from
+    // the initial number, never widen. An earlier 4x-cores default
+    // was justified by a q92 74-105 s measurement at width 8 that a
+    // clean window does not reproduce — contention, not width.
+    // shuffle.partitions stays the AQE-off fallback knob.
+    val initParts = sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
@@ -80,32 +84,93 @@ object Bench {
     // whatever the window did to it
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
-    // contention sentinel: a fixed single-threaded CPU task (no IO, no
-    // Spark) timed immediately before and after the suite. Its cost is
-    // a host property, not a data/code property — so a run whose
-    // sentinels disagree with each other or with the ~0.2-0.4 s
-    // nominal self-evidently sat in a contention window, and the bench
-    // line carries that evidence in-band instead of leaving a bad
-    // total to be forensically reconstructed (the BENCH_r04 lesson).
+    // contention sentinel: a fixed CPU task (no IO, no Spark) timed
+    // immediately before and after the suite. Its cost is a host
+    // property, not a data/code property — so a run whose sentinels
+    // disagree with each other or with the ~0.2-0.4 s nominal
+    // self-evidently sat in a contention window, and the bench line
+    // carries that evidence in-band instead of leaving a bad total to
+    // be forensically reconstructed (the BENCH_r04 lesson). The loop
+    // runs on EVERY core at once (wall time of the slowest thread):
+    // a single-threaded probe read 1.5x nominal in a window where
+    // 32-way-parallel stages ran 10-30x slow — a neighbor stealing 31
+    // of 32 cores barely moves one thread but destroys a stage, and
+    // all-cores wall time is exactly the resource a stage needs.
     def sentinelOnce(): Double = {
       val t0 = System.nanoTime()
-      var h = 0x811c9dc5L
-      var i = 0L
-      while (i < 200000000L) { h = (h ^ i) * 0x100000001b3L; i += 1 }
-      sentinelSink = h // defeat dead-code elimination
+      val threads = (1 to cpus.toInt).map { _ =>
+        new Thread(() => {
+          var h = 0x811c9dc5L
+          var i = 0L
+          while (i < 200000000L) { h = (h ^ i) * 0x100000001b3L; i += 1 }
+          sentinelSink = h // defeat dead-code elimination
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
+    }
+    def gcSeconds(): Double = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum / 1e3
     }
     sentinelOnce() // untimed JIT warmup of the loop itself
     val sentinelPre = sentinelOnce()
+    val gcPre = gcSeconds()
+    // pre/post sentinels alone cannot see a window that opens and
+    // closes MID-run (observed: a 10x-suite run with clean 0.215 s
+    // pre/post carried 20-100x inflation on its middle queries) — so
+    // the sentinel is also re-sampled between every tenth query and
+    // the worst sample is reported as sentinel_max
+    val sentinelMid = scala.collection.mutable.ArrayBuffer[Double]()
+    var sinceSample = 0
+    // Spark's ContextCleaner reclaims shuffle files / broadcasts /
+    // checkpoint blocks only when their weak references are GC'd — and
+    // a 16g heap running 101 queries x 2 passes may never GC the old
+    // gen, so the tail of a long suite runs on top of ~200 queries of
+    // leaked shuffle state (observed at the 10x corpus: q92 ~17 s
+    // in-suite in the LAST decile of two different runs vs 1.3-1.7 s
+    // isolated — position-correlated, config-independent). A forced
+    // GC at each sentinel point lets the cleaner drain; the cost is
+    // outside every timed region. Opt out: SPARK_GRAFT_PERIODIC_GC.
+    val periodicGc = sys.env.getOrElse("SPARK_GRAFT_PERIODIC_GC", "true").toBoolean
     // a failed query is recorded as -1.0 (never its elapsed time) and
     // counted in "errors", so failures can't silently shrink the total
+    // a burst shorter than the 10-query sentinel cadence can still
+    // cover BOTH passes of one expensive query and vanish before the
+    // next sample (observed: q101 86/78 s back-to-back, 1.6 s
+    // isolated minutes later, sentinel_max 0.38) — so any query whose
+    // min comes out expensive triggers an immediate sentinel sample,
+    // and if that sample is elevated the query gets ONE extra pass
+    // (suite-wide cap bounds worst-case wall time). If contention
+    // persists through the retry the number stays bad — but then
+    // sentinel_max says so in-band.
+    var retriesLeft = 10
+    def timedPass(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-        val times = (1 to repeat).map { _ =>
-          val t0 = System.nanoTime()
-          val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-          if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        sinceSample += 1
+        if (sinceSample >= 10) {
+          if (periodicGc) System.gc()
+          sentinelMid += sentinelOnce()
+          sinceSample = 0
+        }
+        var times = (1 to repeat).map(_ => timedPass(fn))
+        if (times.forall(_ >= 0) && times.min > 2.0) {
+          val probe = sentinelOnce()
+          sentinelMid += probe
+          if (probe > 1.6 * sentinelPre && retriesLeft > 0) {
+            retriesLeft -= 1
+            // an infra-fluke failure on the extra pass must not mark
+            // an otherwise-green query as an error
+            val extra = timedPass(fn)
+            if (extra >= 0) times = times :+ extra
+          }
         }
         if (repeat > 1) System.err.println(
           s"[bench] $name runs: ${times.map(t => String.format(java.util.Locale.ROOT, "%.2f", Double.box(t))).mkString(", ")}")
@@ -113,6 +178,8 @@ object Bench {
         name -> (if (valid.size < times.size) -1.0 else valid.min)
       }
     val sentinelPost = sentinelOnce()
+    val sentinelMax = (Seq(sentinelPre, sentinelPost) ++ sentinelMid).max
+    val gcSec = gcSeconds() - gcPre
     // millisecond resolution keeps the 100-query JSON line under the
     // driver's output-capture tail (the r2/r3 captures truncated the
     // line's head and the driver recorded parsed:null — fewer digits
@@ -133,7 +200,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val dominant = results.filter { case (_, v) => v >= 0 && v > 0.2 * total }
       .map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"passes":$repeat,"sentinel_pre":${fmt(sentinelPre)},"sentinel_post":${fmt(sentinelPost)},"slowest":$slowest,"dominant":$dominant,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"passes":$repeat,"sentinel_pre":${fmt(sentinelPre)},"sentinel_post":${fmt(sentinelPost)},"sentinel_max":${fmt(sentinelMax)},"gc_sec":${fmt(gcSec)},"slowest":$slowest,"dominant":$dominant,"queries":$qs,"sf":"$sfDir"}""")
     results.filter { case (_, v) => v >= 0 && v > 0.2 * total }.foreach { case (k, v) =>
       System.err.println(f"[bench] WARN $k is ${100 * v / total}%.0f%% of the suite ($v%.1f s) — investigate before shipping")
     }
