@@ -436,7 +436,34 @@ object CurationOps {
        |       FROM pt JOIN pp ON pt.lang = pp.lang AND pt.rn = pp.rn + 1)
        |SELECT doc_id, lang, pack_id, n AS n_tokens FROM pp ORDER BY doc_id""".stripMargin
 
+  /** q102: size-bounded export shard assignment — the interchange
+    * step between curation and a training loader
+    * ([[graft.ingest.CorpusExport]] writes these shards as
+    * lang=/shard= JSONL and emits the loader-verifiable manifest).
+    * The shard id is a distributed byte prefix sum (bucketed like
+    * q85's mixing budget: per-(lang,bucket) totals → broadcast
+    * offsets → intra-bucket window), so no task ever windows a whole
+    * language and the oracle's single-window formulation is
+    * reproduced exactly — `div` keeps the boundary integer-exact in
+    * both engines. */
+  def corpusShards(s: SparkSession, d: String): DataFrame =
+    graft.ingest.CorpusExport.assignShards(Tables.documents(s, d), 64 * 1024L)
+      .select(col("doc_id"), col("lang"), col("shard"))
+      .orderBy(col("doc_id"))
+
+  private val corpusShardsSql =
+    """WITH b AS (SELECT doc_id, lang, strlen(text) + 1 AS bytes,
+      |    doc_id % 64 AS bucket FROM documents),
+      |c AS (SELECT doc_id, lang,
+      |    COALESCE(SUM(bytes) OVER (PARTITION BY lang ORDER BY bucket, doc_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      |    FROM b)
+      |SELECT doc_id, lang, CAST(s // 65536 AS INT) AS shard
+      |FROM c ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q102_corpus_shards", corpusShards, Some(corpusShardsSql),
+      "size-bounded export shard assignment via distributed byte prefix sum"),
     QueryDef("q79_curate_corpus", curateCorpusQuery, Some(curateCorpusSql),
       "end-to-end corpus curation: quality gate → exact dedup → cluster dedup → sample"),
     QueryDef("q80_sequence_packing", sequencePacking, Some(sequencePackingSql),
