@@ -103,6 +103,31 @@ object StreamingOps {
         count(lit(1)).as("n_words"))
       .select(col("window.start").as("wstart"), col("cands"), col("n_words"))
 
+  /** B41 stream-stream: watermarked interval join — each click joins
+    * the impression that preceded it by ≤ 30 minutes for the same
+    * user (the attribution shape; q77's interval join is the batch
+    * twin). BOTH sides carry watermarks and the join condition bounds
+    * click_ts relative to imp_ts from both directions, so the state
+    * store holds only impressions younger than watermark + 30 min and
+    * clicks younger than watermark — bounded buffers on two unbounded
+    * streams. Without the two-sided time bound Spark would rightly
+    * refuse to plan it (unbounded state); the interval IS the
+    * eviction policy. */
+  def attributedClicks(impressions: DataFrame, clicks: DataFrame): DataFrame = {
+    val i = impressions.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("imp_id"), col("user_id"),
+        col("ts").as("imp_ts"))
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+    i.join(c,
+        col("user_id") === col("c_user") &&
+          col("click_ts") >= col("imp_ts") &&
+          col("click_ts") <= col("imp_ts") + expr("interval 30 minutes"))
+      .select(col("imp_id"), col("click_id"), col("user_id"),
+        col("imp_ts"), col("click_ts"))
+  }
+
   /** A11-streaming: continuous import. Each micro-batch appends to the
     * RDBMS through the same batched JDBC writer the batch path uses —
     * the incremental-import story for a continuously-arriving dump

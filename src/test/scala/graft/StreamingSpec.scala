@@ -290,4 +290,27 @@ class StreamingSpec extends AnyFunSuite with LocalSparkSuite {
       }
     }
   }
+
+  test("B41 stream-stream interval join attributes clicks within the window only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = StreamingOps.attributedClicks(imps.toDF(), clicks.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("attrib").start()
+    try {
+      imps.addData(
+        Ev(100, ts("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Ev(101, ts("2024-01-01 10:00:00"), 2, "view", 1.0))
+      clicks.addData(
+        Ev(200, ts("2024-01-01 10:10:00"), 1, "click", 1.0), // in window, same user
+        Ev(201, ts("2024-01-01 11:00:00"), 1, "click", 1.0), // outside 30 min
+        Ev(202, ts("2024-01-01 10:05:00"), 3, "click", 1.0), // no impression for user
+        Ev(203, ts("2024-01-01 09:55:00"), 2, "click", 1.0)) // click BEFORE impression
+      q.processAllAvailable()
+      val out = spark.table("attrib").collect()
+        .map(r => (r.getAs[Long]("imp_id"), r.getAs[Long]("click_id")))
+      assert(out.toSet === Set((100L, 200L)))
+    } finally q.stop()
+  }
 }
