@@ -41,7 +41,8 @@ object PlanDump {
       "q92_salted_revenue" -> "salted skew join: (key, salt) join keys spread a hot key 7 ways (salt = pmod(l_linenumber-1,7), every replica reachable), salt collapsed by the aggregate; shuffle_hash pinned on the replicated side (merge join would sort the 7x-inflated side — 8-20x slower at 10x scale)",
       "q93_heavy_hitters" -> "two-pass heavy hitters: ObjectHashAggregate partials for the MG sketch, candidates broadcast back",
       "q94_bm25_rank" -> "BM25: df/stats broadcast, only the 3-term tf slice flows; TakeOrderedAndProject top-10",
-      "q97_pagerank" -> "fixed-iteration PageRank: out-degrees folded into the checkpointed edge list (Scan ExistingRDD), each round ONE broadcast join + one dst-key shuffle, no sort-merge anywhere")
+      "q97_pagerank" -> "fixed-iteration PageRank: out-degrees folded into the checkpointed edge list (Scan ExistingRDD), each round ONE broadcast join + one dst-key shuffle, no sort-merge anywhere",
+      "q102_corpus_shards" -> "export sharding: bucketed byte prefix sum, langs-x-buckets offset table broadcast, intra-bucket windows only — no whole-language window anywhere")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")
     picks.foreach { case (name, why) =>
