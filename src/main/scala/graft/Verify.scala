@@ -19,9 +19,16 @@ object Verify {
     // iteration knob (not used by the driver): restrict to a
     // comma-separated query-name list
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
+    // ContextCleaner frees shuffle/broadcast/checkpoint state only on
+    // GC, and 100+ queries can run without one — drain it every tenth
+    // query so the dump's tail doesn't crawl on leaked state (same
+    // lesson as Bench.scala, measured there at 2x the suite total)
+    var sinceGc = 0
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
+      sinceGc += 1
+      if (sinceGc >= 10) { System.gc(); sinceGc = 0 }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
