@@ -106,6 +106,35 @@ object GraftFunctions {
     column(MisraGriesAgg(expression(c.cast("string")), k).toAggregateExpression())
   }
 
+  /** Bloom-filter build over xxhash64 values — Spark's own
+    * runtime-filter aggregate (`BloomFilterAggregate`, the expression
+    * behind `spark.sql.optimizer.runtime.bloomFilter`), reached
+    * through the shim because Spark registers it for optimizer use
+    * only. The result is a single binary sketch whose size is fixed
+    * by `numBits` regardless of input cardinality — the broadcastable
+    * stand-in for a probe set too big to broadcast exactly. */
+  def bloomFilterAgg(hashed: Column, expectedItems: Long, numBits: Long): Column = {
+    import org.apache.spark.sql.GraftShims.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    column(new org.apache.spark.sql.catalyst.expressions.aggregate
+      .BloomFilterAggregate(expression(hashed),
+        Literal(expectedItems), Literal(numBits))
+      .toAggregateExpression())
+  }
+
+  /** Membership probe against [[bloomFilterAgg]]'s sketch (may
+    * false-positive, never false-negative — callers keep an exact
+    * verify behind it when the answer must be exact). `might_contain`
+    * requires its sketch side to be constant-foldable, so the 1-row
+    * sketch frame rides in as a scalar subquery — the same shape
+    * Spark's own `InjectRuntimeFilter` builds. */
+  def mightContain(sketch: org.apache.spark.sql.DataFrame, hashed: Column): Column = {
+    import org.apache.spark.sql.GraftShims.{column, expression, logicalPlan}
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.ScalarSubquery(logicalPlan(sketch)),
+      expression(hashed)))
+  }
+
   /** Word k-shingle array in one codegen'd pass (see [[Shingles]]). */
   def shingles(tokens: Column, k: Int): Column = {
     import org.apache.spark.sql.GraftShims.{column, expression}

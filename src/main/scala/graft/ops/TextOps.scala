@@ -731,6 +731,37 @@ object TextOps {
        |WHERE doc_id % 31 <> 0
        |GROUP BY doc_id HAVING COUNT(*) >= 3 ORDER BY doc_id""".stripMargin
 
+  /** q103: two-phase benchmark decontamination — same contract as q69
+    * (flag train docs sharing ≥3 distinct shingles with the benchmark
+    * set, identical oracle), but the plan is the one that survives a
+    * benchmark set too large to broadcast exactly: the probe shingles
+    * collapse into a FIXED-SIZE Bloom sketch (1 MiB of bits no matter
+    * the probe cardinality) built by Spark's own runtime-filter
+    * aggregate, the sketch rides in as a scalar subquery (the same
+    * shape Spark's `InjectRuntimeFilter` builds), and the train side
+    * is pruned by `might_contain` BEFORE any join. Only the
+    * surviving sliver (true overlaps + the sketch's false positives)
+    * reaches the exact shingle join that keeps the answer
+    * bit-identical to q69's — bloom prunes, the join proves. At
+    * 100 TB the exact phase joins a ~100-1000x reduced slice, so it
+    * can shuffle instead of broadcast without dominating the query. */
+  def bloomContamination(s: SparkSession, d: String): DataFrame = {
+    val shd = shingleArrays(s, d)
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
+    val probe = shd.filter(col("doc_id") % 31 === 0)
+      .select(col("shingle")).distinct()
+    val sketch = probe.agg(graft.functions.GraftFunctions
+      .bloomFilterAgg(xxhash64(col("shingle")), 1L << 20, 1L << 23).as("bf"))
+    shd.filter(col("doc_id") % 31 =!= 0)
+      .filter(graft.functions.GraftFunctions
+        .mightContain(sketch, xxhash64(col("shingle"))))
+      .join(broadcast(probe), "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 3)
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup cluster rollup by fingerprint prefix: group docs on a
     * 40-char prefix key, keep clusters of ≥2, and report the member
     * count plus the distinct sources involved — the "which feeds are
@@ -755,6 +786,8 @@ object TextOps {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q69_contamination", contamination, Some(contaminationSql), "benchmark decontamination (shingle overlap)"),
+    QueryDef("q103_bloom_decontaminate", bloomContamination, Some(contaminationSql),
+      "two-phase decontamination: fixed-size Bloom prefilter + exact verify (same contract as q69)"),
     QueryDef("q75_dup_clusters", dupClusters, Some(dupClustersSql), "near-dup cluster rollup (collect_set)"),
     QueryDef("q76_dedup_components", dedupComponents, Some(dedupComponentsSql), "connected-components dedup clustering"),
     QueryDef("q30_exact_dedup", exactDedup, Some(exactDedupSql), "B25 exact dedup"),

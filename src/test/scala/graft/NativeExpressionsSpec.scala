@@ -136,4 +136,15 @@ class NativeExpressionsSpec extends AnyFunSuite with LocalSparkSuite {
     assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
       .isAssignableFrom(classOf[MinhashHex]))
   }
+
+  test("q103's plan keeps the bloom prefilter ahead of the exact join") {
+    val df = graft.ops.TextOps.bloomContamination(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the sketch probe must survive optimization (otherwise q103 has
+    // silently degenerated into q69's broadcast-only plan)
+    assert(plan.contains("might_contain"), "bloom prefilter missing from plan")
+    // and the two-phase answer must still be the exact one
+    val exact = graft.ops.TextOps.contamination(spark, sfDir)
+    assert(df.collect().toSeq === exact.collect().toSeq)
+  }
 }
