@@ -167,4 +167,36 @@ object GraftProps extends Properties("graft") {
         (asInt.compareTo(java.math.BigInteger.ONE.shiftLeft(124)) < 0)
     }
   }
+
+  // q102 shard assignment vs an independent sequential replay: for a
+  // random corpus, walking docs in the canonical (lang, bucket,
+  // doc_id) order and cutting at every targetBytes boundary must
+  // reproduce the distributed prefix-sum's shard ids exactly — and
+  // shards are monotone non-decreasing in that order.
+  property("export shards = sequential greedy replay in canonical order") = {
+    val doc = for {
+      id <- Gen.chooseNum(0L, 5000L)
+      lang <- Gen.oneOf("en", "de")
+      len <- Gen.chooseNum(1, 400)
+    } yield (id, lang, "x" * len)
+    val g = Gen.nonEmptyListOf(doc).map(_.distinctBy(_._1))
+    forAll(g) { docs =>
+      import spark.implicits._
+      val target = 512L
+      val df = docs.toDF("doc_id", "lang", "text")
+      val got = graft.ingest.CorpusExport.assignShards(df, target, buckets = 8)
+        .select("doc_id", "shard").collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val expected = docs
+        .map { case (id, lang, t) => (lang, id % 8, id, t.length + 1L) }
+        .sortBy { case (lang, b, id, _) => (lang, b, id) }
+        .groupBy(_._1).flatMap { case (_, perLang) =>
+          var cum = 0L
+          perLang.map { case (_, _, id, bytes) =>
+            val shard = (cum / target).toInt; cum += bytes; id -> shard
+          }
+        }
+      got == expected
+    }
+  }
 }
