@@ -62,12 +62,18 @@ object CorpusExport {
   /** Write `docs` as `lang=<l>/shard=<k>/` JSONL files. One file per
     * shard directory (the repartition key IS the directory key, so
     * each task owns whole shards); readers prune on both directory
-    * levels. Returns the manifest of what was written. */
-  def exportJsonl(docs: DataFrame, path: String, targetBytes: Long): DataFrame = {
+    * levels. `codec` is any Spark JSON compression ("gzip" for the
+    * classic .json.gz corpus layout, "zstd" where the JVM ships the
+    * codec, default "none") — shard sizes are computed on the
+    * UNCOMPRESSED payload, the stable quantity a token-budgeted
+    * loader cares about. Returns the manifest of what was written. */
+  def exportJsonl(docs: DataFrame, path: String, targetBytes: Long,
+      codec: String = "none"): DataFrame = {
     val sharded = assignShards(docs, targetBytes)
     sharded
       .repartition(col("lang"), col("shard"))
       .write.partitionBy("lang", "shard")
+      .option("compression", codec)
       .mode("overwrite")
       .json(path)
     manifest(sharded)

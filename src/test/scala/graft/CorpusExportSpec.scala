@@ -73,6 +73,18 @@ class CorpusExportSpec extends AnyFunSuite with LocalSparkSuite {
     assert(written.except(reman).count() === 0 && reman.except(written).count() === 0)
   }
 
+  test("gzip-compressed export round-trips identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graftgz").toString
+    CorpusExport.exportJsonl(docs, dir, target, codec = "gzip")
+    val files = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .flatMap(_.listFiles()).flatMap(_.listFiles())
+    assert(files.exists(_.getName.endsWith(".json.gz")), "no gzip parts written")
+    val back = CorpusExport.importJsonl(spark, dir)
+    assert(back.count() === docs.count())
+    assert(docs.select("doc_id", "text")
+      .except(back.select("doc_id", "text")).count() === 0)
+  }
+
   test("reader prunes on the shard directory, not just lang") {
     val dir = java.nio.file.Files.createTempDirectory("graftjsonl2").toString
     CorpusExport.exportJsonl(docs, dir, target)
