@@ -113,17 +113,23 @@ object StreamingOps {
     * streams. Without the two-sided time bound Spark would rightly
     * refuse to plan it (unbounded state); the interval IS the
     * eviction policy. */
-  def attributedClicks(impressions: DataFrame, clicks: DataFrame): DataFrame = {
+  def attributedClicks(impressions: DataFrame, clicks: DataFrame,
+      joinType: String = "inner"): DataFrame = {
     val i = impressions.withWatermark("ts", "10 minutes")
       .select(col("event_id").as("imp_id"), col("user_id"),
         col("ts").as("imp_ts"))
     val c = clicks.withWatermark("ts", "10 minutes")
       .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
         col("ts").as("click_ts"))
+    // leftOuter adds the "impression never clicked" rows — but only
+    // once the click-side watermark passes imp_ts + 30 min, because
+    // until then a matching click can still arrive; the null-padded
+    // row is the WATERMARK's statement that it cannot
     i.join(c,
         col("user_id") === col("c_user") &&
           col("click_ts") >= col("imp_ts") &&
-          col("click_ts") <= col("imp_ts") + expr("interval 30 minutes"))
+          col("click_ts") <= col("imp_ts") + expr("interval 30 minutes"),
+        joinType)
       .select(col("imp_id"), col("click_id"), col("user_id"),
         col("imp_ts"), col("click_ts"))
   }

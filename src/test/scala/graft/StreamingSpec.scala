@@ -313,4 +313,37 @@ class StreamingSpec extends AnyFunSuite with LocalSparkSuite {
       assert(out.toSet === Set((100L, 200L)))
     } finally q.stop()
   }
+
+  test("left-outer stream-stream join emits unclicked impressions only after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = StreamingOps.attributedClicks(imps.toDF(), clicks.toDF(), "leftOuter")
+      .writeStream.outputMode("append").format("memory").queryName("attribo").start()
+    try {
+      imps.addData(
+        Ev(100, ts("2024-01-01 10:00:00"), 1, "view", 1.0), // will be clicked
+        Ev(101, ts("2024-01-01 10:00:00"), 2, "view", 1.0)) // never clicked
+      clicks.addData(Ev(200, ts("2024-01-01 10:10:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // before the watermark closes imp 101's window, NO null row for
+      // it may exist — a click could still arrive
+      val early = spark.table("attribo").collect()
+        .filter(_.getAs[Long]("imp_id") == 101L)
+      assert(early.isEmpty, "null-padded row emitted while a click was still possible")
+      // advance BOTH watermarks far past 10:30 + 10 min delay
+      imps.addData(Ev(110, ts("2024-01-01 13:00:00"), 9, "view", 1.0))
+      clicks.addData(Ev(210, ts("2024-01-01 13:00:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      // one more batch so the state-eviction pass runs on the new watermark
+      imps.addData(Ev(111, ts("2024-01-01 13:30:00"), 9, "view", 1.0))
+      clicks.addData(Ev(211, ts("2024-01-01 13:30:00"), 9, "click", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("attribo").collect()
+        .map(r => (r.getAs[Long]("imp_id"), Option(r.getAs[Any]("click_id"))))
+      assert(rows.contains((100L, Some(200L))))
+      assert(rows.contains((101L, None)), "watermark-closed impression missing its null row")
+    } finally q.stop()
+  }
 }
