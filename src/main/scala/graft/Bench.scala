@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 /** Driver-run benchmark: times every declared query at
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line.
   *
-  * An untimed warmup runs three representative queries first so
+  * An untimed warmup runs a handful of representative queries first so
   * whole-stage-codegen/JIT compilation of the parquet-scan, shuffle,
   * and string/hash paths isn't charged to whichever query happens to
   * run first; queries are then timed in name order (deterministic). */
@@ -202,7 +202,7 @@ object Bench {
       .map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"passes":$repeat,"sentinel_pre":${fmt(sentinelPre)},"sentinel_post":${fmt(sentinelPost)},"sentinel_max":${fmt(sentinelMax)},"gc_sec":${fmt(gcSec)},"slowest":$slowest,"dominant":$dominant,"queries":$qs,"sf":"$sfDir"}""")
     results.filter { case (_, v) => v >= 0 && v > 0.2 * total }.foreach { case (k, v) =>
-      System.err.println(f"[bench] WARN $k is ${100 * v / total}%.0f%% of the suite ($v%.1f s) — investigate before shipping")
+      System.err.println(s"[bench] WARN $k is ${fmt(100 * v / total)}% of the suite (${fmt(v)} s) — investigate before shipping")
     }
     Tables.clearCache()
     CheckpointMemo.clear()
