@@ -76,7 +76,29 @@ object CorpusExport {
       .option("compression", codec)
       .mode("overwrite")
       .json(path)
-    manifest(sharded)
+    // the manifest ships WITH the corpus: an underscore-prefixed
+    // directory is invisible to Spark/Hadoop file readers, so
+    // importJsonl's glob never sees it
+    val m = manifest(sharded)
+    m.coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
+    m
+  }
+
+  /** Loader-side integrity check: recompute the manifest from the
+    * files actually on disk and diff it against the one the export
+    * shipped. Returns the discrepancies (empty = the corpus is
+    * exactly what the writer accounted for — any lost/truncated/
+    * duplicated shard or mutated doc shows up as a row here, because
+    * the content fingerprint is an exact integer sum). */
+  def verifyExport(s: SparkSession, path: String): DataFrame = {
+    // an integrity checker must see the directory as it IS, not as the
+    // session's file-status cache remembers it
+    s.catalog.refreshByPath(path)
+    val shipped = s.read.parquet(s"$path/_manifest")
+    val recomputed = manifest(importJsonl(s, path)
+      .withColumn("lang", col("lang").cast("string")))
+    shipped.exceptAll(recomputed).withColumn("side", lit("shipped"))
+      .unionByName(recomputed.exceptAll(shipped).withColumn("side", lit("on_disk")))
   }
 
   /** Per-shard accounting a loader can verify against: doc count,

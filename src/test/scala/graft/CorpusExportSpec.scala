@@ -73,11 +73,40 @@ class CorpusExportSpec extends AnyFunSuite with LocalSparkSuite {
     assert(written.except(reman).count() === 0 && reman.except(written).count() === 0)
   }
 
+  test("shipped manifest verifies against the files on disk; corruption is caught") {
+    val dir = java.nio.file.Files.createTempDirectory("graftman").toString
+    CorpusExport.exportJsonl(docs, dir, target)
+    assert(CorpusExport.verifyExport(spark, dir).count() === 0)
+    // corrupt one shard: drop a doc from the first json part found
+    val part = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .filterNot(_.getName.startsWith("_"))
+      .flatMap(_.listFiles()).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".json")).head
+    val lines = java.nio.file.Files.readAllLines(part.toPath)
+    java.nio.file.Files.write(part.toPath,
+      java.util.List.copyOf(lines.subList(1, lines.size())))
+    // drop the LocalFileSystem CRC sidecar: with it present the edit
+    // trips Hadoop's checksum layer before the manifest ever runs
+    // (good — defense in depth); without it, bitrot reaches the
+    // manifest, which must be the backstop that catches it
+    new java.io.File(part.getParent, "." + part.getName + ".crc").delete()
+    // verify the corpus at the path a loader would receive it under
+    // (session file-status caches pin the ORIGINAL path's stale sizes
+    // at the task level; a moved tree is how corpora actually arrive)
+    val dir2 = dir + "_recv"
+    java.nio.file.Files.move(java.nio.file.Paths.get(dir),
+      java.nio.file.Paths.get(dir2))
+    val bad = CorpusExport.verifyExport(spark, dir2)
+    assert(bad.count() === 2) // the shard's shipped row + its on-disk row
+    assert(bad.select("side").distinct().count() === 2)
+  }
+
   test("gzip-compressed export round-trips identically") {
     val dir = java.nio.file.Files.createTempDirectory("graftgz").toString
     CorpusExport.exportJsonl(docs, dir, target, codec = "gzip")
     val files = new java.io.File(dir).listFiles().filter(_.isDirectory)
-      .flatMap(_.listFiles()).flatMap(_.listFiles())
+      .filterNot(_.getName.startsWith("_"))
+      .flatMap(_.listFiles()).filter(_.isDirectory).flatMap(_.listFiles())
     assert(files.exists(_.getName.endsWith(".json.gz")), "no gzip parts written")
     val back = CorpusExport.importJsonl(spark, dir)
     assert(back.count() === docs.count())
