@@ -762,6 +762,74 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q104: exact n-gram Jaccard similarity join via prefix filtering
+    * (the All-Pairs/PPJoin family) — the EXACT-threshold complement
+    * to q34's approximate MinHash candidates. Every shingle gets its
+    * global document frequency; each doc's shingles are ranked
+    * rarest-first (df, then shingle — a total order both engines
+    * share), and only the first `n div 2 + 1` per doc join as
+    * candidate keys: the prefix-filtering lemma for tau = 0.5
+    * guarantees any pair with J >= 0.5 shares a prefix shingle
+    * (JaccardJoinSpec demonstrates recall against brute-force
+    * all-pairs). The rarest-first order is also the scale story —
+    * candidate keys are by construction the LOW-df shingles, so the
+    * self-join never blocks on a hot key, and the exact intersection
+    * count runs only over candidate pairs, never corpus². */
+  def jaccardJoin(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val sh = shingleArrays(s, d)
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val prefix = sh.join(dfreq, Seq("shingle")).join(sizes, Seq("doc_id"))
+      .withColumn("rn", row_number().over(
+        w.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+      .filter(col("rn") <= expr("n div 2 + 1"))
+      .select(col("doc_id"), col("shingle"))
+    val cand = prefix.select(col("doc_id").as("da"), col("shingle"))
+      .join(prefix.select(col("doc_id").as("db"), col("shingle")), Seq("shingle"))
+      .filter(col("da") < col("db"))
+      .select(col("da"), col("db")).distinct()
+    val inter = cand
+      .join(sh.select(col("doc_id").as("da"), col("shingle")), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("shingle")), Seq("db", "shingle"))
+      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      // ONE division of exact integers — correctly rounded to the
+      // same double on both engines, so no rounding slack needed
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val jaccardJoinSql =
+    s"""$shinglesSqlCte,
+       |shd AS (SELECT DISTINCT doc_id, s FROM sh),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+       |dfq AS (SELECT s, COUNT(*) AS df FROM shd GROUP BY s),
+       |pref AS (SELECT doc_id, s FROM (
+       |    SELECT shd.doc_id, shd.s,
+       |           ROW_NUMBER() OVER (PARTITION BY shd.doc_id
+       |                              ORDER BY dfq.df, shd.s) AS rn, sz.n
+       |    FROM shd JOIN dfq USING (s) JOIN sz USING (doc_id))
+       |  WHERE rn <= n // 2 + 1),
+       |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |ints AS (SELECT c.da, c.db, COUNT(*) AS inter
+       |         FROM cand c
+       |         JOIN shd x ON x.doc_id = c.da
+       |         JOIN shd y ON y.doc_id = c.db AND y.s = x.s
+       |         GROUP BY c.da, c.db)
+       |SELECT i.da AS doc_a, i.db AS doc_b,
+       |       CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) AS jaccard
+       |FROM ints i JOIN sz sa ON sa.doc_id = i.da JOIN sz sb ON sb.doc_id = i.db
+       |WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** Near-dup cluster rollup by fingerprint prefix: group docs on a
     * 40-char prefix key, keep clusters of ≥2, and report the member
     * count plus the distinct sources involved — the "which feeds are
@@ -788,6 +856,8 @@ object TextOps {
     QueryDef("q69_contamination", contamination, Some(contaminationSql), "benchmark decontamination (shingle overlap)"),
     QueryDef("q103_bloom_decontaminate", bloomContamination, Some(contaminationSql),
       "two-phase decontamination: fixed-size Bloom prefilter + exact verify (same contract as q69)"),
+    QueryDef("q104_jaccard_join", jaccardJoin, Some(jaccardJoinSql),
+      "exact n-gram Jaccard similarity join via rarest-first prefix filtering (All-Pairs/PPJoin)"),
     QueryDef("q75_dup_clusters", dupClusters, Some(dupClustersSql), "near-dup cluster rollup (collect_set)"),
     QueryDef("q76_dedup_components", dedupComponents, Some(dedupComponentsSql), "connected-components dedup clustering"),
     QueryDef("q30_exact_dedup", exactDedup, Some(exactDedupSql), "B25 exact dedup"),
