@@ -13,8 +13,10 @@ class JaccardJoinSpec extends AnyFunSuite with LocalSparkSuite {
     val got = graft.ops.TextOps.jaccardJoin(spark, sfDir)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
 
-    // brute force: every pair sharing ANY shingle, exact Jaccard
+    // brute force over the same representatives (one per distinct
+    // text): every pair sharing ANY shingle, exact Jaccard
     val sh = Tables.documents(spark, sfDir)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"),
