@@ -786,32 +786,49 @@ object TextOps {
     * in here so the operator carries its own precondition. */
   def jaccardJoin(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val reps = Tables.documents(s, d)
-      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-    val sh = reps
-      .repartition(s.sparkContext.defaultParallelism)
-      .withColumn("toks", toks(col("text")))
-      .filter(size(col("toks")) >= 3)
-      .withColumn("sh", shingles(col("toks"), 3))
-      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
+    // the (doc, shingle) set feeds SIX plan subtrees (both prefix
+    // sides, both intersection sides, sizes, df) — without
+    // materialization Spark recomputes the dedup+explode each time,
+    // and that recomputation was 60%+ of the query (in-suite 7.8 s at
+    // sf0.1). Memoized like q97's edge list: one eager build, every
+    // reference a checkpoint scan. Checkpoint scans carry no stats,
+    // so each downstream join pins its strategy explicitly (the
+    // checkpoint-plans-lose-stats rule).
+    val sh = graft.CheckpointMemo.getOrElseUpdate(s, d, "jaccard_shingles") {
+      Tables.documents(s, d)
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("toks", toks(col("text")))
+        .filter(size(col("toks")) >= 3)
+        .withColumn("sh", shingles(col("toks"), 3))
+        .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
+        .localCheckpoint()
+    }
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val prefix = sh.join(dfreq, Seq("shingle")).join(sizes, Seq("doc_id"))
+    val prefix = sh.join(dfreq.hint("shuffle_hash"), Seq("shingle"))
+      .join(sizes.hint("shuffle_hash"), Seq("doc_id"))
       .withColumn("rn", row_number().over(
         w.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
       .filter(col("rn") <= expr("n div 2 + 1"))
-      .select(col("doc_id"), col("shingle"))
-    val cand = prefix.select(col("doc_id").as("da"), col("shingle"))
-      .join(prefix.select(col("doc_id").as("db"), col("shingle")), Seq("shingle"))
-      .filter(col("da") < col("db"))
+      .select(col("doc_id"), col("shingle"), col("n"))
+    // length filter (recall-safe candidate pruning, result unchanged):
+    // J >= 0.5 forces tau*na <= nb <= na/tau, so cross-length pairs
+    // can't qualify and need not be enumerated
+    val cand = prefix.select(col("doc_id").as("da"), col("shingle"), col("n").as("na"))
+      .join(prefix.select(col("doc_id").as("db"), col("shingle"), col("n").as("nb"))
+        .hint("shuffle_hash"), Seq("shingle"))
+      .filter(col("da") < col("db") &&
+        col("nb") * 2 >= col("na") && col("na") * 2 >= col("nb"))
       .select(col("da"), col("db")).distinct()
     val inter = cand
-      .join(sh.select(col("doc_id").as("da"), col("shingle")), Seq("da"))
-      .join(sh.select(col("doc_id").as("db"), col("shingle")), Seq("db", "shingle"))
+      .join(sh.select(col("doc_id").as("da"), col("shingle")).hint("shuffle_hash"), Seq("da"))
+      .join(sh.select(col("doc_id").as("db"), col("shingle")).hint("shuffle_hash"),
+        Seq("db", "shingle"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
     inter
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")).hint("shuffle_hash"), Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")).hint("shuffle_hash"), Seq("db"))
       // ONE division of exact integers — correctly rounded to the
       // same double on both engines, so no rounding slack needed
       .withColumn("jaccard",
