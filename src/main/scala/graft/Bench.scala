@@ -151,6 +151,13 @@ object Bench {
       val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
+    // cold (first-pass) total, reported alongside the min-of-N total:
+    // pass 1 pays memo builds, cache misses, and codegen of anything
+    // the warmup didn't touch — the min drops all of that by design,
+    // so the artifact carries BOTH numbers (a baseline captured under
+    // single-pass semantics compares against cold_total, not value)
+    var coldSum = 0.0
+    CheckpointMemo.resetStats()
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
@@ -174,18 +181,17 @@ object Bench {
         }
         if (repeat > 1) System.err.println(
           s"[bench] $name runs: ${times.map(t => String.format(java.util.Locale.ROOT, "%.2f", Double.box(t))).mkString(", ")}")
+        if (times.head >= 0) coldSum += times.head
         val valid = times.filter(_ >= 0)
         name -> (if (valid.size < times.size) -1.0 else valid.min)
       }
     val sentinelPost = sentinelOnce()
     val sentinelMax = (Seq(sentinelPre, sentinelPost) ++ sentinelMid).max
     val gcSec = gcSeconds() - gcPre
-    // millisecond resolution keeps the 100-query JSON line under the
-    // driver's output-capture tail (the r2/r3 captures truncated the
-    // line's head and the driver recorded parsed:null — fewer digits
-    // is what makes the line survive a bounded tail). Locale.ROOT: the
-    // f interpolator is locale-sensitive and a comma-decimal locale
-    // would emit unparseable JSON.
+    // millisecond resolution keeps the per-query map short (the r2/r3
+    // captures truncated the long line's head and the driver recorded
+    // parsed:null). Locale.ROOT: the f interpolator is locale-sensitive
+    // and a comma-decimal locale would emit unparseable JSON.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -200,7 +206,15 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val dominant = results.filter { case (_, v) => v >= 0 && v > 0.2 * total }
       .map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"passes":$repeat,"sentinel_pre":${fmt(sentinelPre)},"sentinel_post":${fmt(sentinelPost)},"sentinel_max":${fmt(sentinelMax)},"gc_sec":${fmt(gcSec)},"slowest":$slowest,"dominant":$dominant,"queries":$qs,"sf":"$sfDir"}""")
+    // the driver keeps a bounded TAIL of stdout, so anything that must
+    // survive capture goes LAST: the full line leads with the long
+    // queries map and ends with the summary fields (r5's artifact lost
+    // exactly the head — summary + q01..q26), and a second, short,
+    // summary-only line is printed after it so a tail of any plausible
+    // size retains one complete parseable JSON line
+    val summary = s""""metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"passes":$repeat,"cold_total":${fmt(coldSum)},"memo_build_s":${fmt(CheckpointMemo.buildSeconds)},"sentinel_pre":${fmt(sentinelPre)},"sentinel_post":${fmt(sentinelPost)},"sentinel_max":${fmt(sentinelMax)},"gc_sec":${fmt(gcSec)},"slowest":$slowest,"dominant":$dominant,"sf":"$sfDir""""
+    println(s"""{"queries":$qs,$summary}""")
+    println(s"""{$summary}""")
     results.filter { case (_, v) => v >= 0 && v > 0.2 * total }.foreach { case (k, v) =>
       System.err.println(s"[bench] WARN $k is ${fmt(100 * v / total)}% of the suite (${fmt(v)} s) — investigate before shipping")
     }

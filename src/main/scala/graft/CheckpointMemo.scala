@@ -21,10 +21,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 private[graft] object CheckpointMemo {
   private val memo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, String), DataFrame]
+  // wall-clock spent INSIDE memo builds, so a min-of-N bench that warms
+  // the memo on pass 1 can still report the cold materialization cost
+  // in-band ("memo_build_s") instead of silently dropping it with the min
+  private val buildNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+  // SPARK_GRAFT_MEMO=false disables memoization entirely (every caller
+  // rebuilds) — the cold-path bench mode. The un-memoized checkpoints
+  // are reclaimed by ContextCleaner once unreferenced (the bench's
+  // periodic GC drains them).
+  private def enabled: Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_MEMO", "true").toBoolean
 
   def getOrElseUpdate(s: SparkSession, d: String, tag: String)(
-      build: => DataFrame): DataFrame =
-    memo.getOrElseUpdate((s, d, tag), build)
+      build: => DataFrame): DataFrame = {
+    def timedBuild: DataFrame = {
+      val t0 = System.nanoTime()
+      val df = build
+      buildNanos.addAndGet(System.nanoTime() - t0)
+      df
+    }
+    if (!enabled) timedBuild
+    else memo.getOrElseUpdate((s, d, tag), timedBuild)
+  }
+
+  /** Cumulative seconds spent inside memo builds since JVM start (or
+    * the last [[resetStats]]). */
+  def buildSeconds: Double = buildNanos.get / 1e9
+
+  def resetStats(): Unit = buildNanos.set(0L)
 
   /** Release checkpoint blocks and forget every memoized frame. */
   def clear(): Unit = {

@@ -74,6 +74,7 @@ object PlanDump {
       unrolled + "```\n")
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("wrote PLANS.md")
+    CheckpointMemo.clear()
     spark.stop()
   }
 }

@@ -102,7 +102,12 @@ object MultimodalOps {
     // maxval pinned to 255: 2-byte-per-sample PPMs (maxval > 255) are
     // a different pixel layout, not a bigger one
     if (w <= 0 || h <= 0 || maxv != 255 || i >= p.length) return None
-    i += 1 // exactly one whitespace byte between maxval and raster
+    // exactly one whitespace byte between maxval and raster — and it
+    // must BE whitespace: a malformed header whose total length still
+    // matches w*h*3 would otherwise decode a shifted raster
+    val sep = p(i) & 0xff
+    if (sep != ' ' && sep != '\n' && sep != '\r' && sep != '\t') return None
+    i += 1
     if ((p.length - i).toLong != w * h * 3) return None
     var sr = 0L; var sg = 0L; var sb = 0L
     var j = i
@@ -145,10 +150,10 @@ object MultimodalOps {
 
   /** Feature extraction: partition-local loop with a reused scratch
     * buffer — the batched-UDF execution shape without a per-row alloc.
-    * Real-decoded images emit (w, h, mean-RGB/255, 0, 0, 1) with the
-    * trailing 1 marking the real tier; all other payloads emit the
-    * 8-bin histogram with bin 7 < 1 always (a histogram bin is a
-    * fraction), so the tiers cannot collide in feature space. */
+    * Real-decoded images emit (w, h, mean-RGB/255, 0, 0, -1) with the
+    * trailing -1 marking the real tier; histogram bins are fractions in
+    * [0, 1] (an all-0xFF payload puts exactly 1.0 in bin 7), so a
+    * negative marker is the only value the stub tier can never emit. */
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
@@ -157,7 +162,7 @@ object MultimodalOps {
         val feats = decodeImage(a.payload) match {
           case Some(img) => Array(img.width.toFloat, img.height.toFloat,
             (img.meanR / 255.0).toFloat, (img.meanG / 255.0).toFloat,
-            (img.meanB / 255.0).toFloat, 0f, 0f, 1f)
+            (img.meanB / 255.0).toFloat, 0f, 0f, -1f)
           case None => decodeStub(a.payload, scratch)
         }
         AssetFeatures(a.asset_id, a.modality, a.payload.length, feats)

@@ -1,9 +1,18 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.scalatest.{BeforeAndAfterAll, Suite}
 
-/** One shared local session for all suites (build forks one test JVM). */
-trait LocalSparkSuite {
+/** One shared local session for all suites (build forks one test JVM).
+  * Each suite's teardown clears [[CheckpointMemo]] so memoized
+  * localCheckpoint frames don't pin shuffle/checkpoint blocks for the
+  * whole test-JVM lifetime (the ContextCleaner-leak class Bench drains
+  * with periodic GC); a later suite that needs a memoized frame simply
+  * rebuilds it — cheap at sf0.001. */
+trait LocalSparkSuite extends BeforeAndAfterAll { this: Suite =>
+  override def afterAll(): Unit =
+    try CheckpointMemo.clear() finally super.afterAll()
+
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-test")

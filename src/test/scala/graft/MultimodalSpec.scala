@@ -37,6 +37,10 @@ class MultimodalSpec extends AnyFunSuite with LocalSparkSuite {
     assert(MultimodalOps.decodeImage(ppm.dropRight(1)).isEmpty, "truncated raster")
     assert(MultimodalOps.decodeImage(ppm ++ Array(0.toByte)).isEmpty, "trailing junk")
     assert(MultimodalOps.decodeImage("P6 but not an image".getBytes).isEmpty)
+    // non-whitespace byte between maxval and raster with a total length
+    // that still matches w*h*3: must reject, not decode a shifted raster
+    val shifted = "P6 4 3 255X".getBytes ++ Array.fill(4 * 3 * 3)(7.toByte)
+    assert(MultimodalOps.decodeImage(shifted).isEmpty, "bad maxval separator")
     val bmp = fixture("fixture_3x2.bmp")
     assert(MultimodalOps.decodeImage(bmp.take(53)).isEmpty, "truncated header")
     assert(MultimodalOps.decodeImage(bmp.dropRight(1)).isEmpty, "truncated pixels")
@@ -49,10 +53,18 @@ class MultimodalSpec extends AnyFunSuite with LocalSparkSuite {
       MultimodalOps.Asset(2L, "image", fixture("fixture_3x2.bmp"), 64, 16000),
       MultimodalOps.Asset(3L, "image", "plain text payload".getBytes, 64, 16000)).toDS()
     val f = MultimodalOps.extractFeatures(mixed).collect().sortBy(_.asset_id)
-    assert(f(0).features.toSeq === Seq(4f, 3f, 15f / 255, 10f / 255, 2.5f / 255, 0f, 0f, 1f))
-    assert(f(1).features.toSeq === Seq(3f, 2f, 0.5f, 0f, 0.5f, 0f, 0f, 1f))
-    // histogram tier: marker slot holds a fraction < 1, vector sums to 1
-    assert(f(2).features(7) < 1f && math.abs(f(2).features.sum - 1f) < 1e-3)
+    assert(f(0).features.toSeq === Seq(4f, 3f, 15f / 255, 10f / 255, 2.5f / 255, 0f, 0f, -1f))
+    assert(f(1).features.toSeq === Seq(3f, 2f, 0.5f, 0f, 0.5f, 0f, 0f, -1f))
+    // histogram tier: slot 7 is a non-negative fraction (can reach 1.0
+    // for an all-high-byte payload — hence the real tier's negative
+    // marker), vector sums to 1
+    assert(f(2).features(7) >= 0f && math.abs(f(2).features.sum - 1f) < 1e-3)
+    // the collision case the negative marker exists for: all-0xFF bytes
+    // put exactly 1.0 in bin 7, which a [0,1]-valued marker would alias
+    val ff = MultimodalOps.extractFeatures(
+      Seq(MultimodalOps.Asset(4L, "image", Array.fill(32)(0xff.toByte), 64, 16000)).toDS())
+      .head().features
+    assert(ff(7) === 1f && ff(7) > 0f)
   }
 
   test("assets carry opaque payloads + typed metadata") {
