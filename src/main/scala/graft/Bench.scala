@@ -181,9 +181,13 @@ object Bench {
         }
         if (repeat > 1) System.err.println(
           s"[bench] $name runs: ${times.map(t => String.format(java.util.Locale.ROOT, "%.2f", Double.box(t))).mkString(", ")}")
-        if (times.head >= 0) coldSum += times.head
         val valid = times.filter(_ >= 0)
-        name -> (if (valid.size < times.size) -1.0 else valid.min)
+        val finalT = if (valid.size < times.size) -1.0 else valid.min
+        // cold_total must cover the SAME query set as value: a query
+        // whose any pass failed reports -1 and is excluded from the
+        // total, so its first-pass time must not inflate coldSum either
+        if (finalT >= 0) coldSum += times.head
+        name -> finalT
       }
     val sentinelPost = sentinelOnce()
     val sentinelMax = (Seq(sentinelPre, sentinelPost) ++ sentinelMid).max
@@ -213,10 +217,21 @@ object Bench {
     // summary-only line is printed after it so a tail of any plausible
     // size retains one complete parseable JSON line
     val summary = s""""metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"passes":$repeat,"cold_total":${fmt(coldSum)},"memo_build_s":${fmt(CheckpointMemo.buildSeconds)},"sentinel_pre":${fmt(sentinelPre)},"sentinel_post":${fmt(sentinelPost)},"sentinel_max":${fmt(sentinelMax)},"gc_sec":${fmt(gcSec)},"slowest":$slowest,"dominant":$dominant,"sf":"$sfDir""""
-    println(s"""{"queries":$qs,$summary}""")
+    val fullJson = s"""{"queries":$qs,$summary}"""
+    println(fullJson)
     println(s"""{$summary}""")
+    // stdout survives only as a bounded, logger-prefixed tail in the
+    // driver's capture ("[info] {...}" defeats strict JSON parsers) —
+    // the FILE is the canonical artifact: complete, prefix-free, and
+    // immune to truncation. Same pattern as Verify's oracle_sql.json.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")),
+      fullJson + "\n")
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] WARN could not write BENCH.json: $e") }
     results.filter { case (_, v) => v >= 0 && v > 0.2 * total }.foreach { case (k, v) =>
-      System.err.println(s"[bench] WARN $k is ${fmt(100 * v / total)}% of the suite (${fmt(v)} s) — investigate before shipping")
+      // ASCII only: the driver's capture mangles non-ASCII to '?'
+      System.err.println(s"[bench] WARN $k is ${fmt(100 * v / total)}% of the suite (${fmt(v)} s) - investigate before shipping")
     }
     Tables.clearCache()
     CheckpointMemo.clear()

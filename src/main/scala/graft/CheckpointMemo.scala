@@ -41,7 +41,26 @@ private[graft] object CheckpointMemo {
       df
     }
     if (!enabled) timedBuild
-    else memo.getOrElseUpdate((s, d, tag), timedBuild)
+    else memo.get((s, d, tag)) match {
+      case Some(df) => df
+      case None =>
+        // TrieMap.getOrElseUpdate may evaluate the thunk on several
+        // racing threads and silently drop the losers — leaking their
+        // eagerly-checkpointed blocks until GC and double-counting
+        // buildNanos. Build outside the map, install via putIfAbsent,
+        // and explicitly release + un-count a losing build.
+        val t0 = System.nanoTime()
+        val built = build
+        val nanos = System.nanoTime() - t0
+        memo.putIfAbsent((s, d, tag), built) match {
+          case None =>
+            buildNanos.addAndGet(nanos)
+            built
+          case Some(winner) =>
+            try built.unpersist() catch { case _: Throwable => () }
+            winner
+        }
+    }
   }
 
   /** Cumulative seconds spent inside memo builds since JVM start (or

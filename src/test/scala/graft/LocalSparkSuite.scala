@@ -8,7 +8,12 @@ import org.scalatest.{BeforeAndAfterAll, Suite}
   * localCheckpoint frames don't pin shuffle/checkpoint blocks for the
   * whole test-JVM lifetime (the ContextCleaner-leak class Bench drains
   * with periodic GC); a later suite that needs a memoized frame simply
-  * rebuilds it — cheap at sf0.001. */
+  * rebuilds it — cheap at sf0.001.
+  *
+  * ASSUMES suites run sequentially in the forked JVM (the sbt default;
+  * `testForkedParallel` stays false). The memo is process-global, so a
+  * parallel suite schedule would let one suite's afterAll unpersist a
+  * frame another suite is actively using. */
 trait LocalSparkSuite extends BeforeAndAfterAll { this: Suite =>
   override def afterAll(): Unit =
     try CheckpointMemo.clear() finally super.afterAll()
