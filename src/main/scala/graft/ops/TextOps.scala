@@ -784,15 +784,30 @@ object TextOps {
     * dedup-first, both sentinel-clean. Exact dedup before near-dup
     * join is the pipeline ordering (q30 before q34 likewise), folded
     * in here so the operator carries its own precondition. */
-  def jaccardJoin(s: SparkSession, d: String): DataFrame = {
+  def jaccardJoin(s: SparkSession, d: String): DataFrame =
+    jaccardJoinAt(s, d, 1, 2)
+
+  /** The general operator behind q104: exact Jaccard similarity join
+    * at threshold tau = p/q (a RATIONAL, so every bound below is
+    * exact integer arithmetic — no cross-engine float drift in the
+    * pruning or the final gate). Prefix length per doc is the
+    * standard probe-prefix bound `n - ceil(tau*n) + 1`
+    * (= `n div 2 + 1` at tau = 1/2, the q104 instance): any partner
+    * with J >= tau must share at least one of the doc's
+    * `n - ceil(tau*n) + 1` rarest shingles, because J >= tau forces
+    * overlap >= ceil(tau*n) shared shingles and a pair disjoint on
+    * the prefix can share at most the n - prefixLen suffix ones.
+    * JaccardJoinSpec proves recall against brute force at three taus. */
+  def jaccardJoinAt(s: SparkSession, d: String, p: Int, q: Int): DataFrame = {
+    require(p > 0 && q >= p, s"tau = $p/$q must lie in (0, 1]")
     val w = org.apache.spark.sql.expressions.Window
-    // the (doc, shingle) set feeds SIX plan subtrees (both prefix
-    // sides, both intersection sides, sizes, df) — without
-    // materialization Spark recomputes the dedup+explode each time,
-    // and that recomputation was 60%+ of the query (in-suite 7.8 s at
-    // sf0.1). Memoized like q97's edge list: one eager build, every
-    // reference a checkpoint scan. Checkpoint scans carry no stats,
-    // so each downstream join pins its strategy explicitly (the
+    // the (doc, shingle) set feeds FIVE plan subtrees (both prefix
+    // sides, both intersection sides, df) — without materialization
+    // Spark recomputes the dedup+explode each time, and that
+    // recomputation was 60%+ of the query (in-suite 7.8 s at sf0.1).
+    // Memoized like q97's edge list: one eager build, every reference
+    // a checkpoint scan. Checkpoint scans carry no stats, so each
+    // downstream join pins its strategy explicitly (the
     // checkpoint-plans-lose-stats rule).
     val sh = graft.CheckpointMemo.getOrElseUpdate(s, d, "jaccard_shingles") {
       Tables.documents(s, d)
@@ -804,36 +819,43 @@ object TextOps {
         .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
         .localCheckpoint()
     }
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // doc size via a window over the SAME doc_id partitioning the
+    // rank needs — one shuffle serves both, where a separate sizes
+    // aggregate + join would pay its own exchange (and `n` then rides
+    // the candidate pairs below, where re-joining sizes twice at the
+    // end would pay two more)
     val prefix = sh.join(dfreq.hint("shuffle_hash"), Seq("shingle"))
-      .join(sizes.hint("shuffle_hash"), Seq("doc_id"))
+      .withColumn("n", count(lit(1)).over(w.partitionBy(col("doc_id"))))
       .withColumn("rn", row_number().over(
         w.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
-      .filter(col("rn") <= expr("n div 2 + 1"))
+      // prefixLen = n - ceil(p*n/q) + 1, with ceil as exact integers:
+      // SQL `div` (floor division), NOT Column./ which is always
+      // double division and would truncate the bound (lost recall at
+      // e.g. tau=2/3, n=7: 2.67 vs the correct 3)
+      .filter(col("rn") <= col("n") - expr(s"(n * $p + ${q - 1}) div $q") + 1)
       .select(col("doc_id"), col("shingle"), col("n"))
     // length filter (recall-safe candidate pruning, result unchanged):
-    // J >= 0.5 forces tau*na <= nb <= na/tau, so cross-length pairs
+    // J >= tau forces tau*na <= nb <= na/tau, so cross-length pairs
     // can't qualify and need not be enumerated
     val cand = prefix.select(col("doc_id").as("da"), col("shingle"), col("n").as("na"))
       .join(prefix.select(col("doc_id").as("db"), col("shingle"), col("n").as("nb"))
         .hint("shuffle_hash"), Seq("shingle"))
       .filter(col("da") < col("db") &&
-        col("nb") * 2 >= col("na") && col("na") * 2 >= col("nb"))
-      .select(col("da"), col("db")).distinct()
-    val inter = cand
+        col("nb") * q >= col("na") * p && col("na") * q >= col("nb") * p)
+      .select(col("da"), col("db"), col("na"), col("nb")).distinct()
+    cand
       .join(sh.select(col("doc_id").as("da"), col("shingle")).hint("shuffle_hash"), Seq("da"))
       .join(sh.select(col("doc_id").as("db"), col("shingle")).hint("shuffle_hash"),
         Seq("db", "shingle"))
-      .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("da"), col("n").as("na")).hint("shuffle_hash"), Seq("da"))
-      .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")).hint("shuffle_hash"), Seq("db"))
+      .groupBy(col("da"), col("db"), col("na"), col("nb")).agg(count(lit(1)).as("inter"))
       // ONE division of exact integers — correctly rounded to the
-      // same double on both engines, so no rounding slack needed
+      // same double on both engines, so no rounding slack needed; the
+      // GATE stays in the integer domain (q*inter >= p*union), exact
+      // at every tau where a float literal like 0.7 would not be
+      .filter(col("inter") * q >= (col("na") + col("nb") - col("inter")) * p)
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= 0.5)
       .select(col("da").as("doc_a"), col("db").as("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
   }

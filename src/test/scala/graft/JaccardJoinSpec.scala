@@ -5,16 +5,18 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** q104: the prefix-filtering lemma, demonstrated — the rarest-first
   * prefix join must find EXACTLY the pairs brute-force all-pairs
-  * Jaccard finds at tau = 0.5 (no lost pair = recall; no extra pair =
-  * the exact verify works). */
+  * Jaccard finds (no lost pair = recall; no extra pair = the exact
+  * verify works). Run at three thresholds: the q104 instance
+  * (tau = 1/2) plus a looser (1/3) and a tighter (2/3) bound, so the
+  * general `n - ceil(tau*n) + 1` prefix length is exercised away from
+  * the `n div 2 + 1` special case. */
 class JaccardJoinSpec extends AnyFunSuite with LocalSparkSuite {
 
-  test("prefix-filtered join = brute-force all-pairs at tau 0.5") {
-    val got = graft.ops.TextOps.jaccardJoin(spark, sfDir)
-      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-
-    // brute force over the same representatives (one per distinct
-    // text): every pair sharing ANY shingle, exact Jaccard
+  /** Brute force over one representative per distinct text: every
+    * pair sharing ANY shingle, exact Jaccard >= p/q. The gate stays
+    * in the integer domain (q*inter >= p*union), same as the
+    * operator, so the comparison has no float slack on either side. */
+  private def bruteForce(p: Int, q: Int): Set[(Long, Long)] = {
     val sh = Tables.documents(spark, sfDir)
       .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
       .withColumn("toks", split(col("text"), " "))
@@ -23,17 +25,42 @@ class JaccardJoinSpec extends AnyFunSuite with LocalSparkSuite {
         explode(array_distinct(
           graft.functions.GraftFunctions.shingles(col("toks"), 3))).as("shingle"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = sh.select(col("doc_id").as("da"), col("shingle"))
+    sh.select(col("doc_id").as("da"), col("shingle"))
       .join(sh.select(col("doc_id").as("db"), col("shingle")), Seq("shingle"))
       .filter(col("da") < col("db"))
       .groupBy(col("da"), col("db")).agg(count(lit(1)).as("inter"))
       .join(sizes.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
       .join(sizes.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
-      .filter(col("inter").cast("double") / (col("na") + col("nb") - col("inter")) >= 0.5)
-    val expected = pairs.select("da", "db").collect()
+      .filter(col("inter") * q >= (col("na") + col("nb") - col("inter")) * p)
+      .select("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
+  private def prefixFiltered(p: Int, q: Int): Set[(Long, Long)] =
+    graft.ops.TextOps.jaccardJoinAt(spark, sfDir, p, q)
+      .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
 
+  test("prefix-filtered join = brute-force all-pairs at tau 1/2 (the q104 instance)") {
+    val got = graft.ops.TextOps.jaccardJoin(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = bruteForce(1, 2)
     assert(got === expected)
     assert(expected.nonEmpty, "fixture corpus should contain near-dup pairs")
+  }
+
+  test("prefix-filtered join = brute-force all-pairs at tau 1/3") {
+    val expected = bruteForce(1, 3)
+    assert(prefixFiltered(1, 3) === expected)
+    // a looser tau must admit at least the tau=1/2 pairs
+    assert(bruteForce(1, 2).subsetOf(expected))
+  }
+
+  test("prefix-filtered join = brute-force all-pairs at tau 2/3") {
+    val expected = bruteForce(2, 3)
+    assert(prefixFiltered(2, 3) === expected)
+    // a tighter tau must admit no more than the tau=1/2 pairs
+    assert(expected.subsetOf(bruteForce(1, 2)))
   }
 }
