@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftShims, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -742,20 +742,44 @@ object TextOps {
     * is pruned by `might_contain` BEFORE any join. Only the
     * surviving sliver (true overlaps + the sketch's false positives)
     * reaches the exact shingle join that keeps the answer
-    * bit-identical to q69's — bloom prunes, the join proves. At
-    * 100 TB the exact phase joins a ~100-1000x reduced slice, so it
-    * can shuffle instead of broadcast without dominating the query. */
-  def bloomContamination(s: SparkSession, d: String): DataFrame = {
+    * bit-identical to q69's — bloom prunes, the join proves.
+    *
+    * The exact phase is threshold-ADAPTIVE, not hardcoded: the probe
+    * set broadcasts only while Catalyst's own size estimate for it
+    * (`optimizedPlan.stats.sizeInBytes` — no extra job, the same
+    * signal Spark's planner consults) stays within the session's
+    * `spark.sql.autoBroadcastJoinThreshold`; a benchmark set
+    * estimated past that rides a pinned shuffle-hash join instead,
+    * keyed on the same shingle column the Bloom sketch already
+    * pruned to a sliver. That IS the 100 TB story in code: small
+    * eval suite → broadcast semi-shape, eval suite of millions of
+    * shingles → bounded-memory shuffle, identical answer either way
+    * (NativeExpressionsSpec runs both regimes). */
+  def bloomContamination(s: SparkSession, d: String): DataFrame =
+    bloomContaminationAt(s, d, maxBroadcastBytes = None)
+
+  /** General form behind q103. `maxBroadcastBytes`: largest estimated
+    * probe size the exact phase may broadcast — `None` defers to the
+    * session's `spark.sql.autoBroadcastJoinThreshold` (so the
+    * operator obeys the same knob as the rest of the plan), `Some(0)`
+    * forces the shuffle regime. */
+  def bloomContaminationAt(s: SparkSession, d: String,
+      maxBroadcastBytes: Option[Long]): DataFrame = {
     val shd = shingleArrays(s, d)
       .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
     val probe = shd.filter(col("doc_id") % 31 === 0)
       .select(col("shingle")).distinct()
     val sketch = probe.agg(graft.functions.GraftFunctions
       .bloomFilterAgg(xxhash64(col("shingle")), 1L << 20, 1L << 23).as("bf"))
+    val limit = maxBroadcastBytes.getOrElse(GraftShims.autoBroadcastThreshold(s))
+    val probeEst = probe.queryExecution.optimizedPlan.stats.sizeInBytes
+    val exactProbe =
+      if (limit >= 0 && probeEst <= limit) broadcast(probe)
+      else probe.hint("shuffle_hash")
     shd.filter(col("doc_id") % 31 =!= 0)
       .filter(graft.functions.GraftFunctions
         .mightContain(sketch, xxhash64(col("shingle"))))
-      .join(broadcast(probe), "shingle")
+      .join(exactProbe, "shingle")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 3)

@@ -31,6 +31,13 @@ object GraftShims {
   def catalystExpression(c: Column): Expression =
     classic.ColumnNodeToExpressionConverter(c.node)
 
+  /** The session's `spark.sql.autoBroadcastJoinThreshold` as bytes
+    * (SQLConf is private[sql]; operators that make their own
+    * broadcast-vs-shuffle call — q103's adaptive exact phase — must
+    * obey the same knob the planner does, not a parallel constant). */
+  def autoBroadcastThreshold(s: SparkSession): Long =
+    s.asInstanceOf[classic.SparkSession].sessionState.conf.autoBroadcastJoinThreshold
+
   /** Test-only visibility shim: materialize the optimizer rules an
     * extensions class injected, so specs can assert the
     * spark.sql.extensions wiring without building a second session. */

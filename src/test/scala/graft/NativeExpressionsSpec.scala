@@ -143,7 +143,26 @@ class NativeExpressionsSpec extends AnyFunSuite with LocalSparkSuite {
     // the sketch probe must survive optimization (otherwise q103 has
     // silently degenerated into q69's broadcast-only plan)
     assert(plan.contains("might_contain"), "bloom prefilter missing from plan")
+    // at test scale the probe estimate sits under the session's
+    // autoBroadcastJoinThreshold, so the adaptive exact phase must
+    // have picked the broadcast regime
+    assert(plan.contains("BroadcastHashJoin"),
+      "small probe should broadcast in the exact phase")
     // and the two-phase answer must still be the exact one
+    val exact = graft.ops.TextOps.contamination(spark, sfDir)
+    assert(df.collect().toSeq === exact.collect().toSeq)
+  }
+
+  test("q103's exact phase flips to shuffle when the probe outgrows the threshold") {
+    // force the over-threshold regime: zero broadcast budget
+    val df = graft.ops.TextOps.bloomContaminationAt(spark, sfDir, Some(0L))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), "bloom prefilter missing from plan")
+    assert(plan.contains("ShuffledHashJoin"),
+      "over-threshold probe must ride the pinned shuffle-hash join")
+    assert(!plan.contains("BroadcastHashJoin"),
+      "over-threshold probe must not broadcast")
+    // identical answer in either regime — bloom prunes, the join proves
     val exact = graft.ops.TextOps.contamination(spark, sfDir)
     assert(df.collect().toSeq === exact.collect().toSeq)
   }
