@@ -72,12 +72,15 @@ object MultimodalOps {
   final case class DecodedImage(width: Int, height: Int,
       meanR: Double, meanG: Double, meanB: Double)
 
-  /** REAL pure-JVM decode of binary PPM (P6) and 24-bit uncompressed
-    * BMP. Returns None unless the payload is a complete well-formed
-    * image: a truncated file or a coincidental magic match must fall
-    * back to the histogram tier, never produce garbage features. */
+  /** REAL pure-JVM decode of binary PPM (P6), 24-bit uncompressed
+    * BMP, and 8-bit non-interlaced RGB/RGBA PNG (zlib inflate via
+    * `java.util.zip.Inflater` — the one compressed format decodable
+    * with zero native codecs). Returns None unless the payload is a
+    * complete well-formed image: a truncated file or a coincidental
+    * magic match must fall back to the histogram tier, never produce
+    * garbage features. */
   private[graft] def decodeImage(payload: Array[Byte]): Option[DecodedImage] =
-    decodePpm(payload).orElse(decodeBmp(payload))
+    decodePpm(payload).orElse(decodeBmp(payload)).orElse(decodePng(payload))
 
   private def decodePpm(p: Array[Byte]): Option[DecodedImage] = {
     if (p.length < 2 || p(0) != 'P'.toByte || p(1) != '6'.toByte) return None
@@ -141,6 +144,116 @@ object MultimodalOps {
       while (x < w) { // pixels are BGR; padding bytes are never read
         sb += p(j) & 0xff; sg += p(j + 1) & 0xff; sr += p(j + 2) & 0xff
         x += 1; j += 3
+      }
+      y += 1
+    }
+    val n = w.toDouble * h
+    Some(DecodedImage(w, h, sr / n, sg / n, sb / n))
+  }
+
+  /** PNG: signature → chunk walk (every chunk's CRC32 verified — the
+    * JDK's `java.util.zip.CRC32` is PNG's exact polynomial, so a
+    * corrupted or coincidental-magic payload is rejected before any
+    * decompression) → IHDR gate → concatenated IDAT → `Inflater` →
+    * per-scanline unfilter (None/Sub/Up/Average/Paeth) → channel
+    * means. Supported subset: 8-bit-per-sample, color type 2 (RGB)
+    * or 6 (RGBA, alpha ignored in the means), non-interlaced — the
+    * honest claim for a from-scratch parser; Adam7 / palette /
+    * 16-bit return None and fall to the histogram tier. */
+  private def decodePng(p: Array[Byte]): Option[DecodedImage] = {
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+    if (p.length < sig.length + 25) return None
+    var k = 0
+    while (k < sig.length) { if (p(k) != sig(k)) return None; k += 1 }
+    def i32(off: Int): Int = ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+      ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+    var i = sig.length
+    var w = 0; var h = 0; var colorType = -1
+    var seenIhdr = false; var seenIend = false
+    val idat = new java.io.ByteArrayOutputStream()
+    val crc = new java.util.zip.CRC32()
+    while (!seenIend) {
+      if (i + 12 > p.length) return None // truncated chunk frame
+      val len = i32(i)
+      if (len < 0 || i + 12 + len.toLong > p.length) return None
+      crc.reset(); crc.update(p, i + 4, 4 + len)
+      if (crc.getValue.toInt != i32(i + 8 + len)) return None
+      val typ = new String(p, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      typ match {
+        case "IHDR" =>
+          if (len != 13 || seenIhdr) return None
+          w = i32(i + 8); h = i32(i + 12)
+          val bitDepth = p(i + 16) & 0xff; colorType = p(i + 17) & 0xff
+          val compression = p(i + 18) & 0xff; val filterMethod = p(i + 19) & 0xff
+          val interlace = p(i + 20) & 0xff
+          if (w <= 0 || h <= 0 || bitDepth != 8 ||
+            (colorType != 2 && colorType != 6) ||
+            compression != 0 || filterMethod != 0 || interlace != 0) return None
+          seenIhdr = true
+        case "IDAT" => if (!seenIhdr) return None; idat.write(p, i + 8, len)
+        case "IEND" => if (len != 0) return None; seenIend = true
+        case _ => () // ancillary chunks (tEXt, pHYs, …) carry no pixels
+      }
+      i += 12 + len
+    }
+    if (!seenIhdr || idat.size == 0) return None
+    val bpp = if (colorType == 2) 3 else 4
+    val stride = 1 + w.toLong * bpp // filter byte + samples, per scanline
+    if (h.toLong * stride > Int.MaxValue) return None
+    val raw = new Array[Byte]((h * stride).toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated zlib stream
+        off += n
+      }
+      // exactly h*stride bytes, nothing more: a stream that keeps
+      // producing disagrees with IHDR and is rejected, not clipped
+      if (off != raw.length || inf.inflate(new Array[Byte](1)) != 0) return None
+    } catch { case _: java.util.zip.DataFormatException => return None }
+    finally inf.end()
+    // unfilter in place; prior row is already reconstructed when the
+    // Up/Average/Paeth predictors read it
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val pa = math.abs(b - c); val pb = math.abs(a - c)
+      val pc = math.abs(a + b - c - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val rowLen = (stride - 1).toInt
+    var y = 0
+    while (y < h) {
+      val base = y * stride.toInt
+      val filter = raw(base) & 0xff
+      if (filter > 4) return None
+      var x = 0
+      while (x < rowLen) {
+        val cur = raw(base + 1 + x) & 0xff
+        val left = if (x >= bpp) raw(base + 1 + x - bpp) & 0xff else 0
+        val up = if (y > 0) raw(base - stride.toInt + 1 + x) & 0xff else 0
+        val ul = if (y > 0 && x >= bpp) raw(base - stride.toInt + 1 + x - bpp) & 0xff else 0
+        val recon = filter match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + up
+          case 3 => cur + (left + up) / 2
+          case 4 => cur + paeth(left, up, ul)
+        }
+        raw(base + 1 + x) = (recon & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    var sr = 0L; var sg = 0L; var sb = 0L
+    y = 0
+    while (y < h) {
+      var j = y * stride.toInt + 1
+      var x = 0
+      while (x < w) {
+        sr += raw(j) & 0xff; sg += raw(j + 1) & 0xff; sb += raw(j + 2) & 0xff
+        x += 1; j += bpp
       }
       y += 1
     }

@@ -32,6 +32,37 @@ class MultimodalSpec extends AnyFunSuite with LocalSparkSuite {
     assert(img.meanR === 127.5 && img.meanG === 0.0 && img.meanB === 127.5)
   }
 
+  test("decodes the checked-in RGB PNG fixture: all five scanline filters + split IDAT") {
+    // 6x5, pixel (x,y) = (10x, 10y, x+y); the five rows are encoded
+    // with filters 0,1,2,3,4 in order, so None/Sub/Up/Average/Paeth
+    // unfilter paths all run; IDAT is split in two chunks (must
+    // concatenate) and a tEXt chunk sits mid-stream (must skip)
+    val img = MultimodalOps.decodeImage(fixture("fixture_6x5.png")).get
+    assert(img.width === 6 && img.height === 5)
+    assert(img.meanR === 25.0 && img.meanG === 20.0 && img.meanB === 4.5)
+  }
+
+  test("decodes the checked-in RGBA PNG fixture: alpha ignored in channel means") {
+    // 4x2 color type 6, pixel (x,y) = (50x, 25y, 10, 17x+13y+1):
+    // varying alpha must not leak into the RGB means
+    val img = MultimodalOps.decodeImage(fixture("fixture_4x2_rgba.png")).get
+    assert(img.width === 4 && img.height === 2)
+    assert(img.meanR === 75.0 && img.meanG === 12.5 && img.meanB === 10.0)
+  }
+
+  test("malformed PNG bytes fall back, not decode") {
+    val png = fixture("fixture_6x5.png")
+    assert(MultimodalOps.decodeImage(png.dropRight(1)).isEmpty, "truncated IEND")
+    assert(MultimodalOps.decodeImage(png.take(60)).isEmpty, "truncated IDAT")
+    // flip one raster byte inside the first IDAT: CRC must reject
+    val corrupt = png.clone()
+    val idatOff = png.indexOfSlice("IDAT".getBytes) + 6
+    corrupt(idatOff) = (corrupt(idatOff) ^ 0x5a).toByte
+    assert(MultimodalOps.decodeImage(corrupt).isEmpty, "CRC mismatch")
+    assert(MultimodalOps.decodeImage(
+      "\u0089PNG\r\n\u001a\n but not an image".getBytes("ISO-8859-1")).isEmpty)
+  }
+
   test("malformed image bytes fall back, not decode: truncation and magic-only") {
     val ppm = fixture("fixture_4x3.ppm")
     assert(MultimodalOps.decodeImage(ppm.dropRight(1)).isEmpty, "truncated raster")
