@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures a bounded tail of sbt stdout and parses the
+// bench/verify JSON lines from it. sbt's default output strategy routes
+// the forked JVM's stdout through its logger, prefixing every line with
+// "[info] " — which defeats strict JSON parsers (BENCH_r06 recorded
+// parsed:null for exactly this reason). StdoutOutput inherits the
+// parent's stdout instead, so the JSON lines land in the capture raw.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -65,23 +65,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** The one session conf the corpus needs beyond defaults: events.ts
-    * is physically INT64 TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp, so sessions opt into reading it as raw nanos.
-    * Belongs at session CONSTRUCTION (Bench/Verify/PlanDump/test
+  /** Early driver corpora wrote events.ts as INT64 TIMESTAMP(NANOS),
+    * which Spark 4 refuses to read as a timestamp; sessions set this so
+    * that encoding arrives as raw nanos (harmless when the corpus uses
+    * µs). Belongs at session CONSTRUCTION (Bench/Verify/PlanDump/test
     * builders all set it) — a table loader must never mutate session
     * state as a side effect. */
   val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
-  /** events.ts arrives as raw nanos (see [[NanosConf]]); integer-divide
-    * to µs — the driver's values are µs-exact, so this matches DuckDB's
-    * ns→µs TIMESTAMP cast bit-for-bit. */
+  /** events.ts, normalized to TimestampType regardless of the corpus
+    * generation's physical encoding (schema-on-read, decided per file
+    * footer — no session flag decides semantics):
+    *  - INT64 TIMESTAMP(NANOS) read as raw nanos under [[NanosConf]]:
+    *    integer-divide to µs (the driver's values are µs-exact, so this
+    *    matches DuckDB's ns→µs TIMESTAMP cast bit-for-bit);
+    *  - timestamp[us] without timezone (reads as TIMESTAMP_NTZ): cast
+    *    to TimestampType — value-identical under the UTC session every
+    *    entry point pins, and it keeps each downstream plan, spec, and
+    *    written parquet type byte-for-byte what the nanos era produced. */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get(NanosConf, "false") == "true",
-      s"events.parquet is INT64 TIMESTAMP(NANOS): set $NanosConf=true at " +
-        "session construction (as the Bench/Verify builders do)")
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
