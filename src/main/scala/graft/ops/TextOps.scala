@@ -928,6 +928,123 @@ object TextOps {
        |WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q105: SimHash near-duplicate pair join at Hamming distance ≤ 3 —
+    * the third member of the near-dup join family, completing the
+    * trade-off menu: MinHash-LSH (q34) is probabilistic with tunable
+    * bands, the prefix-filtered Jaccard join (q104) is exact on set
+    * overlap, and SimHash (Charikar's rounding; the web-dedup design
+    * of Manku/Jain/Sarma, WWW'07) is exact on FINGERPRINT distance
+    * with a constant-size 8-byte signature per doc — the cheapest to
+    * store and the only one whose candidate key is independent of
+    * document length.
+    *
+    * Signature: 64 bits as FOUR 16-bit band ints (b0..b3) — bit j of
+    * band b is the majority vote over the doc's tokens of bit (j mod
+    * 4) of md5 hex digit `4b + j/4 + 1` (the md5-nibble bit source
+    * both engines share; ties round up exactly like q43). The
+    * band-int representation, not one packed int64, is deliberate:
+    * every value stays small and positive (no 64-bit sign games in
+    * either engine — bit 63 of a packed signature would overflow
+    * DuckDB's BIGINT sum and trip Spark's ANSI overflow check), and
+    * the bands ARE the join keys.
+    *
+    * Candidate generation is the WWW'07 pigeonhole: any pair within
+    * Hamming distance 3 of a 64-bit fingerprint agrees EXACTLY on at
+    * least one of 4 disjoint 16-bit bands (3 flipped bits can touch
+    * at most 3 bands), so a 4-way band equi-join has perfect recall
+    * and the exact `bit_count(xor)` verify on the joined row keeps
+    * precision exact. Scale shape: one row per distinct text (exact
+    * dedup folded in, the q104 precondition), signatures built once
+    * and memoized (both join sides read the checkpoint), candidate
+    * keys are 16-bit band values — 65536 buckets spread uniformly by
+    * the hash mixing, never corpus²; at a corpus where ~n²/2¹⁶ still
+    * overwhelms, widen to 6×11-bit bands for Hamming ≤ 5 or chunk
+    * first (q86). */
+  def simhashJoin(s: SparkSession, d: String): DataFrame = {
+    // per-bit membership sets: bit k of a hex digit is set iff the
+    // digit lies in bitSets(k)
+    val bitSets = Seq(
+      Seq("1", "3", "5", "7", "9", "b", "d", "f"),
+      Seq("2", "3", "6", "7", "a", "b", "e", "f"),
+      Seq("4", "5", "6", "7", "c", "d", "e", "f"),
+      Seq("8", "9", "a", "b", "c", "d", "e", "f"))
+    // (doc_id, b0..b3), one row per distinct text. The majority vote
+    // is 64 doc-local array scans — built once, memoized, every
+    // reference a checkpoint scan (both band-join sides read it).
+    // Checkpoint scans carry no stats → the self-join pins its
+    // strategy (the checkpoint-plans-lose-stats rule).
+    val sig = graft.CheckpointMemo.getOrElseUpdate(s, d, "simhash_sigs") {
+      val bands = (0 until 4).map { b =>
+        (0 until 16).map { j =>
+          val pos = 4 * b + j / 4 + 1
+          val pop = size(filter(col("hs"),
+            h => substring(h, pos, 1).isin(bitSets(j % 4): _*)))
+          when(pop * 2 - size(col("hs")) >= 0, lit((1L << j))).otherwise(lit(0L))
+        }.reduce(_ + _).as(s"b$b")
+      }
+      Tables.documents(s, d)
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("hs", transform(toks(col("text")), t => md5(t)))
+        .select(col("doc_id") +: bands: _*)
+        .localCheckpoint()
+    }
+    val banded = sig.select(col("doc_id"),
+      col("b0"), col("b1"), col("b2"), col("b3"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"), col(s"b$b").as("v"))): _*)).as("bv"))
+      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("bv.band").as("band"), col("bv.v").as("v"))
+    val left = banded.select(col("band"), col("v"), col("doc_id").as("doc_a"),
+      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val right = banded.select(col("band"), col("v"), col("doc_id").as("doc_b"),
+      col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    val ham = (0 until 4).map(b =>
+      bit_count(col(s"a$b").bitwiseXOR(col(s"c$b")))).reduce(_ + _)
+    left.join(right.hint("shuffle_hash"), Seq("band", "v"))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", ham.cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      // a pair within distance 3 can agree on up to 4 bands → up to 4
+      // identical candidate rows; distinct on the tiny qualifying set
+      .distinct()
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val simhashJoinSql = {
+    val sets = Seq(
+      "'1','3','5','7','9','b','d','f'",
+      "'2','3','6','7','a','b','e','f'",
+      "'4','5','6','7','c','d','e','f'",
+      "'8','9','a','b','c','d','e','f'")
+    val bal = (for (b <- 0 until 4; j <- 0 until 16) yield {
+      val pos = 4 * b + j / 4 + 1
+      s"SUM(CASE WHEN substring(h,$pos,1) IN (${sets(j % 4)}) THEN 1 ELSE -1 END) AS s${b}_$j"
+    }).mkString(",\n  ")
+    val bands = (0 until 4).map { b =>
+      val terms = (0 until 16).map(j =>
+        s"(CASE WHEN s${b}_$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"CAST($terms AS BIGINT) AS b$b"
+    }.mkString(",\n  ")
+    s"""WITH reps AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+       |w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM reps),
+       |tok AS (SELECT doc_id, md5(w) AS h FROM w),
+       |bal AS (SELECT doc_id,
+       |  $bal
+       | FROM tok GROUP BY doc_id),
+       |sig AS (SELECT doc_id,
+       |  $bands
+       | FROM bal),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |        CAST(bit_count(xor(a.b0,b.b0)) + bit_count(xor(a.b1,b.b1)) +
+       |             bit_count(xor(a.b2,b.b2)) + bit_count(xor(a.b3,b.b3)) AS BIGINT) AS hamming
+       |   FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |    AND (a.b0=b.b0 OR a.b1=b.b1 OR a.b2=b.b2 OR a.b3=b.b3))
+       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   /** Near-dup cluster rollup by fingerprint prefix: group docs on a
     * 40-char prefix key, keep clusters of ≥2, and report the member
     * count plus the distinct sources involved — the "which feeds are
@@ -956,6 +1073,8 @@ object TextOps {
       "two-phase decontamination: fixed-size Bloom prefilter + exact verify (same contract as q69)"),
     QueryDef("q104_jaccard_join", jaccardJoin, Some(jaccardJoinSql),
       "exact n-gram Jaccard similarity join via rarest-first prefix filtering (All-Pairs/PPJoin)"),
+    QueryDef("q105_simhash_join", simhashJoin, Some(simhashJoinSql),
+      "SimHash near-dup pair join: 64-bit fingerprint, 4x16-bit pigeonhole bands, exact Hamming<=3 verify"),
     QueryDef("q75_dup_clusters", dupClusters, Some(dupClustersSql), "near-dup cluster rollup (collect_set)"),
     QueryDef("q76_dedup_components", dedupComponents, Some(dedupComponentsSql), "connected-components dedup clustering"),
     QueryDef("q30_exact_dedup", exactDedup, Some(exactDedupSql), "B25 exact dedup"),
