@@ -823,21 +823,27 @@ object TextOps {
     * the prefix can share at most the n - prefixLen suffix ones.
     * JaccardJoinSpec proves recall against brute force at three taus.
     *
-    * Plan shape: each doc rides through the prefix self-join CARRYING
-    * its full rarest-first shingle array (the record-with-tokens
-    * design of the classic MapReduce set-similarity join), so the
-    * exact intersection is a codegen'd `array_intersect` evaluated on
-    * the joined row — no join-back against the shingle table, no
-    * re-aggregation of candidate pairs. That replaces the previous
-    * five-subtree formulation (df join + two windows + candidate
-    * distinct + two join-backs + groupBy ≈ 9 exchanges) with ONE
-    * self-join over the exploded prefix (+ a final distinct on the
-    * tiny result): measured in-suite at sf0.1, 6.3 s → well under
-    * half. Per-pair cost is O(doc shingles), paid only on candidate
-    * pairs — and candidates are generated from LOW-df prefix keys, so
-    * carrying the arrays adds bytes but never a hot key. At 100 TB
-    * the array-carry trade reverses only for pathologically long
-    * documents; chunk first (q86) in that regime. */
+    * Plan shape — candidates skinny, verify compact: the prefix
+    * self-join carries only (doc_id, n, shingle), and the exact
+    * intersection joins the (tiny) candidate-pair set back against
+    * the COMPACT per-doc array table — one row per doc carrying its
+    * sorted shingle array — so `array_intersect` runs once per
+    * candidate pair on a codegen'd row. Two designs this replaces,
+    * both measured at sf0.1: the original five-subtree formulation
+    * (df join + two windows + candidate distinct + two join-backs
+    * against the EXPLODED 500k-row shingle table + groupBy ≈ 9
+    * exchanges, 6.3 s in-suite) and the record-with-tokens MapReduce
+    * shape that carries each doc's whole array once per prefix key
+    * through the self-join exchange (2 exchanges but prefixLen×
+    * array replication ≈ a ~1 GB shuffle at sf0.1 — fast on an idle
+    * disk, 2-12 s under IO contention the CPU sentinels cannot even
+    * see). Shuffle volume here is ~35 MB: skinny prefix keys, then
+    * arrays move exactly twice (once per join-back side), keyed on
+    * doc_id — the 100 TB-relevant invariant, since similarity-join
+    * cost at scale IS shuffle bytes. Candidate keys are low-df by
+    * construction, so no hot key; the join-backs are shuffle-hash on
+    * doc_id (broadcast would be wrong: the array table is
+    * corpus-sized). */
   def jaccardJoinAt(s: SparkSession, d: String, p: Int, q: Int): DataFrame = {
     require(p > 0 && q >= p, s"tau = $p/$q must lie in (0, 1]")
     // One row per distinct text: (doc_id, shs rarest-first, n). The
@@ -871,17 +877,25 @@ object TextOps {
     // SQL `div` (floor division), NOT Column./ which is always
     // double division and would truncate the bound (lost recall at
     // e.g. tau=2/3, n=7: 2.67 vs the correct 3)
-    val pref = docs.select(col("doc_id"), col("shs"), col("n"),
+    val pref = docs.select(col("doc_id"), col("n"),
       explode(slice(col("shs"), lit(1),
         col("n") - expr(s"(n * $p + ${q - 1}) div $q") + 1)).as("shingle"))
     // length filter (recall-safe candidate pruning, result unchanged):
     // J >= tau forces tau*na <= nb <= na/tau, so cross-length pairs
-    // can't qualify and need not be enumerated
-    pref.select(col("shingle"), col("doc_id").as("da"), col("shs").as("sa"), col("n").as("na"))
-      .join(pref.select(col("shingle"), col("doc_id").as("db"), col("shs").as("sb"),
-        col("n").as("nb")).hint("shuffle_hash"), Seq("shingle"))
+    // can't qualify and need not be enumerated. distinct BEFORE the
+    // verify join-backs: a pair sharing k prefix shingles appears k
+    // times, and the arrays should move once per pair, not k times.
+    val cand = pref.select(col("shingle"), col("doc_id").as("da"), col("n").as("na"))
+      .join(pref.select(col("shingle"), col("doc_id").as("db"), col("n").as("nb"))
+        .hint("shuffle_hash"), Seq("shingle"))
       .filter(col("da") < col("db") &&
         col("nb") * q >= col("na") * p && col("na") * q >= col("nb") * p)
+      .select(col("da"), col("db"), col("na"), col("nb")).distinct()
+    cand
+      .join(docs.select(col("doc_id").as("da"), col("shs").as("sa"))
+        .hint("shuffle_hash"), Seq("da"))
+      .join(docs.select(col("doc_id").as("db"), col("shs").as("sb"))
+        .hint("shuffle_hash"), Seq("db"))
       .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
       // ONE division of exact integers — correctly rounded to the
       // same double on both engines, so no rounding slack needed; the
@@ -891,11 +905,6 @@ object TextOps {
       .select(col("da").as("doc_a"), col("db").as("doc_b"),
         (col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
           .as("jaccard"))
-      // a pair sharing k prefix shingles is emitted k times with
-      // IDENTICAL values — distinct on the (tiny) qualifying output
-      // replaces the previous distinct on the (much larger) candidate
-      // set
-      .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
