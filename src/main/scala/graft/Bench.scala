@@ -109,6 +109,40 @@ object Bench {
       threads.foreach(_.start()); threads.foreach(_.join())
       (System.nanoTime() - t0) / 1e9
     }
+    // IO sentinel: the CPU sentinel is arithmetic-only and therefore
+    // BLIND to disk contention — observed directly: q104's shuffle-
+    // heavy variant swung 1.4 → 12.4 s between passes while every CPU
+    // sentinel sample read near-nominal, because a neighbor was
+    // saturating the disk, not the cores. A fixed 64 MiB write +
+    // fsync + read-back + delete against java.io.tmpdir (the same
+    // filesystem Spark spills and shuffles to) is timed at the same
+    // cadence as the CPU probe; worst sample emitted as io_max. A run
+    // whose io_max dwarfs io_pre sat in an IO-contention window, and
+    // the bench line now says so in-band.
+    def ioSentinelOnce(): Double = {
+      val chunk = new Array[Byte](1 << 20)
+      var j = 0
+      while (j < chunk.length) { chunk(j) = (j * 31).toByte; j += 1 }
+      val t0 = System.nanoTime()
+      val p = java.nio.file.Files.createTempFile("graft-io-sentinel", ".bin")
+      try {
+        val ch = java.nio.channels.FileChannel.open(p,
+          java.nio.file.StandardOpenOption.WRITE)
+        var i = 0
+        while (i < 64) { ch.write(java.nio.ByteBuffer.wrap(chunk)); i += 1 }
+        ch.force(true)
+        ch.close()
+        val in = java.nio.channels.FileChannel.open(p,
+          java.nio.file.StandardOpenOption.READ)
+        val buf = java.nio.ByteBuffer.allocate(1 << 20)
+        var n = 0L
+        var r = in.read(buf)
+        while (r >= 0) { n += r; buf.clear(); r = in.read(buf) }
+        in.close()
+        sentinelSink = n // defeat dead-code elimination
+      } finally java.nio.file.Files.deleteIfExists(p)
+      (System.nanoTime() - t0) / 1e9
+    }
     def gcSeconds(): Double = {
       import scala.jdk.CollectionConverters._
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
@@ -116,6 +150,9 @@ object Bench {
     }
     sentinelOnce() // untimed JIT warmup of the loop itself
     val sentinelPre = sentinelOnce()
+    ioSentinelOnce() // untimed warmup (tmpfile allocation, JIT)
+    val ioPre = ioSentinelOnce()
+    val ioMid = scala.collection.mutable.ArrayBuffer[Double]()
     val gcPre = gcSeconds()
     // pre/post sentinels alone cannot see a window that opens and
     // closes MID-run (observed: a 10x-suite run with clean 0.215 s
@@ -165,13 +202,21 @@ object Bench {
         if (sinceSample >= 10) {
           if (periodicGc) System.gc()
           sentinelMid += sentinelOnce()
+          ioMid += ioSentinelOnce()
           sinceSample = 0
         }
         var times = (1 to repeat).map(_ => timedPass(fn))
         if (times.forall(_ >= 0) && times.min > 2.0) {
           val probe = sentinelOnce()
           sentinelMid += probe
-          if (probe > 1.6 * sentinelPre && retriesLeft > 0) {
+          // the retry fires on EITHER contention axis: CPU (probe vs
+          // pre) or IO (probe vs the best IO sample seen so far — the
+          // pre sample itself may have been taken in a bad window)
+          val ioProbe = ioSentinelOnce()
+          ioMid += ioProbe
+          val ioBase = (ioPre +: ioMid.toSeq).min
+          if ((probe > 1.6 * sentinelPre || ioProbe > 2.5 * ioBase)
+              && retriesLeft > 0) {
             retriesLeft -= 1
             // an infra-fluke failure on the extra pass must not mark
             // an otherwise-green query as an error
@@ -191,6 +236,8 @@ object Bench {
       }
     val sentinelPost = sentinelOnce()
     val sentinelMax = (Seq(sentinelPre, sentinelPost) ++ sentinelMid).max
+    val ioPost = ioSentinelOnce()
+    val ioMax = (Seq(ioPre, ioPost) ++ ioMid).max
     val gcSec = gcSeconds() - gcPre
     // millisecond resolution keeps the per-query map short (the r2/r3
     // captures truncated the long line's head and the driver recorded
@@ -216,7 +263,7 @@ object Bench {
     // exactly the head — summary + q01..q26), and a second, short,
     // summary-only line is printed after it so a tail of any plausible
     // size retains one complete parseable JSON line
-    val summary = s""""metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"passes":$repeat,"cold_total":${fmt(coldSum)},"memo_build_s":${fmt(CheckpointMemo.buildSeconds)},"sentinel_pre":${fmt(sentinelPre)},"sentinel_post":${fmt(sentinelPost)},"sentinel_max":${fmt(sentinelMax)},"gc_sec":${fmt(gcSec)},"slowest":$slowest,"dominant":$dominant,"sf":"$sfDir""""
+    val summary = s""""metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"passes":$repeat,"cold_total":${fmt(coldSum)},"memo_build_s":${fmt(CheckpointMemo.buildSeconds)},"sentinel_pre":${fmt(sentinelPre)},"sentinel_post":${fmt(sentinelPost)},"sentinel_max":${fmt(sentinelMax)},"io_pre":${fmt(ioPre)},"io_post":${fmt(ioPost)},"io_max":${fmt(ioMax)},"gc_sec":${fmt(gcSec)},"slowest":$slowest,"dominant":$dominant,"sf":"$sfDir""""
     val fullJson = s"""{"queries":$qs,$summary}"""
     println(fullJson)
     println(s"""{$summary}""")
