@@ -43,7 +43,8 @@ object PlanDump {
       "q94_bm25_rank" -> "BM25: df/stats broadcast, only the 3-term tf slice flows; TakeOrderedAndProject top-10",
       "q97_pagerank" -> "fixed-iteration PageRank: out-degrees folded into the checkpointed edge list (Scan ExistingRDD), each round ONE broadcast join + one dst-key shuffle, no sort-merge anywhere",
       "q102_corpus_shards" -> "export sharding: bucketed byte prefix sum, langs-x-buckets offset table broadcast, intra-bucket windows only — no whole-language window anywhere",
-      "q104_jaccard_join" -> "exact similarity join: dedup'd shingle set materialized ONCE (Scan ExistingRDD x6), rarest-first prefix keys, shuffle_hash pinned on every stats-less join, length filter before the candidate distinct")
+      "q104_jaccard_join" -> "exact similarity join: per-doc rarest-first arrays materialized ONCE (Scan ExistingRDD), skinny (doc_id,n,shingle) prefix self-join, candidate distinct BEFORE the verify join-backs, arrays move exactly twice keyed on doc_id, shuffle_hash pinned on every stats-less join",
+      "q105_simhash_join" -> "SimHash near-dup join: signature table materialized ONCE (Scan ExistingRDD), 4-way band explode, 16-bit band equi-join (shuffle_hash pinned), exact bit_count(xor) verify on the joined row")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")
     picks.foreach { case (name, why) =>
