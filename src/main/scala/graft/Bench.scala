@@ -114,11 +114,14 @@ object Bench {
     // heavy variant swung 1.4 → 12.4 s between passes while every CPU
     // sentinel sample read near-nominal, because a neighbor was
     // saturating the disk, not the cores. A fixed 64 MiB write +
-    // fsync + read-back + delete against java.io.tmpdir (the same
-    // filesystem Spark spills and shuffles to) is timed at the same
-    // cadence as the CPU probe; worst sample emitted as io_max. A run
-    // whose io_max dwarfs io_pre sat in an IO-contention window, and
-    // the bench line now says so in-band.
+    // fsync + delete against java.io.tmpdir (the same filesystem
+    // Spark spills and shuffles to) is timed at the same cadence as
+    // the CPU probe; worst sample emitted as io_max. A run whose
+    // io_max dwarfs io_pre sat in an IO-contention window, and the
+    // bench line says so in-band. Deliberately NO read-back leg: a
+    // read of a just-written file is served from page cache and adds
+    // only latency noise — write+fsync IS the disk-contention signal,
+    // and it is also the operation Spark's spill/shuffle path pays.
     def ioSentinelOnce(): Double = {
       val chunk = new Array[Byte](1 << 20)
       var j = 0
@@ -132,14 +135,6 @@ object Bench {
         while (i < 64) { ch.write(java.nio.ByteBuffer.wrap(chunk)); i += 1 }
         ch.force(true)
         ch.close()
-        val in = java.nio.channels.FileChannel.open(p,
-          java.nio.file.StandardOpenOption.READ)
-        val buf = java.nio.ByteBuffer.allocate(1 << 20)
-        var n = 0L
-        var r = in.read(buf)
-        while (r >= 0) { n += r; buf.clear(); r = in.read(buf) }
-        in.close()
-        sentinelSink = n // defeat dead-code elimination
       } finally java.nio.file.Files.deleteIfExists(p)
       (System.nanoTime() - t0) / 1e9
     }
@@ -239,23 +234,127 @@ object Bench {
     val ioPost = ioSentinelOnce()
     val ioMax = (Seq(ioPre, ioPost) ++ ioMid).max
     val gcSec = gcSeconds() - gcPre
+    // ---- machine-readable window verdict (the BENCH_r07 lesson) ----
+    // The harness already measures everything needed to say whether a
+    // window was contaminated; until now it left that adjudication to
+    // the reader (r7's headline 57 s stood while io_max read 23x
+    // nominal). A window is CLEAN iff all three axes are inside their
+    // bands, calibrated against the recorded clean (r6) and dirty (r7)
+    // windows of this host:
+    //  - CPU spread: max <= 1.8x the window's own min (r6 ratio 1.41,
+    //    r7 ratio 5.0) AND the min itself is inside the absolute
+    //    nominal band (<= 0.6 s; observed nominals 0.20-0.37 s) — the
+    //    absolute guard catches a UNIFORMLY slow window that relative
+    //    spread is blind to (the fixed all-cores loop is a host
+    //    constant, so its floor moving IS contention);
+    //  - IO spread: max <= max(4x min, 1.5 s) AND min <= 1.0 s
+    //    (nominal 0.19-0.25 s for the fixed 64 MiB write+fsync; r7
+    //    read 4.87 max). fsync latency is long-tailed even on an idle
+    //    host — observed 0.18 -> 0.67 s in an otherwise clean window —
+    //    so a small ABSOLUTE reading is forgiven regardless of ratio;
+    //    only a sample that is both several-x the floor AND large
+    //    enough to move Spark query numbers flags the window;
+    //  - GC: <= max(6 s, 25% of the suite total) (r6: 2.5 s / 10%,
+    //    r7: 19.7 s / 35% — collection time scales with queries run,
+    //    so the band is relative with an absolute floor).
+    def windowClean(cpu: Seq[Double], io: Seq[Double], gc: Double,
+        tot: Double): Boolean = {
+      val cpuBase = cpu.min
+      val ioBase = io.min
+      cpu.max <= 1.8 * cpuBase && cpuBase <= 0.6 &&
+        io.max <= math.max(4.0 * ioBase, 1.5) && ioBase <= 1.0 &&
+        gc <= math.max(6.0, 0.25 * tot)
+    }
     // millisecond resolution keeps the per-query map short (the r2/r3
     // captures truncated the long line's head and the driver recorded
     // parsed:null). Locale.ROOT: the f interpolator is locale-sensitive
     // and a comma-decimal locale would emit unparseable JSON.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    val cpuW1 = Seq(sentinelPre, sentinelPost) ++ sentinelMid
+    val ioW1 = Seq(ioPre, ioPost) ++ ioMid
+    val total1 = results.map(_._2).filter(_ >= 0).sum
+    // SPARK_GRAFT_FORCE_DIRTY=true pretends window 1 was contaminated —
+    // exercises the rerun/merge/verdict plumbing on demand instead of
+    // waiting for a genuinely bad window to test it in anger
+    val clean1 = windowClean(cpuW1, ioW1, gcSec, total1) &&
+      !sys.env.getOrElse("SPARK_GRAFT_FORCE_DIRTY", "false").toBoolean
+    // ---- bounded dirty-window re-run ----
+    // A uniformly slow window defeats the per-query retry gate (r7:
+    // ~100 sub-second queries each 2-3x slow, individually under the
+    // 2 s gate, collectively ~15 s of inflation no retry touched). If
+    // window 1 adjudicates dirty, run the whole suite ONE more pass
+    // (bounded: exactly one, opt out with SPARK_GRAFT_DIRTY_RERUN=
+    // false), sentinel-sampled like the first, and merge per-query
+    // MINIMA — contention only ever adds time, so min(dirty, second)
+    // is the code-cost estimator. The artifact's `clean` then reports
+    // the verdict of the window that produced the final numbers: true
+    // iff ANY window was clean. Window-1 sentinel fields keep their
+    // round-over-round-comparable names; window-2 stats are appended
+    // as *_2 fields only when the rerun happened.
+    var finalResults = results
+    var rerun = 0
+    var clean = clean1
+    var rerunFields = ""
+    var memoBuildS = CheckpointMemo.buildSeconds
+    if (!clean1 &&
+        sys.env.getOrElse("SPARK_GRAFT_DIRTY_RERUN", "true").toBoolean) {
+      rerun = 1
+      System.err.println(
+        "[bench] window verdict DIRTY (cpu " + cpuW1.max + "/" + cpuW1.min +
+        ", io " + ioW1.max + "/" + ioW1.min + ", gc " + gcSec +
+        ") - re-running the suite once")
+      // memo builds happened in the dirty window and min-of-N never
+      // re-times them (the r7 61.9 s vs 3.0 s symptom): drop the
+      // memoized frames so the rerun rebuilds them in window 2, and
+      // report the cheaper build as memo_build_s (same min estimator
+      // as the queries; both raw values stay recoverable: window 1's
+      // via memo_build_s1, window 2's via memo_build_s2).
+      CheckpointMemo.clear()
+      CheckpointMemo.resetStats()
+      val gcPre2 = gcSeconds()
+      val cpu2 = scala.collection.mutable.ArrayBuffer(sentinelOnce())
+      val io2 = scala.collection.mutable.ArrayBuffer(ioSentinelOnce())
+      var since2 = 0
+      val secondMap = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (n, _) => only.forall(_.contains(n)) }
+        .map { case (name, fn) =>
+          since2 += 1
+          if (since2 >= 10) {
+            if (periodicGc) System.gc()
+            cpu2 += sentinelOnce(); io2 += ioSentinelOnce(); since2 = 0
+          }
+          name -> timedPass(fn)
+        }.toMap
+      cpu2 += sentinelOnce(); io2 += ioSentinelOnce()
+      val gc2 = gcSeconds() - gcPre2
+      finalResults = results.map { case (n, t1) =>
+        val t2 = secondMap.getOrElse(n, -1.0)
+        // a query green in window 1 must not become an error on an
+        // infra fluke in the rerun; one already -1 stays an error
+        val merged = if (t1 < 0) t1 else if (t2 >= 0) math.min(t1, t2) else t1
+        n -> merged
+      }
+      val total2 = secondMap.values.filter(_ >= 0).sum
+      val clean2 = windowClean(cpu2.toSeq, io2.toSeq, gc2, total2)
+      clean = clean1 || clean2
+      val memo2 = CheckpointMemo.buildSeconds
+      rerunFields = s""","sentinel_max_2":${fmt(cpu2.max)},"io_max_2":${
+        fmt(io2.max)},"gc_sec_2":${fmt(gc2)},"total_2":${fmt(total2)},"clean_2":$clean2,"memo_build_s1":${
+        fmt(memoBuildS)},"memo_build_s2":${fmt(memo2)}"""
+      memoBuildS = math.min(memoBuildS, memo2)
+    }
+    val qs = finalResults.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val errors = results.count(_._2 < 0)
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val errors = finalResults.count(_._2 < 0)
+    val total = finalResults.map(_._2).filter(_ >= 0).sum
     // dominance guard (the q76 lesson: one query was 44% of the suite
     // for a whole round before anyone looked): report the slowest
     // queries sorted desc and flag any single query above ~20% of the
     // suite total, so a hot spot is visible in the bench line itself
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
+    val slowest = finalResults.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val dominant = results.filter { case (_, v) => v >= 0 && v > 0.2 * total }
+    val dominant = finalResults.filter { case (_, v) => v >= 0 && v > 0.2 * total }
       .map(r => "\"" + r._1 + "\"").mkString("[", ",", "]")
     // the driver keeps a bounded TAIL of stdout, so anything that must
     // survive capture goes LAST: the full line leads with the long
@@ -263,7 +362,7 @@ object Bench {
     // exactly the head — summary + q01..q26), and a second, short,
     // summary-only line is printed after it so a tail of any plausible
     // size retains one complete parseable JSON line
-    val summary = s""""metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"passes":$repeat,"cold_total":${fmt(coldSum)},"memo_build_s":${fmt(CheckpointMemo.buildSeconds)},"sentinel_pre":${fmt(sentinelPre)},"sentinel_post":${fmt(sentinelPost)},"sentinel_max":${fmt(sentinelMax)},"io_pre":${fmt(ioPre)},"io_post":${fmt(ioPost)},"io_max":${fmt(ioMax)},"gc_sec":${fmt(gcSec)},"slowest":$slowest,"dominant":$dominant,"sf":"$sfDir""""
+    val summary = s""""metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"passes":$repeat,"clean":$clean,"dirty_rerun":$rerun,"cold_total":${fmt(coldSum)},"memo_build_s":${fmt(memoBuildS)},"sentinel_pre":${fmt(sentinelPre)},"sentinel_post":${fmt(sentinelPost)},"sentinel_max":${fmt(sentinelMax)},"io_pre":${fmt(ioPre)},"io_post":${fmt(ioPost)},"io_max":${fmt(ioMax)},"gc_sec":${fmt(gcSec)}$rerunFields,"slowest":$slowest,"dominant":$dominant,"sf":"$sfDir""""
     val fullJson = s"""{"queries":$qs,$summary}"""
     println(fullJson)
     println(s"""{$summary}""")
@@ -276,10 +375,13 @@ object Bench {
       fullJson + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] WARN could not write BENCH.json: $e") }
-    results.filter { case (_, v) => v >= 0 && v > 0.2 * total }.foreach { case (k, v) =>
+    finalResults.filter { case (_, v) => v >= 0 && v > 0.2 * total }.foreach { case (k, v) =>
       // ASCII only: the driver's capture mangles non-ASCII to '?'
       System.err.println(s"[bench] WARN $k is ${fmt(100 * v / total)}% of the suite (${fmt(v)} s) - investigate before shipping")
     }
+    if (!clean) System.err.println(
+      "[bench] WARN window verdict DIRTY after " + rerun +
+      " rerun(s) - treat value/cold_total as upper bounds, not costs")
     Tables.clearCache()
     CheckpointMemo.clear()
     spark.stop()

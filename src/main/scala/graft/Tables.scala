@@ -90,7 +90,17 @@ object Tables {
         df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case org.apache.spark.sql.types.TimestampNTZType =>
         df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => df
+      case org.apache.spark.sql.types.TimestampType => df
+      // fail fast on any other encoding: a permissive pass-through
+      // would surface as confusing downstream errors — or worse, a
+      // plain-µs INT64 hitting the LongType branch's ÷1000 would be a
+      // silent 1000× value error. Every KNOWN encoding is matched
+      // above; anything else must stop here with a diagnosis.
+      case other => throw new IllegalArgumentException(
+        s"events.ts at $d has unsupported type $other; known encodings: " +
+        "INT64 TIMESTAMP(NANOS) read as raw nanos under " + NanosConf +
+        ", timestamp[us] (TIMESTAMP_NTZ), or TimestampType. Extend " +
+        "Tables.events deliberately for a new corpus encoding.")
     }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

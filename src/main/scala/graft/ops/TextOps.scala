@@ -937,6 +937,38 @@ object TextOps {
        |WHERE CAST(i.inter AS DOUBLE) / (sa.n + sb.n - i.inter) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** The q105 signature frame (doc_id, b0..b3), one row per distinct
+    * text. The majority vote is 64 doc-local array scans — built once,
+    * memoized, every reference a checkpoint scan (both band-join sides
+    * read it). Checkpoint scans carry no stats → the self-join pins
+    * its strategy (the checkpoint-plans-lose-stats rule). Exposed
+    * (package-private) so SimhashJoinSpec can obtain the frame whether
+    * or not the memo is enabled (SPARK_GRAFT_MEMO=false rebuilds). */
+  private[graft] def simhashSignatures(s: SparkSession, d: String): DataFrame =
+    graft.CheckpointMemo.getOrElseUpdate(s, d, "simhash_sigs") {
+      // per-bit membership sets: bit k of a hex digit is set iff the
+      // digit lies in bitSets(k)
+      val bitSets = Seq(
+        Seq("1", "3", "5", "7", "9", "b", "d", "f"),
+        Seq("2", "3", "6", "7", "a", "b", "e", "f"),
+        Seq("4", "5", "6", "7", "c", "d", "e", "f"),
+        Seq("8", "9", "a", "b", "c", "d", "e", "f"))
+      val bands = (0 until 4).map { b =>
+        (0 until 16).map { j =>
+          val pos = 4 * b + j / 4 + 1
+          val pop = size(filter(col("hs"),
+            h => substring(h, pos, 1).isin(bitSets(j % 4): _*)))
+          when(pop * 2 - size(col("hs")) >= 0, lit((1L << j))).otherwise(lit(0L))
+        }.reduce(_ + _).as(s"b$b")
+      }
+      Tables.documents(s, d)
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("hs", transform(toks(col("text")), t => md5(t)))
+        .select(col("doc_id") +: bands: _*)
+        .localCheckpoint()
+    }
+
   /** q105: SimHash near-duplicate pair join at Hamming distance ≤ 3 —
     * the third member of the near-dup join family, completing the
     * trade-off menu: MinHash-LSH (q34) is probabilistic with tunable
@@ -970,34 +1002,7 @@ object TextOps {
     * overwhelms, widen to 6×11-bit bands for Hamming ≤ 5 or chunk
     * first (q86). */
   def simhashJoin(s: SparkSession, d: String): DataFrame = {
-    // per-bit membership sets: bit k of a hex digit is set iff the
-    // digit lies in bitSets(k)
-    val bitSets = Seq(
-      Seq("1", "3", "5", "7", "9", "b", "d", "f"),
-      Seq("2", "3", "6", "7", "a", "b", "e", "f"),
-      Seq("4", "5", "6", "7", "c", "d", "e", "f"),
-      Seq("8", "9", "a", "b", "c", "d", "e", "f"))
-    // (doc_id, b0..b3), one row per distinct text. The majority vote
-    // is 64 doc-local array scans — built once, memoized, every
-    // reference a checkpoint scan (both band-join sides read it).
-    // Checkpoint scans carry no stats → the self-join pins its
-    // strategy (the checkpoint-plans-lose-stats rule).
-    val sig = graft.CheckpointMemo.getOrElseUpdate(s, d, "simhash_sigs") {
-      val bands = (0 until 4).map { b =>
-        (0 until 16).map { j =>
-          val pos = 4 * b + j / 4 + 1
-          val pop = size(filter(col("hs"),
-            h => substring(h, pos, 1).isin(bitSets(j % 4): _*)))
-          when(pop * 2 - size(col("hs")) >= 0, lit((1L << j))).otherwise(lit(0L))
-        }.reduce(_ + _).as(s"b$b")
-      }
-      Tables.documents(s, d)
-        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("hs", transform(toks(col("text")), t => md5(t)))
-        .select(col("doc_id") +: bands: _*)
-        .localCheckpoint()
-    }
+    val sig = simhashSignatures(s, d)
     val banded = sig.select(col("doc_id"),
       col("b0"), col("b1"), col("b2"), col("b3"),
       explode(array((0 until 4).map(b =>

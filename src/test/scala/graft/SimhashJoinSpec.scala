@@ -10,14 +10,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * exact bit_count verify works), plus signature-shape invariants. */
 class SimhashJoinSpec extends AnyFunSuite with LocalSparkSuite {
 
-  private def signatures = {
-    // rebuild the signature frame the operator memoizes, through the
-    // memo itself so the spec exercises the same path
-    graft.ops.TextOps.simhashJoin(spark, sfDir).count()
-    CheckpointMemo.getOrElseUpdate(spark, sfDir, "simhash_sigs") {
-      fail("simhash_sigs should already be memoized by the operator run")
-    }
-  }
+  // the exact signature frame the operator joins on — via the same
+  // builder, so the spec holds whether the memo is enabled (checkpoint
+  // reuse) or disabled (SPARK_GRAFT_MEMO=false rebuilds it here)
+  private def signatures = graft.ops.TextOps.simhashSignatures(spark, sfDir)
 
   test("band join = brute-force all-pairs Hamming scan over the signatures") {
     val sig = signatures
