@@ -1081,8 +1081,139 @@ object TextOps {
       |FROM documents GROUP BY substring(text, 1, 40) HAVING COUNT(*) > 1
       |ORDER BY rep_doc""".stripMargin
 
+  /** q106: cross-corpus shingle novelty — per doc, the fraction of its
+    * distinct 3-shingles whose FIRST occurrence (min doc_id over the
+    * whole corpus) is this doc. The curation signal behind "how much
+    * does this doc add that the corpus doesn't already have" — the
+    * complement of the dedup family: dedup removes repeats, novelty
+    * RANKS the remainder by marginal contribution (low-novelty docs
+    * are paraphrase-heavy; a training mix oversampling them buys
+    * tokens, not information).
+    *
+    * Plan shape for 100 TB: one shuffle keyed on the shingle (a
+    * partition-only window computes min(doc_id) per shingle — no
+    * self-join, no second pass over the corpus), then one doc-grain
+    * aggregate. Rows through the shuffle are skinny (shingle,
+    * doc_id); the division is a single per-row IEEE op on two exact
+    * longs, bit-identical across engines (the q104 pattern). */
+  def shingleNovelty(s: SparkSession, d: String): DataFrame = {
+    val shd = shingleArrays(s, d)
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
+    val w = Window.partitionBy(col("shingle"))
+    shd.withColumn("first_id", min(col("doc_id")).over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty", col("n_novel").cast("double") / col("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val shingleNoveltySql =
+    s"""$shinglesSqlCte,
+       |shd AS (SELECT DISTINCT doc_id, s FROM sh),
+       |f AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY s) AS first_id FROM shd)
+       |SELECT doc_id, COUNT(*) AS n_shingles,
+       |       CAST(SUM(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       |       CAST(SUM(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS novelty
+       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q107: contamination-ratio report — the threshold-setting view on
+    * top of the q69/q103 flag: per train doc, the fraction of its
+    * distinct shingles shared with the benchmark set, rolled up into
+    * integer deciles (how contaminated is the corpus, and how is the
+    * contamination distributed — the histogram an operator reads
+    * before choosing the "drop at >=X% overlap" cutoff, the n-gram
+    * analogue of the GPT-3 appendix-C methodology).
+    *
+    * Decile assignment is PURE INTEGER arithmetic (10*n_shared div
+    * n_sh, capped at 9) — no floating-point boundary can disagree
+    * between engines. The probe set broadcasts exactly like q69; both
+    * per-doc aggregates are doc-grain skinny; the final rollup is 10
+    * rows. */
+  def contaminationRatio(s: SparkSession, d: String): DataFrame = {
+    val shd = shingleArrays(s, d)
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
+    val probe = shd.filter(col("doc_id") % 31 === 0)
+      .select(col("shingle")).distinct()
+    val train = shd.filter(col("doc_id") % 31 =!= 0)
+    val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val shared = train.join(broadcast(probe), Seq("shingle"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    totals.join(shared, Seq("doc_id"), "left")
+      .na.fill(0L, Seq("n_shared"))
+      .withColumn("decile", least(expr("10 * n_shared div n_sh"), lit(9L)))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_shared")).as("tot_shared"),
+        sum(col("n_sh")).as("tot_shingles"))
+      .orderBy(col("decile"))
+  }
+
+  private val contaminationRatioSql =
+    s"""$shinglesSqlCte,
+       |shd AS (SELECT DISTINCT doc_id, s FROM sh),
+       |probe AS (SELECT DISTINCT s FROM shd WHERE doc_id % 31 = 0),
+       |train AS (SELECT doc_id, s FROM shd WHERE doc_id % 31 <> 0),
+       |tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM train GROUP BY doc_id),
+       |shr AS (SELECT doc_id, COUNT(*) AS n_shared
+       |        FROM train JOIN probe USING (s) GROUP BY doc_id),
+       |j AS (SELECT t.doc_id, t.n_sh, COALESCE(r.n_shared, 0) AS n_shared
+       |      FROM tot t LEFT JOIN shr r USING (doc_id))
+       |SELECT LEAST(10 * n_shared // n_sh, 9) AS decile,
+       |       COUNT(*) AS n_docs,
+       |       CAST(SUM(n_shared) AS BIGINT) AS tot_shared,
+       |       CAST(SUM(n_sh) AS BIGINT) AS tot_shingles
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q108: language vocabulary-overlap matrix — pairwise Jaccard of
+    * the per-language distinct-word vocabularies. The corpus-level
+    * twin of the per-doc similarity family: before mixing sources or
+    * transferring a tokenizer across languages, this is the "how much
+    * do these slices share" matrix (k slices → k(k-1)/2 rows).
+    *
+    * Scale shape: the vocabulary frame is (lang, word) distinct —
+    * shuffle keyed on the word for both the distinct and the
+    * self-join, so the join is co-partitioned with its producer; the
+    * per-lang sizes are k rows and broadcast. The self-join fans out
+    * at most k ways per word, never corpus². */
+  def langVocabOverlap(s: SparkSession, d: String): DataFrame = {
+    val vocab = Tables.documents(s, d)
+      .select(col("lang"), explode(toks(col("text"))).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+    val sizes = vocab.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    vocab.alias("a")
+      .join(vocab.alias("b"),
+        col("a.w") === col("b.w") && col("a.lang") < col("b.lang"))
+      .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(broadcast(sizes.select(col("lang").as("lang_a"), col("n").as("na"))), Seq("lang_a"))
+      .join(broadcast(sizes.select(col("lang").as("lang_b"), col("n").as("nb"))), Seq("lang_b"))
+      .select(col("lang_a"), col("lang_b"), col("inter"),
+        (col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
+  private val langVocabOverlapSql =
+    """WITH w0 AS (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents),
+      |v AS (SELECT DISTINCT lang, w FROM w0 WHERE len(w) > 0),
+      |sz AS (SELECT lang, COUNT(*) AS n FROM v GROUP BY lang),
+      |p AS (SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS inter
+      |      FROM v a JOIN v b ON a.w = b.w AND a.lang < b.lang
+      |      GROUP BY 1, 2)
+      |SELECT p.lang_a, p.lang_b, p.inter,
+      |       CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) AS jaccard
+      |FROM p JOIN sz sa ON sa.lang = p.lang_a JOIN sz sb ON sb.lang = p.lang_b
+      |ORDER BY lang_a, lang_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q69_contamination", contamination, Some(contaminationSql), "benchmark decontamination (shingle overlap)"),
+    QueryDef("q106_shingle_novelty", shingleNovelty, Some(shingleNoveltySql),
+      "per-doc shingle novelty: fraction of distinct shingles first seen in this doc"),
+    QueryDef("q107_contamination_ratio", contaminationRatio, Some(contaminationRatioSql),
+      "contamination-ratio decile report over the q69 benchmark overlap (integer-exact deciles)"),
+    QueryDef("q108_lang_vocab_overlap", langVocabOverlap, Some(langVocabOverlapSql),
+      "pairwise language vocabulary-overlap (Jaccard) matrix"),
     QueryDef("q103_bloom_decontaminate", bloomContamination, Some(contaminationSql),
       "two-phase decontamination: fixed-size Bloom prefilter + exact verify (same contract as q69)"),
     QueryDef("q104_jaccard_join", jaccardJoin, Some(jaccardJoinSql),

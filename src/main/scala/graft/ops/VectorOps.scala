@@ -78,13 +78,17 @@ object VectorOps {
     * a corpus scan. Oracle-backed: the planes are deterministic
     * constants, so the whole pipeline replays in SQL (annLshSql);
     * ScalaTest additionally checks recall against brute force. */
-  def annLsh(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d)
-    val bucket = planes.zipWithIndex.map { case (p, j) =>
+  /** The sign-projection bucket id over the `embedding` column (one
+    * bit per plane) — shared by annLsh and the q109 recall eval. */
+  private def lshBucket: org.apache.spark.sql.Column =
+    planes.zipWithIndex.map { case (p, j) =>
       val plane = array(p.map(lit): _*)
       when(dotd(col("embedding"), plane) >= 0, lit(1 << j)).otherwise(lit(0))
     }.reduce(_ + _)
-    val withBucket = e.withColumn("bucket", bucket)
+
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val withBucket = e.withColumn("bucket", lshBucket)
     val q = withBucket.filter(col("vec_id") === 0)
       .select(col("bucket").as("qbucket"), col("embedding").as("qv"))
     withBucket.crossJoin(broadcast(q))
@@ -106,11 +110,12 @@ object VectorOps {
     s"list_sum([CAST(embedding[i] AS DOUBLE) * ($lits)[i] for i in generate_series(1,64)])"
   }
 
+  private lazy val bucketSqlExpr = planes.zipWithIndex.map { case (p, j) =>
+    s"(CASE WHEN ${planeDotSql(p)} >= 0 THEN ${1 << j} ELSE 0 END)"
+  }.mkString(" + ")
+
   private lazy val annLshSql = {
-    val bucketExpr = planes.zipWithIndex.map { case (p, j) =>
-      s"(CASE WHEN ${planeDotSql(p)} >= 0 THEN ${1 << j} ELSE 0 END)"
-    }.mkString(" + ")
-    s"""WITH b AS (SELECT vec_id, embedding, $bucketExpr AS bucket FROM embeddings),
+    s"""WITH b AS (SELECT vec_id, embedding, $bucketSqlExpr AS bucket FROM embeddings),
        |q AS (SELECT bucket AS qbucket, embedding AS qv FROM b WHERE vec_id = 0)
        |SELECT vec_id,
        | ROUND(${dotSql("b.embedding", "q.qv")} /
@@ -120,6 +125,60 @@ object VectorOps {
        |WHERE vec_id <> 0 AND bucket // 2 = qbucket // 2
        |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
   }
+
+  /** q109: ANN recall evaluation — recall@10 of the LSH super-bucket
+    * candidate set against the brute-force cosine top-10, per query
+    * vector (every vec_id % 100 == 0). The eval harness every ANN
+    * index needs before it replaces the exact path in a pipeline: the
+    * recall/candidate-count trade-off is THE decision input for plane
+    * count and probe width, measured here inside the engine itself
+    * instead of a notebook.
+    *
+    * The brute-force side is the ground truth and costs
+    * n_queries x corpus — an eval-time cost paid on a sample (1% of
+    * ids), never the production path (that's q52/q87). Ranking uses
+    * the same round-to-6 cosine + vec_id tie-break every other vector
+    * query uses, so the top-10 set is bit-stable across engines. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val withBucket = Tables.embeddings(s, d).withColumn("bucket", lshBucket)
+    val q = withBucket.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("bucket").as("qbucket"))
+    val scored = withBucket.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("qbucket"), col("bucket"),
+        round(cosineSimFast(col("embedding"), col("qv")), 6).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val inBucket = shiftright(col("bucket"), 1) === shiftright(col("qbucket"), 1)
+    // candidate count and top-10 hits fold into ONE aggregate over the
+    // ranked frame (rk as a CASE input, not a pre-filter) — no
+    // per-metric join, one shuffle on qid total
+    scored.withColumn("rk", row_number().over(w))
+      .groupBy(col("qid"))
+      .agg(sum(when(inBucket, 1L).otherwise(0L)).as("n_cand"),
+        sum(when(inBucket && col("rk") <= 10, 1L).otherwise(0L)).as("hits"))
+      .select(col("qid"), col("n_cand"), col("hits"),
+        (col("hits").cast("double") / 10).as("recall10"))
+      .orderBy(col("qid"))
+  }
+
+  private lazy val annRecallSql =
+    s"""WITH b AS (SELECT vec_id, embedding, $bucketSqlExpr AS bucket FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qv, bucket AS qbucket
+       |      FROM b WHERE vec_id % 100 = 0),
+       |sc AS (SELECT q.qid, b.vec_id, q.qbucket, b.bucket,
+       |        ROUND(${dotSql("b.embedding", "q.qv")} /
+       |          (sqrt(${dotSql("b.embedding", "b.embedding")}) * sqrt(${dotSql("q.qv", "q.qv")})), 6) AS cos
+       |       FROM b, q WHERE b.vec_id <> q.qid),
+       |r AS (SELECT qid, qbucket, bucket,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+       |       FROM sc)
+       |SELECT qid,
+       |       CAST(SUM(CASE WHEN bucket // 2 = qbucket // 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+       |       CAST(SUM(CASE WHEN bucket // 2 = qbucket // 2 AND rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |       CAST(SUM(CASE WHEN bucket // 2 = qbucket // 2 AND rk <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS recall10
+       |FROM r GROUP BY qid ORDER BY qid""".stripMargin
 
   /** Embedding-cosine near-dup (the vector member of the dedup family):
     * same-label candidate pairs above a cosine threshold, aggregated
@@ -385,6 +444,8 @@ object VectorOps {
     QueryDef("q67_label_centroids", labelCentroids, Some(labelCentroidsSql), "per-label centroids (IVF training step)"),
     QueryDef("q51_topk_similar", topkSimilar, Some(topkSimilarSql), "B30 brute-force top-k ANN baseline"),
     QueryDef("q52_ann_lsh", annLsh, Some(annLshSql), "B31 LSH-bucketed ANN"),
+    QueryDef("q109_ann_recall", annRecall, Some(annRecallSql),
+      "recall@10 of the LSH candidate set vs brute-force cosine top-10, per sampled query"),
     QueryDef("q87_ann_ivf_cells", annIvfCells, Some(annIvfCellsSql),
       "B31 IVF ANN: deterministic centroid quantizer, probed-cell re-rank"),
     QueryDef("q53_binary_meta", binaryMeta, Some(binaryMetaSql), "multimodal binary column"),
