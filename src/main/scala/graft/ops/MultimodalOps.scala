@@ -9,15 +9,15 @@ import graft.{QueryDef, Tables}
   * columns with typed metadata, decode → feature-extract over
   * mapPartitions.
   *
-  * Decode is two-tier. Payloads that ARE one of the two
-  * codec-free uncompressed image formats — binary PPM ("P6") and
-  * 24-bit uncompressed BMP, plain headers + raw pixels — take the REAL
-  * decode path ([[decodeImage]]: magic sniff, header parse, padded row
-  * walk, per-channel stats), exercised end-to-end on checked-in
-  * fixture bytes by MultimodalSpec. Everything else falls back to
+  * Decode is two-tier. Payloads in one of the four pure-JVM-decodable
+  * image formats — binary PPM ("P6"), 24-bit uncompressed BMP, 8-bit
+  * non-interlaced PNG, and baseline JPEG — take the REAL decode path
+  * ([[decodeImage]]: magic sniff, header/entropy parse, per-channel
+  * stats), exercised end-to-end on checked-in and generated fixture
+  * bytes by MultimodalSpec/JpegDecoderSpec. Everything else falls back to
   * `decodeStub`, a clearly-marked deterministic stand-in (byte
-  * histogram) for the compressed codecs (JPEG/PCM/H.264) this
-  * container does not ship. Around both tiers sits the real Spark
+  * histogram) for the codecs still outside the pure-JVM tier
+  * (WebP/PCM/H.264). Around both tiers sits the real Spark
   * plumbing a production pipeline needs and what the tests cover:
   * declared binary schema, partition-local batch processing (one
   * reusable buffer per partition, the mapPartitions analog of a
@@ -73,14 +73,16 @@ object MultimodalOps {
       meanR: Double, meanG: Double, meanB: Double)
 
   /** REAL pure-JVM decode of binary PPM (P6), 24-bit uncompressed
-    * BMP, and 8-bit non-interlaced RGB/RGBA PNG (zlib inflate via
-    * `java.util.zip.Inflater` — the one compressed format decodable
-    * with zero native codecs). Returns None unless the payload is a
+    * BMP, 8-bit non-interlaced RGB/RGBA PNG (zlib inflate via
+    * `java.util.zip.Inflater`), and baseline sequential JPEG
+    * ([[JpegDecoder]]: Huffman + IDCT + 4:2:0/4:2:2/4:4:4 chroma,
+    * zero native codecs). Returns None unless the payload is a
     * complete well-formed image: a truncated file or a coincidental
     * magic match must fall back to the histogram tier, never produce
     * garbage features. */
   private[graft] def decodeImage(payload: Array[Byte]): Option[DecodedImage] =
     decodePpm(payload).orElse(decodeBmp(payload)).orElse(decodePng(payload))
+      .orElse(JpegDecoder.decode(payload))
 
   private def decodePpm(p: Array[Byte]): Option[DecodedImage] = {
     if (p.length < 2 || p(0) != 'P'.toByte || p(1) != '6'.toByte) return None
