@@ -1136,11 +1136,15 @@ object TextOps {
     val probe = shd.filter(col("doc_id") % 31 === 0)
       .select(col("shingle")).distinct()
     val train = shd.filter(col("doc_id") % 31 =!= 0)
-    val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val shared = train.join(broadcast(probe), Seq("shingle"))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
-    totals.join(shared, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_shared"))
+    // ONE pass over the exploded train shingles: a broadcast LEFT join
+    // against the probe preserves cardinality (probe is distinct), so
+    // total and shared counts come out of the same aggregate — the
+    // two-aggregate draft scanned the shingle explode twice and was
+    // 2.8 s at the 10x corpus for no semantic gain
+    train.join(broadcast(probe.withColumn("hit", lit(1L))), Seq("shingle"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
       .withColumn("decile", least(expr("10 * n_shared div n_sh"), lit(9L)))
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"),
@@ -1154,11 +1158,9 @@ object TextOps {
        |shd AS (SELECT DISTINCT doc_id, s FROM sh),
        |probe AS (SELECT DISTINCT s FROM shd WHERE doc_id % 31 = 0),
        |train AS (SELECT doc_id, s FROM shd WHERE doc_id % 31 <> 0),
-       |tot AS (SELECT doc_id, COUNT(*) AS n_sh FROM train GROUP BY doc_id),
-       |shr AS (SELECT doc_id, COUNT(*) AS n_shared
-       |        FROM train JOIN probe USING (s) GROUP BY doc_id),
-       |j AS (SELECT t.doc_id, t.n_sh, COALESCE(r.n_shared, 0) AS n_shared
-       |      FROM tot t LEFT JOIN shr r USING (doc_id))
+       |j AS (SELECT t.doc_id, COUNT(*) AS n_sh,
+       |        CAST(SUM(CASE WHEN p.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+       |      FROM train t LEFT JOIN probe p USING (s) GROUP BY t.doc_id)
        |SELECT LEAST(10 * n_shared // n_sh, 9) AS decile,
        |       COUNT(*) AS n_docs,
        |       CAST(SUM(n_shared) AS BIGINT) AS tot_shared,
