@@ -103,6 +103,39 @@ object StreamingOps {
         count(lit(1)).as("n_words"))
       .select(col("window.start").as("wstart"), col("cands"), col("n_words"))
 
+  /** Stream-STATIC decontamination gate — the q69/q103 contract moved
+    * to ingest time: each arriving doc left-anti joins a static
+    * benchmark frame on the exact text hash, so contaminated docs
+    * never enter the corpus at all. The stream-static join is the
+    * guard/enrichment shape at ingest scale: Spark re-plans the
+    * static side per micro-batch (broadcast while it fits — the same
+    * threshold story as q103), and the join itself holds ZERO
+    * streaming state; only the hash leaves the row for the probe. */
+  def decontaminationGate(docs: DataFrame, benchmark: DataFrame): DataFrame = {
+    val probe = benchmark.select(sha2(col("text"), 256).as("h")).distinct()
+    docs.withColumn("h", sha2(col("text"), 256))
+      .join(probe, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("ts"), col("text"))
+  }
+
+  /** The monitoring twin of [[decontaminationGate]]: a stream-static
+    * LEFT join flags (rather than drops) benchmark matches and a
+    * watermarked hourly window counts clean vs contaminated arrivals —
+    * the dashboard series an ingest pipeline alarms on. State is one
+    * window aggregate per open hour, nothing per-doc. */
+  def contaminationMonitor(docs: DataFrame, benchmark: DataFrame): DataFrame = {
+    val probe = benchmark.select(sha2(col("text"), 256).as("h")).distinct()
+      .withColumn("bad", lit(1L))
+    docs.withColumn("h", sha2(col("text"), 256))
+      .join(probe, Seq("h"), "left")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(sum(when(col("bad").isNotNull, 1L).otherwise(0L)).as("contaminated_docs"),
+        sum(when(col("bad").isNull, 1L).otherwise(0L)).as("clean_docs"))
+      .select(col("window.start").as("wstart"),
+        col("contaminated_docs"), col("clean_docs"))
+  }
+
   /** B41 stream-stream: watermarked interval join — each click joins
     * the impression that preceded it by ≤ 30 minutes for the same
     * user (the attribution shape; q77's interval join is the batch

@@ -346,4 +346,48 @@ class StreamingSpec extends AnyFunSuite with LocalSparkSuite {
       assert(rows.contains((101L, None)), "watermark-closed impression missing its null row")
     } finally q.stop()
   }
+
+  test("stream-static decontamination gate drops benchmark texts, keeps the rest") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val benchmark = Seq("eval question one", "eval question two").toDF("text")
+    val in = MemoryStream[StreamingOps.Doc]
+    val q = StreamingOps.decontaminationGate(in.toDF(), benchmark)
+      .writeStream.outputMode("append").format("memory").queryName("decon").start()
+    try {
+      in.addData(
+        StreamingOps.Doc(1, ts("2024-01-01 10:00:00"), "eval question one"),
+        StreamingOps.Doc(2, ts("2024-01-01 10:00:10"), "a perfectly clean doc"),
+        StreamingOps.Doc(3, ts("2024-01-01 10:00:20"), "eval question two"),
+        StreamingOps.Doc(4, ts("2024-01-01 10:00:30"), "another clean one"))
+      q.processAllAvailable()
+      val kept = spark.table("decon").select("doc_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(kept.toSeq === Seq(2L, 4L))
+    } finally q.stop()
+  }
+
+  test("contamination monitor: hourly clean/contaminated counts per closed window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val benchmark = Seq("eval question one").toDF("text")
+    val in = MemoryStream[StreamingOps.Doc]
+    val q = StreamingOps.contaminationMonitor(in.toDF(), benchmark)
+      .writeStream.outputMode("append").format("memory").queryName("conmon").start()
+    try {
+      in.addData(
+        StreamingOps.Doc(1, ts("2024-01-01 10:05:00"), "eval question one"),
+        StreamingOps.Doc(2, ts("2024-01-01 10:10:00"), "clean doc a"),
+        StreamingOps.Doc(3, ts("2024-01-01 10:20:00"), "clean doc b"),
+        StreamingOps.Doc(4, ts("2024-01-01 10:40:00"), "eval question one"))
+      q.processAllAvailable()
+      in.addData(StreamingOps.Doc(5, ts("2024-01-01 13:00:00"), "tail")) // close 10:00
+      q.processAllAvailable()
+      val rows = spark.table("conmon")
+        .filter(col("wstart") === ts("2024-01-01 10:00:00")).collect()
+      assert(rows.length === 1)
+      assert(rows.head.getAs[Long]("contaminated_docs") === 2L)
+      assert(rows.head.getAs[Long]("clean_docs") === 2L)
+    } finally q.stop()
+  }
 }
