@@ -6,8 +6,10 @@ Ten key-shifted copies of every table: each copy's key columns shift by
 copy_index * 1e9, so referential integrity holds within a copy and
 joins fan out linearly. Tables are written multi-file (PER_THREAD_OUTPUT)
 so Spark scans parallelize like a real deployment. events.ts is
-re-encoded as raw INT64 nanoseconds to match the driver testdata's
-physical type (graft.Tables.events reads it via nanosAsLong).
+re-encoded as raw INT64 nanoseconds — the pre-round-7 driver encoding,
+kept deliberately so 10x runs exercise Tables.events' nanos branch
+while the regenerated /root/testdata exercises the timestamp[us] one
+(both are pinned by TimestampEncodingSpec fixtures regardless).
 
 Usage: python3 scripts/make_scale10.py [srcDir] [dstDir]
 Then:  SPARK_GRAFT_SF_DIR=<dstDir> sbt "runMain graft.Bench"

@@ -44,7 +44,10 @@ object PlanDump {
       "q97_pagerank" -> "fixed-iteration PageRank: out-degrees folded into the checkpointed edge list (Scan ExistingRDD), each round ONE broadcast join + one dst-key shuffle, no sort-merge anywhere",
       "q102_corpus_shards" -> "export sharding: bucketed byte prefix sum, langs-x-buckets offset table broadcast, intra-bucket windows only — no whole-language window anywhere",
       "q104_jaccard_join" -> "exact similarity join: per-doc rarest-first arrays materialized ONCE (Scan ExistingRDD), skinny (doc_id,n,shingle) prefix self-join, candidate distinct BEFORE the verify join-backs, arrays move exactly twice keyed on doc_id, shuffle_hash pinned on every stats-less join",
-      "q105_simhash_join" -> "SimHash near-dup join: signature table materialized ONCE (Scan ExistingRDD), 4-way band explode, 16-bit band equi-join (shuffle_hash pinned), exact bit_count(xor) verify on the joined row")
+      "q105_simhash_join" -> "SimHash near-dup join: signature table materialized ONCE (Scan ExistingRDD), 4-way band explode, 16-bit band equi-join (shuffle_hash pinned), exact bit_count(xor) verify on the joined row",
+      "q106_shingle_novelty" -> "B48 novelty: ONE shuffle keyed on the shingle (partition-only window min), doc-grain aggregate after — no self-join, no second corpus pass",
+      "q107_contamination_ratio" -> "B49 contamination deciles: single pass over the shingle explode — broadcast LEFT join against the probe preserves cardinality so total+shared counts share one aggregate; deciles integer-exact",
+      "q109_ann_recall" -> "B51 ANN recall eval: query sample broadcast, rank + candidate-count folded into ONE qid-keyed window + ONE aggregate (no per-metric join)")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")
     picks.foreach { case (name, why) =>
