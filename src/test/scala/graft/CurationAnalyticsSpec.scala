@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{TextOps, VectorOps}
+
+/** Structural invariants of the round-8 curation-analytics layer
+  * (B48–B51) — properties the DuckDB hash-match can't state directly
+  * because they relate a query's output to ANOTHER view of the same
+  * corpus. */
+class CurationAnalyticsSpec extends AnyFunSuite with LocalSparkSuite {
+
+  test("q106: every shingle is novel in exactly its first doc (sums tie out)") {
+    val out = TextOps.shingleNovelty(spark, sfDir).cache()
+    try {
+      // Σ n_novel over docs = global distinct-shingle count: each
+      // distinct shingle contributes novelty to exactly one doc
+      val sumNovel = out.agg(sum(col("n_novel"))).head.getLong(0)
+      val globalDistinct = Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(explode(graft.functions.GraftFunctions
+          .shingles(col("toks"), 3)).as("s"))
+        .distinct().count()
+      assert(sumNovel === globalDistinct)
+      // the earliest doc carrying shingles sees everything first
+      val first = out.orderBy(col("doc_id")).head
+      assert(first.getDouble(3) === 1.0)
+      // novelty is a fraction of the doc's own shingles
+      assert(out.filter(col("novelty") < 0 || col("novelty") > 1).count() === 0)
+      assert(out.filter(col("n_novel") > col("n_shingles")).count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("q107: decile rollup partitions the train docs exactly") {
+    val out = TextOps.contaminationRatio(spark, sfDir).cache()
+    try {
+      val trainDocs = Tables.documents(spark, sfDir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .filter(col("doc_id") % 31 =!= 0)
+        .select(col("doc_id")).distinct().count()
+      assert(out.agg(sum(col("n_docs"))).head.getLong(0) === trainDocs)
+      assert(out.filter(col("decile") < 0 || col("decile") > 9).count() === 0)
+      assert(out.filter(col("tot_shared") > col("tot_shingles")).count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("q108: one row per unordered lang pair, Jaccard consistent with set sizes") {
+    val out = TextOps.langVocabOverlap(spark, sfDir).cache()
+    try {
+      val langs = Tables.documents(spark, sfDir)
+        .select(col("lang")).distinct().count().toInt
+      assert(out.count() === langs.toLong * (langs - 1) / 2)
+      assert(out.filter(col("jaccard") <= 0 || col("jaccard") > 1).count() === 0)
+      // spot-check one pair against a direct two-set computation
+      val r = out.orderBy(col("lang_a"), col("lang_b")).head
+      def vocab(l: String) = Tables.documents(spark, sfDir)
+        .filter(col("lang") === l)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .distinct().collect().map(_.getString(0)).toSet
+      val a = vocab(r.getString(1))
+      val b = vocab(r.getString(0))
+      val inter = a.intersect(b).size
+      assert(r.getLong(2) === inter.toLong)
+      assert(r.getDouble(3) === inter.toDouble / (a.size + b.size - inter))
+    } finally out.unpersist()
+  }
+
+  test("q109: recall is hits/10, hits bounded by candidates and by k") {
+    val out = VectorOps.annRecall(spark, sfDir).cache()
+    try {
+      val nQueries = Tables.embeddings(spark, sfDir)
+        .filter(col("vec_id") % 100 === 0).count()
+      assert(out.count() === nQueries)
+      assert(out.filter(col("hits") > 10).count() === 0)
+      assert(out.filter(col("hits") > col("n_cand")).count() === 0)
+      assert(out.filter(col("recall10") =!=
+        col("hits").cast("double") / 10).count() === 0)
+    } finally out.unpersist()
+  }
+}
