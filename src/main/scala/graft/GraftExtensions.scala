@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BigramStats, DotProduct, HllSketchAgg, MinhashHex, MisraGriesAgg, Shingles, StopwordCounts}
+import graft.functions.{BigramStats, DotProduct, HllSketchAgg, LogHistogramAgg, MinhashHex, MisraGriesAgg, Shingles, StopwordCounts}
 
 /** SparkSessionExtensions entry point (SURVEY.md §4): registers the
   * engine's native expressions for SQL use. Deployments opt in with
@@ -71,6 +71,49 @@ object GraftExtensions {
               s"graft_heavy_hitters k must be an INT literal, got $other")
             case _ => throw new IllegalArgumentException(
               s"graft_heavy_hitters expects (col) or (col, k), got ${exprs.size} arguments")
+          }
+        }),
+      (FunctionIdentifier("graft_log_percentiles"),
+        new ExpressionInfo(classOf[LogHistogramAgg].getName, "graft_log_percentiles"),
+        (exprs: Seq[Expression]) => {
+          // BIGINT child via explicit cast (like graft_heavy_hitters'
+          // string cast); the quantile list must be a FOLDABLE array
+          // of fractions so the sketch's output schema is fixed at
+          // plan time
+          def big(e: Expression) =
+            org.apache.spark.sql.catalyst.expressions.Cast(e,
+              org.apache.spark.sql.types.LongType)
+          def qs(e: Expression): Seq[Double] = {
+            require(e.foldable,
+              s"graft_log_percentiles quantiles must be a foldable array, got $e")
+            e.eval() match {
+              case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+                e.dataType match {
+                  case org.apache.spark.sql.types.ArrayType(et, _) =>
+                    (0 until a.numElements()).map { i =>
+                      a.get(i, et) match {
+                        case d: java.lang.Double => d.doubleValue()
+                        case f: java.lang.Float => f.doubleValue()
+                        case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+                        case other => throw new IllegalArgumentException(
+                          s"graft_log_percentiles quantile must be numeric, got $other")
+                      }
+                    }
+                  case other => throw new IllegalArgumentException(
+                    s"graft_log_percentiles expects an array of quantiles, got $other")
+                }
+              case other => throw new IllegalArgumentException(
+                s"graft_log_percentiles expects an array of quantiles, got $other")
+            }
+          }
+          exprs match {
+            case Seq(child, arr) =>
+              LogHistogramAgg(big(child), qs(arr)).toAggregateExpression()
+            case Seq(child, arr, Literal(m: Int, IntegerType)) =>
+              LogHistogramAgg(big(child), qs(arr), m).toAggregateExpression()
+            case _ => throw new IllegalArgumentException(
+              "graft_log_percentiles expects (col, array(q...)) or " +
+                s"(col, array(q...), m), got ${exprs.size} arguments")
           }
         }),
       (FunctionIdentifier("graft_shingles"),

@@ -106,6 +106,15 @@ object GraftFunctions {
     column(MisraGriesAgg(expression(c.cast("string")), k).toAggregateExpression())
   }
 
+  /** Log-histogram quantile estimates (see [[LogHistogramAgg]]): one
+    * array<bigint> of rank-q bucket midpoints, relative error
+    * ≤ 2^-(m+1), partitioning-independent, and integer-exactly
+    * replayable in SQL (the q110 oracle). */
+  def logPercentiles(c: Column, qs: Seq[Double], m: Int = 7): Column = {
+    import org.apache.spark.sql.GraftShims.{column, expression}
+    column(LogHistogramAgg(expression(c.cast("long")), qs, m).toAggregateExpression())
+  }
+
   /** Bloom-filter build over xxhash64 values — Spark's own
     * runtime-filter aggregate (`BloomFilterAggregate`, the expression
     * behind `spark.sql.optimizer.runtime.bloomFilter`), reached

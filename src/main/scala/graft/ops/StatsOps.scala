@@ -616,7 +616,67 @@ object StatsOps {
        |FROM lps GROUP BY doc_id
        |ORDER BY ppl, doc_id LIMIT 20""".stripMargin
 
+  /** q110: the sketch twin of q89 — per-returnflag price percentiles
+    * from [[graft.functions.LogHistogramAgg]], the log-integer-bucket
+    * quantile sketch. q89 sorts (exact percentiles: right at report
+    * grain, wrong at 100 TB row grain); q110 answers the same question
+    * with O(buckets) mergeable state and NO sort, at relative error
+    * ≤ 2^-8. Prices quantize to integer cents via floor(x·100 + 0.5)
+    * — exactly-rounded IEEE ops, so both engines land every row in
+    * the same bucket and the oracle replays the sketch BIT-EXACTLY
+    * (msb via length(bin(v)), the rest pure shifts): the first
+    * sketch query in the suite with a full hash-match gate (q27/q78's
+    * HLL has no DuckDB twin by contract). */
+  def sketchPercentiles(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("cents",
+        floor(col("l_extendedprice") * 100 + 0.5).cast("long"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        graft.functions.GraftFunctions
+          .logPercentiles(col("cents"), Seq(0.5, 0.95, 0.99)).as("p"))
+      .select(col("l_returnflag"), col("n"),
+        element_at(col("p"), 1).as("p50_cents"),
+        element_at(col("p"), 2).as("p95_cents"),
+        element_at(col("p"), 3).as("p99_cents"))
+      .orderBy(col("l_returnflag"))
+
+  private val sketchPercentilesSql = {
+    // integer replicas of LogHistogramAgg.indexOf / estimateOf (m=7)
+    def est(i: String): String = {
+      val s = s"GREATEST(($i >> 7) - 1, 0)"
+      s"((($i - ($s << 7)) << $s) + ((CAST(1 AS BIGINT) << $s) >> 1))"
+    }
+    def pick(q: String, as: String): String =
+      s"MIN(CASE WHEN cum >= CEIL($q * n) THEN idx END) AS $as"
+    s"""WITH v AS (SELECT l_returnflag,
+       |        CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+       |      FROM lineitem),
+       |b AS (SELECT l_returnflag,
+       |        CASE WHEN cents <= 0 THEN 0
+       |             ELSE (CAST(GREATEST(LENGTH(BIN(cents)) - 1 - 7, 0) AS BIGINT) << 7)
+       |                  + (cents >> GREATEST(LENGTH(BIN(cents)) - 1 - 7, 0)) END AS idx
+       |      FROM v),
+       |g AS (SELECT l_returnflag, idx, COUNT(*) AS c FROM b GROUP BY 1, 2),
+       |cum AS (SELECT l_returnflag, idx,
+       |          CAST(SUM(c) OVER (PARTITION BY l_returnflag ORDER BY idx) AS BIGINT) AS cum,
+       |          CAST(SUM(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+       |        FROM g),
+       |pick AS (SELECT l_returnflag, n,
+       |           ${pick("0.5", "i50")},
+       |           ${pick("0.95", "i95")},
+       |           ${pick("0.99", "i99")}
+       |         FROM cum GROUP BY 1, 2)
+       |SELECT l_returnflag, n,
+       |       ${est("i50")} AS p50_cents,
+       |       ${est("i95")} AS p95_cents,
+       |       ${est("i99")} AS p99_cents
+       |FROM pick ORDER BY l_returnflag""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q110_sketch_percentiles", sketchPercentiles, Some(sketchPercentilesSql),
+      "log-histogram quantile sketch percentiles (B37 #4) with a bit-exact integer oracle"),
     QueryDef("q89_percentile_summary", percentileSummary, Some(percentileSummarySql),
       "exact group percentiles (sort-based; approx twin is q27)"),
     QueryDef("q90_regression_stats", regressionStats, Some(regressionStatsSql),
