@@ -47,7 +47,9 @@ object PlanDump {
       "q105_simhash_join" -> "SimHash near-dup join: signature table materialized ONCE (Scan ExistingRDD), 4-way band explode, 16-bit band equi-join (shuffle_hash pinned), exact bit_count(xor) verify on the joined row",
       "q106_shingle_novelty" -> "B48 novelty: ONE shuffle keyed on the shingle (partition-only window min), doc-grain aggregate after — no self-join, no second corpus pass",
       "q107_contamination_ratio" -> "B49 contamination deciles: single pass over the shingle explode — broadcast LEFT join against the probe preserves cardinality so total+shared counts share one aggregate; deciles integer-exact",
-      "q109_ann_recall" -> "B51 ANN recall eval: query sample broadcast, rank + candidate-count folded into ONE qid-keyed window + ONE aggregate (no per-metric join)")
+      "q109_ann_recall" -> "B51 ANN recall eval: query sample broadcast, rank + candidate-count folded into ONE qid-keyed window + ONE aggregate (no per-metric join)",
+      "q108_lang_vocab_overlap" -> "B50 vocab overlap: word-keyed self-join co-partitioned with the distinct that feeds it (no extra exchange), per-lang sizes broadcast",
+      "q110_sketch_percentiles" -> "B53 quantile sketch: ObjectHashAggregate partials for the log-histogram (map-side O(buckets) state), no sort anywhere in the plan")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")
     picks.foreach { case (name, why) =>
