@@ -157,7 +157,79 @@ object WindowedOps {
       |  ON p.user_id = v.user_id AND v.ts <= p.ts AND v.ts > p.ts - INTERVAL 2 HOUR
       |ORDER BY purchase_id, view_id""".stripMargin
 
+  /** q111: gap-fill / resample — densify each sampled user's event
+    * series onto a regular hourly grid and forward-fill the last
+    * observed value into the holes (the time-series preprocessing
+    * step before any windowed model sees the data: models want
+    * regular grids, events arrive irregularly).
+    *
+    * Shape: hour-grain arg-max pick (row_number over (user, hour) —
+    * deterministic (ts, event_id) tie-break, replayed identically in
+    * SQL rather than trusting cross-engine max_by struct semantics),
+    * a 1-row global span broadcast under the sequence() explode (the
+    * grid is generated, never stored), and ONE user-partitioned
+    * ordered window for the forward fill (`last(v, ignoreNulls)` over
+    * unbounded preceding). At scale the grid is rows × hours but
+    * every stage is user-partitioned — no global sort, no self-join;
+    * the filled value is the raw event double passed through
+    * untouched (no FP arithmetic to diverge on). */
+  def gapfillResample(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .filter(col("user_id") % 10 === 0)
+      .withColumn("hour", date_trunc("hour", col("ts")))
+    val pick = Window.partitionBy(col("user_id"), col("hour"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val hourly = ev
+      .withColumn("rk", row_number().over(pick))
+      .withColumn("n_events",
+        count(lit(1)).over(Window.partitionBy(col("user_id"), col("hour"))))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("hour"), col("value").as("v"), col("n_events"))
+    val span = ev.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+    val grid = hourly.select(col("user_id")).distinct()
+      .crossJoin(broadcast(span))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hour"))
+    val fill = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left")
+      .withColumn("filled", last(col("v"), ignoreNulls = true).over(fill))
+      .withColumn("is_gap", col("v").isNull)
+      .filter(col("filled").isNotNull)
+      .select(col("user_id"), col("hour"), col("filled"), col("is_gap"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+      .orderBy(col("user_id"), col("hour"))
+  }
+
+  private val gapfillResampleSql =
+    """WITH ev AS (SELECT user_id, date_trunc('hour', ts) AS hour, ts, event_id, value
+      |           FROM events WHERE user_id % 10 = 0),
+      |ranked AS (SELECT user_id, hour, value,
+      |             ROW_NUMBER() OVER (PARTITION BY user_id, hour
+      |                                ORDER BY ts DESC, event_id DESC) AS rk,
+      |             COUNT(*) OVER (PARTITION BY user_id, hour) AS n_events
+      |           FROM ev),
+      |hourly AS (SELECT user_id, hour, value AS v, n_events FROM ranked WHERE rk = 1),
+      |span AS (SELECT MIN(hour) AS h0, MAX(hour) AS h1 FROM ev),
+      |grid AS (SELECT u.user_id, g.hour
+      |         FROM (SELECT DISTINCT user_id FROM hourly) u,
+      |              (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+      |               FROM span) g),
+      |joined AS (SELECT gr.user_id, gr.hour, h.v, COALESCE(h.n_events, 0) AS n_events
+      |           FROM grid gr LEFT JOIN hourly h
+      |             ON h.user_id = gr.user_id AND h.hour = gr.hour),
+      |filled AS (SELECT user_id, hour,
+      |             LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY hour
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled,
+      |             v IS NULL AS is_gap, n_events
+      |           FROM joined)
+      |SELECT user_id, hour, filled, is_gap, CAST(n_events AS BIGINT) AS n_events
+      |FROM filled WHERE filled IS NOT NULL
+      |ORDER BY user_id, hour""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q111_gapfill_resample", gapfillResample, Some(gapfillResampleSql),
+      "time-series gap-fill: hourly grid densification + forward fill per user"),
     QueryDef("q60_tumbling_hourly", tumblingHourly, Some(tumblingHourlySql), "B38 tumbling window"),
     QueryDef("q77_interval_join", intervalJoin, Some(intervalJoinSql), "interval join (batch twin of stream-stream join)"),
     QueryDef("q68_funnel_path", funnelUsers, Some(funnelUsersSql), "sequence/funnel analytics"),
