@@ -126,6 +126,67 @@ object VectorOps {
        |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
   }
 
+  /** q112: IVF-blocked kNN SELF-join — every vector's top-3 cosine
+    * neighbors among its own coarse cell's members. The unsupervised
+    * complement of q55's label-blocked near-dup (labels are given
+    * there; here the blocking key is LEARNED from the data by the
+    * same deterministic per-label-centroid quantizer as q87), and the
+    * all-vectors generalization of q87's single-query probe: this is
+    * the shape an embedding-dedup pass runs over the whole corpus.
+    *
+    * Scale posture: candidate pairs are cell-blocked — n·(cell size)
+    * rows, never n² — the cell is the shuffle key (both join sides
+    * arrive partitioned by it), the 10-row index is a broadcast, and
+    * the per-vector top-3 is a vec_id-partitioned window (groups of
+    * cell size, skew bounded by the quantizer's balance; a production
+    * pass re-splits oversized cells, exactly like LSH band widening).
+    * Cross-cell neighbors are missed by construction — the IVF
+    * trade-off q109 quantifies for LSH; nProbe>1 multi-cell blocking
+    * is the recall knob. */
+  def annKnnJoin(s: SparkSession, d: String): DataFrame = {
+    val asg = ivfAssigned(s, d)
+      .select(col("vec_id"), col("embedding"), col("label").as("cell"))
+    val nbrs = asg.select(col("cell"), col("vec_id").as("nbr_id"),
+      col("embedding").as("nv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("nbr_id"))
+    asg.join(nbrs.hint("shuffle_hash"), Seq("cell"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .select(col("vec_id"), col("nbr_id"), col("cell"),
+        round(cosineSimFast(col("embedding"), col("nv")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("vec_id"), col("rk").cast("long").as("rk"),
+        col("nbr_id"), col("cos_sim"), col("cell"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
+  private lazy val annKnnJoinSql =
+    s"""WITH cent AS (
+       |  SELECT label, list(c ORDER BY i) AS cv FROM (
+       |    SELECT label, i,
+       |      CAST(CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS c
+       |    FROM (SELECT label, unnest(embedding) AS e,
+       |          generate_subscripts(embedding, 1) AS i FROM embeddings) t
+       |    GROUP BY label, i) u GROUP BY label),
+       |sc AS (SELECT e.vec_id, e.embedding, cent.label,
+       |    list_sum([cv[i]*cv[i] for i in generate_series(1,64)])
+       |    - 2 * list_sum([CAST(embedding[i] AS DOUBLE)*cv[i] for i in generate_series(1,64)]) AS score
+       |  FROM embeddings e, cent),
+       |asg AS (SELECT vec_id, embedding, label AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, label) AS rn FROM sc),
+       |a AS (SELECT vec_id, embedding, cell FROM asg WHERE rn = 1),
+       |p AS (SELECT x.vec_id, y.vec_id AS nbr_id, x.cell,
+       |        ROUND(${dotSql("x.embedding", "y.embedding")} /
+       |          (SQRT(${dotSql("x.embedding", "x.embedding")}) * SQRT(${dotSql("y.embedding", "y.embedding")})), 6) AS cos_sim
+       |      FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+       |r AS (SELECT vec_id, nbr_id, cell, cos_sim,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id) AS rk
+       |      FROM p)
+       |SELECT vec_id, rk, nbr_id, cos_sim, cell
+       |FROM r WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin
+
   /** q109: ANN recall evaluation — recall@10 of the LSH super-bucket
     * candidate set against the brute-force cosine top-10, per query
     * vector (every vec_id % 100 == 0). The eval harness every ANN
@@ -263,8 +324,10 @@ object VectorOps {
     * codegen'd [[graft.functions.DotProduct]] sequential fold, which
     * is ≡ DuckDB list_sum bit-for-bit (q51/q52 establish this); ‖c‖²
     * is folded once over the 10-row index, not per (vector, cell). */
-  def annIvfCells(s: SparkSession, d: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
+  /** The deterministic IVF scoring frame behind q87 and q112: every
+    * (vector, cell) pair with its ||c||² − 2·e·c distance score, the
+    * 10-row centroid index broadcast. */
+  private def ivfScored(s: SparkSession, d: String): DataFrame = {
     val cents = Tables.embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")))
       .groupBy(col("label"), col("pos"))
@@ -275,15 +338,26 @@ object VectorOps {
       // ||c||² is per-cell constant: fold it once over the 10-row index,
       // not once per (vector, cell) pair
       .withColumn("cnorm", dotFast(col("cv"), col("cv")))
-    val scored = Tables.embeddings(s, d)
+    Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("label"),
         (col("cnorm") - lit(2.0) * dotFast(col("embedding"), col("cv"))).as("score"))
-    val assigned = scored
+  }
+
+  /** Nearest-cell assignment derived from [[ivfScored]] (argmin
+    * tie-broken on label via a vec_id-partitioned window). */
+  private def ivfAssigned(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    ivfScored(s, d)
       .withColumn("rn", row_number().over(
         w.partitionBy(col("vec_id")).orderBy(col("score"), col("label"))))
       .filter(col("rn") === 1)
+  }
+
+  def annIvfCells(s: SparkSession, d: String): DataFrame = {
+    val scored = ivfScored(s, d)
+    val assigned = ivfAssigned(s, d)
     val probe = scored.filter(col("vec_id") === 0)
       .orderBy(col("score"), col("label")).limit(2).select(col("label"))
     val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
@@ -446,6 +520,8 @@ object VectorOps {
     QueryDef("q52_ann_lsh", annLsh, Some(annLshSql), "B31 LSH-bucketed ANN"),
     QueryDef("q109_ann_recall", annRecall, Some(annRecallSql),
       "recall@10 of the LSH candidate set vs brute-force cosine top-10, per sampled query"),
+    QueryDef("q112_ann_knn_join", annKnnJoin, Some(annKnnJoinSql),
+      "IVF-blocked kNN self-join: top-3 cosine neighbors per vector inside its learned cell"),
     QueryDef("q87_ann_ivf_cells", annIvfCells, Some(annIvfCellsSql),
       "B31 IVF ANN: deterministic centroid quantizer, probed-cell re-rank"),
     QueryDef("q53_binary_meta", binaryMeta, Some(binaryMetaSql), "multimodal binary column"),
