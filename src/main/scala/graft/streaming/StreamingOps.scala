@@ -103,6 +103,26 @@ object StreamingOps {
         count(lit(1)).as("n_words"))
       .select(col("window.start").as("wstart"), col("cands"), col("n_words"))
 
+  /** Windowed streaming percentiles — [[graft.functions.LogHistogramAgg]]
+    * (the q110 quantile sketch) as bounded per-window state: p50/p99
+    * of the event value per hourly window, integer-cents quantized
+    * exactly like the batch twin. The same mergeable-sketch property
+    * that makes the aggregate partitioning-independent in batch makes
+    * it a legal streaming state: O(buckets) per open window, no
+    * retained rows, late data past the watermark dropped. The
+    * latency-dashboard shape (p99 per window) at ingest scale. */
+  def percentileWindows(events: DataFrame): DataFrame =
+    events
+      .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(graft.functions.GraftFunctions
+        .logPercentiles(col("cents"), Seq(0.5, 0.99)).as("p"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("wstart"), col("n"),
+        element_at(col("p"), 1).as("p50_cents"),
+        element_at(col("p"), 2).as("p99_cents"))
+
   /** Stream-STATIC decontamination gate — the q69/q103 contract moved
     * to ingest time: each arriving doc left-anti joins a static
     * benchmark frame on the exact text hash, so contaminated docs

@@ -390,4 +390,28 @@ class StreamingSpec extends AnyFunSuite with LocalSparkSuite {
       assert(rows.head.getAs[Long]("clean_docs") === 2L)
     } finally q.stop()
   }
+
+  test("windowed streaming percentiles: sketch state per closed window, exact at small values") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.percentileWindows(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("pctwin").start()
+    try {
+      // window 10:00-11:00: values 1.00..2.00 -> cents 100..200, all
+      // below 2^(m+1)=256 so the sketch is EXACT order statistics:
+      // rank(.5)=ceil(50.5)=51 -> 150, rank(.99)=ceil(99.99)=100 -> 199
+      in.addData((0 to 100).map(i =>
+        Ev(i.toLong, ts("2024-01-01 10:30:00"), 1L, "e", 1.0 + i / 100.0)): _*)
+      q.processAllAvailable()
+      in.addData(Ev(999, ts("2024-01-01 13:00:00"), 1L, "e", 5.0)) // close it
+      q.processAllAvailable()
+      val rows = spark.table("pctwin")
+        .filter(col("wstart") === ts("2024-01-01 10:00:00")).collect()
+      assert(rows.length === 1)
+      assert(rows.head.getAs[Long]("n") === 101L)
+      assert(rows.head.getAs[Long]("p50_cents") === 150L)
+      assert(rows.head.getAs[Long]("p99_cents") === 199L)
+    } finally q.stop()
+  }
 }
