@@ -674,7 +674,55 @@ object StatsOps {
        |FROM pick ORDER BY l_returnflag""".stripMargin
   }
 
+  /** The q114 profile column set — one place so the Spark projection
+    * and the generated oracle can never drift. */
+  private val profileCols =
+    Seq("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate")
+
+  /** q114: column profiling — per column: null count, distinct count,
+    * min/max (stringified AFTER native-type aggregation, so numeric
+    * and timestamp ordering is never lexicographic). The data-quality
+    * sweep a pipeline runs on every new drop before anything else
+    * touches it; q95 profiles join keys, this profiles the schema.
+    *
+    * Plan shape: ONE aggregate over the table computes all 4·k
+    * metrics (the multi-countDistinct expands the scan k-ways —
+    * Spark's Expand — which is the standard one-job profiling cost),
+    * then a stack() unpivots the single result row into the k-row
+    * report. Nothing shuffles at row grain except the distinct
+    * expansion itself. */
+  def columnProfile(s: SparkSession, d: String): DataFrame = {
+    val aggs = profileCols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        countDistinct(col(c)).as(s"${c}__distinct"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    Tables.lineitem(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"stack(${profileCols.size}, " + profileCols.map(c =>
+        s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max")
+        .mkString(", ") +
+        ") as (column_name, n_nulls, n_distinct, min_value, max_value)")
+      .orderBy(col("column_name"))
+  }
+
+  private val columnProfileSql = {
+    val parts = profileCols.map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_value,
+         |  CAST(MAX($c) AS VARCHAR) AS max_value
+         |FROM lineitem""".stripMargin
+    }
+    parts.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q114_column_profile", columnProfile, Some(columnProfileSql),
+      "schema-wide column profiling: nulls/distincts/min/max in one aggregate pass"),
     QueryDef("q110_sketch_percentiles", sketchPercentiles, Some(sketchPercentilesSql),
       "log-histogram quantile sketch percentiles (B37 #4) with a bit-exact integer oracle"),
     QueryDef("q89_percentile_summary", percentileSummary, Some(percentileSummarySql),

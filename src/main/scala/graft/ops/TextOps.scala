@@ -1208,8 +1208,50 @@ object TextOps {
       |FROM p JOIN sz sa ON sa.lang = p.lang_a JOIN sz sb ON sb.lang = p.lang_b
       |ORDER BY lang_a, lang_b""".stripMargin
 
+  /** q113: cross-source duplication matrix at CHUNK grain — for every
+    * unordered pair of sources, how many distinct 32-token chunks
+    * (q86's sub-document unit) appear in BOTH. The provenance view of
+    * the dedup family: q86 removes repeated chunks, this says WHERE
+    * they flow between (mirror sites, scraped re-posts, partial
+    * syndication) — the diagnostic that decides which source to drop
+    * when survivors are chosen. Chunk grain rather than whole-text:
+    * partial copying is the common case, and whole-text sharing is
+    * its subset (a shared doc shares all its chunks).
+    * Scale shape: (source, md5-chunk) distinct — shuffle keyed on the
+    * 16-byte hash, never the text — then a hash-keyed self-join that
+    * fans out at most n_sources ways per chunk. */
+  def sourceDupMatrix(s: SparkSession, d: String): DataFrame = {
+    val h = Tables.documents(s, d)
+      .select(col("source"), split(col("text"), " ").as("t"))
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, CAST(ceil(size(t)/32.0) AS INT) - 1), " +
+          "i -> md5(array_join(slice(t, i*32+1, 32), ' ')))")).as("h"))
+      .distinct()
+    h.alias("a")
+      .join(h.alias("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_chunks"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  private val sourceDupMatrixSql =
+    """WITH t AS (SELECT source, string_split(text,' ') AS t FROM documents),
+      |ch AS (SELECT source,
+      |    md5(array_to_string(list_slice(t, CAST(i*32+1 AS BIGINT), CAST(i*32+32 AS BIGINT)), ' ')) AS h
+      |  FROM t, (SELECT unnest(generate_series(0,
+      |     (SELECT CAST(ceil(max(len(t))/32.0) AS BIGINT) FROM t))) AS i) g
+      |  WHERE i <= CAST(ceil(len(t)/32.0) AS BIGINT) - 1),
+      |d AS (SELECT DISTINCT source, h FROM ch)
+      |SELECT a.source AS source_a, b.source AS source_b,
+      |       COUNT(*) AS n_shared_chunks
+      |FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q69_contamination", contamination, Some(contaminationSql), "benchmark decontamination (shingle overlap)"),
+    QueryDef("q113_source_dup_matrix", sourceDupMatrix, Some(sourceDupMatrixSql),
+      "cross-source duplication matrix: distinct 32-token chunks shared per source pair"),
     QueryDef("q106_shingle_novelty", shingleNovelty, Some(shingleNoveltySql),
       "per-doc shingle novelty: fraction of distinct shingles first seen in this doc"),
     QueryDef("q107_contamination_ratio", contaminationRatio, Some(contaminationRatioSql),
