@@ -685,28 +685,28 @@ object StatsOps {
     * sweep a pipeline runs on every new drop before anything else
     * touches it; q95 profiles join keys, this profiles the schema.
     *
-    * Plan shape: ONE aggregate over the table computes all 4·k
-    * metrics (the multi-countDistinct expands the scan k-ways —
-    * Spark's Expand — which is the standard one-job profiling cost),
-    * then a stack() unpivots the single result row into the k-row
-    * report. Nothing shuffles at row grain except the distinct
-    * expansion itself. */
-  def columnProfile(s: SparkSession, d: String): DataFrame = {
-    val aggs = profileCols.flatMap { c =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        countDistinct(col(c)).as(s"${c}__distinct"),
-        min(col(c)).cast("string").as(s"${c}__min"),
-        max(col(c)).cast("string").as(s"${c}__max"))
-    }
-    Tables.lineitem(s, d)
-      .agg(aggs.head, aggs.tail: _*)
-      .selectExpr(s"stack(${profileCols.size}, " + profileCols.map(c =>
-        s"'$c', ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max")
-        .mkString(", ") +
-        ") as (column_name, n_nulls, n_distinct, min_value, max_value)")
-      .orderBy(col("column_name"))
-  }
+    * Plan shape: one SINGLE-COLUMN aggregate per profiled column,
+    * unioned — each branch's parquet scan prunes to exactly its one
+    * column and its lone countDistinct plans as a plain two-phase
+    * value aggregate. The obvious alternative (every metric in ONE
+    * aggregate over the table) was measured and rejected: k mixed
+    * DISTINCT aggregates force Catalyst's Expand — every row
+    * replicated (k+1) ways through a wide-keyed hash aggregate —
+    * 5.9 s clean at sf0.1 vs 0.7 s for this shape. On columnar
+    * storage k pruned scans read the same bytes as one k-column scan,
+    * without the k× row expansion. */
+  def columnProfile(s: SparkSession, d: String): DataFrame =
+    profileCols.map { c =>
+      Tables.lineitem(s, d)
+        .select(col(c))
+        .agg(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          min(col(c)).cast("string").as("min_value"),
+          max(col(c)).cast("string").as("max_value"))
+        .select(lit(c).as("column_name"), col("n_nulls"),
+          col("n_distinct"), col("min_value"), col("max_value"))
+    }.reduce(_ unionByName _).orderBy(col("column_name"))
 
   private val columnProfileSql = {
     val parts = profileCols.map { c =>
