@@ -151,4 +151,44 @@ object MediaWikiXml {
     flat.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1).drop("rn")
   }
+
+  /** Wikitext internal-link extraction — `[[Target]]`,
+    * `[[Target|label]]`, `[[Target#Anchor|label]]` (the public
+    * wikilink syntax) from a flattened-revision frame, normalized the
+    * way MediaWiki canonicalizes titles: label and anchor stripped,
+    * underscores to spaces, whitespace trimmed, first letter
+    * uppercased (the `<siteinfo case="first-letter">` rule). External
+    * links, empty targets, and nested-bracket constructs (images with
+    * caption links) are excluded by the inner `[^\[\]|#]` match on
+    * the target segment.
+    *
+    * Entirely codegen'd string work (`regexp_extract_all` + explode)
+    * on the scan side — the link table never carries the revision
+    * text, only (page_id, from_title, to_title). */
+  def extractLinks(flat: DataFrame): DataFrame = {
+    val target = trim(regexp_replace(
+      regexp_extract(col("raw"), "^([^|#]*)", 1), "_", " "))
+    flat
+      .filter(col("text").isNotNull)
+      .select(col("page_id"), col("title").as("from_title"),
+        explode(expr(
+          """regexp_extract_all(text, '\\[\\[([^\\[\\]]+)\\]\\]', 1)"""))
+          .as("raw"))
+      .withColumn("to_title",
+        concat(upper(substring(target, 1, 1)),
+          substring(target, 2, Int.MaxValue)))
+      .filter(length(col("to_title")) > 0)
+      .select(col("page_id"), col("from_title"), col("to_title"))
+  }
+
+  /** The distinct link graph with per-page out-degree — the edge list
+    * a PageRank/centrality pass (q97's machinery) consumes; built on
+    * the LATEST revision per page so the graph reflects current
+    * state, not history. */
+  def linkGraph(flat: DataFrame): DataFrame =
+    extractLinks(latestRevisionPerPage(flat))
+      .select(col("from_title"), col("to_title")).distinct()
+      .withColumn("out_degree",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("from_title"))))
 }

@@ -157,4 +157,34 @@ class IngestSpec extends AnyFunSuite with LocalSparkSuite {
     assert(fresh.select("rev_id").collect().map(_.getLong(0)).sorted.toSeq
       === Seq(106L, 107L, 108L, 109L))
   }
+
+  test("wikilink extraction: label/anchor stripped, case and underscores normalized") {
+    import spark.implicits._
+    val f = Seq(
+      (1L, "Page One",
+        "see [[Alpha]] and [[beta|the b article]] and [[Gamma#History|x]] " +
+        "plus [[File:Pic.png]] and [[multi_word_title]] and [[  spaced  ]] " +
+        "not [single] nor [[]] nor http://x [[Alpha]] again"),
+      (2L, "Page Two", null.asInstanceOf[String]))
+      .toDF("page_id", "title", "text")
+    val links = MediaWikiXml.extractLinks(f)
+      .select("to_title").collect().map(_.getString(0)).toSeq
+    // [[Alpha]] twice -> extraction keeps multiplicity (graph distincts)
+    assert(links.count(_ == "Alpha") === 2)
+    assert(links.contains("Beta"))        // case rule: first letter up
+    assert(links.contains("Gamma"))       // anchor stripped
+    assert(links.contains("File:Pic.png"))
+    assert(links.contains("Multi word title"))
+    assert(links.contains("Spaced"))
+    assert(!links.exists(_.isEmpty))
+    assert(links.size === 7)
+  }
+
+  test("link graph from the fixture: distinct edges with out-degree") {
+    val g = MediaWikiXml.linkGraph(flat).collect()
+    val edges = g.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(edges.contains(("Alpha Article", "Beta Link")))
+    assert(edges.contains(("Beta Redirect", "Alpha Article")))
+    g.foreach(r => assert(r.getLong(2) >= 1L))
+  }
 }
