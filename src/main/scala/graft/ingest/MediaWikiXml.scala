@@ -191,4 +191,43 @@ object MediaWikiXml {
       .withColumn("out_degree",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy(col("from_title"))))
+
+  /** PageRank over the wiki link graph — the q97 fixed-iteration
+    * declarative pattern applied to [[linkGraph]]'s edges: ranks live
+    * on TITLES (every page plus every link target, so red links rank
+    * too, exactly like real wiki graphs), d = 0.85, `iters` unrolled
+    * rounds, dangling nodes' mass redistributed uniformly each round
+    * (the standard correction — without it total rank leaks). At
+    * fixture scale the rank table broadcasts; at wiki scale the same
+    * plan swaps to the bucketed alternative documented on q97. */
+  def linkRank(flat: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = linkGraph(flat)
+    val nodes = edges.select(col("from_title").as("title"))
+      .union(edges.select(col("to_title").as("title")))
+      .union(latestRevisionPerPage(flat).select(col("title"))).distinct()
+    val n = nodes.count()
+    var rank = nodes.withColumn("rank", lit(1.0))
+    var i = 0
+    while (i < iters) {
+      val contrib = edges
+        .join(broadcast(rank), col("from_title") === col("title"))
+        .select(col("to_title").as("title"),
+          (col("rank") / col("out_degree")).as("c"))
+        .groupBy(col("title")).agg(sum(col("c")).as("in_mass"))
+      // dangling mass as a 1-row broadcast under the update — one
+      // declarative plan per round, NO driver-side action (the q76
+      // lesson: per-round actions serialize the iteration)
+      val dangling = rank.join(edges.select(col("from_title")).distinct(),
+          col("title") === col("from_title"), "left_anti")
+        .agg(coalesce(sum(col("rank")), lit(0.0)).as("dm"))
+      rank = nodes.join(contrib, Seq("title"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("title"),
+          (lit(0.15) + lit(0.85) *
+            (coalesce(col("in_mass"), lit(0.0)) + col("dm") / n))
+            .as("rank"))
+      i += 1
+    }
+    rank.orderBy(col("rank").desc, col("title"))
+  }
 }

@@ -187,4 +187,17 @@ class IngestSpec extends AnyFunSuite with LocalSparkSuite {
     assert(edges.contains(("Beta Redirect", "Alpha Article")))
     g.foreach(r => assert(r.getLong(2) >= 1L))
   }
+
+  test("link PageRank: mass conserved, link targets outrank isolates") {
+    val r = MediaWikiXml.linkRank(flat).collect()
+    val total = r.map(_.getDouble(1)).sum
+    assert(math.abs(total - r.length) < 1e-6,
+      s"rank mass $total != node count ${r.length}")
+    val byTitle = r.map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // Alpha Article is linked (from Beta Redirect) and links out;
+    // a page nobody links to must rank strictly below it
+    assert(byTitle("Alpha Article") > byTitle.values.min)
+    assert(byTitle("Beta Link") > byTitle.values.min)
+    assert(r.forall(_.getDouble(1) > 0))
+  }
 }
