@@ -68,18 +68,8 @@ case class LogHistogramAgg(
       s"graft_log_percentiles requires a BIGINT child (add a CAST), got ${child.dataType}")
   }
 
-  private def indexOf(v: Long): Long = {
-    if (v <= 0) return 0L
-    val b = 63 - java.lang.Long.numberOfLeadingZeros(v)
-    val s = math.max(b - m, 0)
-    (s.toLong << m) + (v >> s)
-  }
-
-  /** Bucket-midpoint representative (exact for index < 2^(m+1)). */
-  private def estimateOf(index: Long): Long = {
-    val s = math.max((index >> m) - 1, 0L).toInt
-    ((index - (s.toLong << m)) << s) + ((1L << s) >> 1)
-  }
+  private def indexOf(v: Long): Long = LogHistogramAgg.indexOf(v, m)
+  private def estimateOf(index: Long): Long = LogHistogramAgg.estimateOf(index, m)
 
   override def createAggregationBuffer(): mutable.LongMap[Long] =
     mutable.LongMap.empty[Long]
@@ -155,4 +145,21 @@ case class LogHistogramAgg(
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildInternal(newChild: Expression): LogHistogramAgg =
     copy(child = newChild)
+}
+
+/** The bucket arithmetic, exposed for algebraic property tests
+  * (GraftProps): pure integer functions of (value, m). */
+object LogHistogramAgg {
+  def indexOf(v: Long, m: Int): Long = {
+    if (v <= 0) return 0L
+    val b = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    val s = math.max(b - m, 0)
+    (s.toLong << m) + (v >> s)
+  }
+
+  /** Bucket-midpoint representative (exact for index < 2^(m+1)). */
+  def estimateOf(index: Long, m: Int): Long = {
+    val s = math.max((index >> m) - 1, 0L).toInt
+    ((index - (s.toLong << m)) << s) + ((1L << s) >> 1)
+  }
 }

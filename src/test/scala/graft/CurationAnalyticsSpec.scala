@@ -81,4 +81,50 @@ class CurationAnalyticsSpec extends AnyFunSuite with LocalSparkSuite {
         col("hits").cast("double") / 10).count() === 0)
     } finally out.unpersist()
   }
+
+  test("q112: neighbors obey block semantics, ranks contiguous from 1") {
+    val out = VectorOps.annKnnJoin(spark, sfDir).cache()
+    try {
+      assert(out.filter(col("vec_id") === col("nbr_id")).count() === 0)
+      assert(out.filter(col("rk") < 1 || col("rk") > 3).count() === 0)
+      // per vector: ranks are 1..k with no holes
+      val bad = out.groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("k"), max(col("rk")).as("mx"))
+        .filter(col("k") =!= col("mx")).count()
+      assert(bad === 0)
+    } finally out.unpersist()
+  }
+
+  test("q113: shared chunks bounded by each source's own distinct chunk count") {
+    val out = TextOps.sourceDupMatrix(spark, sfDir).cache()
+    try {
+      val perSource = Tables.documents(spark, sfDir)
+        .select(col("source"), split(col("text"), " ").as("t"))
+        .select(col("source"), explode(expr(
+          "transform(sequence(0, CAST(ceil(size(t)/32.0) AS INT) - 1), " +
+            "i -> md5(array_join(slice(t, i*32+1, 32), ' ')))")).as("h"))
+        .distinct().groupBy(col("source")).count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      out.collect().foreach { r =>
+        val (a, b, n) = (r.getString(0), r.getString(1), r.getLong(2))
+        assert(a < b)
+        assert(n >= 1 && n <= math.min(perSource(a), perSource(b)))
+      }
+    } finally out.unpersist()
+  }
+
+  test("q114: profile metrics consistent with the table they profile") {
+    val out = graft.ops.StatsOps.columnProfile(spark, sfDir).cache()
+    try {
+      val n = Tables.lineitem(spark, sfDir).count()
+      out.collect().foreach { r =>
+        assert(r.getLong(1) >= 0 && r.getLong(1) <= n)        // n_nulls
+        assert(r.getLong(2) >= 1 && r.getLong(2) <= n)        // n_distinct
+        assert(r.getString(3) <= r.getString(4) ||            // min<=max unless
+          r.getString(0) == "l_quantity" ||                   // numeric-as-string
+          r.getString(0) == "l_orderkey" ||
+          r.getString(0) == "l_linenumber")
+      }
+    } finally out.unpersist()
+  }
 }

@@ -37,6 +37,28 @@ object GraftProps extends Properties("graft") {
     }
   }
 
+
+  // Pure algebraic properties of the log-histogram bucketing (B53):
+  // the whole q110 oracle-parity story rests on these two functions.
+  property("log-histogram index is monotone non-decreasing in the value") = {
+    import graft.functions.LogHistogramAgg.indexOf
+    val g = Gen.chooseNum(0L, Long.MaxValue - 1)
+    forAll(g, Gen.chooseNum(1, 12)) { (v, m) =>
+      indexOf(v, m) <= indexOf(v + 1, m)
+    }
+  }
+
+  property("log-histogram estimate lands in the value's own bucket within 2^-(m+1) relative error") = {
+    import graft.functions.LogHistogramAgg.{estimateOf, indexOf}
+    val g = Gen.chooseNum(1L, Long.MaxValue / 2)
+    forAll(g, Gen.chooseNum(1, 12)) { (v, m) =>
+      val est = estimateOf(indexOf(v, m), m)
+      // same bucket both directions, and midpoint within half a bucket
+      indexOf(est, m) == indexOf(v, m) &&
+        math.abs(est - v).toDouble <= math.max(v.toDouble / (1L << (m + 1)).toDouble, 1.0)
+    }
+  }
+
   property("exact dedup is idempotent") = {
     val g = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "dd", "ee"))
     forAll(g) { texts =>
