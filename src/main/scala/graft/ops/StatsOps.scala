@@ -674,6 +674,82 @@ object StatsOps {
        |FROM pick ORDER BY l_returnflag""".stripMargin
   }
 
+  /** Count-min bucket of word `w` at sketch depth row `j`: the first
+    * 3 hex digits (12 bits) of md5(j":"w) → width 4096. `conv` here
+    * and the oracle's hex-digit arithmetic read the same 12 bits, so
+    * both engines land every occurrence in the same counter. */
+  private def cmsBucket(j: Int, w: Column): Column =
+    conv(substring(md5(concat_ws(":", lit(j), w)), 1, 3), 16, 10).cast("long")
+
+  /** Oracle twin of [[cmsBucket]]: digit arithmetic over a PRE-COMPUTED
+    * 3-hex-char prefix column `h3` (one md5 per row, not one per digit
+    * — the naive inline form re-hashes 3×, which at sf0.1's ~3·10^7
+    * (word, depth) rows turns the oracle replay into minutes). */
+  private def cmsBucketSql(h3: String): String = {
+    def dig(i: Int) =
+      s"(strpos('0123456789abcdef', substr($h3, $i, 1)) - 1)"
+    s"(${dig(1)} * 256 + ${dig(2)} * 16 + ${dig(3)})"
+  }
+
+  private def cmsHash3Sql(j: String, w: String): String =
+    s"substr(md5(CAST($j AS VARCHAR) || ':' || $w), 1, 3)"
+
+  /** q116: count-min sketch frequency estimation — B37 sketch family
+    * instance #5 (distinct count q27/q78, heavy hitters q93/q96,
+    * quantiles q110, and now point-frequency queries). Builds a
+    * depth-3 × width-4096 CMS over all word occurrences, then answers
+    * the frequency query for the 20 most frequent words and reports
+    * the estimate next to the exact count — the sketch's one-sided
+    * error (est ≥ exact, overshoot ≤ εN w.h.p.) shown per word.
+    *
+    * Unlike the other sketches this one needs NO custom aggregate:
+    * each counter cell IS a group, so the engine's own two-phase hash
+    * aggregate builds the sketch with map-side combine, and the
+    * reduce-side state is capped at 3·4096 cells no matter the corpus
+    * size. That is the 100 TB posture: one scan → 12,288 mergeable
+    * counters; any later frequency question is a 3-row broadcast
+    * lookup against the stored sketch, not a corpus re-scan. (The
+    * exact side exists here only to grade the estimate; a production
+    * run keeps just the sketch.)
+    *
+    * Determinism: counters are exact integer counts of md5-assigned
+    * cells — partitioning-independent; the probe set is a total-order
+    * top-20 (count desc, word asc). */
+  def countMinFreq(s: SparkSession, d: String): DataFrame = {
+    val words = Tables.documents(s, d).select(explode(toks(col("text"))).as("w"))
+    val depths = (0 to 2)
+    val cells = words
+      .select(explode(array(depths.map(j =>
+        struct(lit(j).as("j"), cmsBucket(j, col("w")).as("b"))): _*)).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val top = words.groupBy(col("w")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("w")).limit(20)
+    val probes = top
+      .select(col("w"), col("exact_n"), explode(array(depths.map(j =>
+        struct(lit(j).as("j"), cmsBucket(j, col("w")).as("b"))): _*)).as("p"))
+      .select(col("w"), col("exact_n"), col("p.j").as("j"), col("p.b").as("b"))
+    cells.join(broadcast(probes), Seq("j", "b"))
+      .groupBy(col("w"), col("exact_n"))
+      .agg(min(col("c")).as("est_n"))
+      .select(col("w").as("word"), col("exact_n"), col("est_n"))
+      .orderBy(col("exact_n").desc, col("word"))
+  }
+
+  private val countMinFreqSql =
+    s"""WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+       |uni AS (SELECT w, COUNT(*) AS n FROM w GROUP BY w),
+       |uh AS (SELECT w, n, j, ${cmsHash3Sql("j", "w")} AS h3
+       |       FROM uni, (SELECT unnest(generate_series(0, 2)) AS j) g),
+       |cells AS (SELECT j, ${cmsBucketSql("h3")} AS b, SUM(n) AS c
+       |          FROM uh GROUP BY 1, 2),
+       |top AS (SELECT w, n AS exact_n FROM uni ORDER BY n DESC, w LIMIT 20),
+       |probe AS (SELECT u.w, u.n AS exact_n, u.j, ${cmsBucketSql("u.h3")} AS b
+       |          FROM uh u JOIN top t ON t.w = u.w)
+       |SELECT p.w AS word, p.exact_n, CAST(MIN(c.c) AS BIGINT) AS est_n
+       |FROM probe p JOIN cells c USING (j, b)
+       |GROUP BY 1, 2 ORDER BY exact_n DESC, word""".stripMargin
+
   /** The q114 profile column set — one place so the Spark projection
     * and the generated oracle can never drift. */
   private val profileCols =
@@ -725,6 +801,8 @@ object StatsOps {
       "schema-wide column profiling: nulls/distincts/min/max in one aggregate pass"),
     QueryDef("q110_sketch_percentiles", sketchPercentiles, Some(sketchPercentilesSql),
       "log-histogram quantile sketch percentiles (B37 #4) with a bit-exact integer oracle"),
+    QueryDef("q116_countmin_freq", countMinFreq, Some(countMinFreqSql),
+      "count-min sketch point-frequency estimates (B37 #5) vs exact counts, md5-exact oracle"),
     QueryDef("q89_percentile_summary", percentileSummary, Some(percentileSummarySql),
       "exact group percentiles (sort-based; approx twin is q27)"),
     QueryDef("q90_regression_stats", regressionStats, Some(regressionStatsSql),

@@ -1248,7 +1248,107 @@ object TextOps {
       |FROM d a JOIN d b ON a.h = b.h AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** The q115 edge list: distinct doc pairs (a < b) sharing ≥ 1
+    * 32-token chunk — q113's construction at doc grain. Memoized: the
+    * wedge/closure pass reads it three times, and a per-reference
+    * rebuild would re-run the md5 self-join each time. */
+  private[graft] def dupEdges(s: SparkSession, d: String): DataFrame =
+    graft.CheckpointMemo.getOrElseUpdate(s, d, "dup_edges") {
+      val ch = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, CAST(ceil(size(t)/32.0) AS INT) - 1), " +
+            "i -> md5(array_join(slice(t, i*32+1, 32), ' ')))")).as("h"))
+        .distinct()
+      ch.alias("x")
+        .join(ch.alias("y"),
+          col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+        .localCheckpoint()
+    }
+
+  /** q115: triangle census of the duplicate graph — for every doc in
+    * ≥ 1 triangle, how many triangles it closes (plus its degree).
+    * Triangle density separates true mirror CLIQUES (every pair
+    * shares text → drop all but one survivor) from hub-and-spoke
+    * boilerplate (one template chunk fanning to many unrelated docs →
+    * keep the docs, drop the chunk): the q76 connected components
+    * merge both shapes into one cluster; the triangle count tells
+    * them apart before a survivor policy overfires.
+    *
+    * Scale shape: the classic degree-ordered orientation (the
+    * MapReduce triangle-count trick). Each undirected edge is directed
+    * toward its (degree, id)-larger endpoint — a total order, so every
+    * triangle {x≺y≺z} materializes exactly one wedge at its smallest
+    * corner and is counted once, and out-degree is capped at O(√m):
+    * a hub node of degree 10^6 contributes NO wedges unless its
+    * neighbors out-rank it, killing the quadratic that a naive
+    * neighbor-join pays on skewed graphs. Wedge join keys on the
+    * shared corner, closure join on the (v, w) pair — both uniform
+    * high-cardinality keys. The edge list itself is bounded upstream:
+    * exact dedup (q30) removes identical docs first, and a production
+    * run drops chunks above a doc-frequency cap (q104's stopword-
+    * shingle rule) so no chunk fans quadratically. */
+  def dupTriangles(s: SparkSession, d: String): DataFrame = {
+    val e = dupEdges(s, d)
+    val deg = e.select(col("a").as("node"))
+      .unionAll(e.select(col("b").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val dir = e
+      .join(deg.select(col("node").as("a"), col("deg").as("da")).hint("shuffle_hash"), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")).hint("shuffle_hash"), Seq("b"))
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          col("a")).otherwise(col("b")).as("u"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("db").as("dv"), col("b").as("v")))
+          .otherwise(struct(col("da").as("dv"), col("a").as("v"))).as("ov"))
+      .select(col("u"), col("ov.v").as("v"), col("ov"))
+    val tri = dir.alias("e1")
+      .join(dir.alias("e2").hint("shuffle_hash"),
+        col("e1.u") === col("e2.u") && col("e1.ov") < col("e2.ov"))
+      .select(col("e1.u").as("x"), col("e1.v").as("y"), col("e2.v").as("z"))
+      .join(dir.alias("e3").hint("shuffle_hash"),
+        col("y") === col("e3.u") && col("z") === col("e3.v"))
+      .select(col("x"), col("y"), col("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+      .join(deg.select(col("node").as("doc_id"), col("deg")).hint("shuffle_hash"),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("n_triangles"), col("deg"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dupTrianglesSql =
+    """WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      |ch AS (SELECT DISTINCT doc_id,
+      |    md5(array_to_string(list_slice(t, CAST(i*32+1 AS BIGINT), CAST(i*32+32 AS BIGINT)), ' ')) AS h
+      |  FROM t, (SELECT unnest(generate_series(0,
+      |     (SELECT CAST(ceil(max(len(t))/32.0) AS BIGINT) FROM t))) AS i) g
+      |  WHERE i <= CAST(ceil(len(t)/32.0) AS BIGINT) - 1),
+      |e AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+      |      FROM ch x JOIN ch y ON x.h = y.h AND x.doc_id < y.doc_id),
+      |deg AS (SELECT node, COUNT(*) AS deg
+      |        FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      |        GROUP BY node),
+      |dir AS (SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS u,
+      |               CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS v,
+      |               CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg ELSE da.deg END AS dv
+      |        FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+      |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+      |        FROM dir e1 JOIN dir e2
+      |          ON e1.u = e2.u AND (e1.dv, e1.v) < (e2.dv, e2.v)
+      |        JOIN dir e3 ON e3.u = e1.v AND e3.v = e2.v)
+      |SELECT node AS doc_id, COUNT(*) AS n_triangles, MIN(deg.deg) AS deg
+      |FROM (SELECT x AS node FROM tri
+      |      UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) n
+      |JOIN deg USING (node)
+      |GROUP BY node ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q115_dup_triangles", dupTriangles, Some(dupTrianglesSql),
+      "triangle census of the chunk-sharing duplicate graph (degree-ordered orientation)"),
     QueryDef("q69_contamination", contamination, Some(contaminationSql), "benchmark decontamination (shingle overlap)"),
     QueryDef("q113_source_dup_matrix", sourceDupMatrix, Some(sourceDupMatrixSql),
       "cross-source duplication matrix: distinct 32-token chunks shared per source pair"),

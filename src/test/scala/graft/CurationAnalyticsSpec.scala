@@ -33,6 +33,29 @@ class CurationAnalyticsSpec extends AnyFunSuite with LocalSparkSuite {
     } finally out.unpersist()
   }
 
+  test("q115: oriented wedge join counts exactly the brute-force triangles") {
+    val edges = TextOps.dupEdges(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over the (tiny at this SF) edge set: every a<b<c
+    // with all three edges present, counted at each corner
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    val perNode = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      Seq(a, b, c) <- nodes.combinations(3)
+      if edges((a, b)) && edges((b, c)) && edges((a, c))
+      n <- Seq(a, b, c)
+    } perNode(n) += 1
+    val out = TextOps.dupTriangles(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.keySet === perNode.keySet)
+    perNode.foreach { case (n, t) =>
+      assert(out(n)._1 === t, s"node $n: ${out(n)._1} != brute-force $t")
+      // a corner closes at most C(deg, 2) triangles
+      val d = out(n)._2
+      assert(t <= d * (d - 1) / 2, s"node $n: $t triangles > C($d,2)")
+    }
+  }
+
   test("q107: decile rollup partitions the train docs exactly") {
     val out = TextOps.contaminationRatio(spark, sfDir).cache()
     try {

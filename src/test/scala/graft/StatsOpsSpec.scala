@@ -239,6 +239,24 @@ class StatsOpsSpec extends AnyFunSuite with LocalSparkSuite {
     ppls.foreach(p => assert(p > 1.0 && p < vocab * 1e6, s"implausible perplexity $p"))
   }
 
+  test("q116 count-min estimates never undercount and are bounded by total mass") {
+    val rows = ops.StatsOps.countMinFreq(spark, sfDir).collect()
+    assert(rows.length === 20)
+    val nWords = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " "))).count()
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      // the CMS guarantee: one-sided error — a counter sums its own
+      // word plus its collisions, so the min over depths can only
+      // overshoot; and no counter exceeds the corpus's word mass
+      assert(est >= exact, s"${r.getString(0)}: est $est < exact $exact")
+      assert(est <= nWords, s"${r.getString(0)}: est $est > total $nWords")
+    }
+    // probe set is the exact top-20, ordered (count desc, word asc)
+    val keys = rows.map(r => (-r.getLong(1), r.getString(0)))
+    assert(keys.sameElements(keys.sorted), "probe rows not in top-k order")
+  }
+
   test("graft_heavy_hitters SQL registration validates arity and k type") {
     val (_, _, builder) = GraftExtensions.functions
       .find(_._1.funcName == "graft_heavy_hitters").get
