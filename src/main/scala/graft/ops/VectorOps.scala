@@ -194,6 +194,75 @@ object VectorOps {
        |SELECT vec_id, rk, nbr_id, cos_sim, cell
        |FROM r WHERE rk <= 3 ORDER BY vec_id, rk""".stripMargin
 
+  /** q118: hard-negative mining — for every vector, the 2 most
+    * cosine-similar vectors with a DIFFERENT ground-truth label from
+    * its own ANN block. The contrastive-training data prep step: a
+    * triplet/InfoNCE loss wants negatives that are hard (close in
+    * embedding space) but true negatives (different label); random
+    * negatives are trivially easy and teach nothing. The supervised
+    * complement of q112: same learned two-level blocking (coarse IVF
+    * cell × 3-bit sign-projection sub-bucket), opposite keep-filter —
+    * q112 keeps any neighbor (dedup wants SAME-content pairs), this
+    * keeps only cross-label ones.
+    *
+    * Scale posture inherits q112's measured shape wholesale: block
+    * count scales by adding planes, the checkpoint-memoized
+    * assignment is built once and read by both join sides, the
+    * ground-truth label attaches via a map-side project of the same
+    * assignment frame (the label column rides along — no extra join
+    * against the base table), and the per-vector top-2 is a
+    * vec_id-partitioned window. The cross-label filter drops
+    * candidates BEFORE the window shuffle, so the mining pass moves
+    * fewer rows than the dedup pass it piggybacks on. */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val asg = ivfAssigned(s, d)
+      .select(col("vec_id"), col("embedding"), col("label").as("cell"),
+        col("own_label").as("label"))
+      .withColumn("sb", shiftright(lshBucket, 1))
+    val nbrs = asg.select(col("cell"), col("sb"), col("vec_id").as("nbr_id"),
+      col("embedding").as("nv"), col("label").as("nbr_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id"))
+      .orderBy(col("cos_sim").desc, col("nbr_id"))
+    asg.join(nbrs.hint("shuffle_hash"), Seq("cell", "sb"))
+      .filter(col("nbr_label") =!= col("label"))
+      .select(col("vec_id"), col("label"), col("nbr_id"), col("nbr_label"),
+        round(cosineSimFast(col("embedding"), col("nv")), 6).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .select(col("vec_id"), col("rk").cast("long").as("rk"), col("nbr_id"),
+        col("nbr_label"), col("cos_sim"))
+      .orderBy(col("vec_id"), col("rk"))
+  }
+
+  private lazy val hardNegativesSql =
+    s"""WITH cent AS (
+       |  SELECT label, list(c ORDER BY i) AS cv FROM (
+       |    SELECT label, i,
+       |      CAST(CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS c
+       |    FROM (SELECT label, unnest(embedding) AS e,
+       |          generate_subscripts(embedding, 1) AS i FROM embeddings) t
+       |    GROUP BY label, i) u GROUP BY label),
+       |sc AS (SELECT e.vec_id, e.embedding, e.label AS own_label, cent.label,
+       |    list_sum([cv[i]*cv[i] for i in generate_series(1,64)])
+       |    - 2 * list_sum([CAST(embedding[i] AS DOUBLE)*cv[i] for i in generate_series(1,64)]) AS score
+       |  FROM embeddings e, cent),
+       |asg AS (SELECT vec_id, embedding, own_label, label AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, label) AS rn FROM sc),
+       |a AS (SELECT vec_id, embedding, own_label, cell, ($bucketSqlExpr) // 2 AS sb
+       |      FROM asg WHERE rn = 1),
+       |p AS (SELECT x.vec_id, x.own_label AS label, y.vec_id AS nbr_id,
+       |        y.own_label AS nbr_label,
+       |        ROUND(${dotSql("x.embedding", "y.embedding")} /
+       |          (SQRT(${dotSql("x.embedding", "x.embedding")}) * SQRT(${dotSql("y.embedding", "y.embedding")})), 6) AS cos_sim
+       |      FROM a x JOIN a y ON x.cell = y.cell AND x.sb = y.sb
+       |        AND x.own_label <> y.own_label),
+       |r AS (SELECT vec_id, nbr_id, nbr_label, cos_sim,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id) AS rk
+       |      FROM p)
+       |SELECT vec_id, rk, nbr_id, nbr_label, cos_sim
+       |FROM r WHERE rk <= 2 ORDER BY vec_id, rk""".stripMargin
+
   /** q109: ANN recall evaluation — recall@10 of the LSH super-bucket
     * candidate set against the brute-force cosine top-10, per query
     * vector (every vec_id % 100 == 0). The eval harness every ANN
@@ -346,9 +415,9 @@ object VectorOps {
       // not once per (vector, cell) pair
       .withColumn("cnorm", dotFast(col("cv"), col("cv")))
     Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"))
+      .select(col("vec_id"), col("embedding"), col("label").as("own_label"))
       .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("label"),
+      .select(col("vec_id"), col("embedding"), col("own_label"), col("label"),
         (col("cnorm") - lit(2.0) * dotFast(col("embedding"), col("cv"))).as("score"))
   }
 
@@ -535,6 +604,8 @@ object VectorOps {
     QueryDef("q52_ann_lsh", annLsh, Some(annLshSql), "B31 LSH-bucketed ANN"),
     QueryDef("q109_ann_recall", annRecall, Some(annRecallSql),
       "recall@10 of the LSH candidate set vs brute-force cosine top-10, per sampled query"),
+    QueryDef("q118_hard_negatives", hardNegatives, Some(hardNegativesSql),
+      "hard-negative mining: top-2 cross-label cosine neighbors per vector (q112's blocking)"),
     QueryDef("q112_ann_knn_join", annKnnJoin, Some(annKnnJoinSql),
       "IVF-blocked kNN self-join: top-3 cosine neighbors per vector inside its learned cell"),
     QueryDef("q87_ann_ivf_cells", annIvfCells, Some(annIvfCellsSql),

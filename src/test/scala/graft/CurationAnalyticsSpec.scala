@@ -56,6 +56,33 @@ class CurationAnalyticsSpec extends AnyFunSuite with LocalSparkSuite {
     }
   }
 
+  test("q118: mined negatives are true cross-label pairs in rank order") {
+    val out = VectorOps.hardNegatives(spark, sfDir).cache()
+    try {
+      val labels = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("label")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val rows = out.collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        // a negative must differ from the anchor's ground-truth label,
+        // and the reported nbr_label must be the neighbor's real one
+        assert(labels(r.getLong(2)) === r.getInt(3))
+        assert(labels(r.getLong(0)) !== r.getInt(3),
+          s"vec ${r.getLong(0)}: negative shares its label")
+      }
+      // per anchor: ranks are 1..k and cosine is non-increasing in rank
+      rows.groupBy(_.getLong(0)).foreach { case (v, rs) =>
+        val sorted = rs.sortBy(_.getLong(1))
+        assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length))
+        assert(sorted.sliding(2).forall {
+          case Array(a, b) => a.getDouble(4) >= b.getDouble(4)
+          case _ => true
+        }, s"vec $v: cosine not monotone in rank")
+      }
+    } finally out.unpersist()
+  }
+
   test("q107: decile rollup partitions the train docs exactly") {
     val out = TextOps.contaminationRatio(spark, sfDir).cache()
     try {
