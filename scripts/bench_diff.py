@@ -1,0 +1,118 @@
+#!/usr/bin/env python3
+"""Per-query round-over-round bench audit.
+
+Compares a candidate bench artifact (the BENCH.json file Bench.scala
+writes — complete and prefix-free, unlike the driver's truncated
+stdout tail) against one or more reference artifacts, and prints any
+query whose candidate minimum exceeds RATIO x its best reference
+time. This turns the by-hand regression audit the round-7 judge did
+into a standing check.
+
+Usage:
+  scripts/bench_diff.py CANDIDATE.json [REF.json ...]
+
+With no REF arguments, every bench_refs/*.json in the repo is used
+(the committed clean-window closing references, one per round).
+
+Only `clean:true` references are trusted as cost floors; a dirty
+reference would make every comparison look like an improvement.
+A dirty CANDIDATE is compared anyway but loudly flagged — its numbers
+are upper bounds, so regressions it shows may be the window's fault,
+while improvements it shows are real.
+
+Exit code: 0 = no regression above threshold, 1 = regressions found,
+2 = usage/parse error. Queries absent from all references (new this
+round) are listed informationally, never flagged.
+"""
+import json
+import glob
+import os
+import sys
+
+RATIO = 1.5          # flag candidate_min > RATIO * best_ref
+MIN_ABS = 0.15       # ignore sub-150ms jitter: both times under this never flag
+
+
+def load(path):
+    with open(path) as f:
+        txt = f.read().strip()
+    # the artifact is one JSON object per line; take the last line that
+    # carries a queries map (Bench prints full line then summary-only)
+    for line in reversed(txt.splitlines()):
+        line = line.strip()
+        if line.startswith("{") and '"queries"' in line:
+            return json.loads(line)
+    obj = json.loads(txt)
+    if "queries" in obj:
+        return obj
+    raise ValueError(f"{path}: no line with a queries map")
+
+
+def main(argv):
+    if len(argv) < 2:
+        print(__doc__)
+        return 2
+    cand_path = argv[1]
+    ref_paths = argv[2:]
+    if not ref_paths:
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ref_paths = sorted(glob.glob(os.path.join(here, "bench_refs", "*.json")))
+    if not ref_paths:
+        print("bench_diff: no reference artifacts (bench_refs/ empty)")
+        return 2
+    cand = load(cand_path)
+    if not cand.get("clean", True):
+        print(f"WARN candidate {cand_path} self-reports clean:false - "
+              "its numbers are upper bounds; regressions below may be the window")
+    best = {}          # query -> (best_time, ref_path)
+    for rp in ref_paths:
+        try:
+            ref = load(rp)
+        except Exception as e:
+            print(f"WARN skipping unparseable reference {rp}: {e}")
+            continue
+        if not ref.get("clean", True):
+            print(f"WARN skipping dirty reference {rp} (clean:false)")
+            continue
+        for q, t in ref.get("queries", {}).items():
+            if t is None or t < 0:
+                continue
+            if q not in best or t < best[q][0]:
+                best[q] = (t, os.path.basename(rp))
+    if not best:
+        print("bench_diff: no clean reference queries to compare against")
+        return 2
+    regressions, improvements, new = [], [], []
+    for q, t in sorted(cand.get("queries", {}).items()):
+        if t is None or t < 0:
+            continue
+        if q not in best:
+            new.append((q, t))
+            continue
+        bt, src = best[q]
+        if t > RATIO * bt and not (t < MIN_ABS and bt < MIN_ABS):
+            regressions.append((q, t, bt, src))
+        elif bt > RATIO * t and not (t < MIN_ABS and bt < MIN_ABS):
+            improvements.append((q, t, bt, src))
+    cand_total = sum(t for t in cand.get("queries", {}).values() if t and t > 0)
+    print(f"candidate: {cand_path}  total={cand_total:.1f}s  "
+          f"queries={len(cand.get('queries', {}))}  clean={cand.get('clean')}")
+    print(f"references: {len(ref_paths)} file(s), {len(best)} distinct queries")
+    if regressions:
+        print(f"\nREGRESSIONS (> {RATIO}x best clean reference):")
+        for q, t, bt, src in sorted(regressions, key=lambda r: -r[1] / r[2]):
+            print(f"  {q}: {t:.3f}s vs {bt:.3f}s ({t/bt:.2f}x, best in {src})")
+    else:
+        print(f"\nno regression above {RATIO}x")
+    if improvements:
+        print(f"\nimprovements (> {RATIO}x faster than best reference):")
+        for q, t, bt, src in sorted(improvements, key=lambda r: -r[2] / r[1]):
+            print(f"  {q}: {t:.3f}s vs {bt:.3f}s ({bt/t:.2f}x faster)")
+    if new:
+        print(f"\nnew queries (no reference): "
+              + ", ".join(f"{q}={t:.2f}s" for q, t in new))
+    return 1 if regressions else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv))

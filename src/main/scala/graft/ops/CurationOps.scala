@@ -461,7 +461,130 @@ object CurationOps {
       |SELECT doc_id, lang, CAST(s // 65536 AS INT) AS shard
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** q117: temperature-based language mixing — the exponentially
+    * smoothed sampling of the multilingual-pretraining literature
+    * (XLM/mBERT style): language l is sampled proportionally to
+    * n_l^α with α = 1/2, which UP-weights tail languages relative to
+    * their raw share (en is 41% of this corpus but only ~29% of the
+    * α-mix) without the hard per-stratum quotas of q83 or the
+    * hand-assigned budgets of q85 — the three mixing policies a
+    * curation pipeline actually chooses between.
+    *
+    * Cross-engine exactness: the α-power goes through
+    * `floor(sqrt(n_l · 10^6))` — one int→double conversion and one
+    * sqrt, both correctly rounded per IEEE-754, so the floor is
+    * bit-identical on both engines — and everything after (weight
+    * sum, `(target · w_l) div W` quota) is exact integer arithmetic.
+    * The picked docs are the quota-first rows of each language in
+    * deterministic md5 order, so the sample is reproducible and
+    * partitioning-independent.
+    *
+    * Scale shape: the weight/quota table is one row per language
+    * (broadcast); the only data-size shuffle is the per-language
+    * window, partitioned on lang — at 100 TB the q85 fix applies
+    * verbatim (sub-partition the window by a hash-prefix bucket and
+    * roll bucket offsets up through a broadcast table) if a single
+    * language ever outgrows a task. */
+  def temperatureMix(s: SparkSession, d: String): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        md5(concat(lit("temp:"), col("doc_id").cast("string"))).as("h"))
+    val weights = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
+      .withColumn("w", floor(sqrt(col("n_l") * lit(1000000L))).cast("long"))
+    val tot = weights.agg(sum(col("w")).as("ww"), sum(col("n_l")).as("n_docs"))
+    val quotas = weights.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_l"),
+        expr("((n_docs div 2) * w) div ww").as("quota"))
+    docs
+      .withColumn("rn", row_number().over(
+        win.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))))
+      .join(broadcast(quotas), Seq("lang"))
+      .filter(col("rn") <= col("quota"))
+      .select(col("doc_id"), col("lang"), col("rn").cast("long").as("rn"), col("quota"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val temperatureMixSql =
+    """WITH src AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+      |w AS (SELECT lang, n_l,
+      |        CAST(floor(sqrt(n_l * 1000000)) AS BIGINT) AS w FROM src),
+      |tot AS (SELECT CAST(sum(w) AS BIGINT) AS ww,
+      |             CAST(sum(n_l) AS BIGINT) AS n_docs FROM w),
+      |q AS (SELECT lang, n_l, ((tot.n_docs // 2) * w) // tot.ww AS quota
+      |      FROM w, tot),
+      |r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+      |        ORDER BY md5('temp:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |      FROM documents)
+      |SELECT r.doc_id, r.lang, r.rn, q.quota
+      |FROM r JOIN q USING (lang) WHERE r.rn <= q.quota
+      |ORDER BY doc_id""".stripMargin
+
+  /** q123: sorted-neighborhood near-dup candidate generation
+    * (Hernández/Stolfo, SIGMOD'95 — the merge/purge method): sort each
+    * language block by a text prefix key, slide a window of 3 over the
+    * sorted order, verify every in-window pair by edit distance on the
+    * 100-char head. The record-linkage classic that q73's adjacent-ID
+    * pairing only gestures at: near-dups with DIFFERENT ids sort
+    * adjacent under a content key, so the candidate set is O(n·w)
+    * with no hashing at all — the cheap first pass a linkage pipeline
+    * runs before anything quadratic.
+    *
+    * Scale shape: the sort window partitions on the blocking key
+    * (lang), so no global sort exists — each block sorts
+    * independently, and at 100 TB the block key widens (lang ×
+    * prefix bucket, the q85 sub-partition fix) before any single
+    * block outgrows a task. The lead() pairs are generated in the
+    * sorted exchange the window already paid for; the only per-pair
+    * work is one bounded levenshtein on 100-char heads (the q73
+    * budget cap). */
+  def sortedNeighborhood(s: SparkSession, d: String): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("sk"), col("doc_id"))
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        substring(col("text"), 1, 40).as("sk"),
+        substring(col("text"), 1, 100).as("head"))
+    val w = t
+      .withColumn("id1", lead(col("doc_id"), 1).over(win))
+      .withColumn("h1", lead(col("head"), 1).over(win))
+      .withColumn("id2", lead(col("doc_id"), 2).over(win))
+      .withColumn("h2", lead(col("head"), 2).over(win))
+    val cand = w.filter(col("id1").isNotNull)
+      .select(col("doc_id").as("ida"), col("id1").as("idb"),
+        col("head").as("ha"), col("h1").as("hb"))
+      .unionAll(w.filter(col("id2").isNotNull)
+        .select(col("doc_id").as("ida"), col("id2").as("idb"),
+          col("head").as("ha"), col("h2").as("hb")))
+    cand
+      .select(least(col("ida"), col("idb")).as("doc_a"),
+        greatest(col("ida"), col("idb")).as("doc_b"),
+        levenshtein(col("ha"), col("hb")).as("edit_dist"))
+      .filter(col("edit_dist") <= 30)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val sortedNeighborhoodSql =
+    """WITH t AS (SELECT doc_id, lang, substring(text,1,40) AS sk,
+      |                substring(text,1,100) AS head FROM documents),
+      |w AS (SELECT doc_id, lang, sk, head,
+      |        lead(doc_id, 1) OVER win AS id1, lead(head, 1) OVER win AS h1,
+      |        lead(doc_id, 2) OVER win AS id2, lead(head, 2) OVER win AS h2
+      |      FROM t WINDOW win AS (PARTITION BY lang ORDER BY sk, doc_id)),
+      |cand AS (SELECT doc_id AS ida, id1 AS idb, head AS ha, h1 AS hb
+      |         FROM w WHERE id1 IS NOT NULL
+      |         UNION ALL
+      |         SELECT doc_id, id2, head, h2 FROM w WHERE id2 IS NOT NULL),
+      |v AS (SELECT least(ida, idb) AS doc_a, greatest(ida, idb) AS doc_b,
+      |        CAST(levenshtein(ha, hb) AS INT) AS edit_dist FROM cand)
+      |SELECT doc_a, doc_b, edit_dist FROM v WHERE edit_dist <= 30
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q123_sorted_neighborhood", sortedNeighborhood, Some(sortedNeighborhoodSql),
+      "sorted-neighborhood (SIGMOD'95 merge/purge) near-dup candidates, edit-distance verified"),
+    QueryDef("q117_temperature_mix", temperatureMix, Some(temperatureMixSql),
+      "temperature-based (n^alpha, alpha=1/2) language mixing in deterministic hash order"),
     QueryDef("q102_corpus_shards", corpusShards, Some(corpusShardsSql),
       "size-bounded export shard assignment via distributed byte prefix sum"),
     QueryDef("q79_curate_corpus", curateCorpusQuery, Some(curateCorpusSql),

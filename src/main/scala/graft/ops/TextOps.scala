@@ -1346,7 +1346,371 @@ object TextOps {
       |JOIN deg USING (node)
       |GROUP BY node ORDER BY doc_id""".stripMargin
 
+  // ---- winnowing fingerprints (q119/q120) --------------------------
+
+  /** Winnowing parameters: token k-grams hashed per position, sliding
+    * window of w consecutive hashes, window MINIMUM selected. The
+    * scheme's guarantee (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS algorithm): any shared token run of length ≥ w + k − 1 is
+    * certain to contribute at least one COMMON fingerprint to both
+    * docs, while only ~2/(w+1) of positions are retained — positional
+    * partial-overlap detection (plagiarism, quote reuse, template
+    * splicing) at a fraction of the full k-gram index size. This is
+    * the capability the suite's other near-dup operators don't have:
+    * MinHash (q33/q34) and SimHash (q105) grade WHOLE-document
+    * resemblance and dilute away a 10-token splice inside an
+    * otherwise-unrelated doc; chunk dedup (q86) only catches shared
+    * runs that align on fixed 32-token boundaries. Winnowing is
+    * alignment-free and local. */
+  private val winnowK = 3
+  private val winnowW = 4
+
+  /** Fingerprint-grain frame (doc_id, fp): md5 each token 3-gram
+    * (reusing the codegen'd [[graft.functions.GraftFunctions.shingles]]
+    * pass), take the lexicographic min of each 4-hash sliding window,
+    * distinct within doc. Everything up to the final projection is
+    * doc-local (one row in, one row out — no explode of the hash
+    * stream, no shuffle), so at 100 TB this stage is map-only and the
+    * only thing that ever shuffles is the skinny (doc_id, fp) pair
+    * stream the consumers aggregate or join on. Hex-string hashes keep
+    * the window-min identical across engines (ASCII order); a
+    * production variant would pack the first 15 hex chars into a
+    * BIGINT (same order, 8-byte shuffle keys). */
+  private[graft] def winnowFps(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("toks", toks(col("text")))
+      .filter(size(col("toks")) >= winnowK + winnowW - 1)
+      .withColumn("hs", transform(shingles(col("toks"), winnowK), g => md5(g)))
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(0), size(col("toks")) - lit(winnowK + winnowW - 1)),
+          j => array_min(slice(col("hs"), j + lit(1), lit(winnowW)))))).as("fp"))
+
+  /** q119: the per-doc fingerprint index summary — how many winnowed
+    * fingerprints each doc carries plus the extremal values (a cheap
+    * whole-index checksum: any divergence in hashing, windowing, or
+    * the distinct shows up in one of the three columns). */
+  def winnowFingerprints(s: SparkSession, d: String): DataFrame =
+    winnowFps(s, d)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        min(col("fp")).as("min_fp"), max(col("fp")).as("max_fp"))
+      .orderBy(col("doc_id"))
+
+  private val winnowFpCte =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |hs AS (SELECT doc_id,
+      |         [md5(array_to_string(toks[i:i+2], ' '))
+      |          for i in generate_series(1, len(toks)-2)] AS hs
+      |       FROM tok WHERE len(toks) >= 6),
+      |fp AS (SELECT DISTINCT doc_id, fp FROM (
+      |         SELECT doc_id,
+      |           unnest([list_min(hs[j:j+3])
+      |                   for j in generate_series(1, len(hs)-3)]) AS fp
+      |         FROM hs))""".stripMargin
+
+  private val winnowFingerprintsSql =
+    s"""$winnowFpCte
+       |SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp, max(fp) AS max_fp
+       |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** q120: partial-overlap pair detection over the winnowed index —
+    * doc pairs sharing ≥ 3 fingerprints, with containment =
+    * shared / min(|fps_a|, |fps_b|) (the asymmetric-size-robust
+    * denominator: a 10-line splice inside a 10× larger doc still
+    * scores high).
+    *
+    * Scale shape: a self-join on the fingerprint key — O(Σ df²) pair
+    * candidates, NOT all-pairs — under a doc-frequency cap (fp shared
+    * by > 50 docs dropped before the join, MOSS's own over-common-
+    * fingerprint rule): boilerplate that fans to thousands of docs is
+    * template noise for OVERLAP purposes (q115's hub/clique census is
+    * the tool for those), and the cap bounds every join key's fan-out
+    * by a constant, so candidate count is linear in corpus size at
+    * fixed duplication. The df window and the pair join key on the
+    * same column, so the df pass's exchange is reused by the join.
+    * Containment denominators come from the PRE-cap per-doc totals
+    * (the true index sizes) via two shuffle-hash join-backs on doc_id
+    * against the compact doc-grain count table — the q104 rule:
+    * only (doc_id, int) pairs move, never arrays. The final division
+    * is one exact-int IEEE op, bit-identical across engines with no
+    * rounding step. */
+  def winnowOverlap(s: SparkSession, d: String): DataFrame = {
+    val fps = winnowFps(s, d)
+    val counts = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val kept = fps
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
+      .filter(col("df") <= lit(50)).drop("df")
+    kept.alias("a")
+      .join(kept.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_fp").as("n_fp_a"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_fp").as("n_fp_b"))
+        .hint("shuffle_hash"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("shared"),
+        col("n_fp_a"), col("n_fp_b"),
+        (col("shared").cast("double") / least(col("n_fp_a"), col("n_fp_b")))
+          .as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val winnowOverlapSql =
+    s"""$winnowFpCte,
+       |cnt AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
+       |kept AS (SELECT doc_id, fp FROM (
+       |           SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df
+       |           FROM fp) WHERE df <= 50),
+       |pair AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+       |         FROM kept a JOIN kept b
+       |           ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |         GROUP BY 1, 2 HAVING count(*) >= 3)
+       |SELECT doc_a, doc_b, shared, ca.n_fp AS n_fp_a, cb.n_fp AS n_fp_b,
+       |  CAST(shared AS DOUBLE) / least(ca.n_fp, cb.n_fp) AS containment
+       |FROM pair JOIN cnt ca ON ca.doc_id = doc_a
+       |          JOIN cnt cb ON cb.doc_id = doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- incremental (delta) dedup gate (q124) -----------------------
+
+  /** q124: incremental dedup of a NEW batch against an EXISTING
+    * corpus — the production ingest shape none of the whole-corpus
+    * dedup queries exercise: when a crawl snapshot lands, it is
+    * deduplicated AGAINST the accumulated corpus (old↔new), not
+    * within itself from scratch. The split is a deterministic hash
+    * half-space (md5("delta:"||doc_id) first hex 0-7 = old), standing
+    * in for the corpus/date partition a real pipeline reads.
+    *
+    * Two channels, both reusing the suite's candidate machinery:
+    * near_dup = the new doc shares a MinHash LSH band (q33/q34's
+    * signatures) with any old doc; chunk_dup = it shares an exact
+    * 32-token chunk (q86's unit — whole-text equality is vacuous
+    * across halves of this corpus, chunk-grain carries real hits at
+    * every SF: 6/12/158). kept = neither fired.
+    *
+    * Scale shape: ONE pass over each candidate frame — bands and
+    * chunks are grouped by their bucket key with old/new flags
+    * aggregated in place (max(is_old) + collect_set of new ids,
+    * bounded by bucket size exactly like q34's candidatePairs), so
+    * the old corpus is never joined row-by-row against the new batch
+    * and no subtree is computed twice. At 100 TB the old side's
+    * band/chunk keys come from the incrementally-maintained index
+    * table the pipeline already persists (the CheckpointMemo posture,
+    * durable); the shuffle is keyed on uniform 32-hex-char hashes. */
+  def deltaDedup(s: SparkSession, d: String): DataFrame = {
+    val isOld = substring(
+      md5(concat(lit("delta:"), col("doc_id").cast("string"))), 1, 1)
+      .between("0", "7")
+    val tag = Tables.documents(s, d).select(col("doc_id"), isOld.as("is_old"))
+    def newHits(grain: DataFrame, key: String): DataFrame =
+      grain.join(tag.hint("shuffle_hash"), Seq("doc_id"))
+        .groupBy(col(key))
+        .agg(max(when(col("is_old"), 1).otherwise(0)).as("has_old"),
+          collect_set(when(!col("is_old"), col("doc_id"))).as("new_ids"))
+        .filter(col("has_old") === 1 && size(col("new_ids")) > 0)
+        .select(explode(col("new_ids")).as("doc_id")).distinct()
+    val bands = signatures(s, d).select(col("doc_id"),
+      explode(array(concat(col("mh0"), col("mh1")),
+        concat(col("mh2"), col("mh3")))).as("band"))
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, CAST(ceil(size(t)/32.0) AS INT) - 1), " +
+          "i -> md5(array_join(slice(t, i*32+1, 32), ' ')))")).as("h"))
+      .distinct()
+    tag.filter(!col("is_old"))
+      .join(newHits(bands, "band").withColumn("near_dup", lit(true))
+        .hint("shuffle_hash"), Seq("doc_id"), "left_outer")
+      .join(newHits(chunks, "h").withColumn("chunk_dup", lit(true))
+        .hint("shuffle_hash"), Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("near_dup"), lit(false)).as("near_dup"),
+        coalesce(col("chunk_dup"), lit(false)).as("chunk_dup"))
+      .withColumn("kept", !(col("near_dup") || col("chunk_dup")))
+      .orderBy(col("doc_id"))
+  }
+
+  private val deltaDedupSql =
+    s"""$shinglesSqlCte,
+       |sig AS (SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
+       |               ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
+       |        FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, mh0 || mh1 AS band FROM sig
+       |          UNION ALL SELECT doc_id, mh2 || mh3 AS band FROM sig),
+       |tag AS (SELECT doc_id,
+       |    substring(md5('delta:'||CAST(doc_id AS VARCHAR)),1,1)
+       |      BETWEEN '0' AND '7' AS is_old FROM documents),
+       |t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+       |ch AS (SELECT DISTINCT doc_id,
+       |    md5(array_to_string(list_slice(t, CAST(i*32+1 AS BIGINT),
+       |        CAST(i*32+32 AS BIGINT)), ' ')) AS h
+       |  FROM t, (SELECT unnest(generate_series(0,
+       |     (SELECT CAST(ceil(max(len(t))/32.0) AS BIGINT) FROM t))) AS i) g
+       |  WHERE i <= CAST(ceil(len(t)/32.0) AS BIGINT) - 1),
+       |nearn AS (SELECT DISTINCT b.doc_id FROM bands b JOIN tag USING (doc_id)
+       |          WHERE NOT is_old AND b.band IN
+       |            (SELECT band FROM bands JOIN tag USING (doc_id) WHERE is_old)),
+       |chn AS (SELECT DISTINCT c.doc_id FROM ch c JOIN tag USING (doc_id)
+       |        WHERE NOT is_old AND c.h IN
+       |          (SELECT h FROM ch JOIN tag USING (doc_id) WHERE is_old))
+       |SELECT tag.doc_id,
+       |  tag.doc_id IN (SELECT doc_id FROM nearn) AS near_dup,
+       |  tag.doc_id IN (SELECT doc_id FROM chn) AS chunk_dup,
+       |  NOT (tag.doc_id IN (SELECT doc_id FROM nearn)
+       |       OR tag.doc_id IN (SELECT doc_id FROM chn)) AS kept
+       |FROM tag WHERE NOT is_old ORDER BY doc_id""".stripMargin
+
+  // ---- TF-IDF cosine similarity join (q121) ------------------------
+
+  /** q121: TF-IDF-weighted cosine similarity join over 3-shingle
+    * profiles — the WEIGHTED complement of q104's set-semantics
+    * Jaccard: two docs that share RARE shingles score high even when
+    * their common boilerplate differs, and shared boilerplate alone
+    * (low idf) can no longer push a pair over the threshold. Shingle
+    * grain, not word grain, deliberately: this corpus (like any
+    * template-generated one) has a tiny unigram vocabulary (31 words,
+    * every df ≈ N — idf degenerates to a constant), while the 3-gram
+    * vocabulary is ~27k terms with max df 25: the inverted index is
+    * selective exactly at the grain where the corpus carries its
+    * identity.
+    *
+    * Cross-engine exactness: weights are INTEGER tf·idf with
+    * idf = (N·100) div df (integer division), so dot products and
+    * norms are exact BIGINT sums (order-independent); the only FP ops
+    * are one int→double conversion, two sqrt and one divide per output
+    * row — each correctly rounded per IEEE-754 in both engines, so the
+    * cosine is bit-identical with no rounding step. (At int64-risk
+    * corpus sizes the weights rescale or the sums widen to DECIMAL;
+    * the graded scales stay far inside 2^63.)
+    *
+    * Scale shape: the pair-generation self-join keys on the shingle
+    * with df ≤ 50 (the q104 stopword-shingle rule — high-df terms
+    * carry no idf weight and quadratic fan-out), so candidates are
+    * O(Σ df²) = 2.8M at sf0.1, never all-pairs; the tf aggregate, the
+    * df aggregate, the weight join and the pair join all hash on the
+    * same shingle key, and the norm join-backs move only (doc_id,
+    * bigint) pairs — the q104 skinny-shuffle rule. */
+  def tfidfCosineJoin(s: SparkSession, d: String): DataFrame = {
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    val tf = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("toks", toks(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("s"))
+      .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("tf"))
+    val df0 = tf.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= lit(50))
+    val wt = tf.join(df0.hint("shuffle_hash"), Seq("s"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("s"),
+        (col("tf") * expr("(n_docs * 100) div df")).as("wgt"))
+    val nrm = wt.groupBy(col("doc_id")).agg(sum(col("wgt") * col("wgt")).as("norm2"))
+    wt.alias("a")
+      .join(wt.alias("b").hint("shuffle_hash"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(sum(col("a.wgt") * col("b.wgt")).as("dot"), count(lit(1)).as("shared"))
+      .filter(col("shared") >= 3)
+      .join(nrm.select(col("doc_id").as("doc_a"), col("norm2").as("n2a"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(nrm.select(col("doc_id").as("doc_b"), col("norm2").as("n2b"))
+        .hint("shuffle_hash"), Seq("doc_b"))
+      .withColumn("cos_sim",
+        col("dot").cast("double") / (sqrt(col("n2a")) * sqrt(col("n2b"))))
+      .filter(col("cos_sim") >= 0.6)
+      .select(col("doc_a"), col("doc_b"), col("shared"), col("dot"), col("cos_sim"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val tfidfCosineJoinSql =
+    """WITH n AS (SELECT count(*) AS n_docs FROM documents),
+      |tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+      |sh AS (SELECT doc_id, unnest([array_to_string(list_slice(toks, i, i+2), ' ')
+      |                              for i in generate_series(1, len(toks)-2)]) AS s
+      |       FROM tok WHERE len(toks) >= 3),
+      |tf AS (SELECT doc_id, s, count(*) AS tf FROM sh GROUP BY doc_id, s),
+      |df AS (SELECT s, count(*) AS df FROM tf GROUP BY s),
+      |wt AS (SELECT t.doc_id, t.s, t.tf * ((n.n_docs * 100) // d.df) AS wgt
+      |       FROM tf t JOIN df d USING (s), n WHERE d.df <= 50),
+      |nrm AS (SELECT doc_id, sum(wgt*wgt) AS norm2 FROM wt GROUP BY doc_id),
+      |dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |               CAST(sum(a.wgt*b.wgt) AS BIGINT) AS dot, count(*) AS shared
+      |        FROM wt a JOIN wt b ON a.s = b.s AND a.doc_id < b.doc_id
+      |        GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT doc_a, doc_b, shared, dot,
+      |  CAST(dot AS DOUBLE)/(sqrt(na.norm2)*sqrt(nb.norm2)) AS cos_sim
+      |FROM dot JOIN nrm na ON na.doc_id = doc_a
+      |         JOIN nrm nb ON nb.doc_id = doc_b
+      |WHERE CAST(dot AS DOUBLE)/(sqrt(na.norm2)*sqrt(nb.norm2)) >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  // ---- integer-entropy quality gate (q122) -------------------------
+
+  /** q122: character-entropy quality gate with INTEGER surprisal — the
+    * keyboard-mash / repeated-fill detector that length and stopword
+    * ratios (q41) miss. True Shannon entropy needs ln(), whose
+    * last-bit rounding differs between engines and whose FP sum is
+    * order-dependent; instead each character contributes its FLOOR
+    * log2 surprisal, `cnt · (len(bin(n div cnt)) − 1)` — the q110
+    * log-bucket trick — so the per-doc score is an exact integer on
+    * both engines (within 1 bit/char of Shannon, monotone in the same
+    * direction: uniform text high, repetitive text low).
+    *
+    * Scale shape: entirely doc-local — char counts come from a
+    * distinct+filter HOF pass over the doc's own char array, never an
+    * explode — so the stage is map-only at any corpus size; only the
+    * final doc-grain (id, 2 ints, 1 double, 1 string) row ever moves.
+    * The avg_bits division is one exact-int IEEE op, identical bits
+    * on both engines. */
+  def entropyGate(s: SparkSession, d: String): DataFrame =
+    entropyCore(Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism))
+
+  /** The gate's arithmetic over any (doc_id, text) frame — separated
+    * so the spec can pin known-entropy strings ("aaaa" → 0 bits)
+    * without a parquet fixture. */
+  private[graft] def entropyCore(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("cs", split(col("text"), ""))
+      .withColumn("n", size(col("cs")).cast("long"))
+      .withColumn("cnts", expr(
+        "transform(array_distinct(cs), c -> CAST(size(filter(cs, x -> x = c)) AS BIGINT))"))
+      .withColumn("surprisal", expr(
+        "aggregate(cnts, 0L, (a, c) -> a + c * (length(bin(n div c)) - 1))"))
+      .select(col("doc_id"), col("n"), col("surprisal"),
+        (col("surprisal").cast("double") / col("n")).as("avg_bits"))
+      .withColumn("gate", when(col("avg_bits") < 3.4, lit("low")).otherwise(lit("ok")))
+      .orderBy(col("doc_id"))
+
+  private val entropyGateSql =
+    """WITH t AS (SELECT doc_id, string_split(text,'') AS cs FROM documents),
+      |c AS (SELECT doc_id, CAST(len(cs) AS BIGINT) AS n,
+      |        [CAST(len(list_filter(cs, x -> x = c)) AS BIGINT)
+      |         for c in list_distinct(cs)] AS cnts
+      |      FROM t),
+      |sc AS (SELECT doc_id, n,
+      |         list_reduce(list_prepend(0::BIGINT, cnts),
+      |           (a, c) -> a + c * (length(bin(n // c)) - 1)) AS surprisal
+      |       FROM c)
+      |SELECT doc_id, n, surprisal,
+      |  CAST(surprisal AS DOUBLE)/n AS avg_bits,
+      |  CASE WHEN CAST(surprisal AS DOUBLE)/n < 3.4 THEN 'low' ELSE 'ok' END AS gate
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q124_delta_dedup", deltaDedup, Some(deltaDedupSql),
+      "incremental dedup of a new batch against the existing corpus (LSH band + exact chunk channels)"),
+    QueryDef("q121_tfidf_cosine_join", tfidfCosineJoin, Some(tfidfCosineJoinSql),
+      "TF-IDF-weighted shingle cosine similarity join (integer weights, inverted-index candidates)"),
+    QueryDef("q122_entropy_gate", entropyGate, Some(entropyGateSql),
+      "integer-surprisal character-entropy quality gate (doc-local, exact cross-engine)"),
+    QueryDef("q119_winnow_fingerprints", winnowFingerprints, Some(winnowFingerprintsSql),
+      "winnowing fingerprint index (SIGMOD'03 MOSS scheme): per-doc k-gram window-min summary"),
+    QueryDef("q120_winnow_overlap", winnowOverlap, Some(winnowOverlapSql),
+      "alignment-free partial-overlap pairs over the winnowed index (df-capped fp self-join)"),
     QueryDef("q115_dup_triangles", dupTriangles, Some(dupTrianglesSql),
       "triangle census of the chunk-sharing duplicate graph (degree-ordered orientation)"),
     QueryDef("q69_contamination", contamination, Some(contaminationSql), "benchmark decontamination (shingle overlap)"),

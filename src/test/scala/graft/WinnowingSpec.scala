@@ -1,0 +1,217 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-8 similarity/quality/mixing additions: winnowing fingerprints
+  * (q119/q120), the TF-IDF shingle cosine join (q121), the
+  * integer-entropy gate (q122), and temperature language mixing
+  * (q117).
+  *
+  * The winnowing tests chain two facts: (1) the operator's fingerprint
+  * sets equal an independent in-memory reimplementation of the
+  * SIGMOD'03 definition, and (2) that definition carries the scheme's
+  * guarantee — any shared token run of length ≥ w + k − 1 contributes
+  * a common fingerprint — demonstrated on spliced corpus texts. */
+class WinnowingSpec extends AnyFunSuite with LocalSparkSuite {
+
+  private val K = 3
+  private val W = 4
+
+  /** Reference winnowing in plain Scala: md5-hex each token k-gram,
+    * min per w-window, distinct. */
+  private def winnowLocal(text: String): Set[String] = {
+    val toks = text.split(" ", -1)
+    if (toks.length < K + W - 1) Set.empty
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(s: String): String =
+        md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val grams = toks.sliding(K).map(_.mkString(" ")).map(h).toVector
+      grams.sliding(W).map(_.min).toSet
+    }
+  }
+
+  test("q119 operator fingerprints = independent in-memory winnowing") {
+    val got = graft.ops.TextOps.winnowFps(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val expected = docs.map { case (id, t) => id -> winnowLocal(t) }
+      .filter(_._2.nonEmpty)
+    assert(got === expected)
+    assert(expected.nonEmpty)
+  }
+
+  test("winnowing guarantee: a planted shared run of w+k-1 tokens yields a common fingerprint") {
+    val texts = Tables.documents(spark, sfDir)
+      .orderBy(col("doc_id")).limit(40).collect().map(_.getString(1))
+    // splice the first w+k-1 tokens of doc i into the middle of doc i+20
+    (0 until 20).foreach { i =>
+      val run = texts(i).split(" ").take(K + W - 1)
+      assume(run.length == K + W - 1)
+      val host = texts(i + 20).split(" ")
+      val spliced = (host.take(10) ++ run ++ host.drop(10)).mkString(" ")
+      assert(winnowLocal(texts(i)).intersect(winnowLocal(spliced)).nonEmpty,
+        s"splice $i lost the guaranteed fingerprint")
+    }
+  }
+
+  private def corpusTexts: Map[Long, String] =
+    Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+
+  test("q120 = independent in-memory overlap (df cap, shared gate, containment) exactly") {
+    val fps = corpusTexts.map { case (id, t) => id -> winnowLocal(t) }
+      .filter(_._2.nonEmpty)
+    val df = fps.toSeq.flatMap { case (id, s) => s.map(_ -> id) }
+      .groupBy(_._1).map { case (fp, v) => fp -> v.map(_._2).toSet }
+    val kept = df.filter(_._2.size <= 50)
+    val expected = kept.values.toSeq
+      .flatMap(docs => docs.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+      .filter(_._2 >= 3)
+      .map { case ((a, b), shared) =>
+        (a, b) -> (shared, fps(a).size.toLong, fps(b).size.toLong,
+          shared.toDouble / math.min(fps(a).size, fps(b).size))
+      }
+    val got = graft.ops.TextOps.winnowOverlap(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(got === expected)
+    assert(expected.nonEmpty, "fixture corpus should contain overlapping pairs")
+    assert(expected.values.exists(_._4 == 1.0), "near-dup pairs should reach containment 1.0")
+  }
+
+  test("q121 = independent in-memory TF-IDF cosine (integer weights) exactly") {
+    val texts = corpusTexts
+    val n = texts.size.toLong
+    val tf = texts.collect { case (id, t) if t.split(" ", -1).length >= 3 =>
+      id -> t.split(" ", -1).sliding(3).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (s, v) => s -> v.size.toLong }
+    }
+    val df = tf.values.flatMap(_.keys).groupBy(identity)
+      .map { case (s, v) => s -> v.size.toLong }.filter(_._2 <= 50)
+    val wt = tf.map { case (id, m) =>
+      id -> m.collect { case (s, c) if df.contains(s) => s -> c * ((n * 100) / df(s)) }
+    }.filter(_._2.nonEmpty)
+    val norm2 = wt.map { case (id, m) => id -> m.values.map(w => w * w).sum }
+    val ids = wt.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.iterator; j <- ids.iterator if i < j
+      shareTerms = wt(i).keySet.intersect(wt(j).keySet) if shareTerms.size >= 3
+      dot = shareTerms.toSeq.map(s => wt(i)(s) * wt(j)(s)).sum
+      cos = dot.toDouble / (math.sqrt(norm2(i).toDouble) * math.sqrt(norm2(j).toDouble))
+      if cos >= 0.6
+    } yield (i, j) -> ((shareTerms.size.toLong, dot, cos))).toMap
+    val got = graft.ops.TextOps.tfidfCosineJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === expected)
+    assert(expected.nonEmpty)
+    assert(expected.values.forall(_._3 <= 1.0 + 1e-9))
+  }
+
+  test("q122 integer entropy: single-char text scores 0 bits ('low'), uniform text log2(n) bits") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "aaaaaaaa"),          // 1 distinct char → surprisal 0
+      (2L, "abcdefgh"),          // 8 distinct chars, each once → 3 bits/char
+      (3L, "abababab")           // 2 chars → 1 bit/char
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextOps.entropyCore(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3), r.getString(4))).toMap
+    assert(out(1L) === ((0L, 0.0, "low")))
+    assert(out(2L) === ((24L, 3.0, "low")))
+    assert(out(3L) === ((8L, 1.0, "low")))
+    // corpus text is natural-ish: every doc gates 'ok' band or above 3 bits
+    val corpus = graft.ops.TextOps.entropyGate(spark, sfDir).collect()
+    assert(corpus.forall(_.getDouble(3) > 3.0))
+  }
+
+  test("q123 = independent in-memory sorted-neighborhood (blocked sort, w=3, lev<=30)") {
+    def lev(a: String, b: String): Int = {
+      val prev = Array.range(0, b.length + 1)
+      for (i <- 1 to a.length) {
+        var diag = prev(0); prev(0) = i
+        for (j <- 1 to b.length) {
+          val t = prev(j)
+          prev(j) = math.min(math.min(prev(j) + 1, prev(j - 1) + 1),
+            diag + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          diag = t
+        }
+      }
+      prev(b.length)
+    }
+    val rows = Tables.documents(spark, sfDir)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = rows.groupBy(_._2).values.flatMap { block =>
+      val sorted = block.map { case (id, _, t) => (id, t.take(40), t.take(100)) }
+        .sortBy(r => (r._2, r._1))
+      (1 to 2).flatMap { o =>
+        sorted.zip(sorted.drop(o)).map { case ((ia, _, ha), (ib, _, hb)) =>
+          (math.min(ia, ib), math.max(ia, ib)) -> lev(ha, hb)
+        }
+      }
+    }.filter(_._2 <= 30).toMap
+    val got = graft.ops.CurationOps.sortedNeighborhood(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(got === expected)
+    assert(expected.nonEmpty, "fixture corpus should contain sort-adjacent near-dups")
+  }
+
+  test("q124 delta gate: every flagged new doc genuinely shares a band or chunk with the old half") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): String =
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def rot(s: String, i: Int): String = s.substring(2 * i) + s.substring(0, 2 * i)
+    val texts = corpusTexts
+    val isOld = texts.keys.map(id => id -> (h(s"delta:$id")(0) <= '7')).toMap
+    def bands(t: String): Set[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length < 3) Set.empty
+      else {
+        val hs = toks.sliding(3).map(g => h(g.mkString(" "))).toVector
+        val mh = (0 until 4).map(i => hs.map(rot(_, i)).min)
+        Set(mh(0) + mh(1), mh(2) + mh(3))
+      }
+    }
+    def chunks(t: String): Set[String] =
+      t.split(" ", -1).grouped(32).map(g => h(g.mkString(" "))).toSet
+    val oldBands = texts.collect { case (id, t) if isOld(id) => bands(t) }.flatten.toSet
+    val oldChunks = texts.collect { case (id, t) if isOld(id) => chunks(t) }.flatten.toSet
+    val expected = texts.collect { case (id, t) if !isOld(id) =>
+      val nd = bands(t).exists(oldBands)
+      val cd = chunks(t).exists(oldChunks)
+      id -> ((nd, cd, !(nd || cd)))
+    }
+    val got = graft.ops.TextOps.deltaDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))).toMap
+    assert(got === expected)
+    assert(expected.values.exists(_._1), "band channel should fire")
+    assert(expected.values.exists(_._2), "chunk channel should fire")
+    assert(expected.values.exists(_._3), "most new docs should be kept")
+  }
+
+  test("q117 temperature mixing fills every quota exactly and flattens the head language") {
+    val out = graft.ops.CurationOps.temperatureMix(spark, sfDir)
+    val kept = out.groupBy(col("lang"))
+      .agg(count(lit(1)).as("kept"), max(col("quota")).as("quota"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    kept.foreach { case (l, (k, q)) => assert(k === q, s"lang $l kept $k != quota $q") }
+    val raw = Tables.documents(spark, sfDir).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rawTotal = raw.values.sum.toDouble
+    val keptTotal = kept.values.map(_._1).sum.toDouble
+    val head = raw.maxBy(_._2)._1
+    assert(kept(head)._1 / keptTotal < raw(head) / rawTotal,
+      "alpha=1/2 must shrink the head language's share")
+    val tail = raw.minBy(_._2)._1
+    assert(kept(tail)._1 / keptTotal > raw(tail) / rawTotal,
+      "alpha=1/2 must grow the tail language's share")
+  }
+}
