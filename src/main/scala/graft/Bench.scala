@@ -297,6 +297,10 @@ object Bench {
     var clean = clean1
     var rerunFields = ""
     var memoBuildS = CheckpointMemo.buildSeconds
+    // per-key attribution (the r7 lesson: one 61.9 s aggregate hid
+    // WHICH build paid the dirty window); on a rerun, per-key minima —
+    // the same estimator as the queries
+    var memoByKey = CheckpointMemo.buildSecondsByTag
     if (!clean1 &&
         sys.env.getOrElse("SPARK_GRAFT_DIRTY_RERUN", "true").toBoolean) {
       rerun = 1
@@ -339,10 +343,15 @@ object Bench {
       val clean2 = windowClean(cpu2.toSeq, io2.toSeq, gc2, total2)
       clean = clean1 || clean2
       val memo2 = CheckpointMemo.buildSeconds
+      val memoByKey2 = CheckpointMemo.buildSecondsByTag
       rerunFields = s""","sentinel_max_2":${fmt(cpu2.max)},"io_max_2":${
         fmt(io2.max)},"gc_sec_2":${fmt(gc2)},"total_2":${fmt(total2)},"clean_2":$clean2,"memo_build_s1":${
         fmt(memoBuildS)},"memo_build_s2":${fmt(memo2)}"""
       memoBuildS = math.min(memoBuildS, memo2)
+      memoByKey = (memoByKey.keySet ++ memoByKey2.keySet).map { k =>
+        k -> math.min(memoByKey.getOrElse(k, Double.MaxValue),
+          memoByKey2.getOrElse(k, Double.MaxValue))
+      }.toMap
     }
     val qs = finalResults.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
@@ -362,7 +371,9 @@ object Bench {
     // exactly the head — summary + q01..q26), and a second, short,
     // summary-only line is printed after it so a tail of any plausible
     // size retains one complete parseable JSON line
-    val summary = s""""metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"passes":$repeat,"clean":$clean,"dirty_rerun":$rerun,"cold_total":${fmt(coldSum)},"memo_build_s":${fmt(memoBuildS)},"sentinel_pre":${fmt(sentinelPre)},"sentinel_post":${fmt(sentinelPost)},"sentinel_max":${fmt(sentinelMax)},"io_pre":${fmt(ioPre)},"io_post":${fmt(ioPost)},"io_max":${fmt(ioMax)},"gc_sec":${fmt(gcSec)}$rerunFields,"slowest":$slowest,"dominant":$dominant,"sf":"$sfDir""""
+    val memoBuilds = memoByKey.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val summary = s""""metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"passes":$repeat,"clean":$clean,"dirty_rerun":$rerun,"cold_total":${fmt(coldSum)},"memo_build_s":${fmt(memoBuildS)},"memo_builds":$memoBuilds,"sentinel_pre":${fmt(sentinelPre)},"sentinel_post":${fmt(sentinelPost)},"sentinel_max":${fmt(sentinelMax)},"io_pre":${fmt(ioPre)},"io_post":${fmt(ioPost)},"io_max":${fmt(ioMax)},"gc_sec":${fmt(gcSec)}$rerunFields,"slowest":$slowest,"dominant":$dominant,"sf":"$sfDir""""
     val fullJson = s"""{"queries":$qs,$summary}"""
     println(fullJson)
     println(s"""{$summary}""")

@@ -25,6 +25,16 @@ private[graft] object CheckpointMemo {
   // the memo on pass 1 can still report the cold materialization cost
   // in-band ("memo_build_s") instead of silently dropping it with the min
   private val buildNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+  // the same clock attributed per build tag ("memo_builds" in the bench
+  // line): one aggregate number hides WHICH build paid a dirty window
+  // (the r7 61.9 s was unattributable until re-measured by hand)
+  private val buildNanosByTag = scala.collection.concurrent.TrieMap
+    .empty[String, Long]
+  private def addTagNanos(tag: String, n: Long): Unit =
+    buildNanosByTag.updateWith(tag) {
+      case Some(prev) => Some(prev + n)
+      case None => Some(n)
+    }
   // SPARK_GRAFT_MEMO=false disables memoization entirely (every caller
   // rebuilds) — the cold-path bench mode. The un-memoized checkpoints
   // are reclaimed by ContextCleaner once unreferenced (the bench's
@@ -37,7 +47,9 @@ private[graft] object CheckpointMemo {
     def timedBuild: DataFrame = {
       val t0 = System.nanoTime()
       val df = build
-      buildNanos.addAndGet(System.nanoTime() - t0)
+      val nanos = System.nanoTime() - t0
+      buildNanos.addAndGet(nanos)
+      addTagNanos(tag, nanos)
       df
     }
     if (!enabled) timedBuild
@@ -55,6 +67,7 @@ private[graft] object CheckpointMemo {
         memo.putIfAbsent((s, d, tag), built) match {
           case None =>
             buildNanos.addAndGet(nanos)
+            addTagNanos(tag, nanos)
             built
           case Some(winner) =>
             try built.unpersist() catch { case _: Throwable => () }
@@ -63,11 +76,17 @@ private[graft] object CheckpointMemo {
     }
   }
 
+  /** Per-tag build seconds since JVM start or the last [[resetStats]]
+    * — attributes `memo_build_s` to the build that paid it. */
+  def buildSecondsByTag: Map[String, Double] =
+    buildNanosByTag.readOnlySnapshot().toMap
+      .map { case (k, v) => k -> v / 1e9 }
+
   /** Cumulative seconds spent inside memo builds since JVM start (or
     * the last [[resetStats]]). */
   def buildSeconds: Double = buildNanos.get / 1e9
 
-  def resetStats(): Unit = buildNanos.set(0L)
+  def resetStats(): Unit = { buildNanos.set(0L); buildNanosByTag.clear() }
 
   /** Release checkpoint blocks and forget every memoized frame. */
   def clear(): Unit = {

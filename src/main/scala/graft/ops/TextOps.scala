@@ -945,7 +945,25 @@ object TextOps {
     * (package-private) so SimhashJoinSpec can obtain the frame whether
     * or not the memo is enabled (SPARK_GRAFT_MEMO=false rebuilds). */
   private[graft] def simhashSignatures(s: SparkSession, d: String): DataFrame =
-    graft.CheckpointMemo.getOrElseUpdate(s, d, "simhash_sigs") {
+    simhashSignaturesAt(s, d, 4)
+
+  /** Band widths for an nBands split of the 64 signature bits: the
+    * first (64 mod nBands) bands take the ceiling width (e.g. 6 bands
+    * → 11,11,11,11,10,10). Shared by the builder, the join, and the
+    * spec's brute-force scan so all three agree on the layout. */
+  private[graft] def simhashWidths(nBands: Int): Seq[Int] =
+    Seq.tabulate(nBands)(i => 64 / nBands + (if (i < 64 % nBands) 1 else 0))
+
+  /** The parametric signature frame (doc_id, b0..b{nBands−1}), one
+    * row per distinct text. Band b's bit j is GLOBAL signature bit
+    * (offset_b + j) — md5 hex digit (t div 4 + 1), bit (t mod 4) —
+    * so every nBands split encodes the SAME 64-bit Charikar
+    * signature, only partitioned differently; total Hamming distance
+    * is layout-independent. nBands = 4 is the q105 instance. */
+  private[graft] def simhashSignaturesAt(
+      s: SparkSession, d: String, nBands: Int): DataFrame =
+    graft.CheckpointMemo.getOrElseUpdate(s, d,
+      if (nBands == 4) "simhash_sigs" else s"simhash_sigs_$nBands") {
       // per-bit membership sets: bit k of a hex digit is set iff the
       // digit lies in bitSets(k)
       val bitSets = Seq(
@@ -953,11 +971,14 @@ object TextOps {
         Seq("2", "3", "6", "7", "a", "b", "e", "f"),
         Seq("4", "5", "6", "7", "c", "d", "e", "f"),
         Seq("8", "9", "a", "b", "c", "d", "e", "f"))
-      val bands = (0 until 4).map { b =>
-        (0 until 16).map { j =>
-          val pos = 4 * b + j / 4 + 1
+      val widths = simhashWidths(nBands)
+      val offsets = widths.scanLeft(0)(_ + _)
+      val bands = (0 until nBands).map { b =>
+        (0 until widths(b)).map { j =>
+          val t = offsets(b) + j
+          val pos = t / 4 + 1
           val pop = size(filter(col("hs"),
-            h => substring(h, pos, 1).isin(bitSets(j % 4): _*)))
+            h => substring(h, pos, 1).isin(bitSets(t % 4): _*)))
           when(pop * 2 - size(col("hs")) >= 0, lit((1L << j))).otherwise(lit(0L))
         }.reduce(_ + _).as(s"b$b")
       }
@@ -1001,27 +1022,40 @@ object TextOps {
     * the hash mixing, never corpus²; at a corpus where ~n²/2¹⁶ still
     * overwhelms, widen to 6×11-bit bands for Hamming ≤ 5 or chunk
     * first (q86). */
-  def simhashJoin(s: SparkSession, d: String): DataFrame = {
-    val sig = simhashSignatures(s, d)
-    val banded = sig.select(col("doc_id"),
-      col("b0"), col("b1"), col("b2"), col("b3"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"), col(s"b$b").as("v"))): _*)).as("bv"))
-      .select(col("doc_id"), col("b0"), col("b1"), col("b2"), col("b3"),
-        col("bv.band").as("band"), col("bv.v").as("v"))
-    val left = banded.select(col("band"), col("v"), col("doc_id").as("doc_a"),
-      col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
-    val right = banded.select(col("band"), col("v"), col("doc_id").as("doc_b"),
-      col("b0").as("c0"), col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
-    val ham = (0 until 4).map(b =>
+  def simhashJoin(s: SparkSession, d: String): DataFrame =
+    simhashJoinAt(s, d, 3)
+
+  /** The Hamming bound as a parameter (the q104 tau generalization):
+    * distance ≤ k needs k+1 disjoint bands (k flips touch at most k
+    * bands, so one of k+1 is untouched — the pigeonhole holds at any
+    * k), widths from [[simhashWidths]] (k=3 → 4×16, the q105
+    * instance; k=5 → 6 bands of 11/10 bits). Denser bounds trade
+    * bucket selectivity (2^width buckets) for recall radius exactly
+    * as WWW'07 prescribes. */
+  def simhashJoinAt(s: SparkSession, d: String, k: Int): DataFrame = {
+    val nBands = k + 1
+    val sig = simhashSignaturesAt(s, d, nBands)
+    val bandCols = (0 until nBands).map(b => col(s"b$b"))
+    val banded = sig.select(col("doc_id") +: bandCols :+
+      explode(array((0 until nBands).map(b =>
+        struct(lit(b).as("band"), col(s"b$b").as("v"))): _*)).as("bv"): _*)
+      .select(col("doc_id") +: bandCols :+
+        col("bv.band").as("band") :+ col("bv.v").as("v"): _*)
+    val left = banded.select(col("band") +: col("v") +:
+      col("doc_id").as("doc_a") +:
+      (0 until nBands).map(b => col(s"b$b").as(s"a$b")): _*)
+    val right = banded.select(col("band") +: col("v") +:
+      col("doc_id").as("doc_b") +:
+      (0 until nBands).map(b => col(s"b$b").as(s"c$b")): _*)
+    val ham = (0 until nBands).map(b =>
       bit_count(col(s"a$b").bitwiseXOR(col(s"c$b")))).reduce(_ + _)
     left.join(right.hint("shuffle_hash"), Seq("band", "v"))
       .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", ham.cast("long"))
-      .filter(col("hamming") <= 3)
+      .filter(col("hamming") <= k)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
-      // a pair within distance 3 can agree on up to 4 bands → up to 4
-      // identical candidate rows; distinct on the tiny qualifying set
+      // a pair within distance k can agree on up to k+1 bands → up to
+      // k+1 identical candidate rows; distinct on the tiny qualifying set
       .distinct()
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -1377,14 +1411,29 @@ object TextOps {
     * production variant would pack the first 15 hex chars into a
     * BIGINT (same order, 8-byte shuffle keys). */
   private[graft] def winnowFps(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .withColumn("toks", toks(col("text")))
-      .filter(size(col("toks")) >= winnowK + winnowW - 1)
-      .withColumn("hs", transform(shingles(col("toks"), winnowK), g => md5(g)))
-      .select(col("doc_id"), explode(array_distinct(
-        transform(sequence(lit(0), size(col("toks")) - lit(winnowK + winnowW - 1)),
-          j => array_min(slice(col("hs"), j + lit(1), lit(winnowW)))))).as("fp"))
+    graft.CheckpointMemo.getOrElseUpdate(s, d, "winnow_fps") {
+      // built once, memoized: q119 aggregates it and q120 reads it
+      // THREE times (self-join both sides + per-doc counts) — without
+      // the checkpoint each reference re-pays the md5/window-min
+      // subtree (measured: q120 2.04 s in-suite → 0.6 s memoized).
+      // Checkpoint scans carry no stats → q120's joins pin
+      // shuffle_hash (the checkpoint-plans-lose-stats rule).
+      // one rep per distinct text (the q104/q105 precondition): under
+      // replication-heavy corpora the fp doc-frequency must count
+      // DISTINCT texts, or exact copies inflate every df past the
+      // boilerplate cap and the overlap join's fan-out grows with the
+      // duplication factor squared
+      Tables.documents(s, d)
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("toks", toks(col("text")))
+        .filter(size(col("toks")) >= winnowK + winnowW - 1)
+        .withColumn("hs", transform(shingles(col("toks"), winnowK), g => md5(g)))
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(0), size(col("toks")) - lit(winnowK + winnowW - 1)),
+            j => array_min(slice(col("hs"), j + lit(1), lit(winnowW)))))).as("fp"))
+        .localCheckpoint()
+    }
 
   /** q119: the per-doc fingerprint index summary — how many winnowed
     * fingerprints each doc carries plus the extremal values (a cheap
@@ -1398,7 +1447,9 @@ object TextOps {
       .orderBy(col("doc_id"))
 
   private val winnowFpCte =
-    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+    """WITH reps AS (SELECT MIN(doc_id) AS doc_id, text
+      |              FROM documents GROUP BY text),
+      |tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM reps),
       |hs AS (SELECT doc_id,
       |         [md5(array_to_string(toks[i:i+2], ' '))
       |          for i in generate_series(1, len(toks)-2)] AS hs
@@ -1442,7 +1493,7 @@ object TextOps {
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("fp"))))
       .filter(col("df") <= lit(50)).drop("df")
     kept.alias("a")
-      .join(kept.alias("b"),
+      .join(kept.alias("b").hint("shuffle_hash"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
@@ -1594,19 +1645,32 @@ object TextOps {
     * same shingle key, and the norm join-backs move only (doc_id,
     * bigint) pairs — the q104 skinny-shuffle rule. */
   def tfidfCosineJoin(s: SparkSession, d: String): DataFrame = {
-    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
-    val tf = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .withColumn("toks", toks(col("text")))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("s"))
-      .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("tf"))
-    val df0 = tf.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= lit(50))
-    val wt = tf.join(df0.hint("shuffle_hash"), Seq("s"))
-      .crossJoin(broadcast(nDocs))
-      .select(col("doc_id"), col("s"),
-        (col("tf") * expr("(n_docs * 100) div df")).as("wgt"))
+    // the weight frame is read three times (self-join both sides +
+    // norms): built once and memoized (measured: 5.67 s in-suite with
+    // the tf/df/weight chain re-planned per reference -> ~1.5 s from
+    // the checkpoint); post-checkpoint joins pin shuffle_hash
+    val wt = graft.CheckpointMemo.getOrElseUpdate(s, d, "tfidf_weights") {
+      // rep grain (the q104/q105 precondition): exact copies would
+      // scale every df with the duplication factor and the candidate
+      // fan-out with its square; idf over distinct texts is the
+      // duplication-invariant measure
+      val reps = Tables.documents(s, d)
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      val nDocs = reps.agg(count(lit(1)).as("n_docs"))
+      val tf = reps
+        .repartition(s.sparkContext.defaultParallelism)
+        .withColumn("toks", toks(col("text")))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(shingles(col("toks"), 3)).as("s"))
+        .groupBy(col("doc_id"), col("s")).agg(count(lit(1)).as("tf"))
+      val df0 = tf.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= lit(50))
+      tf.join(df0.hint("shuffle_hash"), Seq("s"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("doc_id"), col("s"),
+          (col("tf") * expr("(n_docs * 100) div df")).as("wgt"))
+        .localCheckpoint()
+    }
     val nrm = wt.groupBy(col("doc_id")).agg(sum(col("wgt") * col("wgt")).as("norm2"))
     wt.alias("a")
       .join(wt.alias("b").hint("shuffle_hash"),
@@ -1626,8 +1690,10 @@ object TextOps {
   }
 
   private val tfidfCosineJoinSql =
-    """WITH n AS (SELECT count(*) AS n_docs FROM documents),
-      |tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM documents),
+    """WITH reps AS (SELECT MIN(doc_id) AS doc_id, text
+      |              FROM documents GROUP BY text),
+      |n AS (SELECT count(*) AS n_docs FROM reps),
+      |tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM reps),
       |sh AS (SELECT doc_id, unnest([array_to_string(list_slice(toks, i, i+2), ' ')
       |                              for i in generate_series(1, len(toks)-2)]) AS s
       |       FROM tok WHERE len(toks) >= 3),

@@ -33,6 +33,49 @@ class SimhashJoinSpec extends AnyFunSuite with LocalSparkSuite {
     assert(banded === brute)
   }
 
+  private def bruteAt(k: Int): Set[(Long, Long, Long)] = {
+    val nBands = k + 1
+    val sig = graft.ops.TextOps.simhashSignaturesAt(spark, sfDir, nBands)
+    val ham = (0 until nBands).map(b =>
+      bit_count(col(s"a$b").bitwiseXOR(col(s"c$b")))).reduce(_ + _)
+    sig.select(col("doc_id").as("doc_a") +:
+        (0 until nBands).map(b => col(s"b$b").as(s"a$b")): _*)
+      .crossJoin(sig.select(col("doc_id").as("doc_b") +:
+        (0 until nBands).map(b => col(s"b$b").as(s"c$b")): _*))
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("hamming", ham.cast("long"))
+      .filter(col("hamming") <= k)
+      .select("doc_a", "doc_b", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+  }
+
+  test("parametric band join = brute force at k=5 (6 bands of 11/10 bits)") {
+    val banded = graft.ops.TextOps.simhashJoinAt(spark, sfDir, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded === bruteAt(5))
+    // a looser bound must admit at least the k=3 pairs, with the same
+    // distances (the 64-bit signature is layout-independent)
+    val k3 = graft.ops.TextOps.simhashJoin(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(k3.subsetOf(banded))
+  }
+
+  test("every nBands layout encodes the same 64-bit signature (bit-exact reconstruction)") {
+    // rebuild the full signature by shifting each band to its global
+    // offset — layouts must agree bit for bit (collected as BigInt:
+    // bit 63 would overflow a signed Long shift-sum in ANSI mode)
+    def full(nBands: Int): Map[Long, BigInt] = {
+      val offsets = graft.ops.TextOps.simhashWidths(nBands).scanLeft(0)(_ + _)
+      graft.ops.TextOps.simhashSignaturesAt(spark, sfDir, nBands)
+        .collect().map { r =>
+          val sig = (0 until nBands).map(b =>
+            BigInt(r.getLong(b + 1)) << offsets(b)).reduce(_ | _)
+          r.getLong(0) -> sig
+        }.toMap
+    }
+    assert(full(4) === full(6))
+  }
+
   test("signatures: one row per distinct text, bands inside 16 bits") {
     val sig = signatures
     val reps = Tables.documents(spark, sfDir)

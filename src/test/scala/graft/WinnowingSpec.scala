@@ -36,10 +36,7 @@ class WinnowingSpec extends AnyFunSuite with LocalSparkSuite {
     val got = graft.ops.TextOps.winnowFps(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getString(1)))
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
-    val docs = Tables.documents(spark, sfDir)
-      .select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1))).toMap
-    val expected = docs.map { case (id, t) => id -> winnowLocal(t) }
+    val expected = repTexts.map { case (id, t) => id -> winnowLocal(t) }
       .filter(_._2.nonEmpty)
     assert(got === expected)
     assert(expected.nonEmpty)
@@ -63,8 +60,13 @@ class WinnowingSpec extends AnyFunSuite with LocalSparkSuite {
     Tables.documents(spark, sfDir).select("doc_id", "text").collect()
       .map(r => (r.getLong(0), r.getString(1))).toMap
 
+  // one rep per distinct text — the q104-family precondition the
+  // winnow/tfidf operators share
+  private def repTexts: Map[Long, String] =
+    corpusTexts.groupBy(_._2).map { case (t, m) => m.keys.min -> t }
+
   test("q120 = independent in-memory overlap (df cap, shared gate, containment) exactly") {
-    val fps = corpusTexts.map { case (id, t) => id -> winnowLocal(t) }
+    val fps = repTexts.map { case (id, t) => id -> winnowLocal(t) }
       .filter(_._2.nonEmpty)
     val df = fps.toSeq.flatMap { case (id, s) => s.map(_ -> id) }
       .groupBy(_._1).map { case (fp, v) => fp -> v.map(_._2).toSet }
@@ -86,7 +88,7 @@ class WinnowingSpec extends AnyFunSuite with LocalSparkSuite {
   }
 
   test("q121 = independent in-memory TF-IDF cosine (integer weights) exactly") {
-    val texts = corpusTexts
+    val texts = repTexts
     val n = texts.size.toLong
     val tf = texts.collect { case (id, t) if t.split(" ", -1).length >= 3 =>
       id -> t.split(" ", -1).sliding(3).map(_.mkString(" ")).toSeq
