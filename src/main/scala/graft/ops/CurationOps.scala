@@ -580,7 +580,57 @@ object CurationOps {
       |SELECT doc_a, doc_b, edit_dist FROM v WHERE edit_dist <= 30
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q125: packing-efficiency report — the acceptance check on q80's
+    * greedy first-fit output: per language, how many 512-token bins
+    * the corpus packed into, the fill rate (padding waste is
+    * 1 − fill_rate: exactly the fraction of training FLOPs burned on
+    * pad tokens), and the extremal bin fills. The report grain is one
+    * row per language (broadcast-sized at any corpus scale); the
+    * pack-grain aggregate underneath is a two-level groupBy with
+    * map-side combine. fill_rate is one exact-int IEEE division —
+    * deterministic cross-engine, no rounding step. */
+  def packingEfficiency(s: SparkSession, d: String): DataFrame = {
+    val packs = packCore(s, Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n")))
+      .groupBy(col("lang"), col("pack_id"))
+      .agg(count(lit(1)).as("docs"), sum(col("n_tokens")).as("tok"))
+    packs.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_packs"), sum(col("docs")).as("n_docs"),
+        sum(col("tok")).as("n_tokens"),
+        min(col("tok")).as("min_pack_tokens"),
+        max(col("tok")).as("max_pack_tokens"))
+      .withColumn("fill_rate",
+        col("n_tokens").cast("double") / (col("n_packs") * lit(512L)))
+      .select(col("lang"), col("n_packs"), col("n_docs"), col("n_tokens"),
+        col("min_pack_tokens"), col("max_pack_tokens"), col("fill_rate"))
+      .orderBy(col("lang"))
+  }
+
+  private val packingEfficiencySql =
+    """WITH RECURSIVE t AS (
+      |  SELECT doc_id, lang, CAST(len(string_split(text,' ')) AS BIGINT) AS n,
+      |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, lang, n, rn, CAST(0 AS BIGINT) AS pack_id, n AS fill
+      |  FROM t WHERE rn = 1
+      |  UNION ALL
+      |  SELECT t.doc_id, t.lang, t.n, t.rn,
+      |         CASE WHEN p.fill + t.n > 512 THEN p.pack_id + 1 ELSE p.pack_id END,
+      |         CASE WHEN p.fill + t.n > 512 THEN t.n ELSE p.fill + t.n END
+      |  FROM t JOIN p ON t.lang = p.lang AND t.rn = p.rn + 1),
+      |pk AS (SELECT lang, pack_id, count(*) AS docs, CAST(sum(n) AS BIGINT) AS tok
+      |       FROM p GROUP BY lang, pack_id)
+      |SELECT lang, count(*) AS n_packs, CAST(sum(docs) AS BIGINT) AS n_docs,
+      |  CAST(sum(tok) AS BIGINT) AS n_tokens,
+      |  min(tok) AS min_pack_tokens, max(tok) AS max_pack_tokens,
+      |  CAST(CAST(sum(tok) AS BIGINT) AS DOUBLE) / (count(*) * 512) AS fill_rate
+      |FROM pk GROUP BY lang ORDER BY lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q125_packing_efficiency", packingEfficiency, Some(packingEfficiencySql),
+      "packing acceptance report: bins, fill rate, padding waste per language"),
     QueryDef("q123_sorted_neighborhood", sortedNeighborhood, Some(sortedNeighborhoodSql),
       "sorted-neighborhood (SIGMOD'95 merge/purge) near-dup candidates, edit-distance verified"),
     QueryDef("q117_temperature_mix", temperatureMix, Some(temperatureMixSql),

@@ -960,28 +960,37 @@ object TextOps {
     * so every nBands split encodes the SAME 64-bit Charikar
     * signature, only partitioned differently; total Hamming distance
     * is layout-independent. nBands = 4 is the q105 instance. */
+  /** The majority-vote band columns over an `hs` column (array of
+    * per-token md5 hex) — shared by the batch signature builder and
+    * the streaming ingest gate ([[graft.streaming.StreamingOps
+    * .nearDupGate]]), which computes the same bands per arriving row
+    * with zero state. */
+  private[graft] def simhashBandExprs(nBands: Int): Seq[Column] = {
+    // per-bit membership sets: bit k of a hex digit is set iff the
+    // digit lies in bitSets(k)
+    val bitSets = Seq(
+      Seq("1", "3", "5", "7", "9", "b", "d", "f"),
+      Seq("2", "3", "6", "7", "a", "b", "e", "f"),
+      Seq("4", "5", "6", "7", "c", "d", "e", "f"),
+      Seq("8", "9", "a", "b", "c", "d", "e", "f"))
+    val widths = simhashWidths(nBands)
+    val offsets = widths.scanLeft(0)(_ + _)
+    (0 until nBands).map { b =>
+      (0 until widths(b)).map { j =>
+        val t = offsets(b) + j
+        val pos = t / 4 + 1
+        val pop = size(filter(col("hs"),
+          h => substring(h, pos, 1).isin(bitSets(t % 4): _*)))
+        when(pop * 2 - size(col("hs")) >= 0, lit((1L << j))).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"b$b")
+    }
+  }
+
   private[graft] def simhashSignaturesAt(
       s: SparkSession, d: String, nBands: Int): DataFrame =
     graft.CheckpointMemo.getOrElseUpdate(s, d,
       if (nBands == 4) "simhash_sigs" else s"simhash_sigs_$nBands") {
-      // per-bit membership sets: bit k of a hex digit is set iff the
-      // digit lies in bitSets(k)
-      val bitSets = Seq(
-        Seq("1", "3", "5", "7", "9", "b", "d", "f"),
-        Seq("2", "3", "6", "7", "a", "b", "e", "f"),
-        Seq("4", "5", "6", "7", "c", "d", "e", "f"),
-        Seq("8", "9", "a", "b", "c", "d", "e", "f"))
-      val widths = simhashWidths(nBands)
-      val offsets = widths.scanLeft(0)(_ + _)
-      val bands = (0 until nBands).map { b =>
-        (0 until widths(b)).map { j =>
-          val t = offsets(b) + j
-          val pos = t / 4 + 1
-          val pop = size(filter(col("hs"),
-            h => substring(h, pos, 1).isin(bitSets(t % 4): _*)))
-          when(pop * 2 - size(col("hs")) >= 0, lit((1L << j))).otherwise(lit(0L))
-        }.reduce(_ + _).as(s"b$b")
-      }
+      val bands = simhashBandExprs(nBands)
       Tables.documents(s, d)
         .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
         .repartition(s.sparkContext.defaultParallelism)

@@ -138,6 +138,48 @@ object StreamingOps {
       .select(col("doc_id"), col("ts"), col("text"))
   }
 
+  /** Stream-STATIC NEAR-dup ingest gate — the q105 pigeonhole at
+    * ingest time, the fuzzy complement of [[decontaminationGate]]'s
+    * exact-hash guard: each arriving doc's four 16-bit SimHash bands
+    * (the SAME majority-vote expressions as the batch builder,
+    * [[graft.ops.TextOps.simhashBandExprs]], computed per-row with no
+    * state) probe a static band index of the accumulated corpus. A
+    * band hit means Hamming ≤ 3 is POSSIBLE (the pigeonhole
+    * direction that never misses), so the gate emits every doc with a
+    * `near_candidate` flag — route flagged docs to the exact verify
+    * (q105's bit_count) or quarantine, pass the rest straight in.
+    *
+    * Plan shape: four stream-static LEFT joins (one per band
+    * position), each keyed on the band value against the tiny
+    * distinct index — the static side re-plans per micro-batch and
+    * broadcasts while it fits; the stream holds ZERO state (no
+    * explode-then-distinct, which would need a stateful dedup).
+    * At 100 TB the index is the incrementally-maintained signature
+    * table the batch pipeline (q105/q124) already persists. */
+  def nearDupGate(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    val nBands = 4
+    val bandExprs = graft.ops.TextOps.simhashBandExprs(nBands)
+    def withBands(df: DataFrame, names: Int => String): DataFrame =
+      df.withColumn("hs", transform(split(col("text"), " "), t => md5(t)))
+        .select(df.columns.map(col).toSeq ++
+          bandExprs.zipWithIndex.map { case (e, b) => e.as(names(b)) }: _*)
+        .drop("hs")
+    val index = (0 until nBands).map { b =>
+      withBands(corpus.select(col("text")), i => s"v$i")
+        .select(lit(b).as("band"), col(s"v$b").as("v"))
+    }.reduce(_ unionAll _).distinct()
+    var cur = withBands(docs, i => s"b$i")
+    (0 until nBands).foreach { b =>
+      cur = cur.join(
+        broadcast(index.filter(col("band") === b)
+          .select(col("v").as(s"b$b"), lit(1L).as(s"m$b"))),
+        Seq(s"b$b"), "left")
+    }
+    cur.select(col("doc_id"), col("ts"), col("text"),
+      (0 until nBands).map(b => col(s"m$b").isNotNull)
+        .reduce(_ || _).as("near_candidate"))
+  }
+
   /** The monitoring twin of [[decontaminationGate]]: a stream-static
     * LEFT join flags (rather than drops) benchmark matches and a
     * watermarked hourly window counts clean vs contaminated arrivals —

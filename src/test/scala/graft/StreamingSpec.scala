@@ -347,6 +347,30 @@ class StreamingSpec extends AnyFunSuite with LocalSparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static near-dup gate flags simhash band hits, passes unrelated docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the corpus text and doc 1 are identical -> identical signature,
+    // all four bands hit; doc 2 shares no content -> its bands miss
+    // (a 16-bit collision is ~4/65536 and deterministic if it ever
+    // happened, so the fixture is stable)
+    val corpusText = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = Seq(corpusText).toDF("text")
+    val in = MemoryStream[StreamingOps.Doc]
+    val q = StreamingOps.nearDupGate(in.toDF(), corpus)
+      .writeStream.outputMode("append").format("memory").queryName("neargate").start()
+    try {
+      in.addData(
+        StreamingOps.Doc(1, ts("2024-01-01 10:00:00"), corpusText),
+        StreamingOps.Doc(2, ts("2024-01-01 10:00:10"),
+          "completely different words about spark physical plans and shuffles instead"))
+      q.processAllAvailable()
+      val flags = spark.table("neargate").select("doc_id", "near_candidate")
+        .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      assert(flags === Map(1L -> true, 2L -> false))
+    } finally q.stop()
+  }
+
   test("stream-static decontamination gate drops benchmark texts, keeps the rest") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

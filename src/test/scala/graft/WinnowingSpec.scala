@@ -198,6 +198,29 @@ class WinnowingSpec extends AnyFunSuite with LocalSparkSuite {
     assert(expected.values.exists(_._3), "most new docs should be kept")
   }
 
+  test("q125 packing report is consistent with the packed assignment") {
+    val report = graft.ops.CurationOps.packingEfficiency(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    val packs = graft.ops.CurationOps.sequencePacking(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byLang = packs.groupBy(_._2)
+    assert(report.keySet === byLang.keySet)
+    byLang.foreach { case (lang, rows) =>
+      val (nPacks, nDocs, nTok, minTok, maxTok, fill) = report(lang)
+      val packTok = rows.groupBy(_._3).view.mapValues(_.map(_._4).sum).toMap
+      assert(nPacks === packTok.size.toLong)
+      assert(nDocs === rows.size.toLong)
+      assert(nTok === rows.map(_._4).sum)
+      assert(minTok === packTok.values.min && maxTok === packTok.values.max)
+      // every bin except possibly the last is within budget; fill rate
+      // is exactly tokens over capacity
+      assert(maxTok <= 512L)
+      assert(fill === nTok.toDouble / (nPacks * 512L))
+      assert(fill > 0.0 && fill <= 1.0)
+    }
+  }
+
   test("q117 temperature mixing fills every quota exactly and flattens the head language") {
     val out = graft.ops.CurationOps.temperatureMix(spark, sfDir)
     val kept = out.groupBy(col("lang"))
