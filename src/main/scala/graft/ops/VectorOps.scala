@@ -593,6 +593,140 @@ object VectorOps {
       |       ROUND(abs_err_sum / 64, 8) AS mean_abs_err
       |FROM rec ORDER BY vec_id""".stripMargin
 
+  // ---- product quantization (q126/q127) ----------------------------
+
+  /** The PQ codebook: 8 subspaces × 8 dims, one centroid per LABEL
+    * per subspace — the subspace slices of the q67/q87 deterministic
+    * per-label centroids (exact-decimal means, so the "training" is
+    * reproducible on both engines; a production run would k-means each
+    * subspace, which is engine-private — the label means give the same
+    * codebook SHAPE with oracle-replayable arithmetic). 80 rows total:
+    * (label, m, cv[8], ‖c‖²), always a broadcast. */
+  private[graft] def pqCents(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(dsum(col("col").cast("double")).as("csum"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), (col("csum") / col("n")).as("c"))
+      .withColumn("m", (col("pos") / 8).cast("int"))
+      .groupBy(col("label"), col("m"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+      .withColumn("cnorm", dotFast(col("cv"), col("cv")))
+
+  /** Code assignment at (vec_id, m) grain: argmin over the 10 codes of
+    * ‖v_m − c‖² (the ‖v_m‖² term is constant per (vec, m) and drops
+    * out of the argmin), ties broken on label. Memoized — q126 pivots
+    * it and q127 joins it per query. */
+  private[graft] def pqAssigned(s: SparkSession, d: String): DataFrame =
+    graft.CheckpointMemo.getOrElseUpdate(s, d, "pq_codes") {
+      val w = org.apache.spark.sql.expressions.Window
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(pqCents(s, d)))
+        .select(col("vec_id"), col("m"), col("label"),
+          (col("cnorm") - lit(2.0) * dotFast(
+            slice(col("embedding"), col("m") * lit(8) + lit(1), lit(8)),
+            col("cv"))).as("score"))
+        .withColumn("rn", row_number().over(
+          w.partitionBy(col("vec_id"), col("m")).orderBy(col("score"), col("label"))))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("m"), col("label").as("code"))
+        .localCheckpoint()
+    }
+
+  /** q126: product-quantization encoding — 64 float32 dims compressed
+    * to 8 sub-byte codes per vector (Jégou/Douze/Schmid, TPAMI'11),
+    * the storage format that makes billion-vector ANN fit in memory:
+    * 256 bytes → 8 bytes here, 32× at any corpus size, and the q127
+    * query path never touches raw vectors again. Assignment is a
+    * map-side cross against the 80-row broadcast codebook + one
+    * (vec_id, m)-partitioned argmin window — skew-free groups of
+    * exactly 10, no shuffle wider than the code table itself. */
+  def pqCodes(s: SparkSession, d: String): DataFrame =
+    pqAssigned(s, d)
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("m") === 0, col("code"))).as("c0"),
+        (1 until 8).map(m =>
+          max(when(col("m") === m, col("code"))).as(s"c$m")): _*)
+      .orderBy(col("vec_id"))
+
+  private val pqCentSqlCte =
+    """cent AS (
+      |  SELECT label, CAST((i-1)//8 AS INT) AS m, list(c ORDER BY i) AS cv FROM (
+      |    SELECT label, i,
+      |      CAST(CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS c
+      |    FROM (SELECT label, unnest(embedding) AS e,
+      |          generate_subscripts(embedding, 1) AS i FROM embeddings) t
+      |    GROUP BY label, i) u GROUP BY label, (i-1)//8),
+      |cn AS (SELECT label, m, cv,
+      |         list_sum([cv[i]*cv[i] for i in generate_series(1,8)]) AS cnorm
+      |       FROM cent),
+      |sc AS (SELECT e.vec_id, cn.m, cn.label,
+      |    cn.cnorm - 2 * list_sum([CAST(e.embedding[cn.m*8+i] AS DOUBLE)*cv[i]
+      |                             for i in generate_series(1,8)]) AS score
+      |  FROM embeddings e, cn),
+      |code AS (SELECT vec_id, m, label AS code FROM (
+      |    SELECT vec_id, m, label, score,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY score, label) AS rn
+      |    FROM sc) WHERE rn = 1)""".stripMargin
+
+  private lazy val pqCodesSql =
+    s"""WITH $pqCentSqlCte
+       |SELECT vec_id,
+       |  ${(0 until 8).map(m => s"MAX(CASE WHEN m = $m THEN code END) AS c$m").mkString(",\n  ")}
+       |FROM code GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  /** q127: asymmetric-distance top-k over the PQ codes — the payoff
+    * query: estimated ‖q − v‖² = Σ_m ‖q_m − c_{code_m}‖², computed
+    * from an 80-entry per-query lookup table joined to the 8-byte
+    * codes; the raw database vectors are NEVER read. The per-subspace
+    * parts pivot to fixed columns and sum in fixed left-to-right
+    * order, so the estimate is a deterministic IEEE sequence on both
+    * engines (aggregate-order float summation would not be). At scale
+    * this is the memory-resident rerank-candidate generator in front
+    * of q51's exact scan (recall governed by codebook size, the
+    * standard PQ trade-off). */
+  def pqAdcTopk(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    val lt = pqCents(s, d).crossJoin(broadcast(q))
+      .select(col("m"), col("label").as("code"),
+        (dotFast(slice(col("qv"), col("m") * lit(8) + lit(1), lit(8)),
+          slice(col("qv"), col("m") * lit(8) + lit(1), lit(8)))
+          - lit(2.0) * dotFast(
+            slice(col("qv"), col("m") * lit(8) + lit(1), lit(8)), col("cv"))
+          + col("cnorm")).as("part"))
+    val parts = pqAssigned(s, d).filter(col("vec_id") =!= 0)
+      .join(broadcast(lt), Seq("m", "code"))
+      .groupBy(col("vec_id"))
+      .agg(max(when(col("m") === 0, col("part"))).as("p0"),
+        (1 until 8).map(m =>
+          max(when(col("m") === m, col("part"))).as(s"p$m")): _*)
+    parts
+      .select(col("vec_id"),
+        (0 until 8).map(m => col(s"p$m")).reduceLeft(_ + _).as("est_dist"))
+      .orderBy(col("est_dist"), col("vec_id"))
+      .limit(10)
+  }
+
+  private lazy val pqAdcTopkSql =
+    s"""WITH $pqCentSqlCte,
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |lt AS (SELECT cn.m, cn.label AS code,
+       |    list_sum([CAST(qv[cn.m*8+i] AS DOUBLE)*CAST(qv[cn.m*8+i] AS DOUBLE)
+       |              for i in generate_series(1,8)])
+       |    - 2 * list_sum([CAST(qv[cn.m*8+i] AS DOUBLE)*cv[i]
+       |                    for i in generate_series(1,8)])
+       |    + cn.cnorm AS part
+       |  FROM cn, q),
+       |parts AS (SELECT c.vec_id,
+       |    ${(0 until 8).map(m => s"MAX(CASE WHEN c.m = $m THEN lt.part END) AS p$m").mkString(",\n    ")}
+       |  FROM code c JOIN lt ON lt.m = c.m AND lt.code = c.code
+       |  WHERE c.vec_id != 0 GROUP BY c.vec_id)
+       |SELECT vec_id,
+       |  ${(0 until 8).map(m => s"p$m").mkString(" + ")} AS est_dist
+       |FROM parts ORDER BY est_dist, vec_id LIMIT 10""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_label_top_norm", labelTopNorm, Some(labelTopNormSql),
       "per-key bounded top-k via the custom TopKPerKey operator stack"),
@@ -610,6 +744,10 @@ object VectorOps {
       "IVF-blocked kNN self-join: top-3 cosine neighbors per vector inside its learned cell"),
     QueryDef("q87_ann_ivf_cells", annIvfCells, Some(annIvfCellsSql),
       "B31 IVF ANN: deterministic centroid quantizer, probed-cell re-rank"),
+    QueryDef("q126_pq_codes", pqCodes, Some(pqCodesSql),
+      "product-quantization encoding: 8 subspace codes per vector (64 floats -> 8 small ints)"),
+    QueryDef("q127_pq_adc_topk", pqAdcTopk, Some(pqAdcTopkSql),
+      "PQ asymmetric-distance top-k: query scans codes + a 80-entry lookup table, never raw vectors"),
     QueryDef("q53_binary_meta", binaryMeta, Some(binaryMetaSql), "multimodal binary column"),
     QueryDef("q55_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql),
       "embedding-cosine near-dup"))

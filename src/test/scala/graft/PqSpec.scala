@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q126/q127: product quantization. The assignment test takes the
+  * operator's own codebook as given (its exact-decimal means are
+  * oracle-verified) and proves the ARGMIN logic against a local
+  * recomputation with the same sequential fold order; the ADC test
+  * recomputes every estimated distance from codes + lookup parts and
+  * checks the top-k cut. */
+class PqSpec extends AnyFunSuite with LocalSparkSuite {
+
+  private def dot(a: Seq[Double], b: Seq[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  private def cents: Map[(Int, Int), (Seq[Double], Double)] =
+    graft.ops.VectorOps.pqCents(spark, sfDir).collect().map { r =>
+      (r.getInt(r.fieldIndex("label")), r.getInt(r.fieldIndex("m"))) ->
+        ((r.getSeq[Double](r.fieldIndex("cv")), r.getDouble(r.fieldIndex("cnorm"))))
+    }.toMap
+
+  test("q126 codes are the argmin of subspace distance under the operator's codebook") {
+    val cb = cents
+    val labels = cb.keys.map(_._1).toSeq.distinct.sorted
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val got = graft.ops.VectorOps.pqAssigned(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    vecs.foreach { case (id, v) =>
+      (0 until 8).foreach { m =>
+        val sub = v.slice(m * 8, m * 8 + 8)
+        val best = labels.map { l =>
+          val (cv, cnorm) = cb((l, m))
+          (cnorm - 2.0 * dot(sub, cv), l)
+        }.min
+        assert(got((id, m)) === best._2, s"vec $id subspace $m")
+      }
+    }
+    assert(got.size === vecs.size * 8)
+  }
+
+  test("q127 ADC top-10 = locally recomputed fixed-order part sums") {
+    val cb = cents
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble)).toMap
+    val qv = vecs(0L)
+    val codes = graft.ops.VectorOps.pqAssigned(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val est = vecs.keys.filter(_ != 0L).map { id =>
+      // p0 + p1 + ... + p7 in fixed left-to-right order, exactly the
+      // operator's column expression
+      val d = (0 until 8).map { m =>
+        val sub = qv.slice(m * 8, m * 8 + 8)
+        val (cv, cnorm) = cb((codes((id, m)), m))
+        dot(sub, sub) - 2.0 * dot(sub, cv) + cnorm
+      }.reduceLeft(_ + _)
+      id -> d
+    }.toMap
+    val expected = est.toSeq.sortBy(r => (r._2, r._1)).take(10)
+    val gotRows = graft.ops.VectorOps.pqAdcTopk(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSeq
+    assert(gotRows === expected)
+    // the estimate is a real distance: non-negative up to fp slack
+    assert(expected.forall(_._2 > -1e-9))
+  }
+}
