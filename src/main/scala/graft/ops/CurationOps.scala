@@ -485,9 +485,14 @@ object CurationOps {
     * verbatim (sub-partition the window by a hash-prefix bucket and
     * roll bucket offsets up through a broadcast table) if a single
     * language ever outgrows a task. */
-  def temperatureMix(s: SparkSession, d: String): DataFrame = {
+  def temperatureMix(s: SparkSession, d: String): DataFrame =
+    temperatureMixCore(Tables.documents(s, d))
+
+  /** The mixing arithmetic over any (doc_id, lang) frame — q117 runs
+    * it on the full corpus, q128 on the delta-dedup survivors. */
+  private[graft] def temperatureMixCore(input: DataFrame): DataFrame = {
     val win = org.apache.spark.sql.expressions.Window
-    val docs = Tables.documents(s, d)
+    val docs = input
       .select(col("doc_id"), col("lang"),
         md5(concat(lit("temp:"), col("doc_id").cast("string"))).as("h"))
     val weights = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_l"))
@@ -628,7 +633,70 @@ object CurationOps {
       |  CAST(CAST(sum(tok) AS BIGINT) AS DOUBLE) / (count(*) * 512) AS fill_rate
       |FROM pk GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** q128: incremental corpus refresh — the composition the new
+    * operator family exists for, end-to-end in ONE declarative plan:
+    * the NEW batch (q124's hash half-space) is deduplicated AGAINST
+    * the accumulated corpus (LSH-band + exact-chunk channels), the
+    * survivors are temperature-mixed (q117's n^(1/2) language
+    * smoothing, quotas recomputed over the survivor counts), and the
+    * mixed selection is greedy-packed into 512-token bins (q80).
+    * This is the recurring production job — "a crawl snapshot
+    * landed" — whereas q79/q84 are the from-scratch build. Every
+    * stage reuses the graded operator's exact core (deltaDedup,
+    * temperatureMixCore, packCore), so the composition inherits
+    * their oracles' semantics; the composed DuckDB oracle chains the
+    * same CTEs. */
+  def incrementalRefresh(s: SparkSession, d: String): DataFrame = {
+    val kept = graft.ops.TextOps.deltaDedup(s, d)
+      .filter(col("kept")).select(col("doc_id"))
+    val survivors = Tables.documents(s, d)
+      .join(kept.hint("shuffle_hash"), Seq("doc_id"))
+    val mixed = temperatureMixCore(survivors.select(col("doc_id"), col("lang")))
+      .select(col("doc_id"))
+    packCore(s, Tables.documents(s, d)
+      .join(mixed.hint("shuffle_hash"), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n")))
+      .orderBy(col("doc_id"))
+  }
+
+  private val incrementalRefreshSql =
+    s"""${graft.ops.TextOps.deltaSqlCtes.replaceFirst("WITH ", "WITH RECURSIVE ")},
+       |nk AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+       |       JOIN tag USING (doc_id)
+       |       WHERE NOT tag.is_old
+       |         AND d.doc_id NOT IN (SELECT doc_id FROM nearn)
+       |         AND d.doc_id NOT IN (SELECT doc_id FROM chn)),
+       |src AS (SELECT lang, count(*) AS n_l FROM nk GROUP BY lang),
+       |wq AS (SELECT lang, n_l,
+       |         CAST(floor(sqrt(n_l * 1000000)) AS BIGINT) AS w FROM src),
+       |tq AS (SELECT CAST(sum(w) AS BIGINT) AS ww,
+       |              CAST(sum(n_l) AS BIGINT) AS n_docs FROM wq),
+       |qq AS (SELECT lang, ((tq.n_docs // 2) * w) // tq.ww AS quota
+       |       FROM wq, tq),
+       |rr AS (SELECT doc_id, lang, text, row_number() OVER (PARTITION BY lang
+       |         ORDER BY md5('temp:'||CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |       FROM nk),
+       |sel AS (SELECT rr.doc_id, rr.lang, rr.text
+       |        FROM rr JOIN qq USING (lang) WHERE rr.rn <= qq.quota),
+       |pt AS (SELECT doc_id, lang,
+       |         CAST(len(string_split(text,' ')) AS BIGINT) AS n,
+       |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+       |       FROM sel),
+       |pp AS (
+       |  SELECT doc_id, lang, n, rn, CAST(0 AS BIGINT) AS pack_id, n AS fill
+       |  FROM pt WHERE rn = 1
+       |  UNION ALL
+       |  SELECT pt.doc_id, pt.lang, pt.n, pt.rn,
+       |         CASE WHEN pp.fill + pt.n > 512 THEN pp.pack_id + 1 ELSE pp.pack_id END,
+       |         CASE WHEN pp.fill + pt.n > 512 THEN pt.n ELSE pp.fill + pt.n END
+       |  FROM pt JOIN pp ON pt.lang = pp.lang AND pt.rn = pp.rn + 1)
+       |SELECT doc_id, lang, pack_id, n AS n_tokens FROM pp
+       |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q128_incremental_refresh", incrementalRefresh, Some(incrementalRefreshSql),
+      "incremental refresh composition: delta dedup -> temperature mix -> pack, one plan"),
     QueryDef("q125_packing_efficiency", packingEfficiency, Some(packingEfficiencySql),
       "packing acceptance report: bins, fill rate, padding waste per language"),
     QueryDef("q123_sorted_neighborhood", sortedNeighborhood, Some(sortedNeighborhoodSql),

@@ -1593,7 +1593,10 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  private val deltaDedupSql =
+  /** The delta-split CTE chain (shingles → sig → bands → tag →
+    * chunks → near/chunk hit sets), shared by the q124 oracle and the
+    * q128 incremental-refresh composition oracle. */
+  private[ops] val deltaSqlCtes =
     s"""$shinglesSqlCte,
        |sig AS (SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
        |               ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
@@ -1615,7 +1618,10 @@ object TextOps {
        |            (SELECT band FROM bands JOIN tag USING (doc_id) WHERE is_old)),
        |chn AS (SELECT DISTINCT c.doc_id FROM ch c JOIN tag USING (doc_id)
        |        WHERE NOT is_old AND c.h IN
-       |          (SELECT h FROM ch JOIN tag USING (doc_id) WHERE is_old))
+       |          (SELECT h FROM ch JOIN tag USING (doc_id) WHERE is_old))""".stripMargin
+
+  private val deltaDedupSql =
+    s"""$deltaSqlCtes
        |SELECT tag.doc_id,
        |  tag.doc_id IN (SELECT doc_id FROM nearn) AS near_dup,
        |  tag.doc_id IN (SELECT doc_id FROM chn) AS chunk_dup,

@@ -221,6 +221,31 @@ class WinnowingSpec extends AnyFunSuite with LocalSparkSuite {
     }
   }
 
+  test("q128 composition respects each stage contract (kept ⊇ mixed ⊇ packed, quotas, budgets)") {
+    val flags = graft.ops.TextOps.deltaDedup(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val out = graft.ops.CurationOps.incrementalRefresh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // every packed doc survived the delta gate
+    out.foreach { case (id, _, _, _) => assert(flags.get(id).contains(true)) }
+    // packing: per (lang, pack) token sums within budget
+    out.groupBy(r => (r._2, r._3)).foreach { case (_, rows) =>
+      assert(rows.map(_._4).sum <= 512L || rows.size == 1)
+    }
+    // mixing: selected count per lang == alpha quota over the SURVIVOR counts
+    val survivors = flags.filter(_._2).keySet
+    val langOf = Tables.documents(spark, sfDir).select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val nL = survivors.groupBy(langOf).view.mapValues(_.size.toLong).toMap
+    val w = nL.view.mapValues(n => math.sqrt(n.toDouble * 1000000).floor.toLong).toMap
+    val ww = w.values.sum
+    val target = nL.values.sum / 2
+    val quotas = w.view.mapValues(v => target * v / ww).toMap
+    val keptPerLang = out.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(keptPerLang === quotas.filter(_._2 > 0))
+  }
+
   test("q117 temperature mixing fills every quota exactly and flattens the head language") {
     val out = graft.ops.CurationOps.temperatureMix(spark, sfDir)
     val kept = out.groupBy(col("lang"))
