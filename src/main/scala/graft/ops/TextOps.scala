@@ -1629,6 +1629,159 @@ object TextOps {
        |       OR tag.doc_id IN (SELECT doc_id FROM chn)) AS kept
        |FROM tag WHERE NOT is_old ORDER BY doc_id""".stripMargin
 
+  // ---- quality ensemble percentile ranking (q130) ------------------
+
+  /** q130: per-language quality-ensemble ranking — the three cheap
+    * doc-local signals the suite grades separately (stopword ratio
+    * q41, top-bigram repetition q58, integer entropy q122) fused into
+    * one comparable score: each signal becomes a PER-LANGUAGE
+    * percent_rank (signals have language-dependent scales — zh's
+    * stopword ratio distribution is not en's, so a global rank would
+    * just rank languages), oriented so higher = better-quality
+    * (stopword and entropy ascending, repetition descending), and the
+    * composite is their fixed-order mean. Rank-based fusion is the
+    * standard answer to incommensurable quality signals (no learned
+    * weights to ship, outlier-robust).
+    *
+    * Determinism: every window orders by (signal, doc_id) — a total
+    * order, so percent_rank assigns unique exact rationals; the three
+    * divisions and the fixed-order (a+b+c)/3 are the only FP ops.
+    * Scale shape: signals are map-only (codegen'd bigramStats, HOF
+    * char counts); the three windows share one lang-partitioned
+    * exchange and differ only in sort order. */
+  def qualityEnsemble(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val base = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("tk", toks(col("text")))
+      .filter(size(col("tk")) >= 2)
+      .withColumn("n_stop", stopwordCounts(col("tk"), Seq(stopProfiles.head._2))(0))
+      .withColumn("bs", graft.functions.GraftFunctions.bigramStats(col("tk")))
+      .withColumn("cs", split(col("text"), ""))
+      .withColumn("n", size(col("cs")).cast("long"))
+      .withColumn("cnts", expr(
+        "transform(array_distinct(cs), c -> CAST(size(filter(cs, x -> x = c)) AS BIGINT))"))
+      .select(col("doc_id"), col("lang"),
+        (col("n_stop").cast("double") / size(col("tk"))).as("stop_ratio"),
+        (col("bs")(2).cast("double") / (col("bs")(0) - 1)).as("rep_frac"),
+        (expr("aggregate(cnts, 0L, (a, c) -> a + c * (length(bin(n div c)) - 1))")
+          .cast("double") / col("n")).as("avg_bits"))
+    base
+      .withColumn("p_stop", percent_rank().over(
+        w.partitionBy(col("lang")).orderBy(col("stop_ratio"), col("doc_id"))))
+      .withColumn("p_rep", percent_rank().over(
+        w.partitionBy(col("lang")).orderBy(col("rep_frac").desc, col("doc_id").desc)))
+      .withColumn("p_ent", percent_rank().over(
+        w.partitionBy(col("lang")).orderBy(col("avg_bits"), col("doc_id"))))
+      .withColumn("quality_pct",
+        (col("p_stop") + col("p_rep") + col("p_ent")) / lit(3.0))
+      .select(col("doc_id"), col("lang"), col("p_stop"), col("p_rep"),
+        col("p_ent"), col("quality_pct"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualityEnsembleSql = {
+    val en = inList(stopProfiles.head._2)
+    s"""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS tk,
+       |    string_split(text,'') AS cs FROM documents),
+       |f AS (SELECT doc_id, lang,
+       |    CAST(len(list_filter(tk, x -> x IN ($en))) AS DOUBLE)/len(tk) AS stop_ratio,
+       |    tk, cs FROM t WHERE len(tk) >= 2),
+       |bg AS (SELECT doc_id, unnest([array_to_string(list_slice(tk, i, i+1),' ')
+       |         for i in generate_series(1, len(tk)-1)]) AS bg,
+       |       len(tk) AS ntk FROM f),
+       |bc AS (SELECT doc_id, ntk, bg, COUNT(*) AS c FROM bg GROUP BY doc_id, ntk, bg),
+       |rep AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE)/(ntk-1) AS rep_frac
+       |        FROM bc GROUP BY doc_id, ntk),
+       |ent AS (SELECT doc_id,
+       |    CAST(list_reduce(list_prepend(0::BIGINT,
+       |      [CAST(len(list_filter(cs, x -> x = c)) AS BIGINT)
+       |       for c in list_distinct(cs)]),
+       |      (a, c) -> a + c * (length(bin(CAST(len(cs) AS BIGINT) // c)) - 1)) AS DOUBLE)
+       |    / len(cs) AS avg_bits
+       |  FROM f),
+       |base AS (SELECT f.doc_id, f.lang, f.stop_ratio, rep.rep_frac, ent.avg_bits
+       |         FROM f JOIN rep USING (doc_id) JOIN ent USING (doc_id))
+       |SELECT doc_id, lang,
+       |  percent_rank() OVER (PARTITION BY lang ORDER BY stop_ratio, doc_id) AS p_stop,
+       |  percent_rank() OVER (PARTITION BY lang ORDER BY rep_frac DESC, doc_id DESC) AS p_rep,
+       |  percent_rank() OVER (PARTITION BY lang ORDER BY avg_bits, doc_id) AS p_ent,
+       |  (percent_rank() OVER (PARTITION BY lang ORDER BY stop_ratio, doc_id)
+       |   + percent_rank() OVER (PARTITION BY lang ORDER BY rep_frac DESC, doc_id DESC)
+       |   + percent_rank() OVER (PARTITION BY lang ORDER BY avg_bits, doc_id)) / 3.0 AS quality_pct
+       |FROM base ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- corpus drift report (q129) ----------------------------------
+
+  /** q129: corpus drift between the accumulated corpus and the new
+    * batch (q124's hash half-space split), per source — the
+    * monitoring report that tells a pipeline operator whether a feed
+    * changed character before the change poisons a training mix:
+    * chunk-grain added / removed / retained counts and a Jaccard
+    * drift score per source. Chunk grain (q86's 32-token unit) for
+    * the same reason as q113: whole-text turnover is always ~100% on
+    * a crawl, chunk turnover measures CONTENT change.
+    *
+    * Scale shape: one grouped pass per (source, chunk-hash) with
+    * old/new presence flags aggregated in place (the q124 shape),
+    * then a source-grain rollup — the report is sources × 5 ints +
+    * one exact-int division, broadcast-sized at any corpus. */
+  def corpusDrift(s: SparkSession, d: String): DataFrame = {
+    val isOld = substring(
+      md5(concat(lit("delta:"), col("doc_id").cast("string"))), 1, 1)
+      .between("0", "7")
+    val chunks = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), isOld.as("is_old"),
+        split(col("text"), " ").as("t"))
+      .select(col("source"), col("is_old"), explode(expr(
+        "transform(sequence(0, CAST(ceil(size(t)/32.0) AS INT) - 1), " +
+          "i -> md5(array_join(slice(t, i*32+1, 32), ' ')))")).as("h"))
+    chunks
+      .groupBy(col("source"), col("h"))
+      .agg(max(when(col("is_old"), 1L).otherwise(0L)).as("in_old"),
+        max(when(!col("is_old"), 1L).otherwise(0L)).as("in_new"))
+      .groupBy(col("source"))
+      .agg(sum(col("in_old")).as("old_chunks"),
+        sum(col("in_new")).as("new_chunks"),
+        sum(when(col("in_old") === 0 && col("in_new") === 1, 1L)
+          .otherwise(0L)).as("added"),
+        sum(when(col("in_old") === 1 && col("in_new") === 0, 1L)
+          .otherwise(0L)).as("removed"),
+        sum(when(col("in_old") === 1 && col("in_new") === 1, 1L)
+          .otherwise(0L)).as("retained"),
+        count(lit(1)).as("union_chunks"))
+      .withColumn("drift",
+        lit(1.0) - col("retained").cast("double") / col("union_chunks"))
+      .select(col("source"), col("old_chunks"), col("new_chunks"),
+        col("added"), col("removed"), col("retained"), col("drift"))
+      .orderBy(col("source"))
+  }
+
+  private val corpusDriftSql =
+    """WITH tag AS (SELECT doc_id, source, string_split(text,' ') AS t,
+      |    substring(md5('delta:'||CAST(doc_id AS VARCHAR)),1,1)
+      |      BETWEEN '0' AND '7' AS is_old FROM documents),
+      |ch AS (SELECT source, is_old,
+      |    md5(array_to_string(list_slice(t, CAST(i*32+1 AS BIGINT),
+      |        CAST(i*32+32 AS BIGINT)), ' ')) AS h
+      |  FROM tag, (SELECT unnest(generate_series(0,
+      |     (SELECT CAST(ceil(max(len(t))/32.0) AS BIGINT) FROM tag))) AS i) g
+      |  WHERE i <= CAST(ceil(len(t)/32.0) AS BIGINT) - 1),
+      |fl AS (SELECT source, h,
+      |         max(CASE WHEN is_old THEN 1 ELSE 0 END) AS in_old,
+      |         max(CASE WHEN is_old THEN 0 ELSE 1 END) AS in_new
+      |       FROM ch GROUP BY source, h)
+      |SELECT source,
+      |  CAST(sum(in_old) AS BIGINT) AS old_chunks,
+      |  CAST(sum(in_new) AS BIGINT) AS new_chunks,
+      |  CAST(sum(CASE WHEN in_old = 0 AND in_new = 1 THEN 1 ELSE 0 END) AS BIGINT) AS added,
+      |  CAST(sum(CASE WHEN in_old = 1 AND in_new = 0 THEN 1 ELSE 0 END) AS BIGINT) AS removed,
+      |  CAST(sum(CASE WHEN in_old = 1 AND in_new = 1 THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+      |  1.0 - CAST(sum(CASE WHEN in_old = 1 AND in_new = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |        / count(*) AS drift
+      |FROM fl GROUP BY source ORDER BY source""".stripMargin
+
   // ---- TF-IDF cosine similarity join (q121) ------------------------
 
   /** q121: TF-IDF-weighted cosine similarity join over 3-shingle
@@ -1782,6 +1935,10 @@ object TextOps {
       |FROM sc ORDER BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q129_corpus_drift", corpusDrift, Some(corpusDriftSql),
+      "chunk-grain corpus drift per source: added/removed/retained + Jaccard drift"),
+    QueryDef("q130_quality_ensemble", qualityEnsemble, Some(qualityEnsembleSql),
+      "per-language rank-fused quality score over stopword/repetition/entropy signals"),
     QueryDef("q124_delta_dedup", deltaDedup, Some(deltaDedupSql),
       "incremental dedup of a new batch against the existing corpus (LSH band + exact chunk channels)"),
     QueryDef("q121_tfidf_cosine_join", tfidfCosineJoin, Some(tfidfCosineJoinSql),

@@ -246,6 +246,48 @@ class WinnowingSpec extends AnyFunSuite with LocalSparkSuite {
     assert(keptPerLang === quotas.filter(_._2 > 0))
   }
 
+  test("q129 drift identities: union = old + new - retained, added/removed consistent") {
+    // independent recomputation from raw texts
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(x: String): String =
+      md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val expected = rows.groupBy(_._2).map { case (src, docs) =>
+      val (olds, news) = docs.partition { case (id, _, _) => h(s"delta:$id")(0) <= '7' }
+      def chunks(ds: Seq[(Long, String, String)]): Set[String] =
+        ds.flatMap(_._3.split(" ", -1).grouped(32).map(g => h(g.mkString(" ")))).toSet
+      val (o, n) = (chunks(olds), chunks(news))
+      src -> ((o.size.toLong, n.size.toLong, (n -- o).size.toLong,
+        (o -- n).size.toLong, (o & n).size.toLong,
+        1.0 - (o & n).size.toDouble / (o | n).size))
+    }
+    val got = graft.ops.TextOps.corpusDrift(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(got === expected)
+    got.values.foreach { case (o, n, a, rm, rt, drift) =>
+      assert(a === n - rt && rm === o - rt)
+      assert(drift >= 0.0 && drift <= 1.0)
+    }
+  }
+
+  test("q130 ensemble: percentiles span [0,1] per language, composite is the exact mean") {
+    val rows = graft.ops.TextOps.qualityEnsemble(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, ps, pr, pe, q) =>
+      assert(ps >= 0 && ps <= 1 && pr >= 0 && pr <= 1 && pe >= 0 && pe <= 1)
+      assert(q === (ps + pr + pe) / 3.0)
+    }
+    rows.groupBy(_._2).foreach { case (lang, lr) =>
+      assert(lr.map(_._3).min === 0.0 && lr.map(_._3).max === 1.0, s"p_stop span in $lang")
+      assert(lr.map(_._5).min === 0.0 && lr.map(_._5).max === 1.0, s"p_ent span in $lang")
+    }
+  }
+
   test("q117 temperature mixing fills every quota exactly and flattens the head language") {
     val out = graft.ops.CurationOps.temperatureMix(spark, sfDir)
     val kept = out.groupBy(col("lang"))
