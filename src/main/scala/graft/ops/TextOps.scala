@@ -844,6 +844,31 @@ object TextOps {
     * construction, so no hot key; the join-backs are shuffle-hash on
     * doc_id (broadcast would be wrong: the array table is
     * corpus-sized). */
+  /** The rarest-first shingle-array doc frame shared by q104 and
+    * q131 (memo tag "jaccard_docs"): one row per distinct text,
+    * shingles ascending by (global df, shingle). */
+  private def jaccardDocsBuild(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .withColumn("toks", toks(col("text")))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", shingles(col("toks"), 3))
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // rarest-first = ascending (df, shingle): a total order BOTH
+    // engines share, realized here by sorting (df, shingle) structs
+    // — any consistent global order preserves the prefix lemma, and
+    // putting low-df shingles first is what keeps candidate keys
+    // cold at scale
+    sh.join(dfreq.hint("shuffle_hash"), Seq("shingle"))
+      .groupBy(col("doc_id"))
+      .agg(transform(array_sort(collect_list(struct(col("df"), col("shingle")))),
+        x => x.getField("shingle")).as("shs"))
+      .withColumn("n", size(col("shs")))
+      .localCheckpoint()
+  }
+
   def jaccardJoinAt(s: SparkSession, d: String, p: Int, q: Int): DataFrame = {
     require(p > 0 && q >= p, s"tau = $p/$q must lie in (0, 1]")
     // One row per distinct text: (doc_id, shs rarest-first, n). The
@@ -853,25 +878,7 @@ object TextOps {
     // Checkpoint scans carry no stats, so the self-join below pins
     // its strategy explicitly (the checkpoint-plans-lose-stats rule).
     val docs = graft.CheckpointMemo.getOrElseUpdate(s, d, "jaccard_docs") {
-      val sh = Tables.documents(s, d)
-        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
-        .repartition(s.sparkContext.defaultParallelism)
-        .withColumn("toks", toks(col("text")))
-        .filter(size(col("toks")) >= 3)
-        .withColumn("sh", shingles(col("toks"), 3))
-        .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
-      val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      // rarest-first = ascending (df, shingle): a total order BOTH
-      // engines share, realized here by sorting (df, shingle) structs
-      // — any consistent global order preserves the prefix lemma, and
-      // putting low-df shingles first is what keeps candidate keys
-      // cold at scale
-      sh.join(dfreq.hint("shuffle_hash"), Seq("shingle"))
-        .groupBy(col("doc_id"))
-        .agg(transform(array_sort(collect_list(struct(col("df"), col("shingle")))),
-          x => x.getField("shingle")).as("shs"))
-        .withColumn("n", size(col("shs")))
-        .localCheckpoint()
+      jaccardDocsBuild(s, d)
     }
     // prefixLen = n - ceil(p*n/q) + 1, with ceil as exact integers:
     // SQL `div` (floor division), NOT Column./ which is always
@@ -1629,6 +1636,90 @@ object TextOps {
        |       OR tag.doc_id IN (SELECT doc_id FROM chn)) AS kept
        |FROM tag WHERE NOT is_old ORDER BY doc_id""".stripMargin
 
+  // ---- exact containment join (q131) -------------------------------
+
+  /** q131: exact set-CONTAINMENT join — C(a→b) = |A∩B| / |A| ≥ 3/4,
+    * the asymmetric complement of q104's symmetric Jaccard: a short
+    * doc whose shingles are swallowed by a much longer one scores
+    * containment ≈ 1 while its Jaccard is tiny, so this is the
+    * subsumption detector (quote extraction, article-inside-digest,
+    * excerpt-vs-full) that no symmetric threshold can express. The
+    * direction matters, so output pairs are ORDERED (doc_a contained
+    * in doc_b).
+    *
+    * Candidate generation is the one-sided prefix filter (the set
+    * containment join of the All-Pairs family): C ≥ τ forces
+    * |A∩B| ≥ ceil(τ·|A|), so A's rarest-first prefix of length
+    * n_a − ceil(τ·n_a) + 1 must hit B's FULL set — only the query
+    * side prunes (B's overlap fraction is unbounded), and the length
+    * filter is one-sided too (n_b ≥ τ·n_a, no upper bound). Both
+    * sides read the SAME memoized rarest-first doc frame as q104
+    * (one build serves both joins); candidates stay skinny
+    * (ids + sizes), arrays move once per surviving pair, and the
+    * gate/containment stay exact-integer / one-IEEE-division. */
+  def containmentJoinAt(s: SparkSession, d: String, p: Int, q: Int): DataFrame = {
+    require(p > 0 && q >= p, s"tau = $p/$q must lie in (0, 1]")
+    containmentFrom(graft.CheckpointMemo.getOrElseUpdate(s, d, "jaccard_docs") {
+      jaccardDocsBuild(s, d)
+    }, p, q)
+  }
+
+  private def containmentFrom(docs: DataFrame, p: Int, q: Int): DataFrame = {
+    val prefA = docs.select(col("doc_id").as("da"), col("n").as("na"),
+      explode(slice(col("shs"), lit(1),
+        col("n") - expr(s"(n * $p + ${q - 1}) div $q") + 1)).as("shingle"))
+    val fullB = docs.select(col("doc_id").as("db"), col("n").as("nb"),
+      explode(col("shs")).as("shingle"))
+    val cand = prefA
+      .join(fullB.hint("shuffle_hash"), Seq("shingle"))
+      .filter(col("da") =!= col("db") && col("nb") * q >= col("na") * p)
+      .select(col("da"), col("db"), col("na"), col("nb")).distinct()
+    cand
+      .join(docs.select(col("doc_id").as("da"), col("shs").as("sa"))
+        .hint("shuffle_hash"), Seq("da"))
+      .join(docs.select(col("doc_id").as("db"), col("shs").as("sb"))
+        .hint("shuffle_hash"), Seq("db"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))))
+      .filter(col("inter") * q >= col("na") * p)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"),
+        col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+        (col("inter").cast("double") / col("na")).as("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  def containmentJoin(s: SparkSession, d: String): DataFrame =
+    containmentJoinAt(s, d, 3, 4)
+
+  private val containmentJoinSql =
+    """WITH reps AS (SELECT MIN(doc_id) AS doc_id, text
+      |              FROM documents GROUP BY text),
+      |tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM reps),
+      |sh AS (SELECT doc_id, unnest([array_to_string(list_slice(toks, i, i+2), ' ')
+      |                              for i in generate_series(1, len(toks)-2)]) AS s
+      |       FROM tok WHERE len(toks) >= 3),
+      |shd AS (SELECT DISTINCT doc_id, s FROM sh),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+      |dfq AS (SELECT s, COUNT(*) AS df FROM shd GROUP BY s),
+      |pref AS (SELECT doc_id, s, n FROM (
+      |    SELECT shd.doc_id, shd.s,
+      |           ROW_NUMBER() OVER (PARTITION BY shd.doc_id
+      |                              ORDER BY dfq.df, shd.s) AS rn, sz.n
+      |    FROM shd JOIN dfq USING (s) JOIN sz USING (doc_id))
+      |  WHERE rn <= n - (n * 3 + 3) // 4 + 1),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, a.n AS na, b.doc_id AS db, bz.n AS nb
+      |         FROM pref a JOIN shd b ON a.s = b.s AND a.doc_id <> b.doc_id
+      |         JOIN sz bz ON bz.doc_id = b.doc_id
+      |         WHERE bz.n * 4 >= a.n * 3),
+      |ints AS (SELECT c.da, c.na, c.db, c.nb, COUNT(*) AS inter
+      |         FROM cand c
+      |         JOIN shd x ON x.doc_id = c.da
+      |         JOIN shd y ON y.doc_id = c.db AND y.s = x.s
+      |         GROUP BY c.da, c.na, c.db, c.nb)
+      |SELECT da AS doc_a, db AS doc_b, na AS n_a, nb AS n_b,
+      |       CAST(inter AS DOUBLE) / na AS containment
+      |FROM ints WHERE inter * 4 >= na * 3
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   // ---- quality ensemble percentile ranking (q130) ------------------
 
   /** q130: per-language quality-ensemble ranking — the three cheap
@@ -1935,6 +2026,8 @@ object TextOps {
       |FROM sc ORDER BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q131_containment_join", containmentJoin, Some(containmentJoinSql),
+      "exact set-containment join (one-sided prefix filter): subsumed-document detection"),
     QueryDef("q129_corpus_drift", corpusDrift, Some(corpusDriftSql),
       "chunk-grain corpus drift per source: added/removed/retained + Jaccard drift"),
     QueryDef("q130_quality_ensemble", qualityEnsemble, Some(qualityEnsembleSql),

@@ -63,4 +63,34 @@ class JaccardJoinSpec extends AnyFunSuite with LocalSparkSuite {
     // a tighter tau must admit no more than the tau=1/2 pairs
     assert(expected.subsetOf(bruteForce(1, 2)))
   }
+
+  test("containment join = brute-force all-ordered-pairs at tau 3/4 (q131)") {
+    val sh = Tables.documents(spark, sfDir)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(
+          graft.functions.GraftFunctions.shingles(col("toks"), 3))).as("shingle"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val sets = sh.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val ids = sets.keys.toSeq.sorted
+    val expected = (for {
+      a <- ids.iterator; b <- ids.iterator if a != b
+      inter = sets(a).intersect(sets(b)).size
+      if inter * 4 >= sets(a).size * 3
+    } yield (a, b) -> ((sets(a).size.toLong, sets(b).size.toLong,
+      inter.toDouble / sets(a).size))).toMap
+    val got = graft.ops.TextOps.containmentJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got === expected)
+    assert(expected.nonEmpty)
+    // the measure is directional: where sizes differ, the two
+    // directions score differently (pure one-direction qualification
+    // needs a true subset pair, which this fixture corpus lacks)
+    assert(expected.exists { case ((a, b), (na, nb, c)) =>
+      na != nb && expected.get((b, a)).forall(_._3 != c)
+    })
+  }
 }
