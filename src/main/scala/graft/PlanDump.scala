@@ -49,7 +49,13 @@ object PlanDump {
       "q107_contamination_ratio" -> "B49 contamination deciles: single pass over the shingle explode — broadcast LEFT join against the probe preserves cardinality so total+shared counts share one aggregate; deciles integer-exact",
       "q109_ann_recall" -> "B51 ANN recall eval: query sample broadcast, rank + candidate-count folded into ONE qid-keyed window + ONE aggregate (no per-metric join)",
       "q108_lang_vocab_overlap" -> "B50 vocab overlap: word-keyed self-join co-partitioned with the distinct that feeds it (no extra exchange), per-lang sizes broadcast",
-      "q110_sketch_percentiles" -> "B53 quantile sketch: ObjectHashAggregate partials for the log-histogram (map-side O(buckets) state), no sort anywhere in the plan")
+      "q110_sketch_percentiles" -> "B53 quantile sketch: ObjectHashAggregate partials for the log-histogram (map-side O(buckets) state), no sort anywhere in the plan",
+      "q120_winnow_overlap" -> "B61 winnowing overlap: fingerprint frame materialized ONCE (Scan ExistingRDD), df-cap window and pair self-join share the fp exchange, join-backs move only (doc_id, int) pairs",
+      "q121_tfidf_cosine_join" -> "B62 weighted cosine: memoized integer-weight frame (Scan ExistingRDD), shingle-keyed pair self-join with shuffle_hash pinned, norm join-backs skinny on doc_id",
+      "q124_delta_dedup" -> "B66 incremental dedup: each candidate grain resolved in ONE grouped pass per bucket key (max(is_old) + bounded collect_set) — the old corpus is never row-joined against the batch",
+      "q126_pq_codes" -> "B69 PQ encoding: 80-row codebook broadcast, map-side cross, skew-free (vec_id, m)-partitioned argmin windows of exactly 10 rows",
+      "q128_incremental_refresh" -> "B70 refresh composition: delta gate, quota mixing and greedy packing chained in one declarative plan; every stage's exchange feeds the next",
+      "q131_containment_join" -> "B73 containment join: one-sided prefix explode against the full shingle side (shared memoized doc frame), skinny ordered-pair candidates distinct before the array join-backs")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")
     picks.foreach { case (name, why) =>
