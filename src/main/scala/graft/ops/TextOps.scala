@@ -1567,31 +1567,52 @@ object TextOps {
     * band/chunk keys come from the incrementally-maintained index
     * table the pipeline already persists (the CheckpointMemo posture,
     * durable); the shuffle is keyed on uniform 32-hex-char hashes. */
-  def deltaDedup(s: SparkSession, d: String): DataFrame = {
-    val isOld = substring(
-      md5(concat(lit("delta:"), col("doc_id").cast("string"))), 1, 1)
+  private def deltaIsOld: Column =
+    substring(md5(concat(lit("delta:"), col("doc_id").cast("string"))), 1, 1)
       .between("0", "7")
-    val tag = Tables.documents(s, d).select(col("doc_id"), isOld.as("is_old"))
-    def newHits(grain: DataFrame, key: String): DataFrame =
+
+  /** New-batch doc ids whose bucket (band / chunk hash) also contains
+    * an old-corpus doc — ONE grouped pass per bucket key (max(is_old)
+    * + bounded collect_set), memoized: q124 reads both frames and
+    * q128's composition reads them again in the same session. The
+    * frames are (doc_id)-only and tiny (hit lists), so the checkpoint
+    * is cheap and the downstream left joins stay skinny. */
+  private def deltaHits(s: SparkSession, d: String, tagName: String,
+      grain: DataFrame, key: String): DataFrame =
+    graft.CheckpointMemo.getOrElseUpdate(s, d, tagName) {
+      val tag = Tables.documents(s, d)
+        .select(col("doc_id"), deltaIsOld.as("is_old"))
       grain.join(tag.hint("shuffle_hash"), Seq("doc_id"))
         .groupBy(col(key))
         .agg(max(when(col("is_old"), 1).otherwise(0)).as("has_old"),
           collect_set(when(!col("is_old"), col("doc_id"))).as("new_ids"))
         .filter(col("has_old") === 1 && size(col("new_ids")) > 0)
         .select(explode(col("new_ids")).as("doc_id")).distinct()
-    val bands = signatures(s, d).select(col("doc_id"),
-      explode(array(concat(col("mh0"), col("mh1")),
-        concat(col("mh2"), col("mh3")))).as("band"))
-    val chunks = Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, CAST(ceil(size(t)/32.0) AS INT) - 1), " +
-          "i -> md5(array_join(slice(t, i*32+1, 32), ' ')))")).as("h"))
-      .distinct()
+        .localCheckpoint()
+    }
+
+  private[graft] def deltaNearHits(s: SparkSession, d: String): DataFrame =
+    deltaHits(s, d, "delta_near_hits",
+      signatures(s, d).select(col("doc_id"),
+        explode(array(concat(col("mh0"), col("mh1")),
+          concat(col("mh2"), col("mh3")))).as("band")), "band")
+
+  private[graft] def deltaChunkHits(s: SparkSession, d: String): DataFrame =
+    deltaHits(s, d, "delta_chunk_hits",
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, CAST(ceil(size(t)/32.0) AS INT) - 1), " +
+            "i -> md5(array_join(slice(t, i*32+1, 32), ' ')))")).as("h"))
+        .distinct(), "h")
+
+  def deltaDedup(s: SparkSession, d: String): DataFrame = {
+    val tag = Tables.documents(s, d)
+      .select(col("doc_id"), deltaIsOld.as("is_old"))
     tag.filter(!col("is_old"))
-      .join(newHits(bands, "band").withColumn("near_dup", lit(true))
+      .join(deltaNearHits(s, d).withColumn("near_dup", lit(true))
         .hint("shuffle_hash"), Seq("doc_id"), "left_outer")
-      .join(newHits(chunks, "h").withColumn("chunk_dup", lit(true))
+      .join(deltaChunkHits(s, d).withColumn("chunk_dup", lit(true))
         .hint("shuffle_hash"), Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("near_dup"), lit(false)).as("near_dup"),
