@@ -423,7 +423,7 @@ object CurationOps {
 
   private val curateAndPackSql =
     s"""$curateSqlCtes,
-       |pt AS (SELECT c.doc_id AS doc_id, c.lang AS lang,
+       |pt AS MATERIALIZED (SELECT c.doc_id AS doc_id, c.lang AS lang,
        |        CAST(len(string_split(d.text,' ')) AS BIGINT) AS n,
        |        ROW_NUMBER() OVER (PARTITION BY c.lang ORDER BY c.doc_id) AS rn
        |       FROM cur c JOIN documents d ON d.doc_id = c.doc_id),
@@ -679,7 +679,7 @@ object CurationOps {
        |       FROM nk),
        |sel AS (SELECT rr.doc_id, rr.lang, rr.text
        |        FROM rr JOIN qq USING (lang) WHERE rr.rn <= qq.quota),
-       |pt AS (SELECT doc_id, lang,
+       |pt AS MATERIALIZED (SELECT doc_id, lang,
        |         CAST(len(string_split(text,' ')) AS BIGINT) AS n,
        |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
        |       FROM sel),
