@@ -1835,7 +1835,10 @@ object TextOps {
     * Scale shape: signals are map-only (codegen'd bigramStats, HOF
     * char counts); the three windows share one lang-partitioned
     * exchange and differ only in sort order. */
-  def qualityEnsemble(s: SparkSession, d: String): DataFrame = {
+  def qualityEnsemble(s: SparkSession, d: String): DataFrame =
+    qualityEnsembleCore(s, d).orderBy(col("doc_id"))
+
+  private[ops] def qualityEnsembleCore(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val base = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
@@ -1863,7 +1866,6 @@ object TextOps {
         (col("p_stop") + col("p_rep") + col("p_ent")) / lit(3.0))
       .select(col("doc_id"), col("lang"), col("p_stop"), col("p_rep"),
         col("p_ent"), col("quality_pct"))
-      .orderBy(col("doc_id"))
   }
 
   private val qualityEnsembleSql = {
@@ -1896,6 +1898,58 @@ object TextOps {
        |   + percent_rank() OVER (PARTITION BY lang ORDER BY rep_frac DESC, doc_id DESC)
        |   + percent_rank() OVER (PARTITION BY lang ORDER BY avg_bits, doc_id)) / 3.0 AS quality_pct
        |FROM base ORDER BY doc_id""".stripMargin
+  }
+
+  /** q133: quality-aware dedup survivor selection — within each q76
+    * near-dup cluster, the doc that SURVIVES is the one with the best
+    * q130 ensemble quality (ties to the smaller id), not the smallest
+    * id. Min-id survival (the q30/q79 default) is cheap but keeps
+    * whichever copy crawled first; quality-argmax keeps the cleanest
+    * copy — the policy difference is visible in the output
+    * (survivor vs min_doc differ exactly where a later copy
+    * out-scores the first). Both inputs are memoized frames (cluster
+    * labels, ensemble signals), so the query itself is one skinny
+    * join + a cluster-partitioned argmax window + a cluster-grain
+    * rollup. */
+  def survivorPolicy(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster"))
+      .orderBy(col("quality_pct").desc, col("doc_id"))
+    dedupComponentsCore(s, d)
+      .join(qualityEnsembleCore(s, d).select(col("doc_id"), col("quality_pct"))
+        .hint("shuffle_hash"), Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("doc_id")).as("min_doc"),
+        max(when(col("rn") === 1, col("doc_id"))).as("survivor"),
+        max(when(col("rn") === 1, col("quality_pct"))).as("survivor_quality"))
+      .orderBy(col("cluster"))
+  }
+
+  /** The q130 signal CTEs (through `base`) re-used under the
+    * components chain; the trailing SELECT is dropped and the
+    * composite rank recomputed inside `qual`. */
+  private lazy val survivorPolicySql = {
+    val qualCtes = qualityEnsembleSql
+      .replaceFirst("(?s)^WITH ", "")
+      .replaceFirst("(?s)\\nSELECT doc_id, lang,.*$", "")
+    s"""$componentsSqlCtes,
+       |$qualCtes,
+       |qual AS (SELECT doc_id,
+       |  (percent_rank() OVER (PARTITION BY lang ORDER BY stop_ratio, doc_id)
+       |   + percent_rank() OVER (PARTITION BY lang ORDER BY rep_frac DESC, doc_id DESC)
+       |   + percent_rank() OVER (PARTITION BY lang ORDER BY avg_bits, doc_id)) / 3.0 AS quality_pct
+       | FROM base),
+       |lab AS (SELECT comp.doc_id, comp.cluster, qual.quality_pct
+       |        FROM comp JOIN qual USING (doc_id)),
+       |rk AS (SELECT doc_id, cluster, quality_pct,
+       |         row_number() OVER (PARTITION BY cluster
+       |           ORDER BY quality_pct DESC, doc_id) AS rn FROM lab)
+       |SELECT cluster, count(*) AS n_members, min(doc_id) AS min_doc,
+       |  max(CASE WHEN rn = 1 THEN doc_id END) AS survivor,
+       |  max(CASE WHEN rn = 1 THEN quality_pct END) AS survivor_quality
+       |FROM rk GROUP BY cluster ORDER BY cluster""".stripMargin
   }
 
   // ---- corpus drift report (q129) ----------------------------------
@@ -2121,6 +2175,8 @@ object TextOps {
       |FROM sc ORDER BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q133_survivor_policy", survivorPolicy, Some(survivorPolicySql),
+      "quality-argmax dedup survivor selection per near-dup cluster (vs min-id default)"),
     QueryDef("q132_bpe_merges", bpeMerges, Some(bpeMergesSql),
       "BPE merge learning (ACL'16): 3 fixed rounds of pair-count -> winner -> corpus merge"),
     QueryDef("q131_containment_join", containmentJoin, Some(containmentJoinSql),

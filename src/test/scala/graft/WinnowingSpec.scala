@@ -311,6 +311,25 @@ class WinnowingSpec extends AnyFunSuite with LocalSparkSuite {
     assert(expected.forall(_._3 > 0))
   }
 
+  test("q133 survivor is the quality argmax of its cluster; the policy genuinely differs from min-id") {
+    val quality = graft.ops.TextOps.qualityEnsemble(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val clusters = graft.ops.TextOps.dedupComponents(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byCluster = clusters.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val got = graft.ops.TextOps.survivorPolicy(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet === byCluster.keySet)
+    byCluster.foreach { case (c, members) =>
+      val (n, minDoc, survivor, sq) = got(c)
+      assert(n === members.length.toLong && minDoc === members.min)
+      val best = members.minBy(id => (-quality(id), id))
+      assert(survivor === best && sq === quality(best))
+    }
+    assert(got.exists { case (_, (_, minDoc, survivor, _)) => survivor != minDoc },
+      "the quality policy should disagree with min-id somewhere")
+  }
+
   test("q117 temperature mixing fills every quota exactly and flattens the head language") {
     val out = graft.ops.CurationOps.temperatureMix(spark, sfDir)
     val kept = out.groupBy(col("lang"))
