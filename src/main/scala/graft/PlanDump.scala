@@ -55,7 +55,9 @@ object PlanDump {
       "q124_delta_dedup" -> "B66 incremental dedup: each candidate grain resolved in ONE grouped pass per bucket key (max(is_old) + bounded collect_set) — the old corpus is never row-joined against the batch",
       "q126_pq_codes" -> "B69 PQ encoding: 80-row codebook broadcast, map-side cross, skew-free (vec_id, m)-partitioned argmin windows of exactly 10 rows",
       "q128_incremental_refresh" -> "B70 refresh composition: delta gate, quota mixing and greedy packing chained in one declarative plan; every stage's exchange feeds the next",
-      "q131_containment_join" -> "B73 containment join: one-sided prefix explode against the full shingle side (shared memoized doc frame), skinny ordered-pair candidates distinct before the array join-backs")
+      "q131_containment_join" -> "B73 containment join: one-sided prefix explode against the full shingle side (shared memoized doc frame), skinny ordered-pair candidates distinct before the array join-backs",
+      "q132_bpe_merges" -> "B74 BPE unroll: per round one vocabulary-bounded pair-count aggregate, a 1-row winner broadcast, a map-only literal merge — three rounds, one plan, no driver loop",
+      "q133_survivor_policy" -> "B75 survivor policy: two memoized frames (labels, quality) joined skinny, cluster-partitioned argmax window, cluster-grain rollup")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")
     picks.foreach { case (name, why) =>
