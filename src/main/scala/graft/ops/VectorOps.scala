@@ -686,28 +686,84 @@ object VectorOps {
     * this is the memory-resident rerank-candidate generator in front
     * of q51's exact scan (recall governed by codebook size, the
     * standard PQ trade-off). */
-  def pqAdcTopk(s: SparkSession, d: String): DataFrame = {
+  /** The per-query ADC lookup table: 80 rows of (m, code, part) where
+    * part = ‖q_m − c_{code,m}‖² for query vector 0. Shared by q127
+    * (whole-corpus scan) and q134 (LSH-candidate re-rank). */
+  private def adcLookup(s: SparkSession, d: String): DataFrame = {
     val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"))
-    val lt = pqCents(s, d).crossJoin(broadcast(q))
+    pqCents(s, d).crossJoin(broadcast(q))
       .select(col("m"), col("label").as("code"),
         (dotFast(slice(col("qv"), col("m") * lit(8) + lit(1), lit(8)),
           slice(col("qv"), col("m") * lit(8) + lit(1), lit(8)))
           - lit(2.0) * dotFast(
             slice(col("qv"), col("m") * lit(8) + lit(1), lit(8)), col("cv"))
           + col("cnorm")).as("part"))
-    val parts = pqAssigned(s, d).filter(col("vec_id") =!= 0)
-      .join(broadcast(lt), Seq("m", "code"))
+  }
+
+  /** ADC estimate per vector over a (vec_id, m, code) frame — fixed
+    * left-to-right part sum (deterministic IEEE sequence). */
+  private def adcEstimate(codes: DataFrame, lt: DataFrame): DataFrame =
+    codes.join(broadcast(lt), Seq("m", "code"))
       .groupBy(col("vec_id"))
       .agg(max(when(col("m") === 0, col("part"))).as("p0"),
         (1 until 8).map(m =>
           max(when(col("m") === m, col("part"))).as(s"p$m")): _*)
-    parts
       .select(col("vec_id"),
         (0 until 8).map(m => col(s"p$m")).reduceLeft(_ + _).as("est_dist"))
+
+  def pqAdcTopk(s: SparkSession, d: String): DataFrame =
+    adcEstimate(pqAssigned(s, d).filter(col("vec_id") =!= 0), adcLookup(s, d))
       .orderBy(col("est_dist"), col("vec_id"))
       .limit(10)
+
+  /** q134: the modern ANN SERVING stack composed end-to-end — coarse
+    * candidates from the q52 sign-projection super-bucket (one-bit
+    * multiprobe), re-ranked by the q127 PQ asymmetric distance, top-5
+    * out. This is how a billion-vector index actually answers a
+    * query: the LSH/IVF structure bounds the candidate set, the
+    * 8-byte codes + an 80-entry table score it without touching raw
+    * vectors, and only the winners would ever be re-ranked exactly
+    * (q51's scan is the gold baseline; q109 measures the recall of
+    * the same coarse structure). Everything reuses memoized frames —
+    * the query is a candidate semi-filter + the shared ADC estimate. */
+  def pqRerankAnn(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val withBucket = e.withColumn("bucket", lshBucket)
+    val q = withBucket.filter(col("vec_id") === 0)
+      .select(col("bucket").as("qbucket"))
+    val cand = withBucket.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= 0 &&
+        shiftright(col("bucket"), 1) === shiftright(col("qbucket"), 1))
+      .select(col("vec_id"))
+    adcEstimate(
+      pqAssigned(s, d).join(cand.hint("shuffle_hash"), Seq("vec_id")),
+      adcLookup(s, d))
+      .orderBy(col("est_dist"), col("vec_id"))
+      .limit(5)
   }
+
+  private lazy val pqRerankAnnSql =
+    s"""WITH $pqCentSqlCte,
+       |qq AS (SELECT embedding AS qv, $bucketSqlExpr AS qbucket
+       |       FROM embeddings WHERE vec_id = 0),
+       |b AS (SELECT vec_id, $bucketSqlExpr AS bucket FROM embeddings),
+       |cand AS (SELECT b.vec_id FROM b, qq
+       |         WHERE b.vec_id != 0 AND b.bucket // 2 = qq.qbucket // 2),
+       |lt AS (SELECT cn.m, cn.label AS code,
+       |    list_sum([CAST(qv[cn.m*8+i] AS DOUBLE)*CAST(qv[cn.m*8+i] AS DOUBLE)
+       |              for i in generate_series(1,8)])
+       |    - 2 * list_sum([CAST(qv[cn.m*8+i] AS DOUBLE)*cv[i]
+       |                    for i in generate_series(1,8)])
+       |    + cn.cnorm AS part
+       |  FROM cn, qq),
+       |parts AS (SELECT c.vec_id,
+       |    ${(0 until 8).map(m => s"MAX(CASE WHEN c.m = $m THEN lt.part END) AS p$m").mkString(",\n    ")}
+       |  FROM code c JOIN lt ON lt.m = c.m AND lt.code = c.code
+       |  WHERE c.vec_id IN (SELECT vec_id FROM cand) GROUP BY c.vec_id)
+       |SELECT vec_id,
+       |  ${(0 until 8).map(m => s"p$m").mkString(" + ")} AS est_dist
+       |FROM parts ORDER BY est_dist, vec_id LIMIT 5""".stripMargin
 
   private lazy val pqAdcTopkSql =
     s"""WITH $pqCentSqlCte,
@@ -744,6 +800,8 @@ object VectorOps {
       "IVF-blocked kNN self-join: top-3 cosine neighbors per vector inside its learned cell"),
     QueryDef("q87_ann_ivf_cells", annIvfCells, Some(annIvfCellsSql),
       "B31 IVF ANN: deterministic centroid quantizer, probed-cell re-rank"),
+    QueryDef("q134_pq_rerank_ann", pqRerankAnn, Some(pqRerankAnnSql),
+      "ANN serving stack: LSH super-bucket candidates re-ranked by PQ asymmetric distance"),
     QueryDef("q126_pq_codes", pqCodes, Some(pqCodesSql),
       "product-quantization encoding: 8 subspace codes per vector (64 floats -> 8 small ints)"),
     QueryDef("q127_pq_adc_topk", pqAdcTopk, Some(pqAdcTopkSql),
