@@ -612,8 +612,11 @@ object CurationOps {
       .orderBy(col("lang"))
   }
 
+  // the staging CTE MUST be MATERIALIZED: DuckDB inlines plain CTEs, so
+  // the recursive CTE below would re-evaluate the split+window chain
+  // once per recursion step (the q84/q128 `pt` lesson — 70+ min → 4 s)
   private val packingEfficiencySql =
-    """WITH RECURSIVE t AS (
+    """WITH RECURSIVE t AS MATERIALIZED (
       |  SELECT doc_id, lang, CAST(len(string_split(text,' ')) AS BIGINT) AS n,
       |         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
       |  FROM documents),

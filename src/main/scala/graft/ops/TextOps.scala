@@ -1671,65 +1671,148 @@ object TextOps {
     * learned merge table (round, pair, count) — exactly what a
     * tokenizer trainer persists.
     *
+    * The merge is TOKEN-grain, like the count: a left-to-right fold
+    * over the token list that rewrites (…, a, b, …) → (…, a_b, …),
+    * never a substring replace (which could fire across token
+    * boundaries — winner "a b" must not rewrite "za b"). Consecutive
+    * overlaps resolve left-to-right exactly as reference BPE does:
+    * "a a a" under winner "a a" becomes "a_a a", because the merged
+    * token leaves the window. Both engines and the spec share this
+    * fold verbatim.
+    *
     * Scale shape per round: the pair-count aggregate shuffles one row
     * per DISTINCT pair per partition (vocabulary-bounded, not
     * corpus-bounded), the winner is a 1-row broadcast, and the merge
     * is map-only. Real BPE runs thousands of rounds with an
     * incremental pair-count delta; the fixed unroll demonstrates the
     * per-round plan at the scale where each round is a full pass. */
+  /** The merge fold over columns (text, a, b, m) — factored so the
+    * spec can drive boundary cases ("za b" must NOT merge under
+    * winner "a b"; "a a a" → "a_a a") through the exact production
+    * expression. */
+  private[graft] val bpeMergeFold: String =
+    """aggregate(slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+      |  element_at(split(text, ' '), 1),
+      |  (acc, x) -> CASE
+      |    WHEN (acc = a OR endswith(acc, concat(' ', a))) AND x = b
+      |    THEN concat(substring(acc, 1, length(acc) - length(a)), m)
+      |    ELSE concat(acc, ' ', x) END)""".stripMargin
+
+  /** Token-bigram pair counts over any frame with a `text` column —
+    * the per-round aggregate shared by the full-pass unroll and the
+    * incremental delta round below. */
+  private def bpePairCounts(docs: DataFrame): DataFrame =
+    docs.select(split(col("text"), " ").as("tk"))
+      // Spark's sequence(1, 0) COUNTS DOWN (the q29 lesson), so
+      // single-token docs are filtered before the bigram transform
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))")).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+
   def bpeMerges(s: SparkSession, d: String): DataFrame = {
-    def pairCounts(docs: DataFrame): DataFrame =
-      docs.select(split(col("text"), " ").as("tk"))
-        // Spark's sequence(1, 0) COUNTS DOWN (the q29 lesson), so
-        // single-token docs are filtered before the bigram transform
-        .filter(size(col("tk")) >= 2)
-        .select(explode(expr(
-          "transform(sequence(1, size(tk) - 1), " +
-            "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))")).as("pair"))
-        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
     def winner(docs: DataFrame): DataFrame =
-      pairCounts(docs).orderBy(col("cnt").desc, col("pair")).limit(1)
+      bpePairCounts(docs).orderBy(col("cnt").desc, col("pair")).limit(1)
     var docs = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("text"))
     val rounds = (1 to 3).map { r =>
       val w = winner(docs)
+      // token-grain left-to-right merge: fold the token list into a
+      // string accumulator; a merge fires only when the accumulator's
+      // LAST TOKEN equals `a` (exact-string or preceded by a space —
+      // tokens are space-free, so the suffix test IS the last-token
+      // test) and the current token equals `b`. The merged token
+      // (no spaces) can never satisfy the suffix test, which is what
+      // makes consecutive overlaps resolve left-to-right.
       docs = docs.crossJoin(broadcast(w))
-        .select(expr(
-          "replace(text, pair, replace(pair, ' ', '_'))").as("text"))
+        .withColumn("a", element_at(split(col("pair"), " "), 1))
+        .withColumn("b", element_at(split(col("pair"), " "), 2))
+        .withColumn("m", regexp_replace(col("pair"), lit(" "), lit("_")))
+        .select(expr(bpeMergeFold).as("text"))
       w.select(lit(r).as("round"), col("pair"), col("cnt"))
     }
     rounds.reduce(_ unionAll _).orderBy(col("round"))
   }
 
+  /** The PRODUCTION shape of a BPE round — incremental pair-count
+    * maintenance instead of a full corpus pass. After round 1 merges
+    * winner (a, b), the bigram multiset changes ONLY in docs that
+    * contain the (a, b) token bigram; every other doc contributes the
+    * same counts as before. So round 2's counts are maintained as
+    *
+    *   counts₂ = counts₁ − pairs(affected, pre-merge)
+    *                     + pairs(affected, post-merge)
+    *
+    * where `affected` is a map-side exists() gate over token bigrams
+    * (no join, no shuffle — a predicate on the scan). The three count
+    * frames meet in ONE grouped sum on `pair` (the same
+    * vocabulary-bounded shuffle as a single count), and rows whose
+    * net count reaches zero drop out. WinnowingSpec proves the result
+    * ≡ a full second pass; SCALING.md records the affected-doc
+    * fraction on the fixture (the pass-cost ratio — at tokenizer-
+    * training scale with thousands of rounds, each round re-reads
+    * the affected fraction, not the corpus, and the fraction falls
+    * as merges specialize).
+    *
+    * Returns the round-2 pair-count table (pair, cnt). */
+  private[graft] def bpeDeltaCounts(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("text"))
+    val counts1 = bpePairCounts(docs)
+    val w = counts1.orderBy(col("cnt").desc, col("pair")).limit(1)
+    val tagged = docs.crossJoin(broadcast(w.select(col("pair"))))
+      .withColumn("a", element_at(split(col("pair"), " "), 1))
+      .withColumn("b", element_at(split(col("pair"), " "), 2))
+      .withColumn("m", regexp_replace(col("pair"), lit(" "), lit("_")))
+    // the semi-gate: docs whose token-bigram set contains the winner.
+    // A pure row predicate — pushed to the scan, nothing shuffles;
+    // unaffected docs are never re-tokenized.
+    val affected = tagged
+      .filter(size(split(col("text"), " ")) >= 2)
+      .filter(expr(
+        "exists(transform(sequence(1, size(split(text, ' ')) - 1), " +
+          "i -> concat_ws(' ', element_at(split(text, ' '), i), " +
+          "element_at(split(text, ' '), i + 1))), p -> p = pair)"))
+    val before = bpePairCounts(affected.select(col("text")))
+      .select(col("pair"), (-col("cnt")).as("cnt"))
+    val after = bpePairCounts(affected.select(expr(bpeMergeFold).as("text")))
+    counts1.unionAll(before).unionAll(after)
+      .groupBy(col("pair")).agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") > 0)
+  }
+
+  /** One oracle round: count pairs from `from`, pick the winner, and
+    * apply the SAME token-grain left-to-right fold the Spark side
+    * uses (list_reduce seeded by the first token ≡ Spark's aggregate
+    * over slice(tk, 2, …) with element_at(tk, 1) as init). The pair
+    * comprehension is bounded by len(tk)-1 like every sibling oracle
+    * — no hard-coded series cap to silently drop long docs. */
+  private def bpeRoundSql(n: Int, from: String): String =
+    s"""p$n AS (SELECT unnest([array_to_string(list_slice(tk, i, i+1), ' ')
+       |         for i in generate_series(1, len(tk)-1)]) AS pair
+       |       FROM (SELECT string_split(text,' ') AS tk FROM $from)),
+       |c$n AS (SELECT pair, count(*) AS cnt FROM p$n GROUP BY pair
+       |       ORDER BY cnt DESC, pair LIMIT 1),
+       |m$n AS (SELECT string_split(pair,' ')[1] AS a, string_split(pair,' ')[2] AS b,
+       |              replace(pair,' ','_') AS m FROM c$n),
+       |t${n + 1} AS (SELECT list_reduce(string_split(text,' '),
+       |         (acc, x) -> CASE WHEN (acc = a OR ends_with(acc, ' '||a)) AND x = b
+       |                     THEN substr(acc, 1, len(acc) - len(a)) || m
+       |                     ELSE acc || ' ' || x END) AS text
+       |       FROM $from, m$n)""".stripMargin
+
   private val bpeMergesSql =
-    """WITH t1 AS (SELECT text FROM documents),
-      |p1 AS (SELECT array_to_string(list_slice(tk, i, i+1), ' ') AS pair
-      |       FROM (SELECT string_split(text,' ') AS tk FROM t1),
-      |            (SELECT unnest(generate_series(1, 200)) AS i)
-      |       WHERE i <= len(tk) - 1),
-      |c1 AS (SELECT pair, count(*) AS cnt FROM p1 GROUP BY pair
-      |       ORDER BY cnt DESC, pair LIMIT 1),
-      |t2 AS (SELECT replace(text, c1.pair, replace(c1.pair, ' ', '_')) AS text
-      |       FROM t1, c1),
-      |p2 AS (SELECT array_to_string(list_slice(tk, i, i+1), ' ') AS pair
-      |       FROM (SELECT string_split(text,' ') AS tk FROM t2),
-      |            (SELECT unnest(generate_series(1, 200)) AS i)
-      |       WHERE i <= len(tk) - 1),
-      |c2 AS (SELECT pair, count(*) AS cnt FROM p2 GROUP BY pair
-      |       ORDER BY cnt DESC, pair LIMIT 1),
-      |t3 AS (SELECT replace(text, c2.pair, replace(c2.pair, ' ', '_')) AS text
-      |       FROM t2, c2),
-      |p3 AS (SELECT array_to_string(list_slice(tk, i, i+1), ' ') AS pair
-      |       FROM (SELECT string_split(text,' ') AS tk FROM t3),
-      |            (SELECT unnest(generate_series(1, 200)) AS i)
-      |       WHERE i <= len(tk) - 1),
-      |c3 AS (SELECT pair, count(*) AS cnt FROM p3 GROUP BY pair
-      |       ORDER BY cnt DESC, pair LIMIT 1)
-      |SELECT 1 AS round, pair, cnt FROM c1
-      |UNION ALL SELECT 2, pair, cnt FROM c2
-      |UNION ALL SELECT 3, pair, cnt FROM c3
-      |ORDER BY round""".stripMargin
+    s"""WITH t1 AS (SELECT text FROM documents),
+       |${bpeRoundSql(1, "t1")},
+       |${bpeRoundSql(2, "t2")},
+       |${bpeRoundSql(3, "t3")}
+       |SELECT 1 AS round, pair, cnt FROM c1
+       |UNION ALL SELECT 2, pair, cnt FROM c2
+       |UNION ALL SELECT 3, pair, cnt FROM c3
+       |ORDER BY round""".stripMargin
 
   // ---- exact containment join (q131) -------------------------------
 
@@ -1868,9 +1951,14 @@ object TextOps {
         col("p_ent"), col("quality_pct"))
   }
 
-  private val qualityEnsembleSql = {
+  /** The q130 signal CTE chain (t → f → bg/bc/rep → ent → base),
+    * shared verbatim by the q130 oracle and the q133 composed oracle
+    * (the deltaSqlCtes/componentsSqlCtes pattern — a named constant,
+    * so a rewording of either consumer is a compile-visible change,
+    * never silent regex surgery on the other's SQL). */
+  private[ops] val qualitySqlCtes: String = {
     val en = inList(stopProfiles.head._2)
-    s"""WITH t AS (SELECT doc_id, lang, string_split(text,' ') AS tk,
+    s"""t AS (SELECT doc_id, lang, string_split(text,' ') AS tk,
        |    string_split(text,'') AS cs FROM documents),
        |f AS (SELECT doc_id, lang,
        |    CAST(len(list_filter(tk, x -> x IN ($en))) AS DOUBLE)/len(tk) AS stop_ratio,
@@ -1889,7 +1977,11 @@ object TextOps {
        |    / len(cs) AS avg_bits
        |  FROM f),
        |base AS (SELECT f.doc_id, f.lang, f.stop_ratio, rep.rep_frac, ent.avg_bits
-       |         FROM f JOIN rep USING (doc_id) JOIN ent USING (doc_id))
+       |         FROM f JOIN rep USING (doc_id) JOIN ent USING (doc_id))""".stripMargin
+  }
+
+  private val qualityEnsembleSql =
+    s"""WITH $qualitySqlCtes
        |SELECT doc_id, lang,
        |  percent_rank() OVER (PARTITION BY lang ORDER BY stop_ratio, doc_id) AS p_stop,
        |  percent_rank() OVER (PARTITION BY lang ORDER BY rep_frac DESC, doc_id DESC) AS p_rep,
@@ -1898,7 +1990,6 @@ object TextOps {
        |   + percent_rank() OVER (PARTITION BY lang ORDER BY rep_frac DESC, doc_id DESC)
        |   + percent_rank() OVER (PARTITION BY lang ORDER BY avg_bits, doc_id)) / 3.0 AS quality_pct
        |FROM base ORDER BY doc_id""".stripMargin
-  }
 
   /** q133: quality-aware dedup survivor selection — within each q76
     * near-dup cluster, the doc that SURVIVES is the one with the best
@@ -1927,15 +2018,12 @@ object TextOps {
       .orderBy(col("cluster"))
   }
 
-  /** The q130 signal CTEs (through `base`) re-used under the
-    * components chain; the trailing SELECT is dropped and the
-    * composite rank recomputed inside `qual`. */
+  /** Composes [[componentsSqlCtes]] with [[qualitySqlCtes]] (the same
+    * named chain the q130 oracle reads) and recomputes the composite
+    * rank inside `qual`. */
   private lazy val survivorPolicySql = {
-    val qualCtes = qualityEnsembleSql
-      .replaceFirst("(?s)^WITH ", "")
-      .replaceFirst("(?s)\\nSELECT doc_id, lang,.*$", "")
     s"""$componentsSqlCtes,
-       |$qualCtes,
+       |$qualitySqlCtes,
        |qual AS (SELECT doc_id,
        |  (percent_rank() OVER (PARTITION BY lang ORDER BY stop_ratio, doc_id)
        |   + percent_rank() OVER (PARTITION BY lang ORDER BY rep_frac DESC, doc_id DESC)

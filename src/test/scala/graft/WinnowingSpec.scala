@@ -288,19 +288,38 @@ class WinnowingSpec extends AnyFunSuite with LocalSparkSuite {
     }
   }
 
+  // in-memory BPE reference, shared by the q132 tests: token-bigram
+  // counts, and the token-grain left-to-right merge (only an exact
+  // (a, b) token bigram merges — never a substring hit across token
+  // boundaries — and a just-merged token leaves the window, so
+  // "a a a" under "a a" becomes "a_a a")
+  private def bigramCounts(ts: Iterable[String]): Map[String, Long] =
+    ts.iterator.flatMap { t =>
+      val tk = t.split(" ", -1)
+      if (tk.length < 2) Iterator.empty
+      else tk.sliding(2).map(_.mkString(" "))
+    }.toSeq.groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+
+  private def mergeOne(t: String, pair: String): String = {
+    val Array(a, b) = pair.split(" ", -1)
+    val merged = pair.replace(' ', '_')
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    t.split(" ", -1).foreach { x =>
+      if (out.nonEmpty && out.last == a && x == b) out(out.length - 1) = merged
+      else out += x
+    }
+    out.mkString(" ")
+  }
+
   test("q132 = independent in-memory BPE (3 greedy rounds, left-to-right merge)") {
     var texts = Tables.documents(spark, sfDir)
       .select("text").collect().map(_.getString(0))
     val expected = (1 to 3).map { r =>
-      val counts = texts.iterator.flatMap { t =>
-        val tk = t.split(" ", -1)
-        if (tk.length < 2) Iterator.empty
-        else tk.sliding(2).map(_.mkString(" "))
-      }.toSeq.groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+      val counts = bigramCounts(texts)
       // winner = max count, ties to the lexicographically SMALLEST
       // pair (the operator's ORDER BY cnt DESC, pair ASC LIMIT 1)
       val (pair, cnt) = counts.minBy { case (p, c) => (-c, p) }
-      texts = texts.map(_.replace(pair, pair.replace(' ', '_')))
+      texts = texts.map(mergeOne(_, pair))
       (r, pair, cnt)
     }
     val got = graft.ops.TextOps.bpeMerges(spark, sfDir).collect()
@@ -309,6 +328,52 @@ class WinnowingSpec extends AnyFunSuite with LocalSparkSuite {
     // merges are real: each winner count is positive and the merged
     // token never reappears as a pair member in an EARLIER round
     assert(expected.forall(_._3 > 0))
+  }
+
+  test("q132 merge fold is boundary-aware and resolves overlaps left-to-right") {
+    import spark.implicits._
+    // winner "a b" → merged "a_b": must NOT fire inside "za b" or
+    // "a bz" (token boundaries), must fire on every exact bigram,
+    // and "a a a" under winner "a a" keeps only the LEFT overlap
+    val cases = Seq(
+      ("x a b y", "a b", "x a_b y"),
+      ("za b a bz a b", "a b", "za b a bz a_b"),
+      ("a b a b", "a b", "a_b a_b"),
+      ("a a a", "a a", "a_a a"),
+      ("a a a a", "a a", "a_a a_a"),
+      ("a", "a a", "a"),
+      ("", "a b", ""))
+    val got = cases.toDF("text", "pair", "want")
+      .withColumn("a", element_at(split(col("pair"), " "), 1))
+      .withColumn("b", element_at(split(col("pair"), " "), 2))
+      .withColumn("m", regexp_replace(col("pair"), lit(" "), lit("_")))
+      .select(col("text"), col("want"),
+        expr(graft.ops.TextOps.bpeMergeFold).as("got"))
+      .collect()
+    got.foreach(r => assert(r.getString(2) === r.getString(1),
+      s"fold of '${r.getString(0)}'"))
+    // and the fold agrees with the in-memory reference on every case
+    cases.foreach { case (t, p, want) => assert(mergeOne(t, p) === want) }
+  }
+
+  test("q132 delta round ≡ full second pass (incremental pair-count maintenance)") {
+    val texts = Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val c1 = bigramCounts(texts)
+    val (pair, _) = c1.minBy { case (p, c) => (-c, p) }
+    val full2 = bigramCounts(texts.map(mergeOne(_, pair)))
+    val delta = graft.ops.TextOps.bpeDeltaCounts(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(delta === full2)
+    // the pass-cost ratio the delta formulation buys: only docs
+    // containing the winning bigram are rescanned (recorded in
+    // SCALING.md from this measurement)
+    val affected = texts.count(t =>
+      t.split(" ", -1).length >= 2 &&
+        t.split(" ", -1).sliding(2).exists(_.mkString(" ") == pair))
+    info(s"delta round rescans $affected/${texts.length} docs " +
+      f"(${affected * 100.0 / texts.length}%.1f%%)")
+    assert(affected < texts.length, "the gate must exclude some docs")
   }
 
   test("q133 survivor is the quality argmax of its cluster; the policy genuinely differs from min-id") {
