@@ -373,7 +373,41 @@ object Bench {
     // size retains one complete parseable JSON line
     val memoBuilds = memoByKey.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val summary = s""""metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"passes":$repeat,"clean":$clean,"dirty_rerun":$rerun,"cold_total":${fmt(coldSum)},"memo_build_s":${fmt(memoBuildS)},"memo_builds":$memoBuilds,"sentinel_pre":${fmt(sentinelPre)},"sentinel_post":${fmt(sentinelPost)},"sentinel_max":${fmt(sentinelMax)},"io_pre":${fmt(ioPre)},"io_post":${fmt(ioPost)},"io_max":${fmt(ioMax)},"gc_sec":${fmt(gcSec)}$rerunFields,"slowest":$slowest,"dominant":$dominant,"sf":"$sfDir""""
+    // per-query regression self-report against the committed clean
+    // references (bench_refs/*.json) — scripts/bench_diff.py's standing
+    // check folded in-band, so a driver window self-reports WHICH
+    // queries regressed, not just whether the window was valid. Same
+    // thresholds as the script: candidate > 1.5x the best clean
+    // reference; sub-150ms pairs never flag (jitter floor); dirty
+    // references are never trusted as cost floors. Value = the ratio.
+    val regressions: String = try {
+      val dir = java.nio.file.Paths.get("bench_refs")
+      if (!java.nio.file.Files.isDirectory(dir)) "{}" else {
+        import scala.jdk.CollectionConverters._
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val best = scala.collection.mutable.Map.empty[String, Double]
+        java.nio.file.Files.list(dir).iterator().asScala
+          .filter(_.toString.endsWith(".json")).foreach { p =>
+            try {
+              val node = mapper.readTree(p.toFile)
+              if (node.path("clean").asBoolean(true)) {
+                node.path("queries").fields().asScala.foreach { e =>
+                  val t = e.getValue.asDouble(-1)
+                  if (t >= 0 && t < best.getOrElse(e.getKey, Double.MaxValue))
+                    best(e.getKey) = t
+                }
+              }
+            } catch { case _: Throwable => () }
+          }
+        finalResults.toSeq.sortBy(_._1).flatMap { case (k, v) =>
+          best.get(k).collect {
+            case bt if v >= 0 && v > 1.5 * bt && !(v < 0.15 && bt < 0.15) =>
+              "\"" + k + "\":" + fmt(v / bt)
+          }
+        }.mkString("{", ",", "}")
+      }
+    } catch { case _: Throwable => "{}" }
+    val summary = s""""metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"passes":$repeat,"clean":$clean,"dirty_rerun":$rerun,"cold_total":${fmt(coldSum)},"memo_build_s":${fmt(memoBuildS)},"memo_builds":$memoBuilds,"sentinel_pre":${fmt(sentinelPre)},"sentinel_post":${fmt(sentinelPost)},"sentinel_max":${fmt(sentinelMax)},"io_pre":${fmt(ioPre)},"io_post":${fmt(ioPost)},"io_max":${fmt(ioMax)},"gc_sec":${fmt(gcSec)}$rerunFields,"slowest":$slowest,"dominant":$dominant,"regressions":$regressions,"sf":"$sfDir""""
     val fullJson = s"""{"queries":$qs,$summary}"""
     println(fullJson)
     println(s"""{$summary}""")
@@ -390,6 +424,8 @@ object Bench {
       // ASCII only: the driver's capture mangles non-ASCII to '?'
       System.err.println(s"[bench] WARN $k is ${fmt(100 * v / total)}% of the suite (${fmt(v)} s) - investigate before shipping")
     }
+    if (regressions != "{}") System.err.println(
+      s"[bench] WARN per-query regressions vs bench_refs: $regressions")
     if (!clean) System.err.println(
       "[bench] WARN window verdict DIRTY after " + rerun +
       " rerun(s) - treat value/cold_total as upper bounds, not costs")

@@ -16,6 +16,9 @@ import org.apache.spark.sql.functions._
   *     not the fixture size, is what runs at scale;
   *  2. ingest exactly like ImportDump: page scan → revision flatten →
   *     namespace classify → sha1 verify → ns-partitioned parquet;
+  *     then run the A14 link-graph family on the ingested revisions
+  *     (link extraction → distinct link graph → 3 PageRank rounds)
+  *     and check rank-mass conservation;
   *  3. adapt revisions to the `documents` shape and write
   *     `<work>/corpus/documents.parquet` — from here the ENTIRE
   *     graded operator surface (dedup, curation, packing, export)
@@ -85,6 +88,24 @@ object EndToEndDemo {
     val nRevisions = revisions.count()
     val badSha = revisions.filter(!coalesce(col("sha1_ok"), lit(true))).count()
 
+    // 2b. the A14 link-graph family at ingest scale: wikitext link
+    // extraction over every replicated revision (the N× parse-side
+    // load), the distinct latest-revision link graph, and 3 PageRank
+    // rounds over it — the full graph path running on dump-born data,
+    // not the ScalaTest fixture
+    val tLinks = System.nanoTime()
+    val nLinks = MediaWikiXml.extractLinks(revisions).count()
+    val edges = MediaWikiXml.linkGraph(revisions)
+    val nEdges = edges.count()
+    val ranks = MediaWikiXml.linkRank(revisions).collect()
+    val rankMass = ranks.map(_.getDouble(1)).sum
+    val nNodes = ranks.length
+    val linkSecs = (System.nanoTime() - tLinks) / 1e9
+    // PageRank invariant: total mass ≈ node count (dangling mass
+    // redistributed each round — a leak here means a broken graph)
+    require(math.abs(rankMass - nNodes) < 1e-6 * math.max(nNodes, 1),
+      s"PageRank mass $rankMass leaked vs $nNodes nodes")
+
     // 3. adapt to the documents shape. doc_id tags physical rows
     // (monotonically_increasing_id — the replicas are byte-identical,
     // so no natural key distinguishes them); text-identical copies are
@@ -118,7 +139,7 @@ object EndToEndDemo {
 
     val secs = (System.nanoTime() - t0) / 1e9
     // ASCII one-liner, same artifact discipline as Bench
-    println(s"""{"xml_bytes":$xmlBytes,"replicas":$replicas,"revisions":$nRevisions,"sha1_mismatches":$badSha,"docs":$nDocs,"curated":$nCurated,"dedup_ratio":${if (nCurated > 0) nDocs / nCurated else -1},"shards":$nShards,"manifest_diffs":$diffs,"sec":${math.round(secs * 10) / 10.0}}""")
+    println(s"""{"xml_bytes":$xmlBytes,"replicas":$replicas,"revisions":$nRevisions,"sha1_mismatches":$badSha,"links":$nLinks,"graph_edges":$nEdges,"graph_nodes":$nNodes,"link_sec":${math.round(linkSecs * 10) / 10.0},"docs":$nDocs,"curated":$nCurated,"dedup_ratio":${if (nCurated > 0) nDocs / nCurated else -1},"shards":$nShards,"manifest_diffs":$diffs,"sec":${math.round(secs * 10) / 10.0}}""")
     graft.CheckpointMemo.clear()
     spark.stop()
     require(diffs == 0, "manifest verification failed")

@@ -613,26 +613,72 @@ object VectorOps {
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
       .withColumn("cnorm", dotFast(col("cv"), col("cv")))
 
-  /** Code assignment at (vec_id, m) grain: argmin over the 10 codes of
-    * ‖v_m − c‖² (the ‖v_m‖² term is constant per (vec, m) and drops
-    * out of the argmin), ties broken on label. Memoized — q126 pivots
-    * it and q127 joins it per query. */
+  /** Code assignment at (vec_id, m) grain over ANY codebook with the
+    * (label, m, cv, cnorm) shape: argmin over the codes of ‖v_m − c‖²
+    * (the ‖v_m‖² term is constant per (vec, m) and drops out of the
+    * argmin), ties broken on label. The graded path feeds [[pqCents]];
+    * the learned path feeds [[pqCentsLearned]] — same estimator,
+    * different training. */
+  private[graft] def pqAssignFrom(s: SparkSession, d: String,
+      cents: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("m"), col("label"),
+        (col("cnorm") - lit(2.0) * dotFast(
+          slice(col("embedding"), col("m") * lit(8) + lit(1), lit(8)),
+          col("cv"))).as("score"))
+      .withColumn("rn", row_number().over(
+        w.partitionBy(col("vec_id"), col("m")).orderBy(col("score"), col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("label").as("code"))
+  }
+
+  /** The graded assignment (label-derived codebook), memoized — q126
+    * pivots it and q127 joins it per query. */
   private[graft] def pqAssigned(s: SparkSession, d: String): DataFrame =
     graft.CheckpointMemo.getOrElseUpdate(s, d, "pq_codes") {
-      val w = org.apache.spark.sql.expressions.Window
-      Tables.embeddings(s, d)
-        .select(col("vec_id"), col("embedding"))
-        .crossJoin(broadcast(pqCents(s, d)))
-        .select(col("vec_id"), col("m"), col("label"),
-          (col("cnorm") - lit(2.0) * dotFast(
-            slice(col("embedding"), col("m") * lit(8) + lit(1), lit(8)),
-            col("cv"))).as("score"))
-        .withColumn("rn", row_number().over(
-          w.partitionBy(col("vec_id"), col("m")).orderBy(col("score"), col("label"))))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("m"), col("label").as("code"))
-        .localCheckpoint()
+      pqAssignFrom(s, d, pqCents(s, d)).localCheckpoint()
     }
+
+  /** LEARNED PQ codebook — per-subspace k-means over the 8-dim slices
+    * (MLlib; the production training loop). Test-only like [[annIvf]]:
+    * k-means initialization is engine-internal, so a learned codebook
+    * can never hash-match a SQL oracle — the graded q126/q127/q134
+    * queries keep the deterministic label-derived codebook, and
+    * PqSpec runs the SAME ADC machinery over this one and reports the
+    * recall@10 delta (SCALING.md). The model is driver-resident index
+    * metadata (k·8 centroids per subspace); only assignment and
+    * scoring distribute. */
+  def pqCentsLearned(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    val toVec = udf((a: Seq[Double]) => Vectors.dense(a.toArray))
+    val e = Tables.embeddings(s, d)
+    val centers = (0 until 8).flatMap { m =>
+      val sub = e.select(toVec(
+        slice(col("embedding"), m * 8 + 1, 8).cast("array<double>")).as("features"))
+      val model = new KMeans().setK(k).setSeed(42L + m).setMaxIter(10)
+        .setFeaturesCol("features").fit(sub)
+      model.clusterCenters.zipWithIndex.map { case (c, i) =>
+        (i, m, c.toArray.toSeq)
+      }
+    }
+    import s.implicits._
+    centers.toDF("label", "m", "cv")
+      .withColumn("cnorm", dotFast(col("cv"), col("cv")))
+  }
+
+  /** ADC top-k under an arbitrary codebook — the q127 estimator,
+    * parameterized by training. PqSpec drives it with both codebooks
+    * to measure what learned centroids buy in recall. */
+  def pqAdcTopkFrom(s: SparkSession, d: String, cents: DataFrame,
+      k: Int = 10): DataFrame =
+    adcEstimate(pqAssignFrom(s, d, cents).filter(col("vec_id") =!= 0),
+      adcLookupFrom(s, d, cents))
+      .orderBy(col("est_dist"), col("vec_id"))
+      .limit(k)
 
   /** q126: product-quantization encoding — 64 float32 dims compressed
     * to 8 sub-byte codes per vector (Jégou/Douze/Schmid, TPAMI'11),
@@ -689,10 +735,16 @@ object VectorOps {
   /** The per-query ADC lookup table: 80 rows of (m, code, part) where
     * part = ‖q_m − c_{code,m}‖² for query vector 0. Shared by q127
     * (whole-corpus scan) and q134 (LSH-candidate re-rank). */
-  private def adcLookup(s: SparkSession, d: String): DataFrame = {
+  private def adcLookup(s: SparkSession, d: String): DataFrame =
+    adcLookupFrom(s, d, pqCents(s, d))
+
+  /** The lookup-table build over an arbitrary codebook (the learned
+    * variant reuses it verbatim). */
+  private def adcLookupFrom(s: SparkSession, d: String,
+      cents: DataFrame): DataFrame = {
     val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"))
-    pqCents(s, d).crossJoin(broadcast(q))
+    cents.crossJoin(broadcast(q))
       .select(col("m"), col("label").as("code"),
         (dotFast(slice(col("qv"), col("m") * lit(8) + lit(1), lit(8)),
           slice(col("qv"), col("m") * lit(8) + lit(1), lit(8)))
@@ -727,20 +779,34 @@ object VectorOps {
     * (q51's scan is the gold baseline; q109 measures the recall of
     * the same coarse structure). Everything reuses memoized frames —
     * the query is a candidate semi-filter + the shared ADC estimate. */
-  def pqRerankAnn(s: SparkSession, d: String): DataFrame = {
+  def pqRerankAnn(s: SparkSession, d: String): DataFrame =
+    pqRerankAnnAt(s, d, probeBits = 1)
+
+  /** The serving stack with a MULTIPROBE BREADTH knob: candidates are
+    * every vector whose 4-bit bucket agrees with the query's on the
+    * top (4 − probeBits) hyperplane signs — probeBits = 0 is the
+    * exact bucket, 1 the graded q134 super-bucket (2 buckets), b
+    * probes 2^b buckets (4 = the whole corpus). Recall rises and the
+    * candidate set grows with b; the recall/candidate trade-off is
+    * measured per breadth in PqSpec and recorded in SCALING.md (the
+    * production tuning loop for a serving deployment — breadth is a
+    * per-query latency budget, not an index rebuild). */
+  def pqRerankAnnAt(s: SparkSession, d: String, probeBits: Int,
+      k: Int = 5): DataFrame = {
+    require(probeBits >= 0 && probeBits <= 4, s"probeBits in [0,4]: $probeBits")
     val e = Tables.embeddings(s, d)
     val withBucket = e.withColumn("bucket", lshBucket)
     val q = withBucket.filter(col("vec_id") === 0)
       .select(col("bucket").as("qbucket"))
     val cand = withBucket.crossJoin(broadcast(q))
       .filter(col("vec_id") =!= 0 &&
-        shiftright(col("bucket"), 1) === shiftright(col("qbucket"), 1))
+        shiftright(col("bucket"), probeBits) === shiftright(col("qbucket"), probeBits))
       .select(col("vec_id"))
     adcEstimate(
       pqAssigned(s, d).join(cand.hint("shuffle_hash"), Seq("vec_id")),
       adcLookup(s, d))
       .orderBy(col("est_dist"), col("vec_id"))
-      .limit(5)
+      .limit(k)
   }
 
   private lazy val pqRerankAnnSql =
