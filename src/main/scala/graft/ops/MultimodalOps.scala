@@ -9,9 +9,10 @@ import graft.{QueryDef, Tables}
   * columns with typed metadata, decode → feature-extract over
   * mapPartitions.
   *
-  * Decode is two-tier. Payloads in one of the four pure-JVM-decodable
+  * Decode is two-tier. Payloads in one of the five pure-JVM-decodable
   * image formats — binary PPM ("P6"), 24-bit uncompressed BMP, 8-bit
-  * non-interlaced PNG, and baseline JPEG — take the REAL decode path
+  * non-interlaced PNG, baseline JPEG, and GIF 87a/89a (LZW) — take
+  * the REAL decode path
   * ([[decodeImage]]: magic sniff, header/entropy parse, per-channel
   * stats), exercised end-to-end on checked-in and generated fixture
   * bytes by MultimodalSpec/JpegDecoderSpec. Everything else falls back to
@@ -82,7 +83,7 @@ object MultimodalOps {
     * garbage features. */
   private[graft] def decodeImage(payload: Array[Byte]): Option[DecodedImage] =
     decodePpm(payload).orElse(decodeBmp(payload)).orElse(decodePng(payload))
-      .orElse(JpegDecoder.decode(payload))
+      .orElse(JpegDecoder.decode(payload)).orElse(GifDecoder.decode(payload))
 
   private def decodePpm(p: Array[Byte]): Option[DecodedImage] = {
     if (p.length < 2 || p(0) != 'P'.toByte || p(1) != '6'.toByte) return None

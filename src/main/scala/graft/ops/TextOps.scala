@@ -1784,6 +1784,25 @@ object TextOps {
       .filter(col("cnt") > 0)
   }
 
+  /** q135: the delta round GRADED — the strongest form of the
+    * incremental-BPE proof. The Spark side computes round-2 counts by
+    * DELTA MAINTENANCE (counts₁ − pre + post over the gated 9.4% of
+    * docs); the DuckDB oracle computes the same table by a FULL
+    * recount of the merged corpus. A hash match is a cross-engine
+    * proof of the incremental identity itself, at every scale factor
+    * the driver grades. Output is vocabulary-bounded (~930 pairs on
+    * the driver corpora regardless of SF). */
+  def bpeDeltaRound(s: SparkSession, d: String): DataFrame =
+    bpeDeltaCounts(s, d).orderBy(col("pair"))
+
+  private lazy val bpeDeltaRoundSql =
+    s"""WITH t1 AS (SELECT text FROM documents),
+       |${bpeRoundSql(1, "t1")},
+       |pp AS (SELECT unnest([array_to_string(list_slice(tk, i, i+1), ' ')
+       |         for i in generate_series(1, len(tk)-1)]) AS pair
+       |       FROM (SELECT string_split(text,' ') AS tk FROM t2))
+       |SELECT pair, count(*) AS cnt FROM pp GROUP BY pair ORDER BY pair""".stripMargin
+
   /** One oracle round: count pairs from `from`, pick the winner, and
     * apply the SAME token-grain left-to-right fold the Spark side
     * uses (list_reduce seeded by the first token ≡ Spark's aggregate
@@ -2267,6 +2286,8 @@ object TextOps {
       "quality-argmax dedup survivor selection per near-dup cluster (vs min-id default)"),
     QueryDef("q132_bpe_merges", bpeMerges, Some(bpeMergesSql),
       "BPE merge learning (ACL'16): 3 fixed rounds of pair-count -> winner -> corpus merge"),
+    QueryDef("q135_bpe_delta_round", bpeDeltaRound, Some(bpeDeltaRoundSql),
+      "incremental BPE round: Spark maintains counts by delta, oracle recounts in full"),
     QueryDef("q131_containment_join", containmentJoin, Some(containmentJoinSql),
       "exact set-containment join (one-sided prefix filter): subsumed-document detection"),
     QueryDef("q129_corpus_drift", corpusDrift, Some(corpusDriftSql),

@@ -809,13 +809,18 @@ object VectorOps {
       .limit(k)
   }
 
-  private lazy val pqRerankAnnSql =
+  /** The q134 oracle parameterized by multiprobe breadth — bucket
+    * agreement after dropping probeBits low bits (integer divide by
+    * 2^probeBits ≡ the operator's shiftright). probeBits=1 is the
+    * graded q134 text verbatim; q136 grades breadth 2. */
+  private def pqRerankAnnSqlAt(probeBits: Int): String = {
+    val div = 1 << probeBits
     s"""WITH $pqCentSqlCte,
        |qq AS (SELECT embedding AS qv, $bucketSqlExpr AS qbucket
        |       FROM embeddings WHERE vec_id = 0),
        |b AS (SELECT vec_id, $bucketSqlExpr AS bucket FROM embeddings),
        |cand AS (SELECT b.vec_id FROM b, qq
-       |         WHERE b.vec_id != 0 AND b.bucket // 2 = qq.qbucket // 2),
+       |         WHERE b.vec_id != 0 AND b.bucket // $div = qq.qbucket // $div),
        |lt AS (SELECT cn.m, cn.label AS code,
        |    list_sum([CAST(qv[cn.m*8+i] AS DOUBLE)*CAST(qv[cn.m*8+i] AS DOUBLE)
        |              for i in generate_series(1,8)])
@@ -830,6 +835,19 @@ object VectorOps {
        |SELECT vec_id,
        |  ${(0 until 8).map(m => s"p$m").mkString(" + ")} AS est_dist
        |FROM parts ORDER BY est_dist, vec_id LIMIT 5""".stripMargin
+  }
+
+  private lazy val pqRerankAnnSql = pqRerankAnnSqlAt(1)
+
+  /** q136: the serving stack one breadth notch wider (probeBits = 2,
+    * 4 of 16 buckets probed) — the graded instance of the multiprobe
+    * knob, so the recall/candidate trade-off PqSpec measures is also
+    * oracle-pinned at a second operating point. Same plan as q134
+    * except the candidate gate. */
+  def pqRerankAnnWide(s: SparkSession, d: String): DataFrame =
+    pqRerankAnnAt(s, d, probeBits = 2)
+
+  private lazy val pqRerankAnnWideSql = pqRerankAnnSqlAt(2)
 
   private lazy val pqAdcTopkSql =
     s"""WITH $pqCentSqlCte,
@@ -866,6 +884,8 @@ object VectorOps {
       "IVF-blocked kNN self-join: top-3 cosine neighbors per vector inside its learned cell"),
     QueryDef("q87_ann_ivf_cells", annIvfCells, Some(annIvfCellsSql),
       "B31 IVF ANN: deterministic centroid quantizer, probed-cell re-rank"),
+    QueryDef("q136_multiprobe_ann", pqRerankAnnWide, Some(pqRerankAnnWideSql),
+      "B76 serving stack at multiprobe breadth 2 (recall/latency knob, oracle-pinned)"),
     QueryDef("q134_pq_rerank_ann", pqRerankAnn, Some(pqRerankAnnSql),
       "ANN serving stack: LSH super-bucket candidates re-ranked by PQ asymmetric distance"),
     QueryDef("q126_pq_codes", pqCodes, Some(pqCodesSql),
