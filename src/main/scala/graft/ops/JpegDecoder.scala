@@ -2,17 +2,27 @@ package graft.ops
 
 import scala.util.control.NonFatal
 
-/** Pure-JVM baseline JPEG decoder — the third compressed-format tier
-  * of [[MultimodalOps.decodeImage]] after PNG (PPM/BMP are raw).
+/** Pure-JVM JPEG decoder — the third compressed-format tier of
+  * [[MultimodalOps.decodeImage]] after PNG (PPM/BMP are raw).
   *
   * Scope, deliberately the ubiquitous subset: baseline sequential DCT
-  * (SOF0), 8-bit samples, Huffman entropy coding, 1-component
-  * grayscale or 3-component YCbCr with any h/v sampling factors ≤ 2
-  * (4:4:4, 4:2:2, 4:2:0), restart intervals, stuffed-byte unescaping.
-  * Everything else — progressive (SOF2), arithmetic coding, 12-bit,
-  * hierarchical, CMYK — returns None and falls back to the histogram
+  * (SOF0) AND progressive DCT (SOF2, both spectral selection and
+  * successive approximation — the web's default "progressive" output),
+  * 8-bit samples, Huffman entropy coding, 1-component grayscale or
+  * 3-component YCbCr with any h/v sampling factors ≤ 2 (4:4:4,
+  * 4:2:2, 4:2:0), restart intervals, stuffed-byte unescaping.
+  * Everything else — arithmetic coding, 12-bit, hierarchical,
+  * lossless, CMYK — returns None and falls back to the histogram
   * stub tier, exactly like a truncated or malformed payload: a decode
   * must never produce garbage features.
+  *
+  * Progressive structure (T.81 G.2): coefficients ACCUMULATE across
+  * scans in per-component zigzag-order buffers — DC first/refinement
+  * scans may interleave components per MCU, AC scans are single-
+  * component over the component's own block raster with EOB-run
+  * coding (G.1.2.2) and the correction-bit refinement walk
+  * (G.1.2.3); dequantization and the IDCT run ONCE after the last
+  * scan.
   *
   * Determinism: the IDCT is a fixed-order separable double-precision
   * transform (precomputed cosine table), chroma upsampling is integer
@@ -101,6 +111,15 @@ private[graft] object JpegDecoder {
     var plane: Array[Int] = null // full-size component plane
     var planeW = 0
     var planeH = 0
+    // progressive state: zigzag-order coefficient buffer over the
+    // MCU-padded block grid (blocksW × blocksH blocks × 64), plus the
+    // non-interleaved scan coverage (the component's OWN ceil(w/8) ×
+    // ceil(h/8) raster, T.81 A.2.2 — smaller than the padded grid)
+    var coefs: Array[Int] = null
+    var blocksW = 0
+    var blocksH = 0
+    var scanW = 0
+    var scanH = 0
   }
 
   // ---- bit reader over entropy-coded data -------------------------
@@ -177,6 +196,7 @@ private[graft] object JpegDecoder {
     var width = 0
     var height = 0
     var restartInterval = 0
+    var progressive = false
 
     def u16(i: Int): Int = ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
 
@@ -190,7 +210,9 @@ private[graft] object JpegDecoder {
       marker match {
         case 0xd8 => // stray SOI
         case 0xd9 => sawEoi = true
-        case 0xc0 => // SOF0 baseline
+        case 0xc0 | 0xc2 => // SOF0 baseline / SOF2 progressive
+          if (comps != null) return None // one frame only
+          progressive = marker == 0xc2
           val len = u16(i)
           val precision = p(i + 2) & 0xff
           if (precision != 8) return None
@@ -210,10 +232,23 @@ private[graft] object JpegDecoder {
               comps(c).v < 1 || comps(c).v > 2) return None
             c += 1
           }
+          if (progressive) {
+            val maxH = comps.map(_.h).max
+            val maxV = comps.map(_.v).max
+            val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+            val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+            comps.foreach { cc =>
+              cc.blocksW = mcusX * cc.h
+              cc.blocksH = mcusY * cc.v
+              cc.scanW = ((width * cc.h + maxH - 1) / maxH + 7) / 8
+              cc.scanH = ((height * cc.v + maxV - 1) / maxV + 7) / 8
+              cc.coefs = new Array[Int](cc.blocksW * cc.blocksH * 64)
+            }
+          }
           i += len
-        case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+        case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
             0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-          return None // extended/progressive/lossless/arithmetic
+          return None // extended/lossless/arithmetic/hierarchical
         case 0xc4 => // DHT, possibly several tables in one segment
           val len = u16(i)
           var off = i + 2
@@ -257,7 +292,8 @@ private[graft] object JpegDecoder {
           if (comps == null) return None
           val len = u16(i)
           val ns = p(i + 2) & 0xff
-          if (ns != comps.length) return None // interleaved single scan only
+          if (ns < 1 || ns > comps.length) return None
+          val scanComps = new Array[Component](ns)
           var c = 0
           while (c < ns) {
             val cid = p(i + 3 + 2 * c) & 0xff
@@ -265,11 +301,22 @@ private[graft] object JpegDecoder {
             if (compOpt.isEmpty) return None
             compOpt.get.td = (p(i + 4 + 2 * c) & 0xff) >> 4
             compOpt.get.ta = p(i + 4 + 2 * c) & 0x0f
+            scanComps(c) = compOpt.get
             c += 1
           }
+          val ss = p(i + 3 + 2 * ns) & 0xff
+          val se = p(i + 4 + 2 * ns) & 0xff
+          val ah = (p(i + 5 + 2 * ns) & 0xff) >> 4
+          val al = p(i + 5 + 2 * ns) & 0x0f
           val r = new BitReader(p, i + len)
-          if (!decodeScan(r, comps, quant, huffDc, huffAc,
-            width, height, restartInterval)) return None
+          if (progressive) {
+            if (!decodeProgressiveScan(r, comps, scanComps, huffDc, huffAc,
+              ss, se, ah, al, width, height, restartInterval)) return None
+          } else {
+            if (ns != comps.length) return None // baseline: one interleaved scan
+            if (!decodeScan(r, comps, quant, huffDc, huffAc,
+              width, height, restartInterval)) return None
+          }
           scanned = true
           i = r.pos
         case m if m >= 0xd0 && m <= 0xd7 => // stray RST outside scan
@@ -280,8 +327,221 @@ private[graft] object JpegDecoder {
           i += u16(i)
       }
     }
-    if (!scanned || comps == null) return None
+    // EOI is mandatory (T.81 B.2.1): without it a truncated file whose
+    // scans happen to align — e.g. a progressive stream cut BETWEEN
+    // scans, missing its refinement passes — would silently decode as
+    // a complete image
+    if (!scanned || comps == null || !sawEoi) return None
+    if (progressive && !finishProgressive(comps, quant)) return None
     Some(toRgbMeans(comps, width, height))
+  }
+
+  // ---- progressive scans (T.81 G.2) -------------------------------
+
+  /** One progressive scan: DC scans (ss=0) may interleave components
+    * per MCU; AC scans (ss>0) are single-component over the
+    * component's own block raster. ah=0 is a first pass, ah>0 a
+    * successive-approximation refinement. Returns false on any
+    * structural violation. */
+  private def decodeProgressiveScan(r: BitReader, comps: Array[Component],
+      scanComps: Array[Component], huffDc: Array[Huff], huffAc: Array[Huff],
+      ss: Int, se: Int, ah: Int, al: Int, width: Int, height: Int,
+      restartInterval: Int): Boolean = {
+    if (ss < 0 || se > 63 || ss > se || al > 13) return false
+    if (ss == 0 && se != 0) return false // DC scan is exactly band [0,0]
+    if (ss > 0 && scanComps.length != 1) return false // AC: one component
+    scanComps.foreach(_.pred = 0)
+    var eobrun = 0
+    val p1 = 1 << al
+
+    // -- per-block decoders over the zigzag-order coef slice ---------
+    def dcFirst(c: Component, off: Int): Boolean = {
+      val t = r.decodeHuff(huffDc(c.td))
+      if (t > 15) return false
+      c.pred += extend(r.bits(t), t)
+      c.coefs(off) = c.pred << al
+      true
+    }
+    def dcRefine(c: Component, off: Int): Boolean = {
+      if (r.bit() == 1) c.coefs(off) |= p1
+      true
+    }
+    def acFirst(c: Component, off: Int): Boolean = {
+      if (eobrun > 0) { eobrun -= 1; return true }
+      var k = ss
+      while (k <= se) {
+        val rs = r.decodeHuff(huffAc(c.ta))
+        val run = rs >> 4
+        val size = rs & 0x0f
+        if (size == 0) {
+          if (run == 15) k += 16 // ZRL
+          else { // EOB run: this block ends; (1<<run)+bits(run)-1 more follow
+            eobrun = (1 << run) - 1
+            if (run > 0) eobrun += r.bits(run)
+            return true
+          }
+        } else {
+          k += run
+          if (k > se) return false
+          c.coefs(off + k) = extend(r.bits(size), size) << al
+          k += 1
+        }
+      }
+      true
+    }
+    // the correction-bit walk (G.1.2.3): every already-nonzero
+    // coefficient passed over — by a run, a ZRL, or an EOB run —
+    // consumes one correction bit; runs count only zero-HISTORY
+    // positions
+    def refineNonzero(c: Component, off: Int, k: Int): Unit = {
+      val cur = c.coefs(off + k)
+      if (r.bit() == 1 && (cur & p1) == 0)
+        c.coefs(off + k) = cur + (if (cur >= 0) p1 else -p1)
+    }
+    // eobrun here counts blocks remaining INCLUDING the current one,
+    // so the remainder-of-block correction walk below runs even for a
+    // run-0 EOB (which ends only the current block)
+    def acRefine(c: Component, off: Int): Boolean = {
+      var k = ss
+      if (eobrun == 0) {
+        var inBand = true
+        while (inBand && k <= se) {
+          val rs = r.decodeHuff(huffAc(c.ta))
+          var run = rs >> 4
+          val size = rs & 0x0f
+          var newval = 0
+          if (size == 0) {
+            if (run != 15) { // EOB run begins (correction bits continue below)
+              eobrun = 1 << run
+              if (run > 0) eobrun += r.bits(run)
+              inBand = false
+            }
+            // run == 15: ZRL — skip 16 zero-history coefs, newval stays 0
+          } else {
+            if (size != 1) return false // refinement emits ±1 only
+            newval = if (r.bit() == 1) p1 else -p1
+          }
+          if (inBand) {
+            var placing = true
+            while (placing && k <= se) {
+              if (c.coefs(off + k) != 0) { refineNonzero(c, off, k); k += 1 }
+              else if (run == 0) placing = false
+              else { run -= 1; k += 1 }
+            }
+            if (newval != 0 && k <= se) c.coefs(off + k) = newval
+            k += 1
+          }
+        }
+      }
+      if (eobrun > 0) {
+        while (k <= se) {
+          if (c.coefs(off + k) != 0) refineNonzero(c, off, k)
+          k += 1
+        }
+        eobrun -= 1
+      }
+      true
+    }
+    def decodeBlock(c: Component, bx: Int, by: Int): Boolean = {
+      val off = (by * c.blocksW + bx) * 64
+      if (ss == 0) {
+        if (ah == 0) dcFirst(c, off) else dcRefine(c, off)
+      } else {
+        if (ah == 0) acFirst(c, off) else acRefine(c, off)
+      }
+    }
+
+    // table presence only where the scan type needs one
+    if (ss == 0 && ah == 0 && scanComps.exists(c => huffDc(c.td) == null))
+      return false
+    if (ss > 0 && scanComps.exists(c => huffAc(c.ta) == null)) return false
+
+    def restartNow(): Boolean = {
+      if (!r.restart()) return false
+      scanComps.foreach(_.pred = 0)
+      eobrun = 0
+      true
+    }
+
+    if (ss == 0 && scanComps.length > 1) {
+      // interleaved DC scan: MCU order over the padded grid
+      val maxH = comps.map(_.h).max
+      val maxV = comps.map(_.v).max
+      val mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+      val mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+      val nMcus = mcusX * mcusY
+      var mcu = 0
+      while (mcu < nMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0 &&
+          !restartNow()) return false
+        val mx = mcu % mcusX
+        val my = mcu / mcusX
+        var ci = 0
+        while (ci < scanComps.length) {
+          val c = scanComps(ci)
+          var by = 0
+          while (by < c.v) {
+            var bx = 0
+            while (bx < c.h) {
+              if (!decodeBlock(c, mx * c.h + bx, my * c.v + by)) return false
+              bx += 1
+            }
+            by += 1
+          }
+          ci += 1
+        }
+        if (r.hitMarker && mcu < nMcus - 1) return false
+        mcu += 1
+      }
+    } else {
+      // single-component scan (all AC scans; DC over a 1-comp frame or
+      // a 1-comp DC scan): the component's OWN block raster
+      val c = scanComps(0)
+      val nBlocks = c.scanW * c.scanH
+      var b = 0
+      while (b < nBlocks) {
+        if (restartInterval > 0 && b > 0 && b % restartInterval == 0 &&
+          !restartNow()) return false
+        if (!decodeBlock(c, b % c.scanW, b / c.scanW)) return false
+        if (r.hitMarker && b < nBlocks - 1) return false
+        b += 1
+      }
+    }
+    true
+  }
+
+  /** After the last scan: dequantize each accumulated zigzag block
+    * and run the shared IDCT into freshly allocated planes. */
+  private def finishProgressive(comps: Array[Component],
+      quant: Array[Array[Int]]): Boolean = {
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      if (c.coefs == null || quant(c.tq) == null) return false
+      val q = quant(c.tq)
+      c.planeW = c.blocksW * 8
+      c.planeH = c.blocksH * 8
+      c.plane = new Array[Int](c.planeW * c.planeH)
+      var by = 0
+      while (by < c.blocksH) {
+        var bx = 0
+        while (bx < c.blocksW) {
+          val off = (by * c.blocksW + bx) * 64
+          var k = 0
+          while (k < 64) {
+            coef(ZIGZAG(k)) = c.coefs(off + k) * q(k)
+            k += 1
+          }
+          idctBlock(coef, tmp, c, bx * 8, by * 8)
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    true
   }
 
   private def decodeScan(r: BitReader, comps: Array[Component],

@@ -124,6 +124,73 @@ class JpegDecoderSpec extends AnyFunSuite {
     assert(JpegDecoder.decode(corrupt) === None)
   }
 
+  private def encodeProg(img: BufferedImage, quality: Float): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    // the JDK's default progressive scan script: DC first + AC
+    // spectral-selection + successive-approximation refinement passes
+    param.setProgressiveMode(ImageWriteParam.MODE_DEFAULT)
+    val bos = new ByteArrayOutputStream()
+    val ios = new MemoryCacheImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new IIOImage(img, null, null), param)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  private def assertSof2(bytes: Array[Byte]): Unit = {
+    // make sure the writer really produced a PROGRESSIVE file (SOF2)
+    var i = 2
+    var sof = -1
+    while (sof < 0 && i + 1 < bytes.length) {
+      if ((bytes(i) & 0xff) == 0xff) {
+        val m = bytes(i + 1) & 0xff
+        if (m == 0xc0 || m == 0xc2) sof = m
+      }
+      i += 1
+    }
+    assert(sof === 0xc2, "fixture is not progressive")
+  }
+
+  test("progressive (SOF2): the JDK's default multi-scan script decodes") {
+    for ((w, h, q, tol) <- Seq((37, 23, 0.85f, 1.5), (64, 48, 0.98f, 1.0),
+      (64, 48, 0.30f, 3.0), (41, 17, 0.8f, 2.0))) {
+      val bytes = encodeProg(testImage(w, h), q)
+      assertSof2(bytes)
+      val d = JpegDecoder.decode(bytes)
+      assert(d.isDefined, s"progressive ${w}x$h q=$q rejected")
+      assert(d.get.width === w && d.get.height === h)
+      assertClose(bytes, tol)
+    }
+  }
+
+  test("progressive grayscale single-component") {
+    val src = testImage(32, 32)
+    val gray = new BufferedImage(32, 32, BufferedImage.TYPE_BYTE_GRAY)
+    gray.getGraphics.drawImage(src, 0, 0, null)
+    val bytes = encodeProg(gray, 0.9f)
+    assertSof2(bytes)
+    val d = JpegDecoder.decode(bytes).get
+    assert(d.width === 32 && d.height === 32)
+    assert(d.meanR === d.meanG && d.meanG === d.meanB)
+    assertClose(bytes, 1.5)
+  }
+
+  test("progressive decode is deterministic and rejects truncation") {
+    val bytes = encodeProg(testImage(48, 48), 0.85f)
+    assertSof2(bytes)
+    val a = JpegDecoder.decode(bytes).get
+    val b = JpegDecoder.decode(bytes).get
+    assert(a === b)
+    // cutting anywhere in the scan chain must reject, never partially
+    // decode: a progressive file whose REFINEMENT scans are missing is
+    // structurally truncated
+    for (cut <- Seq(bytes.length / 4, bytes.length / 2, bytes.length - 2))
+      assert(JpegDecoder.decode(bytes.take(cut)) === None, s"cut at $cut")
+  }
+
   test("decodeImage dispatches JPEG through the real tier") {
     val bytes = encode(testImage(24, 24), 0.9f)
     val viaDispatch = MultimodalOps.decodeImage(bytes)
