@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BigramStats, DotProduct, HllSketchAgg, LogHistogramAgg, MinhashHex, MisraGriesAgg, Shingles, StopwordCounts}
+import graft.functions.{BigramStats, BpeMergePair, DotProduct, HllSketchAgg, LogHistogramAgg, MinhashHex, MisraGriesAgg, Shingles, StopwordCounts}
 
 /** SparkSessionExtensions entry point (SURVEY.md §4): registers the
   * engine's native expressions for SQL use. Deployments opt in with
@@ -131,6 +131,13 @@ object GraftExtensions {
           case _ => throw new IllegalArgumentException(
             "graft_minhash expects (shingles) or (shingles, components INT literal), got " +
               exprs.mkString(", "))
+        }),
+      (FunctionIdentifier("graft_bpe_merge"),
+        new ExpressionInfo(classOf[BpeMergePair].getName, "graft_bpe_merge"),
+        (exprs: Seq[Expression]) => exprs match {
+          case Seq(text, pair) => BpeMergePair(text, pair)
+          case _ => throw new IllegalArgumentException(
+            s"graft_bpe_merge expects (text, pair), got ${exprs.size} arguments")
         }),
       (FunctionIdentifier("graft_bigram_stats"),
         new ExpressionInfo(classOf[BigramStats].getName, "graft_bigram_stats"),

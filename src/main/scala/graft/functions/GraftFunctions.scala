@@ -71,6 +71,15 @@ object GraftFunctions {
     column(DotProduct(expression(a), expression(b)))
   }
 
+  /** The BPE winner-bigram token merge via the native expression —
+    * value-identical to the shared aggregate()/list_reduce() fold
+    * (WinnowingSpec pins the equality), one codegen'd linear byte
+    * scan per document instead of an interpreted per-token fold. */
+  def bpeMergeFast(text: Column, pair: Column): Column = {
+    import org.apache.spark.sql.GraftShims.{column, expression}
+    column(BpeMergePair(expression(text), expression(pair)))
+  }
+
   /** Cosine similarity on float arrays via the native expression —
     * value-identical to cosineSim, ~10× faster per row. */
   def cosineSimFast(a: Column, b: Column): Column =

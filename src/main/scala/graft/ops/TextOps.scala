@@ -1686,10 +1686,15 @@ object TextOps {
     * is map-only. Real BPE runs thousands of rounds with an
     * incremental pair-count delta; the fixed unroll demonstrates the
     * per-round plan at the scale where each round is a full pass. */
-  /** The merge fold over columns (text, a, b, m) — factored so the
-    * spec can drive boundary cases ("za b" must NOT merge under
-    * winner "a b"; "a a a" → "a_a a") through the exact production
-    * expression. */
+  /** The merge fold over columns (text, a, b, m) — the REFERENCE
+    * formulation, shared semantics with the DuckDB oracle's
+    * list_reduce. The production passes below run the native
+    * [[graft.functions.BpeMergePair]] expression instead (one
+    * codegen'd linear byte scan; the merged token is the bigram with
+    * its separator space patched to '_', so output length is fixed);
+    * WinnowingSpec proves native ≡ fold on the corpus and on the
+    * boundary cases ("za b" must NOT merge under winner "a b";
+    * "a a a" → "a_a a"). */
   private[graft] val bpeMergeFold: String =
     """aggregate(slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
       |  element_at(split(text, ' '), 1),
@@ -1719,18 +1724,13 @@ object TextOps {
       .select(col("text"))
     val rounds = (1 to 3).map { r =>
       val w = winner(docs)
-      // token-grain left-to-right merge: fold the token list into a
-      // string accumulator; a merge fires only when the accumulator's
-      // LAST TOKEN equals `a` (exact-string or preceded by a space —
-      // tokens are space-free, so the suffix test IS the last-token
-      // test) and the current token equals `b`. The merged token
-      // (no spaces) can never satisfy the suffix test, which is what
-      // makes consecutive overlaps resolve left-to-right.
+      // token-grain left-to-right merge: a merge fires only on an
+      // exact (a, b) token bigram, and a merged token leaves the
+      // window — the native expression (one codegen'd byte scan,
+      // proven ≡ the [[bpeMergeFold]] reference) does the pass
       docs = docs.crossJoin(broadcast(w))
-        .withColumn("a", element_at(split(col("pair"), " "), 1))
-        .withColumn("b", element_at(split(col("pair"), " "), 2))
-        .withColumn("m", regexp_replace(col("pair"), lit(" "), lit("_")))
-        .select(expr(bpeMergeFold).as("text"))
+        .select(graft.functions.GraftFunctions
+          .bpeMergeFast(col("text"), col("pair")).as("text"))
       w.select(lit(r).as("round"), col("pair"), col("cnt"))
     }
     rounds.reduce(_ unionAll _).orderBy(col("round"))
@@ -1764,21 +1764,18 @@ object TextOps {
     val counts1 = bpePairCounts(docs)
     val w = counts1.orderBy(col("cnt").desc, col("pair")).limit(1)
     val tagged = docs.crossJoin(broadcast(w.select(col("pair"))))
-      .withColumn("a", element_at(split(col("pair"), " "), 1))
-      .withColumn("b", element_at(split(col("pair"), " "), 2))
-      .withColumn("m", regexp_replace(col("pair"), lit(" "), lit("_")))
     // the semi-gate: docs whose token-bigram set contains the winner.
     // A pure row predicate — pushed to the scan, nothing shuffles;
-    // unaffected docs are never re-tokenized.
+    // unaffected docs are never re-tokenized. A doc is affected iff
+    // the native merge changes it (same one-pass byte scan as the
+    // merge itself — the gate and the rewrite can never disagree).
     val affected = tagged
-      .filter(size(split(col("text"), " ")) >= 2)
-      .filter(expr(
-        "exists(transform(sequence(1, size(split(text, ' ')) - 1), " +
-          "i -> concat_ws(' ', element_at(split(text, ' '), i), " +
-          "element_at(split(text, ' '), i + 1))), p -> p = pair)"))
+      .filter(graft.functions.GraftFunctions
+        .bpeMergeFast(col("text"), col("pair")) =!= col("text"))
     val before = bpePairCounts(affected.select(col("text")))
       .select(col("pair"), (-col("cnt")).as("cnt"))
-    val after = bpePairCounts(affected.select(expr(bpeMergeFold).as("text")))
+    val after = bpePairCounts(affected.select(graft.functions.GraftFunctions
+      .bpeMergeFast(col("text"), col("pair")).as("text")))
     counts1.unionAll(before).unionAll(after)
       .groupBy(col("pair")).agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") > 0)

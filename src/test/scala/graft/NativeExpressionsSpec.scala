@@ -109,11 +109,13 @@ class NativeExpressionsSpec extends AnyFunSuite with LocalSparkSuite {
     val r = spark.sql(
       """SELECT graft_minhash(graft_shingles(split(text, ' '), 3), 4)[0] AS mh0,
         |       graft_bigram_stats(split(text, ' '))[2] AS top_bigram,
-        |       graft_stopword_counts(split(text, ' '), array('the','and'), array('de'))[1] AS s_de
+        |       graft_stopword_counts(split(text, ' '), array('the','and'), array('de'))[1] AS s_de,
+        |       graft_bpe_merge('x a b y', 'a b') AS merged
         |FROM docs_native WHERE size(split(text, ' ')) >= 3 AND doc_id = 0""".stripMargin)
       .head()
     assert(r.getString(0).length === 32)
     assert(r.getLong(1) >= 0L && r.getInt(2) >= 0)
+    assert(r.getString(3) === "x a_b y")
     intercept[Exception] { // non-literal shingle width must be rejected
       spark.sql("SELECT graft_shingles(split(text,' '), doc_id) FROM docs_native").head()
     }
@@ -135,6 +137,8 @@ class NativeExpressionsSpec extends AnyFunSuite with LocalSparkSuite {
       .isAssignableFrom(classOf[StopwordCounts]))
     assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
       .isAssignableFrom(classOf[MinhashHex]))
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[graft.functions.BpeMergePair]))
   }
 
   test("q103's plan keeps the bloom prefilter ahead of the exact join") {

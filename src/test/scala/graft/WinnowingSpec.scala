@@ -348,12 +348,32 @@ class WinnowingSpec extends AnyFunSuite with LocalSparkSuite {
       .withColumn("b", element_at(split(col("pair"), " "), 2))
       .withColumn("m", regexp_replace(col("pair"), lit(" "), lit("_")))
       .select(col("text"), col("want"),
-        expr(graft.ops.TextOps.bpeMergeFold).as("got"))
+        expr(graft.ops.TextOps.bpeMergeFold).as("got"),
+        graft.functions.GraftFunctions
+          .bpeMergeFast(col("text"), col("pair")).as("native"))
       .collect()
-    got.foreach(r => assert(r.getString(2) === r.getString(1),
-      s"fold of '${r.getString(0)}'"))
+    got.foreach { r =>
+      assert(r.getString(2) === r.getString(1), s"fold of '${r.getString(0)}'")
+      // the production-path native expression must agree with the
+      // reference fold on every boundary case
+      assert(r.getString(3) === r.getString(1), s"native of '${r.getString(0)}'")
+    }
     // and the fold agrees with the in-memory reference on every case
     cases.foreach { case (t, p, want) => assert(mergeOne(t, p) === want) }
+    // corpus-wide: native ≡ fold on every document under the real
+    // round-1 winner (not just the crafted cases)
+    val counts = bigramCounts(Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0)))
+    val (winner, _) = counts.minBy { case (p2, c) => (-c, p2) }
+    val diff = Tables.documents(spark, sfDir)
+      .withColumn("pair", lit(winner))
+      .withColumn("a", element_at(split(col("pair"), " "), 1))
+      .withColumn("b", element_at(split(col("pair"), " "), 2))
+      .withColumn("m", regexp_replace(col("pair"), lit(" "), lit("_")))
+      .filter(graft.functions.GraftFunctions
+        .bpeMergeFast(col("text"), col("pair")) =!= expr(graft.ops.TextOps.bpeMergeFold))
+      .count()
+    assert(diff === 0L, "native merge diverged from the fold on the corpus")
   }
 
   test("q132 delta round ≡ full second pass (incremental pair-count maintenance)") {
