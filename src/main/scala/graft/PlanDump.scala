@@ -56,8 +56,10 @@ object PlanDump {
       "q126_pq_codes" -> "B69 PQ encoding: 80-row codebook broadcast, map-side cross, skew-free (vec_id, m)-partitioned argmin windows of exactly 10 rows",
       "q128_incremental_refresh" -> "B70 refresh composition: delta gate, quota mixing and greedy packing chained in one declarative plan; every stage's exchange feeds the next",
       "q131_containment_join" -> "B73 containment join: one-sided prefix explode against the full shingle side (shared memoized doc frame), skinny ordered-pair candidates distinct before the array join-backs",
-      "q132_bpe_merges" -> "B74 BPE unroll: per round one vocabulary-bounded pair-count aggregate, a 1-row winner broadcast, a map-only literal merge — three rounds, one plan, no driver loop",
-      "q133_survivor_policy" -> "B75 survivor policy: two memoized frames (labels, quality) joined skinny, cluster-partitioned argmax window, cluster-grain rollup")
+      "q132_bpe_merges" -> "B74 BPE unroll: per round one vocabulary-bounded pair-count aggregate, a 1-row winner broadcast, a map-only graft_bpe_merge pass (native codegen byte scan) — three rounds, one plan, no driver loop",
+      "q133_survivor_policy" -> "B75 survivor policy: two memoized frames (labels, quality) joined skinny, cluster-partitioned argmax window, cluster-grain rollup",
+      "q135_bpe_delta_round" -> "B74 delta round: counts1 + gated before/after counts meet in ONE grouped sum on pair; the affected gate is a map-side graft_bpe_merge predicate on the scan — the old corpus pair table is never re-derived from unaffected docs",
+      "q136_multiprobe_ann" -> "B76 multiprobe serving: breadth-2 bucket gate is still a broadcast semi-filter ahead of the ADC estimate — widening the probe changes candidate count, never plan shape")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")
     picks.foreach { case (name, why) =>

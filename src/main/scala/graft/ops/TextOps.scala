@@ -1664,12 +1664,15 @@ object TextOps {
     * unroll — the q97 pattern: each round is one corpus-wide
     * adjacent-pair count (explode bigrams → map-side-combined hash
     * aggregate), a deterministic winner cut (max by (count, pair) —
-    * a total order both engines share), and a corpus-wide merge
-    * (literal left-to-right `replace` of "a b" with "a_b", identical
-    * non-overlapping semantics in both engines), composing into ONE
-    * declarative plan with no driver action in the loop. Output: the
-    * learned merge table (round, pair, count) — exactly what a
-    * tokenizer trainer persists.
+    * a total order both engines share) materialized as a 1-row
+    * localCheckpoint, and a corpus-wide map-only token merge. The
+    * only per-round driver synchronization is that 1-row winner
+    * materialization (the job boundary any iterative trainer has —
+    * without it Spark re-evaluates the winner subtree once per later
+    * reference and the 3-round unroll runs 6 corpus counts, not 3);
+    * the corpus itself never leaves the cluster. Output: the learned
+    * merge table (round, pair, count) — exactly what a tokenizer
+    * trainer persists.
     *
     * The merge is TOKEN-grain, like the count: a left-to-right fold
     * over the token list that rewrites (…, a, b, …) → (…, a_b, …),
@@ -1717,8 +1720,16 @@ object TextOps {
       .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
 
   def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    // each round's winner is localCheckpoint'd (1 row): the winner
+    // frame is referenced by the output union AND by every LATER
+    // round's corpus lineage, and Spark re-evaluates common subtrees
+    // per reference — without the checkpoint the 3-round unroll runs
+    // 1+2+3 = 6 corpus-wide pair counts instead of 3 (measured ~2x
+    // on the suite's then-slowest query). The checkpoint is the
+    // 1-row-frame analog of the q97 edge-list materialization.
     def winner(docs: DataFrame): DataFrame =
       bpePairCounts(docs).orderBy(col("cnt").desc, col("pair")).limit(1)
+        .localCheckpoint()
     var docs = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("text"))
@@ -1761,7 +1772,11 @@ object TextOps {
     val docs = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("text"))
-    val counts1 = bpePairCounts(docs)
+    // counts₁ is read twice (the maintained table AND the winner cut)
+    // and is vocabulary-bounded (~930 rows on the driver corpora) —
+    // localCheckpoint it so the full-corpus count runs ONCE, not once
+    // per reference (the q132 winner-checkpoint rationale)
+    val counts1 = bpePairCounts(docs).localCheckpoint()
     val w = counts1.orderBy(col("cnt").desc, col("pair")).limit(1)
     val tagged = docs.crossJoin(broadcast(w.select(col("pair"))))
     // the semi-gate: docs whose token-bigram set contains the winner.
