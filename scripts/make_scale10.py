@@ -22,7 +22,11 @@ import duckdb
 
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
-COPIES = 10
+# optional 3rd arg: copy count (e.g. 100 for the 100x validation).
+# Always scale from the ORIGINAL sf dir, never from a scaled output:
+# the key shift is copy_index * 1e9, so re-scaling a scaled dir would
+# collide keys across copies (and re-encode ts twice).
+COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 K = 10 ** 9
 
 KEYS = {

@@ -318,6 +318,15 @@ object TextOps {
       .filter(col("doc_id") =!= col("bmin")) // singleton buckets drop out
       .select(col("doc_id").as("a"), col("bmin").as("b"))
       .distinct()
+    starFixpointParts(star)
+  }
+
+  /** The min-label fixpoint building blocks over ANY distinct (a, b)
+    * edge frame — the q76 machinery factored so other similarity
+    * graphs can reuse it (q137 runs it over embedding near-dup
+    * pairs). Construction runs the edge/seed checkpoint jobs. */
+  private[ops] def starFixpointParts(star: DataFrame)
+      : (DataFrame, DataFrame, DataFrame => DataFrame) = {
     // localCheckpoint (eager) rather than cache: it TRUNCATES lineage,
     // so per-iteration plans stay constant-size instead of doubling —
     // the standard fix for iterative DataFrame algorithms
@@ -360,9 +369,17 @@ object TextOps {
     step(step(seed))
   }
 
-  private def computeDedupComponents(s: SparkSession, d: String): DataFrame = {
+  private def computeDedupComponents(s: SparkSession, d: String): DataFrame =
+    runStarFixpoint(fixpointParts(s, d))
+      .select(col("node").as("doc_id"), col("lbl").as("cluster"))
+
+  /** The convergence loop over [[starFixpointParts]] output —
+    * observe-metric convergence (sum(lbl) monotone), one cluster job
+    * per round, checkpoint rotation. Returns (node, lbl). */
+  private[ops] def runStarFixpoint(
+      parts: (DataFrame, DataFrame, DataFrame => DataFrame)): DataFrame = {
     import org.apache.spark.sql.Observation
-    val (edges, seed, step) = fixpointParts(s, d)
+    val (edges, seed, step) = parts
     // rounds 1+2 as one job; the sums of both rounds ride it as metrics
     val o1 = Observation()
     val o2 = Observation()
@@ -388,8 +405,8 @@ object TextOps {
     edges.unpersist()
     // fail loudly rather than return a non-fixpoint labeling: an
     // unconverged result would present as a data bug downstream
-    require(converged, s"dedupComponents did not converge within $iter rounds")
-    labels.select(col("node").as("doc_id"), col("lbl").as("cluster"))
+    require(converged, s"star fixpoint did not converge within $iter rounds")
+    labels.select(col("node"), col("lbl"))
   }
 
   /** The full clustering CTE chain (shingles → signatures → bands →

@@ -323,6 +323,55 @@ object VectorOps {
     * join (n·cost, not n²·cost); the vec_id<300 cap keeps the oracle's
     * O(pairs·dims) cost flat across SFs. At 100 TB the label column is
     * the blocking key exactly like an LSH band. */
+  /** q137: SemDeDup-style SEMANTIC dedup (Abbas et al. '23) composed
+    * from existing cores — the embedding-space member of the dedup
+    * family next to q76's text clusters: q55's blocked cosine pairs
+    * (same-label candidates, cos > 0.3, the label column standing in
+    * for the k-means cluster blocking a production run uses) become
+    * the edge set of the q76 star fixpoint (min-label propagation,
+    * observe-metric convergence), and the survivor is the component
+    * minimum — which IS the propagated label, so `kept` is one
+    * column comparison, no second pass. Output: every vector that
+    * has at least one semantic near-duplicate, its component, and
+    * whether it survives.
+    *
+    * Scale shape: pair generation is label-blocked (never all-pairs;
+    * at production scale the blocking key is an IVF cell), the
+    * fixpoint moves only (node, lbl) longs, and the survivor rule
+    * adds zero shuffles. */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        sqrt(dotFast(col("embedding"), col("embedding"))).as("nrm"))
+    val pairs = n.alias("a")
+      .join(n.alias("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .filter((dotFast(col("a.embedding"), col("b.embedding")) /
+        (col("a.nrm") * col("b.nrm"))) > 0.3)
+      .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"))
+    graft.ops.TextOps.runStarFixpoint(
+      graft.ops.TextOps.starFixpointParts(pairs))
+      .select(col("node").as("vec_id"), col("lbl").as("cluster"),
+        (col("node") === col("lbl")).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  private lazy val semanticDedupSql =
+    s"""WITH RECURSIVE n AS (SELECT vec_id, label, embedding,
+       |  sqrt(${dotSql("embedding", "embedding")}) AS nrm
+       | FROM embeddings WHERE vec_id < 300),
+       |p AS (SELECT a.vec_id AS va, b.vec_id AS vb
+       |      FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+       |      WHERE ${dotSql("a.embedding", "b.embedding")}/(a.nrm*b.nrm) > 0.3),
+       |edges AS (SELECT va AS src, vb AS dst FROM p
+       |          UNION ALL SELECT vb, va FROM p),
+       |reach AS (SELECT src, src AS lbl FROM (SELECT DISTINCT src FROM edges)
+       |          UNION
+       |          SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.src),
+       |comp AS (SELECT src AS vec_id, MIN(lbl) AS cluster FROM reach GROUP BY src)
+       |SELECT vec_id, cluster, vec_id = cluster AS kept
+       |FROM comp ORDER BY vec_id""".stripMargin
+
   def embeddingNearDup(s: SparkSession, d: String): DataFrame = {
     val n = Tables.embeddings(s, d).filter(col("vec_id") < 300)
       .select(col("vec_id"), col("label"), col("embedding"),
@@ -893,6 +942,8 @@ object VectorOps {
     QueryDef("q127_pq_adc_topk", pqAdcTopk, Some(pqAdcTopkSql),
       "PQ asymmetric-distance top-k: query scans codes + a 80-entry lookup table, never raw vectors"),
     QueryDef("q53_binary_meta", binaryMeta, Some(binaryMetaSql), "multimodal binary column"),
+    QueryDef("q137_semantic_dedup", semanticDedup, Some(semanticDedupSql),
+      "SemDeDup-style embedding dedup: blocked cosine pairs -> star-fixpoint components -> min-id survivor"),
     QueryDef("q55_embedding_neardup", embeddingNearDup, Some(embeddingNearDupSql),
       "embedding-cosine near-dup"))
 }

@@ -148,6 +148,45 @@ class PqSpec extends AnyFunSuite with LocalSparkSuite {
     assert(rLearned > 0.0)
   }
 
+  test("q137 semantic dedup = in-memory union-find over the same cosine pairs") {
+    val rows = Tables.embeddings(spark, sfDir).filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).map(_.toDouble)))
+    // same-label blocked pairs with the operator's exact sequential dot
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    def union(x: Long, y: Long): Unit = {
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+    }
+    val inGraph = scala.collection.mutable.Set[Long]()
+    for {
+      (ia, la, va) <- rows
+      (ib, lb, vb) <- rows
+      if la == lb && ia < ib
+    } {
+      val cos = dot(va, vb) / (math.sqrt(dot(va, va)) * math.sqrt(dot(vb, vb)))
+      if (cos > 0.3) { union(ia, ib); inGraph += ia; inGraph += ib }
+    }
+    val expected = inGraph.map(v => v -> find(v)).toMap
+    val got = graft.ops.VectorOps.semanticDedup(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.map(_._1).toSet === expected.keySet)
+    got.foreach { case (v, c, kept) =>
+      assert(c === expected(v), s"vec $v component")
+      assert(kept === (v == c), s"vec $v survivor flag")
+    }
+    // the survivor rule is real: every component keeps exactly one
+    val byComp = got.groupBy(_._2)
+    byComp.foreach { case (c, members) =>
+      assert(members.count(_._3) === 1 && members.find(_._3).get._1 === c)
+    }
+    assert(byComp.exists(_._2.length > 1), "fixture should have a real near-dup cluster")
+  }
+
   test("multiprobe breadth: candidates and recall@5 grow monotonically to the full-scan fixpoint") {
     // gold = the whole-corpus ADC top-5 (what the serving stack
     // converges to as breadth covers every bucket)
