@@ -697,7 +697,87 @@ object CurationOps {
        |SELECT doc_id, lang, pack_id, n AS n_tokens FROM pp
        |ORDER BY doc_id""".stripMargin
 
+  // ---- DSIR importance weights (q140) ------------------------------
+
+  /** q140: DATA SELECTION VIA IMPORTANCE RESAMPLING weights (Xie et
+    * al., NeurIPS'23 DSIR): score every raw doc by how target-like its
+    * hashed n-gram feature distribution is. Features are token bigrams
+    * hashed into 16 buckets (first hex char of md5 — the same
+    * engine-portable bucketing as q57's sampler); the target
+    * distribution is the `src0` slice, the raw distribution is
+    * everything else; both get Laplace +1 smoothing. A doc's weight is
+    * Σ over its bigram OCCURRENCES (in document order) of
+    * log p_target(bucket) − log p_raw(bucket) — the log-likelihood
+    * ratio under two bag-of-hashed-ngrams models. Downstream, sampling
+    * ∝ exp(weight) tilts the corpus toward the target domain; the
+    * graded artifact is the per-doc weight table itself (ROUND(6)
+    * absorbs the cross-engine ulp of ln and the summation order).
+    *
+    * Scale shape: bucket statistics are ONE map-side-combined
+    * aggregate over 16 keys (vocabulary-bounded — the hashing trick's
+    * whole point: the model size is fixed regardless of corpus size);
+    * the 16-entry log-ratio map rides a 1-row broadcast; scoring is a
+    * map-only doc-local fold. At 100 TB: one linear pass + one
+    * broadcast — nothing grows with the corpus. */
+  private[ops] def dsirCore(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .withColumn("bks", expr(
+        "transform(sequence(1, size(tk) - 1), i -> " +
+          "substring(md5(concat_ws(' ', element_at(tk, i), element_at(tk, i + 1))), 1, 1))"))
+      .select(col("doc_id"), col("source"), col("bks"))
+    val counts = bg.select(col("source"), explode(col("bks")).as("b"))
+      .groupBy(col("b")).agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("tc"),
+        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("rc"))
+    // the 16-bucket model collapses to a 1-row (map, totals) frame: the
+    // broadcast "model" every scorer task holds, DSIR's hashed-LM analog
+    val lrRow = counts.groupBy()
+      .agg(sort_array(collect_list(struct(col("b"), col("tc"), col("rc")))).as("arr"),
+        sum(col("tc")).as("tt"), sum(col("rc")).as("rt"))
+      .select(map_from_entries(expr(
+        "transform(arr, x -> struct(x.b AS b, " +
+          "ln((x.tc + 1.0) / (tt + 16.0)) - ln((x.rc + 1.0) / (rt + 16.0)) AS lr))"))
+        .as("m"))
+    bg.crossJoin(broadcast(lrRow))
+      .select(col("doc_id"), col("source"),
+        size(col("bks")).cast("long").as("n_bigrams"),
+        round(expr(
+          "aggregate(bks, CAST(0.0 AS DOUBLE), (acc, ch) -> acc + element_at(m, ch))"),
+          6).as("weight"))
+  }
+
+  def dsirWeights(s: SparkSession, d: String): DataFrame =
+    dsirCore(s, d).orderBy(col("doc_id"))
+
+  private val dsirWeightsSql =
+    """WITH tok AS (SELECT doc_id, source, string_split(text,' ') AS tk FROM documents),
+      |bg AS (SELECT doc_id, source,
+      |         [substr(md5(array_to_string(list_slice(tk, i, i+1),' ')),1,1)
+      |          for i in generate_series(1, len(tk)-1)] AS bks
+      |       FROM tok WHERE len(tk) >= 2),
+      |occ AS (SELECT doc_id, source, unnest(bks) AS b FROM bg),
+      |tc AS (SELECT b, count(*) AS c FROM occ WHERE source = 'src0' GROUP BY b),
+      |rc AS (SELECT b, count(*) AS c FROM occ WHERE source <> 'src0' GROUP BY b),
+      |tot AS (SELECT (SELECT count(*) FROM occ WHERE source='src0') AS tt,
+      |               (SELECT count(*) FROM occ WHERE source<>'src0') AS rt),
+      |lr AS (SELECT h.b,
+      |         ln((coalesce(tc.c,0) + 1.0)/(tot.tt + 16.0))
+      |       - ln((coalesce(rc.c,0) + 1.0)/(tot.rt + 16.0)) AS lr
+      |       FROM (SELECT unnest([substr('0123456789abcdef', i, 1)
+      |                            for i in generate_series(1,16)]) AS b) h
+      |       LEFT JOIN tc ON tc.b = h.b LEFT JOIN rc ON rc.b = h.b, tot),
+      |lm AS (SELECT map(list(b ORDER BY b), list(lr ORDER BY b)) AS m FROM lr)
+      |SELECT bg.doc_id, bg.source, CAST(len(bg.bks) AS BIGINT) AS n_bigrams,
+      |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [lm.m[b][1] for b in bg.bks]),
+      |        (acc, x) -> acc + x), 6) AS weight
+      |FROM bg, lm ORDER BY bg.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q140_dsir_weights", dsirWeights, Some(dsirWeightsSql),
+      "DSIR (NeurIPS'23) importance weights: hashed-bigram log-likelihood ratio vs target slice"),
     QueryDef("q128_incremental_refresh", incrementalRefresh, Some(incrementalRefreshSql),
       "incremental refresh composition: delta dedup -> temperature mix -> pack, one plan"),
     QueryDef("q125_packing_efficiency", packingEfficiency, Some(packingEfficiencySql),

@@ -796,7 +796,137 @@ object StatsOps {
     parts.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY column_name")
   }
 
+  // ---- vocabulary growth (q141) ------------------------------------
+
+  /** q141: HEAPS-LAW vocabulary-growth curve at bigram grain — how
+    * many distinct token bigrams the corpus has introduced by each
+    * doc_id decile, against cumulative bigram volume. The standard
+    * tokenizer-sizing / corpus-saturation diagnostic: a flattening
+    * curve says more data stops buying vocabulary (time to cap the
+    * vocab); a linear one says the corpus is still novel.
+    *
+    * Scale shape: "distinct by prefix" without any cumulative
+    * distinct-window — each bigram type reduces to its FIRST document
+    * (one vocabulary-keyed aggregate), and the 10 cutoffs are a 10-row
+    * broadcast nested-loop against type-grain and doc-grain frames
+    * only (never occurrence-grain). At 100 TB: one explode-aggregate
+    * + two tiny range joins. */
+  def vocabGrowth(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val perDoc = docs.select(col("doc_id"),
+      greatest(size(col("tk")) - 1, lit(0)).cast("long").as("nb"))
+    val firstDoc = docs.filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))")).as("t"))
+      .groupBy(col("t")).agg(min(col("doc_id")).as("first_doc"))
+    // 10-row cutoff frame, derived from one max-agg; checkpointed so
+    // its full-scan lineage runs once, not once per consumer (the
+    // q132 winner-checkpoint rationale at 10-row scale)
+    val cut = docs.groupBy().agg((max(col("doc_id")) + 1).as("n"))
+      .select(explode(expr("sequence(1, 10)")).as("decile"), col("n"))
+      .select(col("decile").cast("long").as("decile"),
+        ceil(col("decile") * col("n") / lit(10.0)).cast("long").as("cutoff"))
+      .localCheckpoint()
+    val cum = perDoc.join(broadcast(cut), col("doc_id") < col("cutoff"))
+      .groupBy(col("decile"), col("cutoff")).agg(sum(col("nb")).as("cum_bigrams"))
+    val voc = firstDoc.join(broadcast(cut.select(col("decile"), col("cutoff"))),
+        col("first_doc") < col("cutoff"))
+      .groupBy(col("decile")).agg(count(lit(1)).as("vocab"))
+    cum.join(broadcast(voc), Seq("decile"))
+      .select(col("decile"), col("cutoff"), col("cum_bigrams"), col("vocab"))
+      .orderBy(col("decile"))
+  }
+
+  private val vocabGrowthSql =
+    """WITH tk AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      |tok AS (SELECT doc_id, unnest([array_to_string(list_slice(tk, i, i+1),' ')
+      |                               for i in generate_series(1, len(tk)-1)]) AS t
+      |        FROM tk WHERE len(tk) >= 2),
+      |fd AS (SELECT t, min(doc_id) AS first_doc FROM tok GROUP BY t),
+      |nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+      |cut AS (SELECT CAST(i AS BIGINT) AS decile,
+      |               CAST(ceil(i * n / 10.0) AS BIGINT) AS cutoff
+      |        FROM nn, LATERAL unnest(generate_series(1, 10)) AS u(i))
+      |SELECT c.decile, c.cutoff,
+      |    CAST((SELECT count(*) FROM tok WHERE tok.doc_id < c.cutoff) AS BIGINT) AS cum_bigrams,
+      |    CAST((SELECT count(*) FROM fd WHERE fd.first_doc < c.cutoff) AS BIGINT) AS vocab
+      |FROM cut c ORDER BY c.decile""".stripMargin
+
+  // ---- Zipf rank-frequency fit (q142) ------------------------------
+
+  /** q142: ZIPF rank-frequency fit — OLS of ln(frequency) on ln(rank)
+    * over the top-100 bigrams. The corpus-health scalar next to q141's
+    * curve: natural text sits near slope −1; a flat slope flags
+    * synthetic/templated text, a cliff flags boilerplate domination —
+    * a one-row gate a pipeline tracks per ingest batch (the drift
+    * complement to q129's chunk-grain report).
+    *
+    * Determinism: the top-100 cut is total-ordered (cnt desc, bigram
+    * asc); the ranked points live in ONE sorted array on a 1-row
+    * frame, so all four OLS sums are fixed-order doc-local folds —
+    * no unpartitioned window anywhere (the q74 lesson) and no
+    * cross-partition float summation; ROUND(6) absorbs ln ulp noise.
+    * Scale: the aggregate is vocabulary-bounded; the fit is O(100). */
+  def zipfFit(s: SparkSession, d: String): DataFrame = {
+    val tc = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cnt"))
+    tc.orderBy(col("cnt").desc, col("t")).limit(100)
+      .groupBy()
+      .agg(sort_array(collect_list(struct((-col("cnt")).as("nc"), col("t")))).as("l"))
+      .withColumn("pts", expr(
+        "transform(l, (x, i) -> struct(ln(CAST(i + 1 AS DOUBLE)) AS lx, " +
+          "ln(CAST(-x.nc AS DOUBLE)) AS ly))"))
+      .withColumn("n", size(col("l")).cast("double"))
+      .withColumn("sx", expr("aggregate(pts, CAST(0.0 AS DOUBLE), (a, p) -> a + p.lx)"))
+      .withColumn("sy", expr("aggregate(pts, CAST(0.0 AS DOUBLE), (a, p) -> a + p.ly)"))
+      .withColumn("sxx", expr("aggregate(pts, CAST(0.0 AS DOUBLE), (a, p) -> a + p.lx * p.lx)"))
+      .withColumn("sxy", expr("aggregate(pts, CAST(0.0 AS DOUBLE), (a, p) -> a + p.lx * p.ly)"))
+      .select(col("n").cast("long").as("n_ranked"),
+        round((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
+        round((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy"))
+          / (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"), 6)
+          .as("intercept"))
+  }
+
+  private val zipfFitSql =
+    """WITH tk AS (SELECT string_split(text,' ') AS tk FROM documents),
+      |tok AS (SELECT unnest([array_to_string(list_slice(tk, i, i+1),' ')
+      |                       for i in generate_series(1, len(tk)-1)]) AS t
+      |        FROM tk WHERE len(tk) >= 2),
+      |tc AS (SELECT t, count(*) AS cnt FROM tok GROUP BY t ORDER BY cnt DESC, t LIMIT 100),
+      |rk AS (SELECT list(struct_pack(nc := -cnt, t := t) ORDER BY -cnt, t) AS l FROM tc),
+      |pts AS (SELECT len(l) AS n,
+      |  [ln(CAST(i AS DOUBLE)) for i in generate_series(1, len(l))] AS lx,
+      |  [ln(CAST(-l[i].nc AS DOUBLE)) for i in generate_series(1, len(l))] AS ly
+      |  FROM rk),
+      |s AS (SELECT n,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), lx), (a,x)->a+x) AS sx,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ly), (a,x)->a+x) AS sy,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    [lx[i]*lx[i] for i in generate_series(1,n)]), (a,x)->a+x) AS sxx,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    [lx[i]*ly[i] for i in generate_series(1,n)]), (a,x)->a+x) AS sxy
+      |  FROM pts)
+      |SELECT CAST(n AS BIGINT) AS n_ranked,
+      |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope,
+      |  round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS intercept
+      |FROM s""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q141_vocab_growth", vocabGrowth, Some(vocabGrowthSql),
+      "Heaps-law vocabulary growth by doc_id decile (bigram grain, first-doc reduction)"),
+    QueryDef("q142_zipf_fit", zipfFit, Some(zipfFitSql),
+      "Zipf rank-frequency OLS fit over top-100 bigrams (fixed-order folds, one-row gate)"),
     QueryDef("q114_column_profile", columnProfile, Some(columnProfileSql),
       "schema-wide column profiling: nulls/distincts/min/max in one aggregate pass"),
     QueryDef("q110_sketch_percentiles", sketchPercentiles, Some(sketchPercentilesSql),

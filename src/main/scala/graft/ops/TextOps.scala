@@ -1862,6 +1862,168 @@ object TextOps {
        |UNION ALL SELECT 3, pair, cnt FROM c3
        |ORDER BY round""".stripMargin
 
+  // ---- tokenizer application (q138) --------------------------------
+
+  /** q138: BPE ENCODE — apply the merge table q132 learns to the whole
+    * corpus, the tokenizer-application half of the train/apply pair
+    * (Sennrich ACL'16 §3: training emits a merge list; encoding replays
+    * it in order). Each of the 3 learned merges is the same 1-row
+    * winner broadcast + map-only native pass ([[graft.functions
+    * .BpeMergePair]]) as training, but here doc identity (doc_id,
+    * source) rides along so the report can compare token counts
+    * before/after per source — the "how much does this tokenizer
+    * compress each domain" table a data pipeline publishes per
+    * tokenizer release. Output: per-source docs, tokens before/after,
+    * compression ratio (single IEEE division of exact BIGINTs,
+    * ROUND(6)).
+    *
+    * Scale shape: identical to q132 (pair counts are vocabulary-
+    * bounded shuffles, winners are 1-row checkpoints, merges are
+    * map-only) plus one map-side-combined per-source aggregate — at
+    * 100 TB the encode is exactly 3 linear passes, and with the q135
+    * delta machinery a production run re-reads only affected docs per
+    * round. */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    def winner(docs: DataFrame): DataFrame =
+      bpePairCounts(docs).orderBy(col("cnt").desc, col("pair")).limit(1)
+        .localCheckpoint()
+    var docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nb"), col("text"))
+    (1 to 3).foreach { _ =>
+      val w = winner(docs.select(col("text")))
+      docs = docs.crossJoin(broadcast(w.select(col("pair"))))
+        .select(col("doc_id"), col("source"), col("nb"),
+          graft.functions.GraftFunctions
+            .bpeMergeFast(col("text"), col("pair")).as("text"))
+    }
+    docs
+      .select(col("source"), col("nb"),
+        size(split(col("text"), " ")).cast("long").as("na"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nb")).as("tokens_before"),
+        sum(col("na")).as("tokens_after"),
+        round(sum(col("na")).cast("double") / sum(col("nb")), 6)
+          .as("compression"))
+      .orderBy(col("source"))
+  }
+
+  /** The oracle replays the SAME t1→t4 chain as q132's, with doc_id
+    * and source carried through each round (the keyed variant of
+    * [[bpeRoundSql]]). */
+  private def bpeRoundKeyedSql(n: Int, from: String): String =
+    s"""p$n AS (SELECT unnest([array_to_string(list_slice(tk, i, i+1), ' ')
+       |         for i in generate_series(1, len(tk)-1)]) AS pair
+       |       FROM (SELECT string_split(text,' ') AS tk FROM $from)),
+       |c$n AS (SELECT pair, count(*) AS cnt FROM p$n GROUP BY pair
+       |       ORDER BY cnt DESC, pair LIMIT 1),
+       |m$n AS (SELECT string_split(pair,' ')[1] AS a, string_split(pair,' ')[2] AS b,
+       |              replace(pair,' ','_') AS m FROM c$n),
+       |t${n + 1} AS (SELECT doc_id, source, list_reduce(string_split(text,' '),
+       |         (acc, x) -> CASE WHEN (acc = a OR ends_with(acc, ' '||a)) AND x = b
+       |                     THEN substr(acc, 1, len(acc) - len(a)) || m
+       |                     ELSE acc || ' ' || x END) AS text
+       |       FROM $from, m$n)""".stripMargin
+
+  private val bpeEncodeSql =
+    s"""WITH t1 AS (SELECT doc_id, source, text FROM documents),
+       |${bpeRoundKeyedSql(1, "t1")},
+       |${bpeRoundKeyedSql(2, "t2")},
+       |${bpeRoundKeyedSql(3, "t3")}
+       |SELECT t1.source, count(*) AS n_docs,
+       |  CAST(sum(len(string_split(t1.text,' '))) AS BIGINT) AS tokens_before,
+       |  CAST(sum(len(string_split(t4.text,' '))) AS BIGINT) AS tokens_after,
+       |  round(CAST(sum(len(string_split(t4.text,' '))) AS DOUBLE)
+       |        / sum(len(string_split(t1.text,' '))), 6) AS compression
+       |FROM t1 JOIN t4 USING (doc_id)
+       |GROUP BY t1.source ORDER BY t1.source""".stripMargin
+
+  // ---- duplicate-span coverage (q139) ------------------------------
+
+  /** q139: cross-corpus DUPLICATE-SPAN COVERAGE — the per-doc signal
+    * behind exact substring dedup (Lee et al., "Deduplicating Training
+    * Data Makes Language Models Better", ACL'22): a token 5-gram that
+    * occurs more than once ANYWHERE in the corpus marks its 5-token
+    * span as duplicated; overlapping/adjacent marked spans merge into
+    * maximal islands, and a doc's coverage is the fraction of its
+    * tokens inside merged islands. Unlike q31's whole-doc grain or
+    * q86's fixed-chunk grain, this measures partial duplication at
+    * arbitrary alignment — the quantity Lee et al. delete, reported
+    * here as the audit table (doc_id, n_tokens, dup_tokens, dup_frac).
+    *
+    * Plan: positions explode (one row per token, same order as the
+    * corpus scan), one count per DISTINCT gram (corpus-bounded but
+    * shuffle-keyed on the gram hash — the exact-dedup shape), a
+    * shuffle-hash join back on gram (pinned: the dup-gram side is
+    * unbounded, broadcast would not survive scale-up), then per-doc
+    * windows partitioned by doc_id for the classic island merge
+    * (running max of span end). Every window is doc-partitioned;
+    * nothing global. 100 TB: the gram join is the standard suffix-
+    * grain dedup shuffle; island merge is doc-local. */
+  private[ops] def dupSpanCoverageCore(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val grams = tok.filter(size(col("tk")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(tk) - 4), " +
+          "i -> struct(i AS pos, concat_ws(' ', slice(tk, i, 5)) AS gram))")).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+    val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select(col("gram"))
+    val p = grams.join(dup.hint("shuffle_hash"), Seq("gram"))
+      .select(col("doc_id"), col("pos"), (col("pos") + 4).as("e"))
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cov = p
+      .withColumn("brk",
+        when(col("pos") > coalesce(max(col("e")).over(wPrev), lit(-1)), 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("brk")).over(wRun))
+      .groupBy(col("doc_id"), col("island"))
+      .agg((max(col("e")) - min(col("pos")) + 1).as("covered"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("covered")).as("dup_tokens"))
+    tok.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
+      .join(cov.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).cast("long").as("dup_tokens"),
+        (coalesce(col("dup_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("dup_frac"))
+  }
+
+  def dupSpanCoverage(s: SparkSession, d: String): DataFrame =
+    dupSpanCoverageCore(s, d).orderBy(col("doc_id"))
+
+  private val dupSpanCoverageSql =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      |g AS (SELECT doc_id, i AS pos,
+      |        array_to_string(list_slice(tk, i, i+4), ' ') AS gram
+      |      FROM tok, LATERAL unnest(generate_series(1, len(tk)-4)) AS u(i)
+      |      WHERE len(tk) >= 5),
+      |dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+      |p AS (SELECT g.doc_id, g.pos, g.pos + 4 AS e
+      |      FROM g JOIN dup USING (gram)),
+      |isl AS (SELECT doc_id, pos, e,
+      |  CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+      |  FROM p),
+      |isl2 AS (SELECT doc_id, pos, e,
+      |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM isl),
+      |spans AS (SELECT doc_id, island, max(e) - min(pos) + 1 AS covered
+      |  FROM isl2 GROUP BY doc_id, island),
+      |cov AS (SELECT doc_id, sum(covered) AS dup_tokens FROM spans GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+      |  CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / len(t.tk) AS dup_frac
+      |FROM tok t LEFT JOIN cov c USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
   // ---- exact containment join (q131) -------------------------------
 
   /** q131: exact set-CONTAINMENT join — C(a→b) = |A∩B| / |A| ≥ 3/4,
@@ -2317,6 +2479,10 @@ object TextOps {
       "BPE merge learning (ACL'16): 3 fixed rounds of pair-count -> winner -> corpus merge"),
     QueryDef("q135_bpe_delta_round", bpeDeltaRound, Some(bpeDeltaRoundSql),
       "incremental BPE round: Spark maintains counts by delta, oracle recounts in full"),
+    QueryDef("q138_bpe_encode", bpeEncode, Some(bpeEncodeSql),
+      "BPE tokenizer application: replay the learned merge list, per-source compression report"),
+    QueryDef("q139_dup_span_coverage", dupSpanCoverage, Some(dupSpanCoverageSql),
+      "duplicate-span coverage (ACL'22 substring dedup signal): 5-gram islands merged per doc"),
     QueryDef("q131_containment_join", containmentJoin, Some(containmentJoinSql),
       "exact set-containment join (one-sided prefix filter): subsumed-document detection"),
     QueryDef("q129_corpus_drift", corpusDrift, Some(corpusDriftSql),

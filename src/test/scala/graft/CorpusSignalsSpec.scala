@@ -1,0 +1,139 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{CurationOps, StatsOps, TextOps}
+
+/** Independent-reimplementation checks for the round-9 corpus-signal
+  * layer (q138–q142): each test recomputes the operator's answer from
+  * the raw corpus with plain Scala collections (a different algorithm
+  * and engine from both Spark and the DuckDB oracle) and requires
+  * equality — plus the structural invariants the hash-match can't
+  * state (monotonicity, tie-outs across queries). */
+class CorpusSignalsSpec extends AnyFunSuite with LocalSparkSuite {
+
+  private def docs(): Seq[(Long, String, String)] =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  test("q139: island-merged duplicate coverage equals brute force") {
+    val corpus = docs()
+    // brute force: count every 5-gram occurrence, mark spans of grams
+    // seen >1 time anywhere, merge overlapping spans per doc
+    val gramCount = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val positions = corpus.map { case (id, _, text) =>
+      val tk = text.split(" ")
+      val grams = (0 to tk.length - 5).map(i => tk.slice(i, i + 5).mkString(" "))
+      grams.foreach(g => gramCount(g) += 1)
+      (id, tk.length, grams)
+    }
+    val expected = positions.map { case (id, n, grams) =>
+      val spans = grams.zipWithIndex.collect {
+        case (g, i) if gramCount(g) > 1 => (i, i + 4)
+      }
+      var covered = 0
+      var curS = -1; var curE = -2
+      spans.foreach { case (s, e) =>
+        if (s > curE + 1 && curE >= 0) { covered += curE - curS + 1; curS = s; curE = e }
+        else if (curE < 0) { curS = s; curE = e }
+        else curE = math.max(curE, e)
+      }
+      if (curE >= 0) covered += curE - curS + 1
+      id -> ((n.toLong, covered.toLong))
+    }.toMap
+    val out = TextOps.dupSpanCoverage(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (id, (n, cov)) =>
+      assert(out(id) === ((n, cov)), s"doc $id")
+    }
+    // islands never cover more than the doc
+    assert(expected.forall { case (_, (n, cov)) => cov <= n })
+  }
+
+  test("q138: encode totals tie out against the corpus and the merge table") {
+    val out = TextOps.bpeEncode(spark, sfDir).collect()
+    val totalBefore = out.map(_.getLong(2)).sum
+    val totalAfter = out.map(_.getLong(3)).sum
+    val corpusTokens = docs().map(_._3.split(" ").length.toLong).sum
+    assert(totalBefore === corpusTokens)
+    // each merge event removes exactly one token; left-to-right overlap
+    // resolution means events ≤ the winner's pre-merge pair count
+    val winnersCnt = TextOps.bpeMerges(spark, sfDir).collect().map(_.getLong(2)).sum
+    assert(totalAfter < totalBefore)
+    assert(totalBefore - totalAfter <= winnersCnt)
+    out.foreach { r =>
+      val c = r.getDouble(4)
+      assert(c > 0.0 && c <= 1.0, s"compression $c out of range for ${r.getString(0)}")
+    }
+  }
+
+  test("q140: DSIR weights equal a brute-force hashed-bigram LLR model") {
+    val corpus = docs()
+    def bucket(bg: String): Char = {
+      val md = MessageDigest.getInstance("MD5").digest(bg.getBytes("UTF-8"))
+      f"${(md(0) & 0xff)}%02x".charAt(0)
+    }
+    val occ = corpus.flatMap { case (id, src, text) =>
+      val tk = text.split(" ")
+      (0 until tk.length - 1).map(i => (id, src, bucket(tk(i) + " " + tk(i + 1))))
+    }
+    val tTot = occ.count(_._2 == "src0").toDouble
+    val rTot = occ.count(_._2 != "src0").toDouble
+    val lr = occ.groupBy(_._3).map { case (b, os) =>
+      val tc = os.count(_._2 == "src0"); val rc = os.size - tc
+      b -> (math.log((tc + 1.0) / (tTot + 16.0)) - math.log((rc + 1.0) / (rTot + 16.0)))
+    }
+    val expected = occ.groupBy(_._1).map { case (id, os) =>
+      id -> os.map(o => lr(o._3)).sum
+    }
+    val out = CurationOps.dsirWeights(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (id, w) =>
+      assert(math.abs(out(id) - w) < 1e-6, s"doc $id: ${out(id)} vs $w")
+    }
+  }
+
+  test("q141: growth curves are monotone and close at the corpus totals") {
+    val rows = StatsOps.vocabGrowth(spark, sfDir).collect()
+    assert(rows.length === 10)
+    val cum = rows.map(_.getLong(2)); val voc = rows.map(_.getLong(3))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b })
+    assert(voc.zip(voc.tail).forall { case (a, b) => a <= b })
+    val corpus = docs()
+    val allBigrams = corpus.flatMap { case (_, _, text) =>
+      val tk = text.split(" ")
+      (0 until tk.length - 1).map(i => tk(i) + " " + tk(i + 1))
+    }
+    assert(cum.last === allBigrams.size.toLong)
+    assert(voc.last === allBigrams.distinct.size.toLong)
+  }
+
+  test("q142: OLS fit equals brute force over the ranked counts") {
+    val corpus = docs()
+    val counts = corpus.flatMap { case (_, _, text) =>
+      val tk = text.split(" ")
+      (0 until tk.length - 1).map(i => tk(i) + " " + tk(i + 1))
+    }.groupBy(identity).map { case (t, os) => (t, os.size.toLong) }
+    val top = counts.toSeq.sortBy { case (t, c) => (-c, t) }.take(100)
+    val pts = top.zipWithIndex.map { case ((_, c), i) =>
+      (math.log(i + 1.0), math.log(c.toDouble))
+    }
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum; val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val intercept = (sy - slope * sx) / n
+    val r = StatsOps.zipfFit(spark, sfDir).head
+    assert(r.getLong(0) === top.size.toLong)
+    assert(math.abs(r.getDouble(1) - slope) < 1e-6)
+    assert(math.abs(r.getDouble(2) - intercept) < 1e-6)
+    // corpus sanity: frequency decays with rank
+    assert(r.getDouble(1) < 0.0)
+  }
+}
