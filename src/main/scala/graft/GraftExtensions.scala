@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{BigramStats, BpeMergePair, DotProduct, HllSketchAgg, LogHistogramAgg, MinhashHex, MisraGriesAgg, Shingles, StopwordCounts}
+import graft.functions.{BigramBuckets, BigramStats, BpeMergePair, DotProduct, HllSketchAgg, LogHistogramAgg, MinhashHex, MisraGriesAgg, Shingles, StopwordCounts}
 
 /** SparkSessionExtensions entry point (SURVEY.md §4): registers the
   * engine's native expressions for SQL use. Deployments opt in with
@@ -145,6 +145,13 @@ object GraftExtensions {
           case Seq(child) => BigramStats(child)
           case _ => throw new IllegalArgumentException(
             s"graft_bigram_stats expects exactly 1 argument, got ${exprs.size}")
+        }),
+      (FunctionIdentifier("graft_bigram_buckets"),
+        new ExpressionInfo(classOf[BigramBuckets].getName, "graft_bigram_buckets"),
+        (exprs: Seq[Expression]) => exprs match {
+          case Seq(child) => BigramBuckets(child)
+          case _ => throw new IllegalArgumentException(
+            s"graft_bigram_buckets expects exactly 1 argument, got ${exprs.size}")
         }),
       (FunctionIdentifier("graft_stopword_counts"),
         new ExpressionInfo(classOf[StopwordCounts].getName, "graft_stopword_counts"),

@@ -173,6 +173,13 @@ object GraftFunctions {
     column(BigramStats(expression(tokens)))
   }
 
+  /** Per-bigram 16-way md5 feature buckets in one codegen'd pass (see
+    * [[BigramBuckets]]) — the DSIR hashed-feature extractor. */
+  def bigramBuckets(tokens: Column): Column = {
+    import org.apache.spark.sql.GraftShims.{column, expression}
+    column(BigramBuckets(expression(tokens)))
+  }
+
   /** Per-profile stopword occurrence counts in one codegen'd pass over
     * a token array (see [[StopwordCounts]]) — replaces one interpreted
     * `filter` HOF per profile on the language-ID/quality hot path. */

@@ -101,6 +101,26 @@ class NativeExpressionsSpec extends AnyFunSuite with LocalSparkSuite {
     assert(both === Seq(2, 2))
   }
 
+  test("BigramBuckets matches the HOF md5-substring formulation on the corpus") {
+    val viaHof = docsWithToks
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), expr(
+        "transform(sequence(1, size(tk) - 1), i -> " +
+          "substring(md5(concat_ws(' ', element_at(tk, i), element_at(tk, i + 1))), 1, 1))")
+        .as("bks"))
+    val viaNative = docsWithToks
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"),
+        GraftFunctions.bigramBuckets(col("tk")).as("bks"))
+    val diff = viaHof.join(viaNative.withColumnRenamed("bks", "bks2"), Seq("doc_id"))
+      .filter(col("bks") =!= col("bks2"))
+    assert(diff.count() === 0)
+    // a 1-token doc has no bigrams: empty array, not null
+    val one = viaNative.sparkSession.createDataFrame(Seq(Tuple1(Seq("solo"))))
+      .toDF("tk").select(GraftFunctions.bigramBuckets(col("tk")).as("b")).head
+    assert(one.getSeq[String](0).isEmpty)
+  }
+
   test("SQL registration covers the full native-expression surface") {
     GraftExtensions.functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
@@ -139,6 +159,8 @@ class NativeExpressionsSpec extends AnyFunSuite with LocalSparkSuite {
       .isAssignableFrom(classOf[MinhashHex]))
     assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
       .isAssignableFrom(classOf[graft.functions.BpeMergePair]))
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[graft.functions.BigramBuckets]))
   }
 
   test("q103's plan keeps the bloom prefilter ahead of the exact join") {
