@@ -59,7 +59,12 @@ object PlanDump {
       "q132_bpe_merges" -> "B74 BPE unroll: per round one vocabulary-bounded pair-count aggregate, a 1-row winner broadcast, a map-only graft_bpe_merge pass (native codegen byte scan) — three rounds, one plan, no driver loop",
       "q133_survivor_policy" -> "B75 survivor policy: two memoized frames (labels, quality) joined skinny, cluster-partitioned argmax window, cluster-grain rollup",
       "q135_bpe_delta_round" -> "B74 delta round: counts1 + gated before/after counts meet in ONE grouped sum on pair; the affected gate is a map-side graft_bpe_merge predicate on the scan — the old corpus pair table is never re-derived from unaffected docs",
-      "q136_multiprobe_ann" -> "B76 multiprobe serving: breadth-2 bucket gate is still a broadcast semi-filter ahead of the ADC estimate — widening the probe changes candidate count, never plan shape")
+      "q136_multiprobe_ann" -> "B76 multiprobe serving: breadth-2 bucket gate is still a broadcast semi-filter ahead of the ADC estimate — widening the probe changes candidate count, never plan shape",
+      "q138_bpe_encode" -> "B78 tokenizer application: three 1-row winner broadcasts feeding map-only graft_bpe_merge passes with doc identity riding along, one per-source aggregate at the end",
+      "q139_dup_span_coverage" -> "B79 substring-dedup audit: gram-keyed dup count + shuffle_hash join back, then doc-partitioned island-merge windows — no self-join, no global window",
+      "q140_dsir_weights" -> "B80 DSIR weights: 16-key bucket aggregate collapses to a 1-row broadcast model, scoring is one map-only graft_bigram_buckets pass + doc-local fold",
+      "q141_vocab_growth" -> "B81 Heaps curve: bigram types reduce to first-doc, 10-row cutoff frame broadcast-nested-loops against type- and doc-grain frames only",
+      "q142_zipf_fit" -> "B82 Zipf fit: vocab-bounded count aggregate, TakeOrderedAndProject top-100, OLS sums as fixed-order folds on a 1-row array — no global window")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")
     picks.foreach { case (name, why) =>
