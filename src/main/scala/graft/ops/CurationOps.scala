@@ -755,7 +755,10 @@ object CurationOps {
   def dsirWeights(s: SparkSession, d: String): DataFrame =
     dsirCore(s, d).orderBy(col("doc_id"))
 
-  private val dsirWeightsSql =
+  /** The shared q140 CTE chain (weights per doc), composed verbatim by
+    * the q145 selection oracle — a named constant, not string surgery
+    * (the survivorPolicySql lesson). */
+  private val dsirSqlCtes =
     """WITH tok AS (SELECT doc_id, source, string_split(text,' ') AS tk FROM documents),
       |bg AS (SELECT doc_id, source,
       |         [substr(md5(array_to_string(list_slice(tk, i, i+1),' ')),1,1)
@@ -772,15 +775,58 @@ object CurationOps {
       |       FROM (SELECT unnest([substr('0123456789abcdef', i, 1)
       |                            for i in generate_series(1,16)]) AS b) h
       |       LEFT JOIN tc ON tc.b = h.b LEFT JOIN rc ON rc.b = h.b, tot),
-      |lm AS (SELECT map(list(b ORDER BY b), list(lr ORDER BY b)) AS m FROM lr)
-      |SELECT bg.doc_id, bg.source, CAST(len(bg.bks) AS BIGINT) AS n_bigrams,
+      |lm AS (SELECT map(list(b ORDER BY b), list(lr ORDER BY b)) AS m FROM lr),
+      |w AS (SELECT bg.doc_id, bg.source, CAST(len(bg.bks) AS BIGINT) AS n_bigrams,
       |  round(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), [lm.m[b][1] for b in bg.bks]),
       |        (acc, x) -> acc + x), 6) AS weight
-      |FROM bg, lm ORDER BY bg.doc_id""".stripMargin
+      |FROM bg, lm)""".stripMargin
+
+  private val dsirWeightsSql =
+    s"""$dsirSqlCtes
+       |SELECT doc_id, source, n_bigrams, weight FROM w ORDER BY doc_id""".stripMargin
+
+  // ---- DSIR selection (q145) ---------------------------------------
+
+  /** q145: the SELECTION the q140 weights exist for — per-source top-5
+    * docs by importance weight, i.e. deterministic-rank importance
+    * resampling at a fixed per-domain quota (DSIR's sampling ∝
+    * exp(weight) replaced by rank order so membership is reproducible
+    * across engines and reruns, the q57/q83 determinism posture).
+    * Ranking is (weight DESC, doc_id) over the ROUNDED weights both
+    * engines share, so the cut can't flip on ulp noise. Output: the
+    * selected docs with their rank — the feed a target-domain
+    * fine-tune mix consumes.
+    *
+    * Scale shape: q140's plan + one source-partitioned top-k window
+    * over doc-grain rows (the quota-per-stratum shape q83 demonstrates
+    * with TopKPerKey; kept a plain rank window here so the composed
+    * oracle mirrors it line for line). */
+  def dsirSelect(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("weight").desc, col("doc_id"))
+    dsirCore(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("doc_id"), col("source"), col("weight"),
+        col("rk").cast("long").as("rk"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val dsirSelectSql =
+    s"""$dsirSqlCtes
+       |SELECT doc_id, source, weight, rk FROM (
+       |  SELECT doc_id, source, weight,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |              ORDER BY weight DESC, doc_id) AS BIGINT) AS rk
+       |  FROM w) WHERE rk <= 5
+       |ORDER BY source, rk""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q140_dsir_weights", dsirWeights, Some(dsirWeightsSql),
       "DSIR (NeurIPS'23) importance weights: hashed-bigram log-likelihood ratio vs target slice"),
+    QueryDef("q145_dsir_select", dsirSelect, Some(dsirSelectSql),
+      "importance-resampled selection: per-source top-5 by DSIR weight, deterministic rank order"),
     QueryDef("q128_incremental_refresh", incrementalRefresh, Some(incrementalRefreshSql),
       "incremental refresh composition: delta dedup -> temperature mix -> pack, one plan"),
     QueryDef("q125_packing_efficiency", packingEfficiency, Some(packingEfficiencySql),

@@ -444,6 +444,96 @@ object TextOps {
        |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q144: LSH OPERATING-POINT EVALUATION — precision/recall of the
+    * q34-family MinHash banding (2 bands × 2 components) against the
+    * exact tau = 1/2 Jaccard join, both at representative (distinct
+    * text) grain on the SAME shared shingle frame. The eval every
+    * pipeline owes its dedup config: banding parameters trade recall
+    * for candidate volume, and this one-row gate pins the operating
+    * point so a band/width change shows up as a graded diff, not a
+    * silent recall cliff (the text-side twin of q109's ANN recall).
+    *
+    * MinHash is a function of the shingle SET, so signatures computed
+    * over the memoized rarest-first DISTINCT arrays (jaccard_docs,
+    * shared with q104/q131) are identical to signatures over the raw
+    * ordered shingle stream — one frame serves ground truth and
+    * candidates. Counts are exact integers; the two ratios are single
+    * divisions, CASE-guarded on empty sides in both engines. */
+  def lshOperatingPoint(s: SparkSession, d: String): DataFrame = {
+    val docs = graft.CheckpointMemo.getOrElseUpdate(s, d, "jaccard_docs") {
+      jaccardDocsBuild(s, d)
+    }
+    val sig = docs
+      .select(col("doc_id"), minhashHex(col("shs"), 4).as("ms"))
+      .select(col("doc_id"),
+        explode(array(concat(col("ms")(0), col("ms")(1)),
+          concat(col("ms")(2), col("ms")(3)))).as("band"))
+    val cand = sig.groupBy(col("band"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids) - i - 1), " +
+          "y -> struct(x AS da, y AS db))))")).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db"))
+      .distinct()
+    val exact = jaccardJoinAt(s, d, 1, 2)
+      .select(col("doc_a"), col("doc_b"))
+    val tp = cand.join(exact.hint("shuffle_hash"),
+      col("da") === col("doc_a") && col("db") === col("doc_b"), "left_semi")
+    cand.agg(count(lit(1)).as("n_cand"))
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
+      .crossJoin(broadcast(tp.agg(count(lit(1)).as("n_tp"))))
+      .select(col("n_cand"), col("n_exact"), col("n_tp"),
+        when(col("n_cand") > 0,
+          round(col("n_tp").cast("double") / col("n_cand"), 6)).as("precision"),
+        when(col("n_exact") > 0,
+          round(col("n_tp").cast("double") / col("n_exact"), 6)).as("recall"))
+  }
+
+  private val lshOperatingPointSql =
+    s"""WITH reps AS (SELECT MIN(doc_id) AS doc_id, text
+       |              FROM documents GROUP BY text),
+       |tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM reps),
+       |sh AS (SELECT doc_id, unnest([array_to_string(list_slice(toks, i, i+2), ' ')
+       |                              for i in generate_series(1, len(toks)-2)]) AS s
+       |       FROM tok),
+       |shd AS (SELECT DISTINCT doc_id, s FROM sh),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+       |dfq AS (SELECT s, COUNT(*) AS df FROM shd GROUP BY s),
+       |pref AS (SELECT doc_id, s FROM (
+       |    SELECT shd.doc_id, shd.s,
+       |           ROW_NUMBER() OVER (PARTITION BY shd.doc_id
+       |                              ORDER BY dfq.df, shd.s) AS rn, sz.n
+       |    FROM shd JOIN dfq USING (s) JOIN sz USING (doc_id))
+       |  WHERE rn <= n // 2 + 1),
+       |candj AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |         FROM pref a JOIN pref b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |ints AS (SELECT c.da, c.db, COUNT(*) AS inter
+       |         FROM candj c
+       |         JOIN shd x ON x.doc_id = c.da
+       |         JOIN shd y ON y.doc_id = c.db AND y.s = x.s
+       |         GROUP BY c.da, c.db),
+       |exact AS (SELECT i.da AS doc_a, i.db AS doc_b
+       |  FROM ints i JOIN sz sa ON sa.doc_id = i.da JOIN sz sb ON sb.doc_id = i.db
+       |  WHERE 2 * i.inter >= sa.n + sb.n - i.inter),
+       |sig AS (SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
+       |               ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
+       |        FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, mh0 || mh1 AS band FROM sig
+       |          UNION ALL SELECT doc_id, mh2 || mh3 AS band FROM sig),
+       |cpairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+       |           FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |m AS (SELECT
+       |  (SELECT count(*) FROM cpairs) AS n_cand,
+       |  (SELECT count(*) FROM exact) AS n_exact,
+       |  (SELECT count(*) FROM cpairs c JOIN exact e
+       |     ON c.da = e.doc_a AND c.db = e.doc_b) AS n_tp)
+       |SELECT n_cand, n_exact, n_tp,
+       |  CASE WHEN n_cand > 0 THEN round(CAST(n_tp AS DOUBLE) / n_cand, 6) END AS precision,
+       |  CASE WHEN n_exact > 0 THEN round(CAST(n_tp AS DOUBLE) / n_exact, 6) END AS recall
+       |FROM m""".stripMargin
+
   /** B28 exact n-gram Jaccard on adjacent-id pairs (the verify step a
     * production pipeline runs on LSH candidates; adjacent ids keep the
     * graded output deterministic and O(n)). */
@@ -1962,32 +2052,44 @@ object TextOps {
     * (running max of span end). Every window is doc-partitioned;
     * nothing global. 100 TB: the gram join is the standard suffix-
     * grain dedup shuffle; island merge is doc-local. */
-  private[ops] def dupSpanCoverageCore(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), split(col("text"), " ").as("tk"))
-    val grams = tok.filter(size(col("tk")) >= 5)
+  /** The positional 5-gram frame shared by q139 (coverage audit) and
+    * q143 (rewrite): one row per (doc, start position), gram = the
+    * 5-token window starting there. */
+  private def spanGrams(tok: DataFrame): DataFrame =
+    tok.filter(size(col("tk")) >= 5)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(tk) - 4), " +
           "i -> struct(i AS pos, concat_ws(' ', slice(tk, i, 5)) AS gram))")).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
-    val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") > 1).select(col("gram"))
-    val p = grams.join(dup.hint("shuffle_hash"), Seq("gram"))
-      .select(col("doc_id"), col("pos"), (col("pos") + 4).as("e"))
+
+  /** Island merge over marked span starts: partition-local running max
+    * of span end detects gaps; returns (doc_id, island, s, e) reduced
+    * to one row per maximal island. `p` must carry (doc_id, pos, e). */
+  private def mergeIslands(p: DataFrame): DataFrame = {
     val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cov = p
-      .withColumn("brk",
+    p.withColumn("brk",
         when(col("pos") > coalesce(max(col("e")).over(wPrev), lit(-1)), 1)
           .otherwise(0))
       .withColumn("island", sum(col("brk")).over(wRun))
       .groupBy(col("doc_id"), col("island"))
-      .agg((max(col("e")) - min(col("pos")) + 1).as("covered"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+  }
+
+  private[ops] def dupSpanCoverageCore(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val grams = spanGrams(tok)
+    val dup = grams.groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1).select(col("gram"))
+    val p = grams.join(dup.hint("shuffle_hash"), Seq("gram"))
+      .select(col("doc_id"), col("pos"), (col("pos") + 4).as("e"))
+    val cov = mergeIslands(p)
       .groupBy(col("doc_id"))
-      .agg(sum(col("covered")).as("dup_tokens"))
+      .agg(sum(col("e") - col("s") + 1).as("dup_tokens"))
     tok.select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"))
       .join(cov.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
@@ -2023,6 +2125,89 @@ object TextOps {
       |  CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
       |  CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / len(t.tk) AS dup_frac
       |FROM tok t LEFT JOIN cov c USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
+  // ---- substring-dedup rewrite (q143) ------------------------------
+
+  /** q143: the REWRITE half of q139 — actually delete duplicated spans
+    * (Lee et al. ACL'22 apply the deletion before training). Keep-first
+    * semantics: a 5-gram occurrence is removable iff the gram occurs
+    * >1 time corpus-wide AND this occurrence is not the gram's FIRST
+    * (minimum packed (doc_id, pos) key — exact integer order, no
+    * struct comparisons the engines could disagree on). Removable
+    * occurrences mark spans, spans merge into maximal islands
+    * ([[mergeIslands]], shared with q139), and each doc is reassembled
+    * from the tokens outside its islands — so exactly one copy of
+    * every duplicated run survives, in its earliest position. Output:
+    * per-doc kept/total counts + the head of the rewritten text (the
+    * full rewrite stays a column; the graded artifact keeps rows
+    * skinny like q58's masked_head).
+    *
+    * Scale shape: q139's gram-keyed shuffle plus one min-aggregate on
+    * the same key (same exchange grain), islands stay doc-partitioned,
+    * and the rewrite is one doc-local filter over (token, index) with
+    * the doc's own island array — at most a few dozen intervals — so
+    * the reassembly is map-only. */
+  private[ops] def substringRewriteCore(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+    val grams = spanGrams(tok)
+      .withColumn("pk", col("doc_id") * 10000000L + col("pos"))
+    val gstat = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"), min(col("pk")).as("first_pk"))
+    val removable = grams
+      .join(gstat.filter(col("cnt") > 1).hint("shuffle_hash"), Seq("gram"))
+      .filter(col("pk") =!= col("first_pk"))
+      .select(col("doc_id"), col("pos"), (col("pos") + 4).as("e"))
+    val islands = mergeIslands(removable)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("iv"))
+    tok.join(islands.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .withColumn("ivc", coalesce(col("iv"),
+        expr("CAST(array() AS array<struct<s:int,e:int>>)")))
+      .withColumn("kept", expr(
+        "filter(tk, (x, i) -> !exists(ivc, v -> i + 1 >= v.s AND i + 1 <= v.e))"))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        size(col("kept")).cast("long").as("kept_tokens"),
+        substring(concat_ws(" ", col("kept")), 1, 80).as("head"))
+      .orderBy(col("doc_id"))
+  }
+
+  def substringRewrite(s: SparkSession, d: String): DataFrame =
+    substringRewriteCore(s, d)
+
+  private val substringRewriteSql =
+    """WITH tok AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents),
+      |g AS (SELECT doc_id, i AS pos, doc_id * 10000000 + i AS pk,
+      |        array_to_string(list_slice(tk, i, i+4), ' ') AS gram
+      |      FROM tok, LATERAL unnest(generate_series(1, len(tk)-4)) AS u(i)
+      |      WHERE len(tk) >= 5),
+      |gs AS (SELECT gram, count(*) AS cnt, min(pk) AS first_pk FROM g GROUP BY gram),
+      |rm AS (SELECT g.doc_id, g.pos, g.pos + 4 AS e
+      |       FROM g JOIN gs USING (gram)
+      |       WHERE gs.cnt > 1 AND g.pk <> gs.first_pk),
+      |isl AS (SELECT doc_id, pos, e,
+      |  CASE WHEN pos > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY pos
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS brk
+      |  FROM rm),
+      |isl2 AS (SELECT doc_id, pos, e,
+      |  sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM isl),
+      |spans AS (SELECT doc_id, island, min(pos) AS s, max(e) AS e
+      |  FROM isl2 GROUP BY doc_id, island),
+      |iv AS (SELECT doc_id, list(struct_pack(s := s, e := e) ORDER BY s) AS iv
+      |  FROM spans GROUP BY doc_id),
+      |rw AS (SELECT t.doc_id, t.tk,
+      |  [t.tk[i] for i in generate_series(1, len(t.tk))
+      |   if len([v for v in coalesce(iv.iv, []) if i >= v.s AND i <= v.e]) = 0] AS kept
+      |  FROM tok t LEFT JOIN iv ON t.doc_id = iv.doc_id)
+      |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+      |  CAST(len(kept) AS BIGINT) AS kept_tokens,
+      |  -- array_to_string([]) is NULL in DuckDB, '' under Spark's
+      |  -- concat_ws: normalize the fully-deleted-doc case
+      |  coalesce(substring(array_to_string(kept, ' '), 1, 80), '') AS head
+      |FROM rw ORDER BY doc_id""".stripMargin
 
   // ---- exact containment join (q131) -------------------------------
 
@@ -2483,6 +2668,10 @@ object TextOps {
       "BPE tokenizer application: replay the learned merge list, per-source compression report"),
     QueryDef("q139_dup_span_coverage", dupSpanCoverage, Some(dupSpanCoverageSql),
       "duplicate-span coverage (ACL'22 substring dedup signal): 5-gram islands merged per doc"),
+    QueryDef("q143_substring_rewrite", substringRewrite, Some(substringRewriteSql),
+      "substring-dedup rewrite: keep-first duplicated spans deleted, docs reassembled"),
+    QueryDef("q144_lsh_operating_point", lshOperatingPoint, Some(lshOperatingPointSql),
+      "LSH banding precision/recall vs the exact tau=1/2 Jaccard join (one-row config gate)"),
     QueryDef("q131_containment_join", containmentJoin, Some(containmentJoinSql),
       "exact set-containment join (one-sided prefix filter): subsumed-document detection"),
     QueryDef("q129_corpus_drift", corpusDrift, Some(corpusDriftSql),

@@ -114,6 +114,72 @@ class CorpusSignalsSpec extends AnyFunSuite with LocalSparkSuite {
     assert(voc.last === allBigrams.distinct.size.toLong)
   }
 
+  test("q143: keep-first span deletion equals brute force") {
+    val corpus = docs()
+    val gramCount = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    val firstPk = scala.collection.mutable.Map.empty[String, Long]
+    val withGrams = corpus.map { case (id, _, text) =>
+      val tk = text.split(" ")
+      val grams = (0 to tk.length - 5).map(i => tk.slice(i, i + 5).mkString(" "))
+      grams.zipWithIndex.foreach { case (g, i) =>
+        gramCount(g) += 1
+        val pk = id * 10000000L + (i + 1)
+        if (!firstPk.contains(g) || pk < firstPk(g)) firstPk(g) = pk
+      }
+      (id, tk, grams)
+    }
+    val expected = withGrams.map { case (id, tk, grams) =>
+      val covered = Array.fill(tk.length)(false)
+      grams.zipWithIndex.foreach { case (g, i) =>
+        val pk = id * 10000000L + (i + 1)
+        if (gramCount(g) > 1 && pk != firstPk(g))
+          (i until i + 5).foreach(covered(_) = true)
+      }
+      val kept = tk.indices.filterNot(covered).map(tk)
+      id -> ((tk.length.toLong, kept.length.toLong, kept.mkString(" ").take(80)))
+    }.toMap
+    val out = TextOps.substringRewrite(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (id, exp) => assert(out(id) === exp, s"doc $id") }
+    // keep-first means at least one copy of every duplicated run survives:
+    // strictly fewer tokens deleted than q139 marks as duplicated
+    val q139 = TextOps.dupSpanCoverage(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    expected.foreach { case (id, (n, kept, _)) =>
+      assert(n - kept <= q139(id), s"doc $id deleted more than its dup coverage")
+    }
+  }
+
+  test("q144: operating-point counts tie out against the graded pair queries") {
+    val r = TextOps.lshOperatingPoint(spark, sfDir).head
+    val (nCand, nExact, nTp) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nTp <= math.min(nCand, nExact))
+    // ground truth is exactly the graded q104 pair set
+    val exact = TextOps.jaccardJoin(spark, sfDir)
+      .select("doc_a", "doc_b").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(nExact === exact.size.toLong)
+    // brute-force TP: LSH candidate pairs at rep grain that are true pairs
+    assert(r.getDouble(3) === math.rint(nTp.toDouble / nCand * 1e6) / 1e6)
+    assert(r.getDouble(4) === math.rint(nTp.toDouble / nExact * 1e6) / 1e6)
+    // the configured operating point must stay a high-recall one — a
+    // band-parameter regression shows up here before it ships
+    assert(r.getDouble(4) >= 0.9, s"LSH recall ${r.getDouble(4)} dropped below 0.9")
+  }
+
+  test("q145: selection is exactly the per-source top-5 of the weight table") {
+    val weights = CurationOps.dsirWeights(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    val expected = weights.groupBy(_._2).toSeq.flatMap { case (src, ws) =>
+      ws.sortBy(w => (-w._3, w._1)).take(5).zipWithIndex
+        .map { case ((id, _, w), i) => (id, src, w, (i + 1).toLong) }
+    }.toSet
+    val out = CurationOps.dsirSelect(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(out === expected)
+  }
+
   test("q142: OLS fit equals brute force over the ranked counts") {
     val corpus = docs()
     val counts = corpus.flatMap { case (_, _, text) =>
