@@ -64,7 +64,10 @@ object PlanDump {
       "q139_dup_span_coverage" -> "B79 substring-dedup audit: gram-keyed dup count + shuffle_hash join back, then doc-partitioned island-merge windows — no self-join, no global window",
       "q140_dsir_weights" -> "B80 DSIR weights: 16-key bucket aggregate collapses to a 1-row broadcast model, scoring is one map-only graft_bigram_buckets pass + doc-local fold",
       "q141_vocab_growth" -> "B81 Heaps curve: bigram types reduce to first-doc, 10-row cutoff frame broadcast-nested-loops against type- and doc-grain frames only",
-      "q142_zipf_fit" -> "B82 Zipf fit: vocab-bounded count aggregate, TakeOrderedAndProject top-100, OLS sums as fixed-order folds on a 1-row array — no global window")
+      "q142_zipf_fit" -> "B82 Zipf fit: vocab-bounded count aggregate, TakeOrderedAndProject top-100, OLS sums as fixed-order folds on a 1-row array — no global window",
+      "q143_substring_rewrite" -> "B83 substring rewrite: q139's gram exchange + one min-aggregate on the same key, islands doc-partitioned, reassembly a map-only filter against the doc's own interval array",
+      "q144_lsh_operating_point" -> "B84 LSH eval: ground truth and candidates both read the memoized rep-grain shingle frame (Scan ExistingRDD), three 1-row count aggregates broadcast into the final row",
+      "q145_dsir_select" -> "B85 DSIR selection: q140's broadcast-model plan + one source-partitioned top-k window over doc-grain rows")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")
     picks.foreach { case (name, why) =>
