@@ -922,7 +922,71 @@ object StatsOps {
       |  round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS intercept
       |FROM s""".stripMargin
 
+  // ---- Kneser-Ney bigram LM (q147) ---------------------------------
+
+  /** q147: interpolated KNESER-NEY bigram estimation (Kneser & Ney '95;
+    * Chen & Goodman '98 eq. 4.25) with absolute discount d = 3/4 —
+    * the LM-training artifact next to q100's PMI and q101's MLE
+    * perplexity gate:
+    *
+    *   P_KN(w2|w1) = max(c(w1 w2) − d, 0)/c(w1·)
+    *               + d · N1+(w1 ·)/c(w1·) · N1+(· w2)/N1+(· ·)
+    *
+    * where N1+ are continuation-type counts. Everything derives from
+    * ONE vocabulary-bounded bigram-count aggregate: the left marginal
+    * (c(w1·), N1+(w1·)) and right continuation (N1+(·w2)) are
+    * aggregates OF that table, the type total is a 1-row broadcast,
+    * and the probability is one fixed expression tree over exact
+    * integers (identical parenthesization in both engines, ROUND(6)).
+    * Per-w1 mass telescopes to 1 over the FULL vocabulary — observed
+    * rows plus the backoff term for unobserved continuations — and
+    * the spec asserts exactly that identity.
+    *
+    * Scale: vocab-bounded throughout; the only corpus-sized pass is
+    * the bigram explode feeding the first aggregate. */
+  def knBigramLm(s: SparkSession, d: String): DataFrame = {
+    val bc = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val left = bc.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nl"))
+    val right = bc.groupBy(col("w2")).agg(count(lit(1)).as("nr"))
+    val types = bc.groupBy().agg(count(lit(1)).as("nt"))
+    bc.join(left.hint("shuffle_hash"), Seq("w1"))
+      .join(right.hint("shuffle_hash"), Seq("w2"))
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(
+          greatest(col("c12") - 0.75, lit(0.0)) / col("c1") +
+            ((lit(0.75) * col("nl") / col("c1")) * (col("nr") / col("nt"))),
+          6).as("pkn"))
+      .orderBy(col("w1"), col("w2"))
+  }
+
+  private val knBigramLmSql =
+    """WITH tk AS (SELECT string_split(text,' ') AS tk FROM documents),
+      |bg AS (SELECT unnest([struct_pack(w1 := tk[i], w2 := tk[i+1])
+      |                      for i in generate_series(1, len(tk)-1)], recursive := true)
+      |       FROM tk WHERE len(tk) >= 2),
+      |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+      |l AS (SELECT w1, sum(c12) AS c1, count(*) AS nl FROM bc GROUP BY w1),
+      |r AS (SELECT w2, count(*) AS nr FROM bc GROUP BY w2),
+      |t AS (SELECT count(*) AS nt FROM bc)
+      |SELECT bc.w1, bc.w2, bc.c12,
+      |  round(greatest(bc.c12 - 0.75, 0.0) / l.c1
+      |        + ((0.75 * l.nl / l.c1) * (r.nr / t.nt)), 6) AS pkn
+      |FROM bc JOIN l USING (w1) JOIN r USING (w2), t
+      |ORDER BY bc.w1, bc.w2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q147_kn_bigram_lm", knBigramLm, Some(knBigramLmSql),
+      "interpolated Kneser-Ney bigram LM (d=3/4): the tokenizer-adjacent LM-training artifact"),
     QueryDef("q141_vocab_growth", vocabGrowth, Some(vocabGrowthSql),
       "Heaps-law vocabulary growth by doc_id decile (bigram grain, first-doc reduction)"),
     QueryDef("q142_zipf_fit", zipfFit, Some(zipfFitSql),

@@ -459,15 +459,24 @@ object TextOps {
     * ordered shingle stream — one frame serves ground truth and
     * candidates. Counts are exact integers; the two ratios are single
     * divisions, CASE-guarded on empty sides in both engines. */
-  def lshOperatingPoint(s: SparkSession, d: String): DataFrame = {
+  def lshOperatingPoint(s: SparkSession, d: String): DataFrame =
+    lshOperatingPointAt(s, d, Seq(Seq(0, 1), Seq(2, 3)))
+
+  /** The general eval behind q144/q146: banding given by `bands`, each
+    * inner Seq the signature components concatenated into one band key.
+    * Fewer components per band (and more bands) trades precision for
+    * recall — the S-curve knob; the two graded instances pin the
+    * 2×2 (q144) and 4×1 (q146) operating points. */
+  def lshOperatingPointAt(s: SparkSession, d: String,
+      bands: Seq[Seq[Int]]): DataFrame = {
     val docs = graft.CheckpointMemo.getOrElseUpdate(s, d, "jaccard_docs") {
       jaccardDocsBuild(s, d)
     }
     val sig = docs
       .select(col("doc_id"), minhashHex(col("shs"), 4).as("ms"))
       .select(col("doc_id"),
-        explode(array(concat(col("ms")(0), col("ms")(1)),
-          concat(col("ms")(2), col("ms")(3)))).as("band"))
+        explode(array(bands.map(b =>
+          concat(b.map(i => col("ms")(i)): _*)): _*)).as("band"))
     val cand = sig.groupBy(col("band"))
       .agg(sort_array(collect_set(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -491,7 +500,9 @@ object TextOps {
           round(col("n_tp").cast("double") / col("n_exact"), 6)).as("recall"))
   }
 
-  private val lshOperatingPointSql =
+  private val lshOperatingPointSql = lshOperatingPointSqlAt(Seq(Seq(0, 1), Seq(2, 3)))
+
+  private def lshOperatingPointSqlAt(bands: Seq[Seq[Int]]): String =
     s"""WITH reps AS (SELECT MIN(doc_id) AS doc_id, text
        |              FROM documents GROUP BY text),
        |tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM reps),
@@ -520,8 +531,9 @@ object TextOps {
        |sig AS (SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
        |               ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
        |        FROM sh GROUP BY doc_id),
-       |bands AS (SELECT doc_id, mh0 || mh1 AS band FROM sig
-       |          UNION ALL SELECT doc_id, mh2 || mh3 AS band FROM sig),
+       |bands AS (${bands.map(b =>
+           s"SELECT doc_id, ${b.map(i => s"mh$i").mkString(" || ")} AS band FROM sig")
+           .mkString("\n       |          UNION ALL ")}),
        |cpairs AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
        |           FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
        |m AS (SELECT
@@ -2672,6 +2684,10 @@ object TextOps {
       "substring-dedup rewrite: keep-first duplicated spans deleted, docs reassembled"),
     QueryDef("q144_lsh_operating_point", lshOperatingPoint, Some(lshOperatingPointSql),
       "LSH banding precision/recall vs the exact tau=1/2 Jaccard join (one-row config gate)"),
+    QueryDef("q146_lsh_high_recall",
+      (s, d) => lshOperatingPointAt(s, d, Seq(Seq(0), Seq(1), Seq(2), Seq(3))),
+      Some(lshOperatingPointSqlAt(Seq(Seq(0), Seq(1), Seq(2), Seq(3)))),
+      "the 4x1-band high-recall LSH operating point (S-curve's other end vs q144's 2x2)"),
     QueryDef("q131_containment_join", containmentJoin, Some(containmentJoinSql),
       "exact set-containment join (one-sided prefix filter): subsumed-document detection"),
     QueryDef("q129_corpus_drift", corpusDrift, Some(corpusDriftSql),

@@ -168,6 +168,58 @@ class CorpusSignalsSpec extends AnyFunSuite with LocalSparkSuite {
     assert(r.getDouble(4) >= 0.9, s"LSH recall ${r.getDouble(4)} dropped below 0.9")
   }
 
+  test("q146: the 4x1 banding dominates q144's 2x2 on recall and candidates") {
+    val r22 = TextOps.lshOperatingPoint(spark, sfDir).head
+    val r41 = TextOps.lshOperatingPointAt(spark, sfDir,
+      Seq(Seq(0), Seq(1), Seq(2), Seq(3))).head
+    // same ground truth by construction
+    assert(r41.getLong(1) === r22.getLong(1))
+    // a 2-component band match implies both 1-component bands match,
+    // so the 4x1 candidate set is a superset: more candidates, tp
+    // no lower, recall no lower
+    assert(r41.getLong(0) >= r22.getLong(0))
+    assert(r41.getLong(2) >= r22.getLong(2))
+    assert(r41.getDouble(4) >= r22.getDouble(4))
+  }
+
+  test("q147: KN probabilities equal brute force and mass telescopes to 1") {
+    val corpus = docs()
+    val bigrams = corpus.flatMap { case (_, _, text) =>
+      val tk = text.split(" ")
+      (0 until tk.length - 1).map(i => (tk(i), tk(i + 1)))
+    }
+    val c12 = bigrams.groupBy(identity).map { case (p, os) => p -> os.size.toLong }
+    val c1 = c12.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val nl = c12.groupBy(_._1._1).map { case (w, m) => w -> m.size.toLong }
+    val nr = c12.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val nt = c12.size.toDouble
+    val d = 0.75
+    def pkn(w1: String, w2: String): Double =
+      math.max(c12((w1, w2)) - d, 0.0) / c1(w1) +
+        ((d * nl(w1) / c1(w1)) * (nr(w2) / nt))
+    // resolve columns by name: the USING joins reorder them
+    val byName = StatsOps.knBigramLm(spark, sfDir).collect().map { r =>
+      val i1 = r.fieldIndex("w1"); val i2 = r.fieldIndex("w2")
+      ((r.getString(i1), r.getString(i2)),
+        (r.getLong(r.fieldIndex("c12")), r.getDouble(r.fieldIndex("pkn"))))
+    }.toMap
+    assert(byName.keySet === c12.keySet)
+    byName.foreach { case ((w1, w2), (c, p)) =>
+      assert(c === c12((w1, w2)))
+      assert(math.abs(p - pkn(w1, w2)) < 1e-6, s"($w1,$w2)")
+    }
+    // full-vocabulary mass: observed rows + the backoff term over
+    // UNOBSERVED continuations must sum to 1 for every context
+    val vocabR = nr.keySet
+    c1.keys.foreach { w1 =>
+      val observed = vocabR.filter(w2 => c12.contains((w1, w2)))
+      val massObs = observed.toSeq.map(w2 => pkn(w1, w2)).sum
+      val massUnobs = (vocabR -- observed).toSeq
+        .map(w2 => (d * nl(w1) / c1(w1)) * (nr(w2) / nt)).sum
+      assert(math.abs(massObs + massUnobs - 1.0) < 1e-9, s"context $w1")
+    }
+  }
+
   test("q145: selection is exactly the per-source top-5 of the weight table") {
     val weights = CurationOps.dsirWeights(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
