@@ -719,37 +719,54 @@ object CurationOps {
     * the 16-entry log-ratio map rides a 1-row broadcast; scoring is a
     * map-only doc-local fold. At 100 TB: one linear pass + one
     * broadcast — nothing grows with the corpus. */
-  private[ops] def dsirCore(s: SparkSession, d: String): DataFrame = {
-    val bg = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
+  /** The doc → hashed-feature frame both the batch scorer and the
+    * model fit read: one codegen'd digest pass (BigramBuckets) ≡ the
+    * declarative transform(substring(md5(concat_ws(...)), 1, 1)) —
+    * proven in NativeExpressionsSpec; the interpreted HOF was ~2.3 s
+    * of the 2.7 s query at sf0.1, paid twice (model fit + scoring). */
+  private def dsirFeatures(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
       .filter(size(col("tk")) >= 2)
-      // one codegen'd digest pass (BigramBuckets) ≡ the declarative
-      // transform(substring(md5(concat_ws(...)), 1, 1)) — proven in
-      // NativeExpressionsSpec; the interpreted HOF was ~2.3 s of the
-      // 2.7 s query at sf0.1, paid twice (model fit + scoring)
       .withColumn("bks", graft.functions.GraftFunctions
         .bigramBuckets(col("tk")))
       .select(col("doc_id"), col("source"), col("bks"))
-    val counts = bg.select(col("source"), explode(col("bks")).as("b"))
+
+  /** The 16-bucket model collapsed to a 1-row (map) frame: the
+    * broadcast "model" every scorer task holds, DSIR's hashed-LM
+    * analog. Target = `targetSource` docs, raw = everything else,
+    * Laplace +1 both sides. Also the static side of the streaming
+    * [[graft.streaming.StreamingOps.dsirGate]]. */
+  private[graft] def dsirModel(docs: DataFrame, targetSource: String): DataFrame = {
+    val counts = dsirFeatures(docs)
+      .select(col("source"), explode(col("bks")).as("b"))
       .groupBy(col("b")).agg(
-        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("tc"),
-        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("rc"))
-    // the 16-bucket model collapses to a 1-row (map, totals) frame: the
-    // broadcast "model" every scorer task holds, DSIR's hashed-LM analog
-    val lrRow = counts.groupBy()
+        sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("tc"),
+        sum(when(col("source") =!= targetSource, 1L).otherwise(0L)).as("rc"))
+    counts.groupBy()
       .agg(sort_array(collect_list(struct(col("b"), col("tc"), col("rc")))).as("arr"),
         sum(col("tc")).as("tt"), sum(col("rc")).as("rt"))
       .select(map_from_entries(expr(
         "transform(arr, x -> struct(x.b AS b, " +
           "ln((x.tc + 1.0) / (tt + 16.0)) - ln((x.rc + 1.0) / (rt + 16.0)) AS lr))"))
         .as("m"))
-    bg.crossJoin(broadcast(lrRow))
+  }
+
+  /** The map-only scoring fold over a doc's bucket array against the
+    * broadcast model map column `m` (fixed document order — exactly
+    * the DuckDB list_reduce). */
+  private[graft] def dsirWeightExpr: org.apache.spark.sql.Column =
+    round(expr(
+      "aggregate(bks, CAST(0.0 AS DOUBLE), (acc, ch) -> acc + element_at(m, ch))"),
+      6)
+
+  private[ops] def dsirCore(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+    dsirFeatures(docs).crossJoin(broadcast(dsirModel(docs, "src0")))
       .select(col("doc_id"), col("source"),
         size(col("bks")).cast("long").as("n_bigrams"),
-        round(expr(
-          "aggregate(bks, CAST(0.0 AS DOUBLE), (acc, ch) -> acc + element_at(m, ch))"),
-          6).as("weight"))
+        dsirWeightExpr.as("weight"))
   }
 
   def dsirWeights(s: SparkSession, d: String): DataFrame =

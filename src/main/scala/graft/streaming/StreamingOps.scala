@@ -180,6 +180,27 @@ object StreamingOps {
         .reduce(_ || _).as("near_candidate"))
   }
 
+  /** Stream-STATIC DSIR scoring gate — q140's importance model applied
+    * at ingest time: each arriving doc's hashed-bigram buckets (the
+    * same codegen'd [[graft.functions.BigramBuckets]] pass as the
+    * batch scorer) fold against the static 1-row log-ratio model
+    * frame ([[graft.ops.CurationOps.dsirModel]]), and the doc is
+    * emitted with its weight plus a `keep` flag at the caller's
+    * threshold. The model rides a broadcast of ONE row (a 16-entry
+    * map) — re-planned per micro-batch like every static side — and
+    * the stream holds ZERO state: scoring is map-only, so the gate
+    * adds no shuffle to the ingest path at any rate. Docs under 2
+    * tokens have no features and score 0 (kept iff 0 ≥ threshold). */
+  def dsirGate(docs: DataFrame, model: DataFrame, threshold: Double): DataFrame =
+    docs
+      .withColumn("bks", graft.functions.GraftFunctions
+        .bigramBuckets(split(col("text"), " ")))
+      .crossJoin(broadcast(model))
+      .withColumn("weight", when(size(col("bks")) > 0,
+        graft.ops.CurationOps.dsirWeightExpr).otherwise(lit(0.0)))
+      .select(col("doc_id"), col("ts"), col("text"), col("weight"),
+        (col("weight") >= threshold).as("keep"))
+
   /** The monitoring twin of [[decontaminationGate]]: a stream-static
     * LEFT join flags (rather than drops) benchmark matches and a
     * watermarked hourly window counts clean vs contaminated arrivals —

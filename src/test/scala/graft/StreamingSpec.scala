@@ -391,6 +391,46 @@ class StreamingSpec extends AnyFunSuite with LocalSparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static DSIR gate scores arrivals with the batch model, zero state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // model fit on a static corpus where 'key'-heavy docs are the target
+    val corpus = Seq(
+      (0L, "src0", "key agg key agg key scan"),
+      (1L, "src0", "key value key value key"),
+      (2L, "src1", "window stream window stream batch"),
+      (3L, "src2", "sort merge sort merge join")).toDF("doc_id", "source", "text")
+    val model = graft.ops.CurationOps.dsirModel(corpus, "src0").localCheckpoint()
+    val in = MemoryStream[StreamingOps.Doc]
+    val q = StreamingOps.dsirGate(in.toDF(), model, 0.0)
+      .writeStream.outputMode("append").format("memory").queryName("dsir").start()
+    try {
+      in.addData(
+        StreamingOps.Doc(10, ts("2024-01-01 10:00:00"), "key agg key value key"),
+        StreamingOps.Doc(11, ts("2024-01-01 10:00:10"), "window stream batch stream"),
+        StreamingOps.Doc(12, ts("2024-01-01 10:00:20"), "solo"))
+      q.processAllAvailable()
+      val rows = spark.table("dsir")
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getBoolean(4)))).toMap
+      // target-like doc scores positive and passes; raw-like scores
+      // negative and is flagged out; a featureless doc scores 0
+      assert(rows(10L)._1 > 0.0 && rows(10L)._2)
+      assert(rows(11L)._1 < 0.0 && !rows(11L)._2)
+      assert(rows(12L)._1 === 0.0 && rows(12L)._2)
+      // the streaming weight equals the batch scorer's on the same text:
+      // score the stream docs through the batch fold directly
+      val batch = Seq((10L, "x", "key agg key value key"),
+        (11L, "x", "window stream batch stream")).toDF("doc_id", "source", "text")
+        .withColumn("bks", graft.functions.GraftFunctions
+          .bigramBuckets(split(col("text"), " ")))
+        .crossJoin(broadcast(model))
+        .select(col("doc_id"), graft.ops.CurationOps.dsirWeightExpr.as("w"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rows(10L)._1 === batch(10L))
+      assert(rows(11L)._1 === batch(11L))
+    } finally q.stop()
+  }
+
   test("contamination monitor: hourly clean/contaminated counts per closed window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
