@@ -916,7 +916,105 @@ object VectorOps {
        |  ${(0 until 8).map(m => s"p$m").mkString(" + ")} AS est_dist
        |FROM parts ORDER BY est_dist, vec_id LIMIT 10""".stripMargin
 
+  // ---- MMR diverse top-k (q148) ------------------------------------
+
+  /** q148: MAXIMAL MARGINAL RELEVANCE diverse top-5 (Carbonell &
+    * Goldstein, SIGIR'98) for the q51 query vector — the
+    * retrieval-augmentation/dedup-aware serving selection: round r
+    * picks argmax over remaining candidates of
+    *
+    *   λ·cos(v, q) − (1−λ)·max_{s ∈ selected} cos(v, s),  λ = 0.7
+    *
+    * so each pick balances query relevance against redundancy with
+    * what's already chosen (plain top-k returns near-duplicates of
+    * one good hit; MMR spends the k slots on coverage). Fixed 5-round
+    * unroll — the q132 pattern on vectors: per round ONE pass over
+    * the 200-candidate checkpointed frame (relevance precomputed), a
+    * ≤5-row broadcast of the selected set for the penalty max (max is
+    * order-invariant, so the collect order doesn't matter), and a
+    * (ROUND(6) score, vec_id)-total-ordered 1-row winner checkpoint.
+    *
+    * Scale shape: candidates at production scale come from an ANN
+    * prefilter (q52/q134's bucket — the vec_id cap stands in here);
+    * each round is one map-only scoring pass + a top-1 cut, and the
+    * selected set rides a tiny broadcast. Dot products are the shared
+    * sequential fold (dotFast ≡ DuckDB list_sum), so scores are
+    * bit-identical cross-engine before the rounding that guards the
+    * argmax. */
+  def mmrDiverse(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"), sqrt(dotFast(col("embedding"), col("embedding"))).as("qn"))
+    val cand = e.filter(col("vec_id") =!= 0 && col("vec_id") < 200)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotFast(col("embedding"), col("embedding"))).as("nrm"),
+        (dotFast(col("embedding"), col("qv")) / (sqrt(dotFast(col("embedding"), col("embedding"))) * col("qn"))).as("rel"))
+      .localCheckpoint()
+    var sel: DataFrame = null
+    val rounds = (1 to 5).map { r =>
+      val scored =
+        if (r == 1) cand.select(col("vec_id"), col("embedding"), col("nrm"),
+          (lit(0.7) * col("rel")).as("score"))
+        else {
+          val selRow = sel.groupBy()
+            .agg(collect_list(struct(col("vec_id"), col("embedding"), col("nrm"))).as("ss"))
+          cand.crossJoin(broadcast(selRow))
+            .filter(!exists(col("ss"), x => x.getField("vec_id") === col("vec_id")))
+            .withColumn("pen", array_max(transform(col("ss"), x =>
+              dotFast(col("embedding"), x.getField("embedding")) /
+                (col("nrm") * x.getField("nrm")))))
+            .select(col("vec_id"), col("embedding"), col("nrm"),
+              (lit(0.7) * col("rel") - lit(0.3) * col("pen")).as("score"))
+        }
+      val w = scored
+        .orderBy(round(col("score"), 6).desc, col("vec_id")).limit(1)
+        .localCheckpoint()
+      sel = if (r == 1) w.select(col("vec_id"), col("embedding"), col("nrm"))
+        else sel.unionAll(w.select(col("vec_id"), col("embedding"), col("nrm")))
+      w.select(lit(r.toLong).as("round"), col("vec_id"),
+        round(col("score"), 6).as("score"))
+    }
+    rounds.reduce(_ unionAll _).orderBy(col("round"))
+  }
+
+  /** One oracle MMR round: rank remaining candidates by the penalized
+    * score against the running selection CTE. */
+  private def mmrRoundSql(r: Int): String = {
+    val prevSel = (1 to r - 1).map(i => s"SELECT * FROM w$i").mkString(" UNION ALL ")
+    if (r == 1)
+      s"""w1 AS (SELECT vec_id, embedding, nrm, round(0.7 * rel, 6) AS score
+         |  FROM cand ORDER BY round(0.7 * rel, 6) DESC, vec_id LIMIT 1)""".stripMargin
+    else
+      s"""s$r AS ($prevSel),
+         |p$r AS (SELECT c.vec_id, c.embedding, c.nrm, c.rel,
+         |    max(${dotSql("c.embedding", "s.embedding")} / (c.nrm * s.nrm)) AS pen
+         |  FROM cand c, s$r s
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM s$r)
+         |  GROUP BY c.vec_id, c.embedding, c.nrm, c.rel),
+         |w$r AS (SELECT vec_id, embedding, nrm,
+         |    round(0.7 * rel - 0.3 * pen, 6) AS score
+         |  FROM p$r ORDER BY round(0.7 * rel - 0.3 * pen, 6) DESC, vec_id LIMIT 1)""".stripMargin
+  }
+
+  private lazy val mmrDiverseSql =
+    s"""WITH q AS (SELECT embedding AS qv, sqrt(${dotSql("embedding", "embedding")}) AS qn
+       |           FROM embeddings WHERE vec_id = 0),
+       |cand AS (SELECT e.vec_id, e.embedding,
+       |    sqrt(${dotSql("e.embedding", "e.embedding")}) AS nrm,
+       |    ${dotSql("e.embedding", "qv")} / (sqrt(${dotSql("e.embedding", "e.embedding")}) * qn) AS rel
+       |  FROM embeddings e, q WHERE e.vec_id <> 0 AND e.vec_id < 200),
+       |${(1 to 5).map(mmrRoundSql).mkString(",\n")}
+       |SELECT CAST(1 AS BIGINT) AS round, vec_id, score FROM w1
+       |UNION ALL SELECT 2, vec_id, score FROM w2
+       |UNION ALL SELECT 3, vec_id, score FROM w3
+       |UNION ALL SELECT 4, vec_id, score FROM w4
+       |UNION ALL SELECT 5, vec_id, score FROM w5
+       |ORDER BY round""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q148_mmr_diverse", mmrDiverse, Some(mmrDiverseSql),
+      "maximal-marginal-relevance diverse top-5 (SIGIR'98): 5-round unroll, redundancy-penalized"),
     QueryDef("q81_label_top_norm", labelTopNorm, Some(labelTopNormSql),
       "per-key bounded top-k via the custom TopKPerKey operator stack"),
     QueryDef("q82_embedding_quant", embeddingQuant, Some(embeddingQuantSql),

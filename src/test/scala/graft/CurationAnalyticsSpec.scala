@@ -56,6 +56,43 @@ class CurationAnalyticsSpec extends AnyFunSuite with LocalSparkSuite {
     }
   }
 
+  test("q148: MMR unroll equals a brute-force greedy and diversifies vs plain top-k") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    // sequential fold in document order — the dotFast/list_sum order
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    val q = vecs(0L)
+    val cand = vecs.filter { case (id, _) => id != 0L && id < 200L }
+    val rel = cand.map { case (id, v) => id -> cos(v, q) }
+    var selected = Vector.empty[Long]
+    val expected = (1 to 5).map { r =>
+      val scored = cand.keys.filterNot(selected.contains).map { id =>
+        val pen = if (selected.isEmpty) 0.0
+          else selected.map(s => cos(cand(id), cand(s))).max
+        val score = if (r == 1) 0.7 * rel(id) else 0.7 * rel(id) - 0.3 * pen
+        (id, math.rint(score * 1e6) / 1e6)
+      }.toSeq
+      val (id, sc) = scored.minBy { case (id, sc) => (-sc, id) }
+      selected :+= id
+      (r.toLong, id, sc)
+    }
+    val out = VectorOps.mmrDiverse(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.toSeq === expected)
+    // the selection must actually diversify: its round-2+ picks are not
+    // simply relevance ranks 2..5 (otherwise the penalty did nothing)
+    val plainTop = rel.toSeq.sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    assert(out.map(_._2).toSeq !== plainTop,
+      "MMR returned exactly the plain top-5 — penalty had no effect")
+  }
+
   test("q118: mined negatives are true cross-label pairs in rank order") {
     val out = VectorOps.hardNegatives(spark, sfDir).cache()
     try {
