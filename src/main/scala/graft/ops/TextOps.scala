@@ -1423,7 +1423,14 @@ object TextOps {
     * rebuild would re-run the md5 self-join each time. */
   private[graft] def dupEdges(s: SparkSession, d: String): DataFrame =
     graft.CheckpointMemo.getOrElseUpdate(s, d, "dup_edges") {
+      // one representative per distinct TEXT (the q104 precondition):
+      // exact copies are q30's job, and on an un-deduped corpus the
+      // chunk-hash self-join pays pairs QUADRATIC in the duplication
+      // factor — measured 269 s for the triangle census at the 100×
+      // mirrored corpus vs sub-second rep-grain (SCALING.md round-9
+      // 100× table)
       val ch = Tables.documents(s, d)
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("t"))
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, CAST(ceil(size(t)/32.0) AS INT) - 1), " +
@@ -1490,7 +1497,8 @@ object TextOps {
   }
 
   private val dupTrianglesSql =
-    """WITH t AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+    """WITH reps AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+      |t AS (SELECT doc_id, string_split(text,' ') AS t FROM reps),
       |ch AS (SELECT DISTINCT doc_id,
       |    md5(array_to_string(list_slice(t, CAST(i*32+1 AS BIGINT), CAST(i*32+32 AS BIGINT)), ' ')) AS h
       |  FROM t, (SELECT unnest(generate_series(0,

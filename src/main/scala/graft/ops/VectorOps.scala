@@ -152,8 +152,18 @@ object VectorOps {
     val asg = ivfAssigned(s, d)
       .select(col("vec_id"), col("embedding"), col("label").as("cell"))
       .withColumn("sb", shiftright(lshBucket, 1))
-    val nbrs = asg.select(col("cell"), col("sb"), col("vec_id").as("nbr_id"),
-      col("embedding").as("nv"))
+    // neighbor side at REPRESENTATIVE grain: one row per distinct
+    // embedding (min vec_id) — the q104 dedup-first precondition in
+    // vector space. Identical vectors share a block by construction,
+    // so an un-deduped corpus pays within-block pairs QUADRATIC in
+    // the duplication factor (measured 121 s at the 100× mirrored
+    // corpus vs ~2 s rep-grain); copies still surface their rep as a
+    // cos=1.0 neighbor, so the dedup contract is intact. A no-op on
+    // a corpus with no exact-duplicate embeddings.
+    val nbrs = asg.groupBy(col("cell"), col("sb"), col("embedding"))
+      .agg(min(col("vec_id")).as("nbr_id"))
+      .select(col("cell"), col("sb"), col("nbr_id"),
+        col("embedding").as("nv"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("cos_sim").desc, col("nbr_id"))
@@ -184,10 +194,12 @@ object VectorOps {
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, label) AS rn FROM sc),
        |a AS (SELECT vec_id, embedding, cell, ($bucketSqlExpr) // 2 AS sb
        |      FROM asg WHERE rn = 1),
-       |p AS (SELECT x.vec_id, y.vec_id AS nbr_id, x.cell,
+       |nr AS (SELECT cell, sb, embedding, MIN(vec_id) AS nbr_id
+       |       FROM a GROUP BY cell, sb, embedding),
+       |p AS (SELECT x.vec_id, y.nbr_id, x.cell,
        |        ROUND(${dotSql("x.embedding", "y.embedding")} /
        |          (SQRT(${dotSql("x.embedding", "x.embedding")}) * SQRT(${dotSql("y.embedding", "y.embedding")})), 6) AS cos_sim
-       |      FROM a x JOIN a y ON x.cell = y.cell AND x.sb = y.sb AND x.vec_id <> y.vec_id),
+       |      FROM a x JOIN nr y ON x.cell = y.cell AND x.sb = y.sb AND x.vec_id <> y.nbr_id),
        |r AS (SELECT vec_id, nbr_id, cell, cos_sim,
        |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id) AS rk
        |      FROM p)
@@ -219,8 +231,14 @@ object VectorOps {
       .select(col("vec_id"), col("embedding"), col("label").as("cell"),
         col("own_label").as("label"))
       .withColumn("sb", shiftright(lshBucket, 1))
-    val nbrs = asg.select(col("cell"), col("sb"), col("vec_id").as("nbr_id"),
-      col("embedding").as("nv"), col("label").as("nbr_label"))
+    // neighbor side at rep grain (min vec_id per distinct embedding,
+    // its label via min_by ≡ DuckDB arg_min) — the q112 duplication
+    // guard; see the comment there (measured 134 s → ~2 s at 100×)
+    val nbrs = asg.groupBy(col("cell"), col("sb"), col("embedding"))
+      .agg(min(col("vec_id")).as("nbr_id"),
+        expr("min_by(label, vec_id)").as("nbr_label"))
+      .select(col("cell"), col("sb"), col("nbr_id"),
+        col("embedding").as("nv"), col("nbr_label"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("cos_sim").desc, col("nbr_id"))
@@ -251,12 +269,15 @@ object VectorOps {
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, label) AS rn FROM sc),
        |a AS (SELECT vec_id, embedding, own_label, cell, ($bucketSqlExpr) // 2 AS sb
        |      FROM asg WHERE rn = 1),
-       |p AS (SELECT x.vec_id, x.own_label AS label, y.vec_id AS nbr_id,
-       |        y.own_label AS nbr_label,
+       |nr AS (SELECT cell, sb, embedding, MIN(vec_id) AS nbr_id,
+       |         arg_min(own_label, vec_id) AS nbr_label
+       |       FROM a GROUP BY cell, sb, embedding),
+       |p AS (SELECT x.vec_id, x.own_label AS label, y.nbr_id,
+       |        y.nbr_label,
        |        ROUND(${dotSql("x.embedding", "y.embedding")} /
        |          (SQRT(${dotSql("x.embedding", "x.embedding")}) * SQRT(${dotSql("y.embedding", "y.embedding")})), 6) AS cos_sim
-       |      FROM a x JOIN a y ON x.cell = y.cell AND x.sb = y.sb
-       |        AND x.own_label <> y.own_label),
+       |      FROM a x JOIN nr y ON x.cell = y.cell AND x.sb = y.sb
+       |        AND x.own_label <> y.nbr_label),
        |r AS (SELECT vec_id, nbr_id, nbr_label, cos_sim,
        |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos_sim DESC, nbr_id) AS rk
        |      FROM p)
