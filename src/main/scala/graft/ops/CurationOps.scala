@@ -839,11 +839,73 @@ object CurationOps {
        |  FROM w) WHERE rk <= 5
        |ORDER BY source, rk""".stripMargin
 
+  // ---- degenerate-run gate (q150) ----------------------------------
+
+  /** q150: DEGENERATE-REPETITION run gate — the loop-output detector
+    * (model-generated text that collapses into "the the the …"): per
+    * doc, the longest run of identical consecutive tokens and the
+    * fraction of adjacent-equal token positions, gated at max_run ≥ 4.
+    * Complements [[repetitionStats]]' bag-of-words signals (those
+    * can't see adjacency: "a b a b" has dup_word_frac 0.5 but no run)
+    * — this is the Gopher-family filter that specifically kills
+    * sampling loops.
+    *
+    * Both statistics are ONE doc-local left-to-right fold with a
+    * (prev, run, best, adj) struct accumulator — Spark `aggregate()`
+    * ≡ DuckDB `list_reduce()` verbatim, exact integers throughout, so
+    * the query is map-only (plus the output sort) at any corpus
+    * size. */
+  def degenerateRuns(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .withColumn("st", expr(
+        """aggregate(slice(tk, 2, size(tk) - 1),
+          |  struct(element_at(tk, 1) AS prev, 1 AS run, 1 AS best, 0 AS adj),
+          |  (a, x) -> CASE WHEN x = a.prev
+          |    THEN struct(x AS prev, a.run + 1 AS run,
+          |                greatest(a.best, a.run + 1) AS best, a.adj + 1 AS adj)
+          |    ELSE struct(x AS prev, 1 AS run, a.best AS best, a.adj AS adj) END)""".stripMargin))
+      .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+        col("st.best").cast("long").as("max_run"),
+        round(col("st.adj").cast("double") / (size(col("tk")) - 1), 6).as("adj_rep_frac"),
+        (col("st.best") >= 4).as("degenerate"))
+      .orderBy(col("doc_id"))
+
+  /** The oracle states the SAME integers via positions + island
+    * windows rather than a list_reduce struct fold: DuckDB 1.0's
+    * list_reduce produced row-dependent results on long lists in the
+    * full-table run (state bleeding across vectorized rows — the
+    * filtered single-row evaluation of the identical fold disagreed
+    * with the full-scan one), so the fold formulation is not a usable
+    * oracle. Adjacent-equal positions grouped by the classic
+    * (i − row_number) run id give adj = Σ run lengths and
+    * max_run = longest run + 1 — exact integers, engine-stable. */
+  private val degenerateRunsSql =
+    """WITH tk AS (SELECT doc_id, string_split(text,' ') AS tk FROM documents
+      |            WHERE len(string_split(text,' ')) >= 2),
+      |eq AS (SELECT doc_id, i
+      |       FROM tk, LATERAL unnest(generate_series(2, len(tk))) AS u(i)
+      |       WHERE tk[i] = tk[i-1]),
+      |isl AS (SELECT doc_id, i,
+      |        i - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS grp FROM eq),
+      |runs AS (SELECT doc_id, count(*) AS l FROM isl GROUP BY doc_id, grp),
+      |agg AS (SELECT doc_id, max(l) + 1 AS max_run, sum(l) AS adj
+      |        FROM runs GROUP BY doc_id)
+      |SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(a.max_run, 1) AS BIGINT) AS max_run,
+      |  round(CAST(coalesce(a.adj, 0) AS DOUBLE) / (len(t.tk) - 1), 6) AS adj_rep_frac,
+      |  coalesce(a.max_run, 1) >= 4 AS degenerate
+      |FROM tk t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q140_dsir_weights", dsirWeights, Some(dsirWeightsSql),
       "DSIR (NeurIPS'23) importance weights: hashed-bigram log-likelihood ratio vs target slice"),
     QueryDef("q145_dsir_select", dsirSelect, Some(dsirSelectSql),
       "importance-resampled selection: per-source top-5 by DSIR weight, deterministic rank order"),
+    QueryDef("q150_degenerate_runs", degenerateRuns, Some(degenerateRunsSql),
+      "degenerate-repetition run gate: longest identical-token run + adjacent-equal fraction, map-only fold"),
     QueryDef("q128_incremental_refresh", incrementalRefresh, Some(incrementalRefreshSql),
       "incremental refresh composition: delta dedup -> temperature mix -> pack, one plan"),
     QueryDef("q125_packing_efficiency", packingEfficiency, Some(packingEfficiencySql),

@@ -546,6 +546,65 @@ object TextOps {
        |  CASE WHEN n_exact > 0 THEN round(CAST(n_tp AS DOUBLE) / n_exact, 6) END AS recall
        |FROM m""".stripMargin
 
+  /** q149: TRAIN/VAL/TEST SPLIT LEAKAGE audit — assign every doc a
+    * deterministic hash split (12/2/2 sixteenths of md5 space, the
+    * q57 sampler's engine-portable posture, salt "split:"), then count
+    * MinHash-band near-dup candidate pairs that CROSS splits. Random
+    * splits leak: a near-duplicate of a training doc sitting in test
+    * inflates eval (Lee et al. ACL'22 measure exactly this), and the
+    * fix is split-by-cluster, not split-by-doc — this audit is the
+    * one-table evidence that decides whether that work is needed.
+    * Output: ordered split-pair counts with each side's doc total and
+    * the cross-pair share of all candidate pairs.
+    *
+    * Scale shape: q34's banded candidate generation (never all-pairs)
+    * + two skinny shuffle-hash join-backs of (doc_id, split) + a
+    * 6-row aggregate. */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val splits = Tables.documents(s, d).select(col("doc_id"),
+      expr("CASE WHEN substring(md5(concat('split:', CAST(doc_id AS STRING))), 1, 1) " +
+        "< 'c' THEN 'train' WHEN substring(md5(concat('split:', " +
+        "CAST(doc_id AS STRING))), 1, 1) < 'e' THEN 'val' ELSE 'test' END").as("split"))
+    val pairs = candidatePairs(s, d)
+    val total = pairs.agg(count(lit(1)).as("n_total"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb"))
+        .hint("shuffle_hash"), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(total))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        round(col("n_pairs").cast("double") / col("n_total"), 6).as("pair_share"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  private val splitLeakageSql =
+    s"""$shinglesSqlCte,
+       |sig AS (SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
+       |               ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
+       |        FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, mh0 || mh1 AS band FROM sig
+       |          UNION ALL SELECT doc_id, mh2 || mh3 AS band FROM sig),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |sp AS (SELECT doc_id,
+       |   CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+       |        WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+       |        ELSE 'test' END AS split
+       | FROM documents),
+       |t AS (SELECT count(*) AS n_total FROM pairs)
+       |SELECT least(a.split, b.split) AS split_a,
+       |       greatest(a.split, b.split) AS split_b,
+       |       count(*) AS n_pairs,
+       |       round(CAST(count(*) AS DOUBLE) / t.n_total, 6) AS pair_share
+       |FROM pairs p JOIN sp a ON a.doc_id = p.doc_a
+       |     JOIN sp b ON b.doc_id = p.doc_b, t
+       |GROUP BY 1, 2, t.n_total ORDER BY 1, 2""".stripMargin
+
   /** B28 exact n-gram Jaccard on adjacent-id pairs (the verify step a
     * production pipeline runs on LSH candidates; adjacent ids keep the
     * graded output deterministic and O(n)). */
@@ -2696,6 +2755,8 @@ object TextOps {
       (s, d) => lshOperatingPointAt(s, d, Seq(Seq(0), Seq(1), Seq(2), Seq(3))),
       Some(lshOperatingPointSqlAt(Seq(Seq(0), Seq(1), Seq(2), Seq(3)))),
       "the 4x1-band high-recall LSH operating point (S-curve's other end vs q144's 2x2)"),
+    QueryDef("q149_split_leakage", splitLeakage, Some(splitLeakageSql),
+      "train/val/test hash-split near-dup leakage audit over the LSH candidate pairs"),
     QueryDef("q131_containment_join", containmentJoin, Some(containmentJoinSql),
       "exact set-containment join (one-sided prefix filter): subsumed-document detection"),
     QueryDef("q129_corpus_drift", corpusDrift, Some(corpusDriftSql),

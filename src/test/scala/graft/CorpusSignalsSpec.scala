@@ -220,6 +220,47 @@ class CorpusSignalsSpec extends AnyFunSuite with LocalSparkSuite {
     }
   }
 
+  test("q149: leakage matrix ties out against the graded pair set and hash splits") {
+    val pairs = TextOps.minhashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def split(id: Long): String = {
+      val md = MessageDigest.getInstance("MD5").digest(s"split:$id".getBytes("UTF-8"))
+      val c = f"${(md(0) & 0xff)}%02x".charAt(0)
+      if (c < 'c') "train" else if (c < 'e') "val" else "test"
+    }
+    val expected = pairs.map { case (a, b) =>
+      val (sa, sb) = (split(a), split(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val out = TextOps.splitLeakage(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (k, n) => assert(out(k)._1 === n, s"pair class $k") }
+    assert(out.values.map(_._1).sum === pairs.length.toLong)
+    // shares sum to 1 over the full matrix
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-4)
+  }
+
+  test("q150: run statistics equal brute force") {
+    val expected = docs().flatMap { case (id, _, text) =>
+      val tk = text.split(" ")
+      if (tk.length < 2) None else {
+        var adj = 0; var run = 1; var best = 1
+        (1 until tk.length).foreach { i =>
+          if (tk(i) == tk(i - 1)) { adj += 1; run += 1; best = math.max(best, run) }
+          else run = 1
+        }
+        Some(id -> ((tk.length.toLong, best.toLong,
+          math.rint(adj.toDouble / (tk.length - 1) * 1e6) / 1e6, best >= 4)))
+      }
+    }.toMap
+    val out = CurationOps.degenerateRuns(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(out.keySet === expected.keySet)
+    expected.foreach { case (id, e) => assert(out(id) === e, s"doc $id") }
+  }
+
   test("q145: selection is exactly the per-source top-5 of the weight table") {
     val weights = CurationOps.dsirWeights(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
