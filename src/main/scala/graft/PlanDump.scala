@@ -67,7 +67,12 @@ object PlanDump {
       "q142_zipf_fit" -> "B82 Zipf fit: vocab-bounded count aggregate, TakeOrderedAndProject top-100, OLS sums as fixed-order folds on a 1-row array — no global window",
       "q143_substring_rewrite" -> "B83 substring rewrite: q139's gram exchange + one min-aggregate on the same key, islands doc-partitioned, reassembly a map-only filter against the doc's own interval array",
       "q144_lsh_operating_point" -> "B84 LSH eval: ground truth and candidates both read the memoized rep-grain shingle frame (Scan ExistingRDD), three 1-row count aggregates broadcast into the final row",
-      "q145_dsir_select" -> "B85 DSIR selection: q140's broadcast-model plan + one source-partitioned top-k window over doc-grain rows")
+      "q145_dsir_select" -> "B85 DSIR selection: q140's broadcast-model plan + one source-partitioned top-k window over doc-grain rows",
+      "q147_kn_bigram_lm" -> "B86 Kneser-Ney LM: one vocab-bounded bigram aggregate, marginals as aggregates OF it, type total a 1-row broadcast, probability map-only",
+      "q148_mmr_diverse" -> "B87 MMR: candidate frame checkpointed once (Scan ExistingRDD), each round a map-only score + TakeOrdered(1), selected set a 1-row broadcast",
+      "q149_split_leakage" -> "B89 split leakage: banded candidate generation shared with q34, two skinny shuffle-hash join-backs of (doc_id, split), 6-row aggregate",
+      "q150_degenerate_runs" -> "B90 degenerate runs: ONE map-only struct-fold projection — no explode, no window, nothing leaves the row",
+      "q112_ann_knn_join" -> "B55 kNN self-join after the 100x fix: neighbor side collapsed to one row per distinct embedding (the dedup-first guard), block join + vec_id-partitioned top-3 window")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")
     picks.foreach { case (name, why) =>
