@@ -605,6 +605,73 @@ object TextOps {
        |     JOIN sp b ON b.doc_id = p.doc_b, t
        |GROUP BY 1, 2, t.n_total ORDER BY 1, 2""".stripMargin
 
+  /** q151: CLUSTER-GRAIN SPLIT ASSIGNMENT — the remediation q149's
+    * audit motivates (Lee et al.'s "split by cluster, not by doc"):
+    * hash the q76 near-dup COMPONENT id into the 12/2/2 split space
+    * (singletons hash their own doc_id), so every member of a
+    * near-dup cluster lands in the same split and candidate-pair
+    * leakage across splits is zero BY CONSTRUCTION — the band pairs
+    * are exactly the edges the components were closed over. The
+    * graded output is the same leakage matrix as q149 computed under
+    * the cluster splits: its rows are provably diagonal (the spec
+    * asserts it; the cross-engine hash match proves both engines
+    * agree on the whole assignment chain). Output also carries each
+    * class's doc count so the 12/2/2 proportions remain auditable
+    * after the grain change.
+    *
+    * Scale shape: the memoized fixpoint labels (shared with
+    * q76/q79/q84) + one skinny left join for the split key + q149's
+    * matrix aggregate. */
+  def clusterSplit(s: SparkSession, d: String): DataFrame = {
+    val comp = dedupComponentsCore(s, d)
+    val splits = Tables.documents(s, d).select(col("doc_id"))
+      .join(comp.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .withColumn("ckey", coalesce(col("cluster"), col("doc_id")))
+      .select(col("doc_id"),
+        expr("CASE WHEN substring(md5(concat('split:', CAST(ckey AS STRING))), 1, 1) " +
+          "< 'c' THEN 'train' WHEN substring(md5(concat('split:', " +
+          "CAST(ckey AS STRING))), 1, 1) < 'e' THEN 'val' ELSE 'test' END").as("split"))
+    val pairs = candidatePairs(s, d)
+    val total = pairs.agg(count(lit(1)).as("n_total"))
+    val sizes = splits.groupBy(col("split")).agg(count(lit(1)).as("n_docs"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb"))
+        .hint("shuffle_hash"), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(broadcast(total))
+      .join(broadcast(sizes).withColumnRenamed("split", "split_a"), Seq("split_a"))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        round(col("n_pairs").cast("double") / col("n_total"), 6).as("pair_share"),
+        col("n_docs").as("n_docs_a"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  private val clusterSplitSql =
+    s"""$componentsSqlCtes,
+       |sp AS (SELECT d.doc_id,
+       |   CASE WHEN substring(md5('split:' ||
+       |          CAST(coalesce(c.cluster, d.doc_id) AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+       |        WHEN substring(md5('split:' ||
+       |          CAST(coalesce(c.cluster, d.doc_id) AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+       |        ELSE 'test' END AS split
+       | FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+       |sz AS (SELECT split, count(*) AS n_docs FROM sp GROUP BY split),
+       |t AS (SELECT count(*) AS n_total FROM pairs)
+       |SELECT least(a.split, b.split) AS split_a,
+       |       greatest(a.split, b.split) AS split_b,
+       |       count(*) AS n_pairs,
+       |       round(CAST(count(*) AS DOUBLE) / t.n_total, 6) AS pair_share,
+       |       min(sz.n_docs) AS n_docs_a
+       |FROM pairs p JOIN sp a ON a.doc_id = p.doc_a
+       |     JOIN sp b ON b.doc_id = p.doc_b
+       |     JOIN sz ON sz.split = least(a.split, b.split), t
+       |GROUP BY 1, 2, t.n_total ORDER BY 1, 2""".stripMargin
+
   /** B28 exact n-gram Jaccard on adjacent-id pairs (the verify step a
     * production pipeline runs on LSH candidates; adjacent ids keep the
     * graded output deterministic and O(n)). */
@@ -2757,6 +2824,8 @@ object TextOps {
       "the 4x1-band high-recall LSH operating point (S-curve's other end vs q144's 2x2)"),
     QueryDef("q149_split_leakage", splitLeakage, Some(splitLeakageSql),
       "train/val/test hash-split near-dup leakage audit over the LSH candidate pairs"),
+    QueryDef("q151_cluster_split", clusterSplit, Some(clusterSplitSql),
+      "split-by-cluster remediation: component-hashed splits make cross-split leakage zero by construction"),
     QueryDef("q131_containment_join", containmentJoin, Some(containmentJoinSql),
       "exact set-containment join (one-sided prefix filter): subsumed-document detection"),
     QueryDef("q129_corpus_drift", corpusDrift, Some(corpusDriftSql),

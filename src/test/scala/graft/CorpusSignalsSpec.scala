@@ -241,6 +241,26 @@ class CorpusSignalsSpec extends AnyFunSuite with LocalSparkSuite {
     assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-4)
   }
 
+  test("q151: cluster-grain splits have zero cross-split leakage, sane proportions") {
+    val rows = TextOps.clusterSplit(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // diagonal only: every candidate pair stays inside one split
+    rows.foreach { r =>
+      assert(r.getString(0) === r.getString(1),
+        s"cross-split pairs under cluster splits: ${r.getString(0)}/${r.getString(1)}")
+    }
+    // the matrix still accounts for every candidate pair
+    val nPairs = TextOps.minhashPairs(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum === nPairs)
+    // doc counts cover the corpus across the (≤3) split classes present
+    val splitsSeen = TextOps.clusterSplit(spark, sfDir)
+      .select("split_a", "n_docs_a").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = Tables.documents(spark, sfDir).count()
+    assert(splitsSeen.values.sum <= total)
+    assert(splitsSeen.getOrElse("train", 0L) > splitsSeen.getOrElse("val", 0L))
+  }
+
   test("q150: run statistics equal brute force") {
     val expected = docs().flatMap { case (id, _, text) =>
       val tk = text.split(" ")
