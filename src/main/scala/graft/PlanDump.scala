@@ -72,7 +72,8 @@ object PlanDump {
       "q148_mmr_diverse" -> "B87 MMR: candidate frame checkpointed once (Scan ExistingRDD), each round a map-only score + TakeOrdered(1), selected set a 1-row broadcast",
       "q149_split_leakage" -> "B89 split leakage: banded candidate generation shared with q34, two skinny shuffle-hash join-backs of (doc_id, split), 6-row aggregate",
       "q150_degenerate_runs" -> "B90 degenerate runs: ONE map-only struct-fold projection — no explode, no window, nothing leaves the row",
-      "q112_ann_knn_join" -> "B55 kNN self-join after the 100x fix: neighbor side collapsed to one row per distinct embedding (the dedup-first guard), block join + vec_id-partitioned top-3 window")
+      "q112_ann_knn_join" -> "B55 kNN self-join after the 100x fix: neighbor side collapsed to one row per distinct embedding (the dedup-first guard), block join + vec_id-partitioned top-3 window",
+      "q151_cluster_split" -> "B91 cluster splits: memoized fixpoint labels (Scan ExistingRDD) + skinny left join for the split key + the 6-row matrix aggregate")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")
     picks.foreach { case (name, why) =>
