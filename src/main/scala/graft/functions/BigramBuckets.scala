@@ -59,14 +59,19 @@ object BigramBuckets {
     val md = java.security.MessageDigest.getInstance("MD5")
     val space = ' '.toByte
     val out = new Array[Any](n - 1)
-    var prev = tokens.getUTF8String(0).getBytes
+    // null elements follow concat_ws semantics (drop the null and, with
+    // it, the separator) so the bit-compatibility claim with the
+    // declarative md5(concat_ws(' ', a, b)) holds even on
+    // containsNull=true arrays the SQL-registered function may see —
+    // internal callers only ever feed split() output (never null).
+    var prev: Array[Byte] = if (tokens.isNullAt(0)) null else tokens.getUTF8String(0).getBytes
     var i = 1
     while (i < n) {
-      val cur = tokens.getUTF8String(i).getBytes
+      val cur: Array[Byte] = if (tokens.isNullAt(i)) null else tokens.getUTF8String(i).getBytes
       md.reset()
-      md.update(prev)
-      md.update(space)
-      md.update(cur)
+      if (prev != null) md.update(prev)
+      if (prev != null && cur != null) md.update(space)
+      if (cur != null) md.update(cur)
       out(i - 1) = hex((md.digest()(0) >>> 4) & 0xf)
       prev = cur
       i += 1

@@ -743,7 +743,20 @@ object CurationOps {
       .groupBy(col("b")).agg(
         sum(when(col("source") === targetSource, 1L).otherwise(0L)).as("tc"),
         sum(when(col("source") =!= targetSource, 1L).otherwise(0L)).as("rc"))
-    counts.groupBy()
+    // Left-join the observed counts onto the literal 16-bucket frame so
+    // EVERY hex bucket carries its Laplace-smoothed log-ratio: a doc
+    // whose bigram hashes into a bucket the fit corpus never saw (only
+    // possible for dsirGate's static model scoring a live stream) must
+    // score the smoothed default ln((0+1)/(tt+16)) − ln((0+1)/(rt+16)),
+    // not NULL out of element_at. The DuckDB oracle's `h` CTE is this
+    // same frame.
+    val frame = docs.sparkSession.range(16)
+      .select(expr("substring('0123456789abcdef', cast(id AS int) + 1, 1)").as("b"))
+    frame.join(counts, Seq("b"), "left")
+      .select(col("b"),
+        coalesce(col("tc"), lit(0L)).as("tc"),
+        coalesce(col("rc"), lit(0L)).as("rc"))
+      .groupBy()
       .agg(sort_array(collect_list(struct(col("b"), col("tc"), col("rc")))).as("arr"),
         sum(col("tc")).as("tt"), sum(col("rc")).as("rt"))
       .select(map_from_entries(expr(
@@ -879,7 +892,15 @@ object CurationOps {
     * full-table run (state bleeding across vectorized rows — the
     * filtered single-row evaluation of the identical fold disagreed
     * with the full-scan one), so the fold formulation is not a usable
-    * oracle. Adjacent-equal positions grouped by the classic
+    * oracle. Round-10 repro attempt: the same struct fold now agrees
+    * with this window formulation on the full sf0.1 corpus, and
+    * synthetic sweeps (10k rows × 2500-element lists; VARCHAR, DOUBLE
+    * and struct accumulators) all stay consistent — the trigger is not
+    * accumulator type or list length alone and remains unpinned, so
+    * this window rewrite stays. q138's scalar fold was separately
+    * re-adjudicated full-table-vs-per-row-pinned on the real corpus
+    * (0 mismatches; note at TextOps.bpeRoundKeyedSql).
+    * Adjacent-equal positions grouped by the classic
     * (i − row_number) run id give adj = Σ run lengths and
     * max_run = longest run + 1 — exact integers, engine-stable. */
   private val degenerateRunsSql =

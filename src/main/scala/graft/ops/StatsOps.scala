@@ -831,12 +831,19 @@ object StatsOps {
         ceil(col("decile") * col("n") / lit(10.0)).cast("long").as("cutoff"))
       .localCheckpoint()
     val cum = perDoc.join(broadcast(cut), col("doc_id") < col("cutoff"))
-      .groupBy(col("decile"), col("cutoff")).agg(sum(col("nb")).as("cum_bigrams"))
+      .groupBy(col("decile")).agg(sum(col("nb")).as("cum_bigrams"))
     val voc = firstDoc.join(broadcast(cut.select(col("decile"), col("cutoff"))),
         col("first_doc") < col("cutoff"))
       .groupBy(col("decile")).agg(count(lit(1)).as("vocab"))
-    cum.join(broadcast(voc), Seq("decile"))
-      .select(col("decile"), col("cutoff"), col("cum_bigrams"), col("vocab"))
+    // left-join from the 10-row cut frame so every decile always
+    // appears — a decile whose cutoff precedes every bigram's
+    // first_doc has no voc row (and a degenerate corpus no cum row);
+    // the oracle's scalar subqueries return 0 there, not absence
+    cut.join(broadcast(cum), Seq("decile"), "left")
+      .join(broadcast(voc), Seq("decile"), "left")
+      .select(col("decile"), col("cutoff"),
+        coalesce(col("cum_bigrams"), lit(0L)).as("cum_bigrams"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"))
       .orderBy(col("decile"))
   }
 

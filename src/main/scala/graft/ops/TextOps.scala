@@ -2148,7 +2148,22 @@ object TextOps {
 
   /** The oracle replays the SAME t1→t4 chain as q132's, with doc_id
     * and source carried through each round (the keyed variant of
-    * [[bpeRoundSql]]). */
+    * [[bpeRoundSql]]).
+    *
+    * list_reduce hazard note (round 10): q150's oracle abandoned a
+    * DuckDB list_reduce struct fold after observing row-dependent
+    * results in full-table runs (see the comment at
+    * CurationOps.degenerateRunsSql). This oracle's scalar-VARCHAR fold
+    * sits in the same function, so it was re-adjudicated directly:
+    * full-table vs per-row-pinned evaluation of THIS exact fold shape
+    * on the real sf0.1 corpus (5000 docs, 61 sampled) — 0 mismatches;
+    * plus synthetic sweeps (10k rows, lists to 2500 elements) over
+    * scalar-VARCHAR, scalar-DOUBLE, and struct accumulators — 0
+    * mismatches each, and the q150-era struct fold itself no longer
+    * diverges on the real corpus either. The original trigger remains
+    * unpinned (not accumulator type or list length alone); the q150
+    * window rewrite stays as defense-in-depth, and this fold stays an
+    * oracle on the strength of the direct full-vs-pinned check. */
   private def bpeRoundKeyedSql(n: Int, from: String): String =
     s"""p$n AS (SELECT unnest([array_to_string(list_slice(tk, i, i+1), ' ')
        |         for i in generate_series(1, len(tk)-1)]) AS pair

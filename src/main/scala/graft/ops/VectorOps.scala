@@ -231,14 +231,18 @@ object VectorOps {
       .select(col("vec_id"), col("embedding"), col("label").as("cell"),
         col("own_label").as("label"))
       .withColumn("sb", shiftright(lshBucket, 1))
-    // neighbor side at rep grain (min vec_id per distinct embedding,
-    // its label via min_by ≡ DuckDB arg_min) — the q112 duplication
-    // guard; see the comment there (measured 134 s → ~2 s at 100×)
-    val nbrs = asg.groupBy(col("cell"), col("sb"), col("embedding"))
-      .agg(min(col("vec_id")).as("nbr_id"),
-        expr("min_by(label, vec_id)").as("nbr_label"))
+    // neighbor side at (embedding, label) rep grain — the q112
+    // duplication guard (measured 134 s → ~2 s at 100×), but grouped
+    // per LABEL rather than collapsing labels via min_by: a duplicate
+    // embedding whose copies carry different labels must still surface
+    // as a cos=1.0 cross-label hard negative (the strongest possible
+    // negative when the query shares the min-vec_id rep's label). The
+    // guard survives: group count per duplicate embedding is bounded
+    // by label cardinality, not by the duplication factor.
+    val nbrs = asg.groupBy(col("cell"), col("sb"), col("embedding"), col("label"))
+      .agg(min(col("vec_id")).as("nbr_id"))
       .select(col("cell"), col("sb"), col("nbr_id"),
-        col("embedding").as("nv"), col("nbr_label"))
+        col("embedding").as("nv"), col("label").as("nbr_label"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id"))
       .orderBy(col("cos_sim").desc, col("nbr_id"))
@@ -269,9 +273,9 @@ object VectorOps {
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, label) AS rn FROM sc),
        |a AS (SELECT vec_id, embedding, own_label, cell, ($bucketSqlExpr) // 2 AS sb
        |      FROM asg WHERE rn = 1),
-       |nr AS (SELECT cell, sb, embedding, MIN(vec_id) AS nbr_id,
-       |         arg_min(own_label, vec_id) AS nbr_label
-       |       FROM a GROUP BY cell, sb, embedding),
+       |nr AS (SELECT cell, sb, embedding, own_label AS nbr_label,
+       |         MIN(vec_id) AS nbr_id
+       |       FROM a GROUP BY cell, sb, embedding, own_label),
        |p AS (SELECT x.vec_id, x.own_label AS label, y.nbr_id,
        |        y.nbr_label,
        |        ROUND(${dotSql("x.embedding", "y.embedding")} /

@@ -119,6 +119,17 @@ class NativeExpressionsSpec extends AnyFunSuite with LocalSparkSuite {
     val one = viaNative.sparkSession.createDataFrame(Seq(Tuple1(Seq("solo"))))
       .toDF("tk").select(GraftFunctions.bigramBuckets(col("tk")).as("b")).head
     assert(one.getSeq[String](0).isEmpty)
+    // null elements follow concat_ws semantics (drop null + separator),
+    // matching the declarative formulation on containsNull arrays
+    val withNulls = spark.range(1).select(
+      expr("array('a', CAST(NULL AS STRING), 'b', CAST(NULL AS STRING), CAST(NULL AS STRING))").as("tk"))
+    val nb = withNulls.select(GraftFunctions.bigramBuckets(col("tk")).as("b"))
+      .head.getSeq[String](0)
+    val nh = withNulls.select(expr(
+      "transform(sequence(1, size(tk) - 1), i -> " +
+        "substring(md5(concat_ws(' ', element_at(tk, i), element_at(tk, i + 1))), 1, 1))").as("b"))
+      .head.getSeq[String](0)
+    assert(nb === nh)
   }
 
   test("SQL registration covers the full native-expression surface") {

@@ -431,6 +431,40 @@ class StreamingSpec extends AnyFunSuite with LocalSparkSuite {
     } finally q.stop()
   }
 
+  test("DSIR gate scores a bigram bucket absent from the fit corpus (smoothed, not NULL)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "src0", "key agg key agg key scan"),
+      (1L, "src0", "key value key value key"),
+      (2L, "src1", "window stream window stream batch"),
+      (3L, "src2", "sort merge sort merge join")).toDF("doc_id", "source", "text")
+    val model = graft.ops.CurationOps.dsirModel(corpus, "src0").localCheckpoint()
+    // the model must carry ALL 16 hex buckets, not just the observed ones
+    val entries = model.select(expr("map_keys(m)")).head.getSeq[String](0)
+    assert(entries.sorted === "0123456789abcdef".map(_.toString))
+    // 'key key' hashes to bucket 5, which no fit-corpus bigram
+    // occupies (covered set is {1,4,6,7,a,d,e,f}); pre-fix this doc
+    // scored weight=NULL and silently fell out of the gate — now it
+    // gets the smoothed default ln((rt+16)/(tt+16)).
+    val in = MemoryStream[StreamingOps.Doc]
+    val q = StreamingOps.dsirGate(in.toDF(), model, -1.0)
+      .writeStream.outputMode("append").format("memory").queryName("dsir_unseen").start()
+    try {
+      in.addData(StreamingOps.Doc(20, ts("2024-01-01 10:00:00"), "key key"))
+      q.processAllAvailable()
+      val rows = spark.table("dsir_unseen")
+        .collect().map(r => r.getLong(0) -> ((r.getDouble(3), r.getBoolean(4)))).toMap
+      assert(rows.contains(20L), "unseen-bucket doc must not fall out of the gate")
+      // tt=9 target / rt=8 raw bigram occurrences in the fit corpus:
+      // smoothed lr = ln((0+1)/(9+16)) - ln((0+1)/(8+16)) = ln(24/25)
+      val expected = BigDecimal(math.log(24.0 / 25.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(rows(20L)._1 === expected)
+      assert(rows(20L)._2, "weight above threshold must keep the doc")
+    } finally q.stop()
+  }
+
   test("contamination monitor: hourly clean/contaminated counts per closed window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
