@@ -279,19 +279,23 @@ object Bench {
     // waiting for a genuinely bad window to test it in anger
     val clean1 = windowClean(cpuW1, ioW1, gcSec, total1) &&
       !sys.env.getOrElse("SPARK_GRAFT_FORCE_DIRTY", "false").toBoolean
-    // ---- bounded dirty-window re-run ----
+    // ---- bounded dirty-window re-runs ----
     // A uniformly slow window defeats the per-query retry gate (r7:
     // ~100 sub-second queries each 2-3x slow, individually under the
     // 2 s gate, collectively ~15 s of inflation no retry touched). If
-    // window 1 adjudicates dirty, run the whole suite ONE more pass
-    // (bounded: exactly one, opt out with SPARK_GRAFT_DIRTY_RERUN=
-    // false), sentinel-sampled like the first, and merge per-query
-    // MINIMA — contention only ever adds time, so min(dirty, second)
-    // is the code-cost estimator. The artifact's `clean` then reports
-    // the verdict of the window that produced the final numbers: true
-    // iff ANY window was clean. Window-1 sentinel fields keep their
-    // round-over-round-comparable names; window-2 stats are appended
-    // as *_2 fields only when the rerun happened.
+    // window 1 adjudicates dirty, re-run the whole suite — up to
+    // SPARK_GRAFT_MAX_RERUNS (default 3) passes, stopping early the
+    // moment a window comes back clean or the cumulative rerun
+    // wall-clock passes SPARK_GRAFT_RERUN_WALL_CAP_S (default 900 s;
+    // r9 shipped `clean_2:false` because the single bounded rerun
+    // landed in the same noisy window — one retry was not enough).
+    // Opt out entirely with SPARK_GRAFT_DIRTY_RERUN=false. Each pass
+    // is sentinel-sampled like the first and merged by per-query
+    // MINIMA — contention only ever adds time, so min over windows is
+    // the code-cost estimator. The artifact's `clean` reports true iff
+    // ANY window was clean. Window-1 sentinel fields keep their
+    // round-over-round-comparable names; window-k stats are appended
+    // as *_k fields (sentinel_max_2, total_3, ...) per rerun taken.
     var finalResults = results
     var rerun = 0
     var clean = clean1
@@ -301,56 +305,69 @@ object Bench {
     // WHICH build paid the dirty window); on a rerun, per-key minima —
     // the same estimator as the queries
     var memoByKey = CheckpointMemo.buildSecondsByTag
-    if (!clean1 &&
-        sys.env.getOrElse("SPARK_GRAFT_DIRTY_RERUN", "true").toBoolean) {
-      rerun = 1
+    val rerunEnabled = sys.env.getOrElse("SPARK_GRAFT_DIRTY_RERUN", "true").toBoolean
+    val maxReruns = sys.env.getOrElse("SPARK_GRAFT_MAX_RERUNS", "3").toInt
+    val wallCapS = sys.env.getOrElse("SPARK_GRAFT_RERUN_WALL_CAP_S", "900").toDouble
+    // SPARK_GRAFT_FORCE_DIRTY dirties EVERY window verdict, so the
+    // forced test exercises the full rerun ladder (3 window attempts
+    // + the wall cap), not just the first retry
+    val forceDirty = sys.env.getOrElse("SPARK_GRAFT_FORCE_DIRTY", "false").toBoolean
+    var rerunWallS = 0.0
+    if (!clean1 && rerunEnabled && memoBuildS >= 0) {
+      rerunFields = s""","memo_build_s1":${fmt(memoBuildS)}"""
+    }
+    while (!clean && rerunEnabled && rerun < maxReruns && rerunWallS < wallCapS) {
+      rerun += 1
       System.err.println(
         "[bench] window verdict DIRTY (cpu " + cpuW1.max + "/" + cpuW1.min +
         ", io " + ioW1.max + "/" + ioW1.min + ", gc " + gcSec +
-        ") - re-running the suite once")
-      // memo builds happened in the dirty window and min-of-N never
+        ") - re-running the suite (attempt " + rerun + "/" + maxReruns + ")")
+      // memo builds happened in a dirty window and min-of-N never
       // re-times them (the r7 61.9 s vs 3.0 s symptom): drop the
-      // memoized frames so the rerun rebuilds them in window 2, and
-      // report the cheaper build as memo_build_s (same min estimator
-      // as the queries; both raw values stay recoverable: window 1's
-      // via memo_build_s1, window 2's via memo_build_s2).
+      // memoized frames so each rerun rebuilds them in its own window,
+      // and report the cheapest build as memo_build_s (same min
+      // estimator as the queries; every window's raw value stays
+      // recoverable via memo_build_s1..memo_build_sN).
       CheckpointMemo.clear()
       CheckpointMemo.resetStats()
-      val gcPre2 = gcSeconds()
-      val cpu2 = scala.collection.mutable.ArrayBuffer(sentinelOnce())
-      val io2 = scala.collection.mutable.ArrayBuffer(ioSentinelOnce())
-      var since2 = 0
-      val secondMap = SparkEntry.queries.toSeq.sortBy(_._1)
+      val wall0 = System.nanoTime()
+      val gcPreN = gcSeconds()
+      val cpuN = scala.collection.mutable.ArrayBuffer(sentinelOnce())
+      val ioN = scala.collection.mutable.ArrayBuffer(ioSentinelOnce())
+      var sinceN = 0
+      val passMap = SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (n, _) => only.forall(_.contains(n)) }
         .map { case (name, fn) =>
-          since2 += 1
-          if (since2 >= 10) {
+          sinceN += 1
+          if (sinceN >= 10) {
             if (periodicGc) System.gc()
-            cpu2 += sentinelOnce(); io2 += ioSentinelOnce(); since2 = 0
+            cpuN += sentinelOnce(); ioN += ioSentinelOnce(); sinceN = 0
           }
           name -> timedPass(fn)
         }.toMap
-      cpu2 += sentinelOnce(); io2 += ioSentinelOnce()
-      val gc2 = gcSeconds() - gcPre2
-      finalResults = results.map { case (n, t1) =>
-        val t2 = secondMap.getOrElse(n, -1.0)
-        // a query green in window 1 must not become an error on an
-        // infra fluke in the rerun; one already -1 stays an error
+      cpuN += sentinelOnce(); ioN += ioSentinelOnce()
+      val gcN = gcSeconds() - gcPreN
+      rerunWallS += (System.nanoTime() - wall0) / 1e9
+      finalResults = finalResults.map { case (n, t1) =>
+        val t2 = passMap.getOrElse(n, -1.0)
+        // a query green in a prior window must not become an error on
+        // an infra fluke in the rerun; one already -1 stays an error
         val merged = if (t1 < 0) t1 else if (t2 >= 0) math.min(t1, t2) else t1
         n -> merged
       }
-      val total2 = secondMap.values.filter(_ >= 0).sum
-      val clean2 = windowClean(cpu2.toSeq, io2.toSeq, gc2, total2)
-      clean = clean1 || clean2
-      val memo2 = CheckpointMemo.buildSeconds
-      val memoByKey2 = CheckpointMemo.buildSecondsByTag
-      rerunFields = s""","sentinel_max_2":${fmt(cpu2.max)},"io_max_2":${
-        fmt(io2.max)},"gc_sec_2":${fmt(gc2)},"total_2":${fmt(total2)},"clean_2":$clean2,"memo_build_s1":${
-        fmt(memoBuildS)},"memo_build_s2":${fmt(memo2)}"""
-      memoBuildS = math.min(memoBuildS, memo2)
-      memoByKey = (memoByKey.keySet ++ memoByKey2.keySet).map { k =>
+      val totalN = passMap.values.filter(_ >= 0).sum
+      val cleanN = windowClean(cpuN.toSeq, ioN.toSeq, gcN, totalN) && !forceDirty
+      clean = clean || cleanN
+      val memoN = CheckpointMemo.buildSeconds
+      val memoByKeyN = CheckpointMemo.buildSecondsByTag
+      val sfx = "_" + (rerun + 1)
+      rerunFields += s""","sentinel_max$sfx":${fmt(cpuN.max)},"io_max$sfx":${
+        fmt(ioN.max)},"gc_sec$sfx":${fmt(gcN)},"total$sfx":${fmt(totalN)},"clean$sfx":$cleanN,"memo_build_s${
+        rerun + 1}":${fmt(memoN)}"""
+      memoBuildS = math.min(memoBuildS, memoN)
+      memoByKey = (memoByKey.keySet ++ memoByKeyN.keySet).map { k =>
         k -> math.min(memoByKey.getOrElse(k, Double.MaxValue),
-          memoByKey2.getOrElse(k, Double.MaxValue))
+          memoByKeyN.getOrElse(k, Double.MaxValue))
       }.toMap
     }
     val qs = finalResults.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
@@ -409,12 +426,13 @@ object Bench {
     } catch { case _: Throwable => "{}" }
     val summary = s""""metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"passes":$repeat,"clean":$clean,"dirty_rerun":$rerun,"cold_total":${fmt(coldSum)},"memo_build_s":${fmt(memoBuildS)},"memo_builds":$memoBuilds,"sentinel_pre":${fmt(sentinelPre)},"sentinel_post":${fmt(sentinelPost)},"sentinel_max":${fmt(sentinelMax)},"io_pre":${fmt(ioPre)},"io_post":${fmt(ioPost)},"io_max":${fmt(ioMax)},"gc_sec":${fmt(gcSec)}$rerunFields,"slowest":$slowest,"dominant":$dominant,"regressions":$regressions,"sf":"$sfDir""""
     val fullJson = s"""{"queries":$qs,$summary}"""
-    println(fullJson)
-    println(s"""{$summary}""")
-    // stdout survives only as a bounded, logger-prefixed tail in the
-    // driver's capture ("[info] {...}" defeats strict JSON parsers) —
-    // the FILE is the canonical artifact: complete, prefix-free, and
-    // immune to truncation. Same pattern as Verify's oracle_sql.json.
+    // ALL warnings print (and stderr flushes) BEFORE the JSON lines:
+    // the driver keeps a bounded tail of the COMBINED capture and
+    // parses its last JSON-looking line — r9's artifact ended on a
+    // trailing stderr WARN and came back `parsed:null`, leaving a
+    // dirty round with no machine-readable total. With warnings first,
+    // the capture always ends on the two JSON lines, so even a dirty
+    // run yields parsed totals (value + per-window total_k fields).
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")),
       fullJson + "\n")
@@ -429,6 +447,13 @@ object Bench {
     if (!clean) System.err.println(
       "[bench] WARN window verdict DIRTY after " + rerun +
       " rerun(s) - treat value/cold_total as upper bounds, not costs")
+    System.err.flush()
+    // stdout survives only as a bounded, logger-prefixed tail in the
+    // driver's capture ("[info] {...}" defeats strict JSON parsers) —
+    // the FILE is the canonical artifact: complete, prefix-free, and
+    // immune to truncation. Same pattern as Verify's oracle_sql.json.
+    println(fullJson)
+    println(s"""{$summary}""")
     Tables.clearCache()
     CheckpointMemo.clear()
     spark.stop()
