@@ -73,7 +73,8 @@ object PlanDump {
       "q149_split_leakage" -> "B89 split leakage: banded candidate generation shared with q34, two skinny shuffle-hash join-backs of (doc_id, split), 6-row aggregate",
       "q150_degenerate_runs" -> "B90 degenerate runs: ONE map-only struct-fold projection — no explode, no window, nothing leaves the row",
       "q112_ann_knn_join" -> "B55 kNN self-join after the 100x fix: neighbor side collapsed to one row per distinct embedding (the dedup-first guard), block join + vec_id-partitioned top-3 window",
-      "q151_cluster_split" -> "B91 cluster splits: memoized fixpoint labels (Scan ExistingRDD) + skinny left join for the split key + the 6-row matrix aggregate")
+      "q151_cluster_split" -> "B91 cluster splits: memoized fixpoint labels (Scan ExistingRDD) + skinny left join for the split key + the 6-row matrix aggregate",
+      "q152_ivf_serving_recall" -> "B92 serving operating point: 10-row centroid index checkpoint-broadcast, skew-free argmin windows, probe membership a broadcast left join, metrics ONE qid-keyed window + aggregate (q109 shape)")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")
     picks.foreach { case (name, why) =>

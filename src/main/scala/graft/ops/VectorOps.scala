@@ -477,8 +477,11 @@ object VectorOps {
   /** The deterministic IVF scoring frame behind q87 and q112: every
     * (vector, cell) pair with its ||c||² − 2·e·c distance score, the
     * 10-row centroid index broadcast. */
-  private def ivfScored(s: SparkSession, d: String): DataFrame = {
-    val cents = Tables.embeddings(s, d)
+  /** The deterministic coarse-quantizer index: per-label centroids as
+    * a (label, cv, cnorm) frame — exact DECIMAL(28,8) means, so the
+    * "training" replays identically in the oracle. */
+  private[graft] def ivfCentroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
       .select(col("label"), posexplode(col("embedding")))
       .groupBy(col("label"), col("pos"))
       .agg(dsum(col("col").cast("double")).as("csum"), count(lit(1)).as("n"))
@@ -488,12 +491,44 @@ object VectorOps {
       // ||c||² is per-cell constant: fold it once over the 10-row index,
       // not once per (vector, cell) pair
       .withColumn("cnorm", dotFast(col("cv"), col("cv")))
+
+  /** TRAINED coarse quantizer — full-dimension k-means over the
+    * embeddings (MLlib, fixed seed), exposed in the SAME (label, cv,
+    * cnorm) shape as [[ivfCentroids]] so every downstream consumer
+    * (scoring, assignment, the serving-recall harness) is codebook-
+    * agnostic. Test-graded like [[pqCentsLearned]]: k-means
+    * initialization is engine-internal, so a learned index can never
+    * hash-match a SQL oracle — VectorServingSpec drives the identical
+    * harness with both quantizers and SCALING.md records the recall
+    * delta. The model is driver-resident index metadata (k centroid
+    * arrays); assignment and scoring distribute. */
+  def ivfCentroidsLearned(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val withF = Tables.embeddings(s, d).withColumn("features", toVec(col("embedding")))
+    val model = new KMeans().setK(k).setSeed(42L).setMaxIter(20)
+      .setFeaturesCol("features").fit(withF)
+    import s.implicits._
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }.toSeq
+      .toDF("label", "cv")
+      .withColumn("cnorm", dotFast(col("cv"), col("cv")))
+  }
+
+  /** Every (vector, cell) pair with its ||c||² − 2·e·c distance score
+    * under an arbitrary (label, cv, cnorm) quantizer, the centroid
+    * index broadcast. */
+  private def ivfScoredFrom(s: SparkSession, d: String,
+      cents: DataFrame): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), col("label").as("own_label"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("own_label"), col("label"),
         (col("cnorm") - lit(2.0) * dotFast(col("embedding"), col("cv"))).as("score"))
-  }
+
+  private def ivfScored(s: SparkSession, d: String): DataFrame =
+    ivfScoredFrom(s, d, ivfCentroids(s, d))
 
   /** Nearest-cell assignment derived from [[ivfScored]] (argmin
     * tie-broken on label via a vec_id-partitioned window). Memoized
@@ -556,6 +591,103 @@ object VectorOps {
        |      WHERE a.rn = 1 AND a.vec_id != 0
        |        AND a.label IN (SELECT label FROM probe)) p
        |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
+
+  /** The IVF serving-recall harness under an ARBITRARY quantizer: the
+    * q109 recall protocol (queries = vec_id % 100 = 0, ground truth =
+    * brute-force ROUND(6)-cosine top-10 with vec_id tiebreak) with the
+    * LSH bucket test replaced by IVF probe membership — a vector is a
+    * candidate iff its assigned cell is among the nProbe cells nearest
+    * the query vector. One scored frame feeds assignment, probing and
+    * ground truth; the per-query metrics fold into ONE aggregate over
+    * the ranked frame (the q109 shape: rk as a CASE input, no
+    * per-metric join). */
+  private[graft] def ivfServingRecallFrom(s: SparkSession, d: String,
+      cents: DataFrame, nProbe: Int): DataFrame = {
+    val scored = ivfScoredFrom(s, d, cents.localCheckpoint())
+    val aw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("score"), col("label"))
+    val assigned = scored
+      .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score"), col("label"))
+    val probes = scored.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("label"), col("score"))
+      .withColumn("prk", row_number().over(pw))
+      .filter(col("prk") <= nProbe)
+      .select(col("qid"), col("label"), lit(1).as("probed"))
+    val q = Tables.embeddings(s, d).filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    assigned
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("label"),
+        round(cosineSimFast(col("embedding"), col("qv")), 6).as("cos"))
+      .join(broadcast(probes), Seq("qid", "label"), "left")
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("qid"))
+      .agg(sum(when(col("probed").isNotNull, 1L).otherwise(0L)).as("n_cand"),
+        sum(when(col("probed").isNotNull && col("rk") <= 10, 1L).otherwise(0L))
+          .as("hits"))
+      .select(col("qid"), col("n_cand"), col("hits"),
+        (col("hits").cast("double") / 10).as("recall10"))
+      .orderBy(col("qid"))
+  }
+
+  /** q152: the SERVING-GRADE IVF operating point — the answer to "what
+    * breadth does this index need for production recall on this
+    * corpus". The fixture embeddings are near-isotropic (mean pairwise
+    * cos ≈ 0.0004, measured round 10), so ANY partition index's recall
+    * tracks ~2× the probed corpus fraction — the recall/cost frontier
+    * is a property of the data, not the index. nProbe = 7 of the 10
+    * deterministic cells is the smallest breadth clearing mean
+    * recall@10 ≥ 0.8 at every SF (measured 0.82/0.84/0.835 at
+    * sf0.001/0.01/0.1); VectorServingSpec runs the same harness with
+    * the TRAINED k-means quantizer ([[ivfCentroidsLearned]]) and
+    * SCALING.md records what training buys at fixed breadth.
+    *
+    * Scale shape: the index is a broadcast at any corpus size,
+    * assignment is one map-side cross + a skew-free argmin window, and
+    * the ground-truth brute-force pass exists only because a recall
+    * harness NEEDS exact truth — the serving path itself (probe →
+    * candidates → re-rank) scans only the probed cells. */
+  def ivfServingRecall(s: SparkSession, d: String): DataFrame =
+    ivfServingRecallFrom(s, d, ivfCentroids(s, d), nProbe = 7)
+
+  private lazy val ivfServingRecallSql =
+    s"""WITH cent AS (
+       |  SELECT label, list(c ORDER BY i) AS cv FROM (
+       |    SELECT label, i,
+       |      CAST(CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS c
+       |    FROM (SELECT label, unnest(embedding) AS e,
+       |          generate_subscripts(embedding, 1) AS i FROM embeddings) t
+       |    GROUP BY label, i) u GROUP BY label),
+       |sc AS (SELECT e.vec_id, e.embedding, cent.label,
+       |    list_sum([cv[i]*cv[i] for i in generate_series(1,64)])
+       |    - 2 * list_sum([CAST(embedding[i] AS DOUBLE)*cv[i] for i in generate_series(1,64)]) AS score
+       |  FROM embeddings e, cent),
+       |asg AS (SELECT vec_id, embedding, label,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, label) AS rn FROM sc),
+       |probes AS (SELECT qid, label FROM (
+       |    SELECT vec_id AS qid, label,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, label) AS prk
+       |    FROM sc WHERE vec_id % 100 = 0) WHERE prk <= 7),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+       |scq AS (SELECT q.qid, a.vec_id, a.label,
+       |    ROUND(${dotSql("a.embedding", "q.qv")} /
+       |      (SQRT(${dotSql("a.embedding", "a.embedding")}) * SQRT(${dotSql("q.qv", "q.qv")})), 6) AS cos
+       |  FROM (SELECT vec_id, embedding, label FROM asg WHERE rn = 1) a, q
+       |  WHERE a.vec_id <> q.qid),
+       |r AS (SELECT scq.qid, scq.vec_id, scq.cos,
+       |    CASE WHEN p.label IS NOT NULL THEN 1 ELSE 0 END AS probed,
+       |    ROW_NUMBER() OVER (PARTITION BY scq.qid ORDER BY scq.cos DESC, scq.vec_id) AS rk
+       |  FROM scq LEFT JOIN probes p ON p.qid = scq.qid AND p.label = scq.label)
+       |SELECT qid, CAST(SUM(probed) AS BIGINT) AS n_cand,
+       |  CAST(SUM(CASE WHEN probed = 1 AND rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  CAST(SUM(CASE WHEN probed = 1 AND rk <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS recall10
+       |FROM r GROUP BY qid ORDER BY qid""".stripMargin
 
   /** Multimodal plumbing (oracle-able slice): opaque binary payload +
     * typed metadata — byte length and content digest survive the
@@ -1056,6 +1188,8 @@ object VectorOps {
       "IVF-blocked kNN self-join: top-3 cosine neighbors per vector inside its learned cell"),
     QueryDef("q87_ann_ivf_cells", annIvfCells, Some(annIvfCellsSql),
       "B31 IVF ANN: deterministic centroid quantizer, probed-cell re-rank"),
+    QueryDef("q152_ivf_serving_recall", ivfServingRecall, Some(ivfServingRecallSql),
+      "B92 serving-grade IVF operating point: nProbe=7, mean recall@10 >= 0.8 pinned"),
     QueryDef("q136_multiprobe_ann", pqRerankAnnWide, Some(pqRerankAnnWideSql),
       "B76 serving stack at multiprobe breadth 2 (recall/latency knob, oracle-pinned)"),
     QueryDef("q134_pq_rerank_ann", pqRerankAnn, Some(pqRerankAnnSql),
