@@ -2060,6 +2060,164 @@ object TextOps {
   def bpeDeltaRound(s: SparkSession, d: String): DataFrame =
     bpeDeltaCounts(s, d).orderBy(col("pair"))
 
+  /** Map accumulator for the trainer's signed pair deltas: partitions
+    * pre-combine locally (the map-side-combine of a count shuffle,
+    * without the shuffle), and the driver merge is bounded by the pair
+    * vocabulary — exactly-once per task under Spark's action-
+    * accumulator guarantee (each round's pass IS an action: the
+    * localCheckpoint materialization). */
+  private final class PairDeltaAcc
+      extends org.apache.spark.util.AccumulatorV2[Map[String, Long], Map[String, Long]] {
+    private val m = scala.collection.mutable.HashMap.empty[String, Long]
+    override def isZero: Boolean = m.isEmpty
+    override def copy(): PairDeltaAcc = {
+      val a = new PairDeltaAcc; a.m ++= m; a
+    }
+    override def reset(): Unit = m.clear()
+    override def add(v: Map[String, Long]): Unit = v.foreach { case (k, c) =>
+      val n = m.getOrElse(k, 0L) + c
+      if (n == 0L) m.remove(k) else m.update(k, n)
+    }
+    override def merge(
+        o: org.apache.spark.util.AccumulatorV2[Map[String, Long], Map[String, Long]]): Unit =
+      add(o.value)
+    override def value: Map[String, Long] = m.toMap
+  }
+
+  /** The DRIVER-LOOPED BPE TRAINER — the production-length composition
+    * of the q135 delta round: N merges learned sequentially, the pair
+    * counts MAINTAINED by delta across every round instead of
+    * recounted (counts_r = counts_{r-1} − pairs(affected, pre) +
+    * pairs(affected, post)). Per round exactly ONE corpus-touching
+    * job: a map-only mapPartitions pass that rewrites each doc with
+    * the native byte-scan merge ([[graft.functions.BpeMergePair]] —
+    * the same kernel as the graded q132/q135/q138 passes, so the gate
+    * and the rewrite can never disagree) and, for the AFFECTED docs
+    * only, folds the signed bigram deltas into a per-partition map
+    * that rides home on a [[PairDeltaAcc]] accumulator. The counts
+    * table lives on the DRIVER — it is vocabulary-bounded (the q140
+    * hashing-trick argument: pair-vocabulary size is a property of the
+    * token vocabulary, not the corpus; production word-level BPE
+    * trainers keep exactly this table in memory) — so winner selection
+    * is a local argmin, not a job.
+    *
+    * Scale shape: per round one codegen-free but allocation-lean byte
+    * scan over the corpus (no shuffle EVER touches doc text; the only
+    * cross-worker traffic is the vocabulary-bounded delta map, which
+    * shrinks with the affected fraction as merges specialize —
+    * measured curve in SCALING.md). The recount alternative pays a
+    * full explode + shuffle every round. WinnowingSpec proves 60
+    * maintained rounds ≡ the full greedy recount at every round.
+    *
+    * Returns (merges, finalDocs, finalCounts); `stats` (when given)
+    * receives (round, pair, cnt, nAffected, wallMs) per round. */
+  private[graft] def bpeTrainLoop(s: SparkSession, d: String, nMerges: Int,
+      stats: Option[scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, Long)]])
+      : (DataFrame, DataFrame, DataFrame) = {
+    import s.implicits._
+    var docs: DataFrame = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("text")).localCheckpoint()
+    // round 0: ONE distributed count builds the driver-resident table
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    bpePairCounts(docs).collect().foreach(r =>
+      counts.update(r.getString(0), r.getLong(1)))
+    val merges = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    var r = 1
+    while (r <= nMerges && counts.nonEmpty) {
+      val t0 = System.nanoTime()
+      val (pair, cnt) = counts.minBy { case (p, c) => (-c, p) }
+      merges += ((r.toLong, pair, cnt))
+      val acc = new PairDeltaAcc
+      val affAcc = s.sparkContext.longAccumulator(s"bpe_affected_r$r")
+      s.sparkContext.register(acc, s"bpe_delta_r$r")
+      val pairLocal = pair
+      docs = docs.as[String].mapPartitions { it =>
+        val p = org.apache.spark.unsafe.types.UTF8String.fromString(pairLocal)
+        val local = scala.collection.mutable.HashMap.empty[String, Long]
+        var affected = 0L
+        def addPairs(t: String, sign: Long): Unit = {
+          val tk = t.split(" ", -1)
+          var i = 0
+          while (i < tk.length - 1) {
+            val key = tk(i) + " " + tk(i + 1)
+            val n = local.getOrElse(key, 0L) + sign
+            if (n == 0L) local.remove(key) else local.update(key, n)
+            i += 1
+          }
+        }
+        val out = it.map { t =>
+          val u = org.apache.spark.unsafe.types.UTF8String.fromString(t)
+          val m = graft.functions.BpeMergePair.merge(u, p)
+          if (m.equals(u)) t
+          else {
+            val mt = m.toString
+            affected += 1
+            addPairs(t, -1L); addPairs(mt, 1L)
+            mt
+          }
+        }
+        // the accumulator flush must happen AFTER the lazy output
+        // iterator drains (mapPartitions consumers pull lazily)
+        new Iterator[String] {
+          private var flushed = false
+          override def hasNext: Boolean = {
+            val h = out.hasNext
+            if (!h && !flushed) {
+              acc.add(local.toMap); affAcc.add(affected); flushed = true
+            }
+            h
+          }
+          override def next(): String = out.next()
+        }
+      }.toDF("text").localCheckpoint()
+      acc.value.foreach { case (k, c) =>
+        val n = counts.getOrElse(k, 0L) + c
+        if (n <= 0L) counts.remove(k) else counts.update(k, n)
+      }
+      stats.foreach(_ += ((r, pair, cnt, affAcc.value,
+        (System.nanoTime() - t0) / 1000000)))
+      r += 1
+    }
+    (merges.toSeq.toDF("round", "pair", "cnt"), docs,
+      counts.toSeq.toDF("pair", "cnt"))
+  }
+
+  /** q153: the trainer GRADED at N = 30 merges — the DuckDB oracle
+    * recounts every round from scratch (30 chained AS MATERIALIZED
+    * rounds; without MATERIALIZED the inlined CTE chain re-evaluates
+    * exponentially — the q84/q128 lesson), so a hash match proves the
+    * delta-maintained counts picked the identical winner at every one
+    * of the 30 rounds. Output is the merge table itself: the trained
+    * tokenizer artifact. */
+  def bpeTrain(s: SparkSession, d: String): DataFrame =
+    bpeTrainLoop(s, d, nMerges = 30, stats = None)._1.orderBy(col("round"))
+
+  private def bpeTrainRoundSql(n: Int, frm: String): String =
+    s"""p$n AS MATERIALIZED (SELECT unnest([array_to_string(list_slice(tk, i, i+1), ' ')
+       |         for i in generate_series(1, len(tk)-1)]) AS pair
+       |       FROM (SELECT string_split(text,' ') AS tk FROM $frm)),
+       |c$n AS MATERIALIZED (SELECT pair, count(*) AS cnt FROM p$n GROUP BY pair
+       |       ORDER BY cnt DESC, pair LIMIT 1),
+       |m$n AS MATERIALIZED (SELECT string_split(pair,' ')[1] AS a, string_split(pair,' ')[2] AS b,
+       |              replace(pair,' ','_') AS m FROM c$n),
+       |t${n + 1} AS MATERIALIZED (SELECT list_reduce(string_split(text,' '),
+       |         (acc, x) -> CASE WHEN (acc = a OR ends_with(acc, ' '||a)) AND x = b
+       |                     THEN substr(acc, 1, len(acc) - len(a)) || m
+       |                     ELSE acc || ' ' || x END) AS text
+       |       FROM $frm, m$n)""".stripMargin
+
+  private lazy val bpeTrainSql: String = {
+    val n = 30
+    val rounds = (1 to n).map(r => bpeTrainRoundSql(r, s"t$r")).mkString(",\n")
+    val sel = (1 to n)
+      .map(r => s"SELECT CAST($r AS BIGINT) AS round, pair, cnt FROM c$r")
+      .mkString(" UNION ALL ")
+    s"""WITH t1 AS MATERIALIZED (SELECT text FROM documents),
+       |$rounds
+       |SELECT round, pair, cnt FROM ($sel) ORDER BY round""".stripMargin
+  }
+
   private lazy val bpeDeltaRoundSql =
     s"""WITH t1 AS (SELECT text FROM documents),
        |${bpeRoundSql(1, "t1")},
@@ -2825,6 +2983,8 @@ object TextOps {
       "BPE merge learning (ACL'16): 3 fixed rounds of pair-count -> winner -> corpus merge"),
     QueryDef("q135_bpe_delta_round", bpeDeltaRound, Some(bpeDeltaRoundSql),
       "incremental BPE round: Spark maintains counts by delta, oracle recounts in full"),
+    QueryDef("q153_bpe_train", bpeTrain, Some(bpeTrainSql),
+      "B93 driver-looped BPE trainer: 30 delta-maintained merges vs a 30-round full-recount oracle"),
     QueryDef("q138_bpe_encode", bpeEncode, Some(bpeEncodeSql),
       "BPE tokenizer application: replay the learned merge list, per-source compression report"),
     QueryDef("q139_dup_span_coverage", dupSpanCoverage, Some(dupSpanCoverageSql),

@@ -396,6 +396,52 @@ class WinnowingSpec extends AnyFunSuite with LocalSparkSuite {
     assert(affected < texts.length, "the gate must exclude some docs")
   }
 
+  test("q153 trainer: 60 delta-maintained rounds ≡ the full greedy recount at every round") {
+    // local reference: plain greedy BPE, full recount per round
+    var texts = Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0)).toSeq
+    val expected = scala.collection.mutable.ArrayBuffer[(Long, String, Long)]()
+    (1 to 60).foreach { r =>
+      val c = bigramCounts(texts)
+      if (c.nonEmpty) {
+        val (pair, cnt) = c.minBy { case (p, n) => (-n, p) }
+        expected += ((r.toLong, pair, cnt))
+        texts = texts.map(mergeOne(_, pair))
+      }
+    }
+    val stats = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, Long)]()
+    val (merges, finalDocs, finalCounts) =
+      graft.ops.TextOps.bpeTrainLoop(spark, sfDir, 60, Some(stats))
+    val got = merges.orderBy("round").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // every round's winner AND its count match the full recount — the
+    // delta maintenance never drifted across 60 rounds
+    assert(got === expected.toSeq)
+    // the maintained table at round 60 IS the recount of the rewritten
+    // corpus (the round-N identity, directly)
+    val maintained = finalCounts.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val recount = finalDocs.collect().map(_.getString(0))
+      .foldLeft(Map.empty[String, Long]) { (m, t) =>
+        val tk = t.split(" ", -1)
+        if (tk.length < 2) m
+        else tk.sliding(2).foldLeft(m)((mm, p) =>
+          mm.updated(p.mkString(" "), mm.getOrElse(p.mkString(" "), 0L) + 1L))
+      }
+    assert(maintained === recount)
+    // cost curve: the affected fraction decays as merges specialize
+    // (SCALING.md records this measurement)
+    val n = Tables.documents(spark, sfDir).count()
+    val firstHalf = stats.take(30).map(_._4).sum / 30.0
+    val secondHalf = stats.drop(30).map(_._4).sum / 30.0
+    info(f"affected docs/round: rounds 1-30 avg $firstHalf%.1f, 31-60 avg $secondHalf%.1f of $n")
+    info("per-round (round, affected, wall ms): " +
+      stats.map(t => s"(${t._1},${t._4},${t._5})").mkString(" "))
+    assert(secondHalf < firstHalf,
+      "later merges must touch fewer docs than early ones")
+    assert(stats.last._4 < n, "the gate must exclude some docs")
+  }
+
   test("q133 survivor is the quality argmax of its cluster; the policy genuinely differs from min-id") {
     val quality = graft.ops.TextOps.qualityEnsemble(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getDouble(5)).toMap
