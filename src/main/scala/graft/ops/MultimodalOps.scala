@@ -9,16 +9,17 @@ import graft.{QueryDef, Tables}
   * columns with typed metadata, decode → feature-extract over
   * mapPartitions.
   *
-  * Decode is two-tier. Payloads in one of the five pure-JVM-decodable
+  * Decode is two-tier. Payloads in one of the six pure-JVM-decodable
   * image formats — binary PPM ("P6"), 24-bit uncompressed BMP, 8-bit
-  * non-interlaced PNG, baseline JPEG, and GIF 87a/89a (LZW) — take
-  * the REAL decode path
+  * non-interlaced PNG, baseline+progressive JPEG, GIF 87a/89a (LZW),
+  * and lossless WebP ([[WebpDecoder]]: VP8L prefix codes, LZ77,
+  * color cache, subtract-green) — take the REAL decode path
   * ([[decodeImage]]: magic sniff, header/entropy parse, per-channel
   * stats), exercised end-to-end on checked-in and generated fixture
-  * bytes by MultimodalSpec/JpegDecoderSpec. Everything else falls back to
-  * `decodeStub`, a clearly-marked deterministic stand-in (byte
-  * histogram) for the codecs still outside the pure-JVM tier
-  * (WebP/PCM/H.264). Around both tiers sits the real Spark
+  * bytes by MultimodalSpec/JpegDecoderSpec/WebpDecoderSpec. Everything
+  * else falls back to `decodeStub`, a clearly-marked deterministic
+  * stand-in (byte histogram) for the codecs still outside the pure-JVM
+  * tier (lossy WebP (VP8)/PCM/H.264). Around both tiers sits the real Spark
   * plumbing a production pipeline needs and what the tests cover:
   * declared binary schema, partition-local batch processing (one
   * reusable buffer per partition, the mapPartitions analog of a
@@ -84,6 +85,7 @@ object MultimodalOps {
   private[graft] def decodeImage(payload: Array[Byte]): Option[DecodedImage] =
     decodePpm(payload).orElse(decodeBmp(payload)).orElse(decodePng(payload))
       .orElse(JpegDecoder.decode(payload)).orElse(GifDecoder.decode(payload))
+      .orElse(WebpDecoder.decode(payload))
 
   private def decodePpm(p: Array[Byte]): Option[DecodedImage] = {
     if (p.length < 2 || p(0) != 'P'.toByte || p(1) != '6'.toByte) return None
