@@ -672,6 +672,53 @@ object TextOps {
        |     JOIN sz ON sz.split = least(a.split, b.split), t
        |GROUP BY 1, 2, t.n_total ORDER BY 1, 2""".stripMargin
 
+  /** q154: SOFT-DEDUP sampling weights — the down-weighting
+    * alternative to dropping duplicates (the SlimPajama/"soft
+    * deduplication" posture: keep every copy but sample each cluster
+    * member at 1/cluster_size, so a document's EXPECTED appearance
+    * count in an epoch is 1 regardless of how many near-copies exist;
+    * hard dedup is the weight→{0,1} special case q84 implements).
+    * Per doc: its q76 near-dup cluster (singletons → own doc_id, the
+    * q151 rule), the cluster size, weight = 1/size, and the effective
+    * token contribution n_tokens/size — the number a token-budget
+    * planner actually sums.
+    *
+    * Scale shape: reuses the memoized fixpoint labels (no new
+    * clustering work), one cluster-keyed size aggregate and one skinny
+    * join-back of (cluster, size); weights are map-only arithmetic.
+    * Nothing here is heavier than the clustering that already ran. */
+  def softDedupWeights(s: SparkSession, d: String): DataFrame = {
+    val comp = dedupComponentsCore(s, d)
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(comp.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    val sizes = base.groupBy(col("cluster"))
+      .agg(count(lit(1)).as("cluster_size"))
+    base.join(sizes.hint("shuffle_hash"), Seq("cluster"))
+      .select(col("doc_id"), col("cluster"), col("cluster_size"),
+        col("n_tokens"),
+        round(lit(1.0) / col("cluster_size"), 6).as("weight"),
+        round(col("n_tokens").cast("double") / col("cluster_size"), 6)
+          .as("eff_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val softDedupWeightsSql =
+    s"""$componentsSqlCtes,
+       |base AS (SELECT d.doc_id,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |    coalesce(c.cluster, d.doc_id) AS cluster
+       |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+       |sz AS (SELECT cluster, count(*) AS cluster_size FROM base GROUP BY cluster)
+       |SELECT b.doc_id, b.cluster, CAST(sz.cluster_size AS BIGINT) AS cluster_size,
+       |  b.n_tokens,
+       |  round(CAST(1.0 AS DOUBLE) / sz.cluster_size, 6) AS weight,
+       |  round(CAST(b.n_tokens AS DOUBLE) / sz.cluster_size, 6) AS eff_tokens
+       |FROM base b JOIN sz USING (cluster) ORDER BY b.doc_id""".stripMargin
+
   /** B28 exact n-gram Jaccard on adjacent-id pairs (the verify step a
     * production pipeline runs on LSH candidates; adjacent ids keep the
     * graded output deterministic and O(n)). */
@@ -2999,6 +3046,8 @@ object TextOps {
       "the 4x1-band high-recall LSH operating point (S-curve's other end vs q144's 2x2)"),
     QueryDef("q149_split_leakage", splitLeakage, Some(splitLeakageSql),
       "train/val/test hash-split near-dup leakage audit over the LSH candidate pairs"),
+    QueryDef("q154_soft_dedup_weights", softDedupWeights, Some(softDedupWeightsSql),
+      "B94 soft-dedup sampling weights: 1/cluster_size per doc, effective token budget"),
     QueryDef("q151_cluster_split", clusterSplit, Some(clusterSplitSql),
       "split-by-cluster remediation: component-hashed splits make cross-split leakage zero by construction"),
     QueryDef("q131_containment_join", containmentJoin, Some(containmentJoinSql),

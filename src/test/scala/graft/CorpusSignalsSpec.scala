@@ -241,6 +241,45 @@ class CorpusSignalsSpec extends AnyFunSuite with LocalSparkSuite {
     assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-4)
   }
 
+  test("q154: soft-dedup weights are 1/cluster_size from an independent union-find over the pair set") {
+    // independent clustering: union-find over the graded candidate
+    // pairs (not the operator's star fixpoint)
+    val pairs = TextOps.minhashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val clusterOf = docs.map { case (id, _) => id -> find(id) }.toMap
+    val sizes = clusterOf.values.groupBy(identity).map { case (c, v) => c -> v.size }
+    val out = TextOps.softDedupWeights(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out.keySet === docs.map(_._1).toSet) // every doc weighted
+    docs.foreach { case (id, nt) =>
+      val (cl, cs, nTok, w, eff) = out(id)
+      assert(cl === clusterOf(id), s"cluster of $id")
+      assert(cs === sizes(clusterOf(id)).toLong, s"size of $id's cluster")
+      assert(nTok === nt)
+      assert(w === BigDecimal(1.0 / cs).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(eff === BigDecimal(nt.toDouble / cs).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the soft-dedup invariant: expected appearances per cluster = 1
+    val perCluster = out.values.groupBy(_._1).map { case (_, v) => v.map(_._4).sum }
+    perCluster.foreach(s => assert(math.abs(s - 1.0) < 1e-4))
+    // and duplicates genuinely exist on this corpus (the weights bite)
+    assert(out.values.exists(_._4 < 1.0))
+  }
+
   test("q151: cluster-grain splits have zero cross-split leakage, sane proportions") {
     val rows = TextOps.clusterSplit(spark, sfDir).collect()
     assert(rows.nonEmpty)
