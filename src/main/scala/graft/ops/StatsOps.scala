@@ -991,7 +991,86 @@ object StatsOps {
       |FROM bc JOIN l USING (w1) JOIN r USING (w2), t
       |ORDER BY bc.w1, bc.w2""".stripMargin
 
+  /** q155: IN-DOMAIN perplexity scoring — the CCNet recipe (Wenzek et
+    * al. '20): train the LM on the TARGET domain only (the `src0`
+    * slice, q140's DSIR target) and score EVERY document under it, so
+    * low perplexity means "reads like the domain you want more of".
+    * Complements q101 (self-perplexity spots degenerate text; this
+    * ranks by domain fit) and q140 (DSIR's bag-of-hashed-bigrams LLR
+    * vs a real sequential LM over the same target split). The LM is
+    * q147's interpolated Kneser-Ney estimator with two out-of-domain
+    * extensions a cross-corpus scorer needs: the continuation
+    * distribution is add-one smoothed over the continuation types
+    * (unseen w2 gets mass 1/(T+U+1), never log 0), and a bigram whose
+    * HISTORY is unseen backs off to that smoothed continuation
+    * probability entirely (the λ=1 limit of interpolated KN).
+    *
+    * Scale shape: the LM is three vocabulary-bounded aggregates over
+    * the TARGET slice broadcast back over the corpus; scoring is one
+    * map-side bigram explode + three broadcast left joins + a doc-
+    * keyed exact-decimal log-sum. Nothing shuffles at corpus grain
+    * except the per-doc aggregate itself. */
+  def indomainPpl(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+    def bigrams(df: DataFrame): DataFrame = df
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")).as("b"))
+      .select(col("doc_id"), col("source"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bc = bigrams(toks.filter(col("source") === "src0"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val left = bc.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nl"))
+    val right = bc.groupBy(col("w2")).agg(count(lit(1)).as("nr"))
+    val tot = bc.groupBy()
+      .agg(count(lit(1)).as("nt"), countDistinct(col("w2")).as("nu"))
+    val pcont = (coalesce(col("nr"), lit(0L)) + lit(1.0)) /
+      (col("nt") + col("nu") + lit(1.0))
+    bigrams(toks)
+      .join(broadcast(bc), Seq("w1", "w2"), "left")
+      .join(broadcast(left), Seq("w1"), "left")
+      .join(broadcast(right), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("p", when(col("c1").isNotNull,
+        greatest(coalesce(col("c12"), lit(0L)) - 0.75, lit(0.0)) / col("c1") +
+          ((lit(0.75) * col("nl") / col("c1")) * pcont))
+        .otherwise(pcont))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_bi"),
+        round(exp(-dsum(log(col("p"))) / count(lit(1))), 4).as("ppl"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val indomainPplSql =
+    s"""WITH tk AS (SELECT doc_id, source, string_split(text,' ') AS tk FROM documents),
+       |bg AS (SELECT doc_id, source,
+       |         unnest([struct_pack(w1 := tk[i], w2 := tk[i+1])
+       |                 for i in generate_series(1, len(tk)-1)], recursive := true)
+       |       FROM tk WHERE len(tk) >= 2),
+       |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg WHERE source = 'src0' GROUP BY w1, w2),
+       |l AS (SELECT w1, sum(c12) AS c1, count(*) AS nl FROM bc GROUP BY w1),
+       |r AS (SELECT w2, count(*) AS nr FROM bc GROUP BY w2),
+       |t AS (SELECT count(*) AS nt, count(DISTINCT w2) AS nu FROM bc),
+       |sc AS (SELECT bg.doc_id, bg.source,
+       |    CASE WHEN l.c1 IS NOT NULL THEN
+       |      greatest(coalesce(bc.c12, 0) - 0.75, 0.0) / l.c1
+       |      + ((0.75 * l.nl / l.c1) *
+       |         ((coalesce(r.nr, 0) + CAST(1.0 AS DOUBLE)) / (t.nt + t.nu + CAST(1.0 AS DOUBLE))))
+       |    ELSE (coalesce(r.nr, 0) + CAST(1.0 AS DOUBLE)) / (t.nt + t.nu + CAST(1.0 AS DOUBLE))
+       |    END AS p
+       |  FROM bg LEFT JOIN bc USING (w1, w2) LEFT JOIN l USING (w1)
+       |       LEFT JOIN r USING (w2), t)
+       |SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_bi,
+       |  ROUND(EXP(-${graft.functions.GraftFunctions.dsumSql("LN(p)")} / COUNT(*)), 4) AS ppl
+       |FROM sc GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q155_indomain_ppl", indomainPpl, Some(indomainPplSql),
+      "B95 in-domain KN perplexity scoring (CCNet recipe): target-trained LM ranks every doc"),
     QueryDef("q147_kn_bigram_lm", knBigramLm, Some(knBigramLmSql),
       "interpolated Kneser-Ney bigram LM (d=3/4): the tokenizer-adjacent LM-training artifact"),
     QueryDef("q141_vocab_growth", vocabGrowth, Some(vocabGrowthSql),

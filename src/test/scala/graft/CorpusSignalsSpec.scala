@@ -220,6 +220,52 @@ class CorpusSignalsSpec extends AnyFunSuite with LocalSparkSuite {
     }
   }
 
+  test("q155: in-domain perplexity equals brute force and separates the domain") {
+    val rows = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // brute-force LM over src0 bigrams with the operator's smoothing
+    def bigrams(t: String): Seq[(String, String)] = {
+      val tk = t.split(" ", -1)
+      if (tk.length < 2) Seq.empty else tk.sliding(2).map(p => (p(0), p(1))).toSeq
+    }
+    val train = rows.filter(_._2 == "src0").flatMap(r => bigrams(r._3))
+    val bc = train.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1 = bc.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val nl = bc.groupBy(_._1._1).map { case (w, m) => w -> m.size.toLong }
+    val nr = bc.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val nt = bc.size.toLong
+    val nu = nr.size.toLong
+    def p(w1: String, w2: String): Double = {
+      val pcont = (nr.getOrElse(w2, 0L) + 1.0) / (nt + nu + 1.0)
+      c1.get(w1) match {
+        case Some(cw1) =>
+          math.max(bc.getOrElse((w1, w2), 0L) - 0.75, 0.0) / cw1 +
+            ((0.75 * nl(w1) / cw1) * pcont)
+        case None => pcont
+      }
+    }
+    val got = graft.ops.StatsOps.indomainPpl(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getDouble(3)))).toMap
+    rows.filter(r => r._3.split(" ", -1).length >= 2).foreach { case (id, src, t) =>
+      val bs = bigrams(t)
+      val sumLp = bs.map(b => BigDecimal(math.log(p(b._1, b._2)))
+        .setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      val ppl = BigDecimal(math.exp(-sumLp / bs.length))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(got(id)._1 === src && got(id)._2 === bs.length.toLong)
+      assert(math.abs(got(id)._3 - ppl) < 2e-4, s"doc $id: ${got(id)._3} vs $ppl")
+    }
+    // the CCNet property this operator exists for: the target domain
+    // scores measurably lower perplexity than every other source
+    val bySrc = got.values.groupBy(_._1).map { case (s, v) =>
+      s -> v.map(_._3).sum / v.size
+    }
+    val others = bySrc.filter(_._1 != "src0").values
+    assert(others.forall(_ > bySrc("src0") * 1.2),
+      s"in-domain separation missing: $bySrc")
+  }
+
   test("q149: leakage matrix ties out against the graded pair set and hash splits") {
     val pairs = TextOps.minhashPairs(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
