@@ -77,7 +77,9 @@ object PlanDump {
       "q152_ivf_serving_recall" -> "B92 serving operating point: 10-row centroid index checkpoint-broadcast, skew-free argmin windows, probe membership a broadcast left join, metrics ONE qid-keyed window + aggregate (q109 shape)",
       "q153_bpe_train" -> "B93 BPE trainer: the graded result is the driver-resident merge table (LocalTableScan) — the 30 rounds behind it each ran ONE map-only corpus pass (deltas ride an accumulator, winner is a driver argmin; see SCALING.md 19.4s -> 2.2s)",
       "q154_soft_dedup_weights" -> "B94 soft dedup: memoized fixpoint labels (Scan ExistingRDD) + one cluster-keyed size aggregate + skinny shuffle_hash join-back; weights map-only",
-      "q155_indomain_ppl" -> "B95 in-domain ppl: three vocab-bounded target-slice aggregates broadcast back over the corpus bigram explode, one doc-keyed exact-decimal log-sum — no corpus-grain shuffle but the final aggregate")
+      "q155_indomain_ppl" -> "B95 in-domain ppl: three vocab-bounded target-slice aggregates broadcast back over the corpus bigram explode, one doc-keyed exact-decimal log-sum — no corpus-grain shuffle but the final aggregate",
+      "q156_ivf_delta_assign" -> "B96 index delta maintenance: old-slice centroid aggregate broadcast, one map-side cross + skew-free argmin windows over old+new, 10-row report aggregate",
+      "q157_token_waterfill" -> "B97 waterfilling: source-grain prefix-sum windows (report grain), 1-row cut broadcast, integer-exact allocations map-only")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")
     picks.foreach { case (name, why) =>

@@ -525,6 +525,102 @@ object CurationOps {
       |FROM r JOIN q USING (lang) WHERE r.rn <= q.quota
       |ORDER BY doc_id""".stripMargin
 
+  /** q157: TOKEN-BUDGET WATERFILLING — the mixture-planning solve that
+    * turns "a token budget B and per-source temperature weights" into
+    * an actual per-source allocation: maximize temperature-faithful
+    * sampling subject to each source's finite supply,
+    *
+    *   a_i = min(s_i, λ·w_i),  λ chosen so Σ a_i = B
+    *
+    * (the classic waterfill: poor sources saturate at their supply,
+    * rich sources split the remaining budget ∝ weight). q117 samples
+    * WITHIN a source once a quota is known; this computes the quotas
+    * themselves when supplies can bind — the planning step a 100 TB
+    * mixing run does first. Weights are q117's integer temperature
+    * (floor(sqrt(n_docs·10⁶)), α = 0.5), B = ΣS div 2, and the whole
+    * solve stays in INTEGER arithmetic (saturation tests by
+    * cross-multiplication, allocations by integer division — the
+    * q117 exactness posture, so both engines land identical longs;
+    * at 10¹³-token scale the longs upgrade to DECIMAL, same shapes).
+    *
+    * The solve: sort sources by supply/weight ascending (integer
+    * ratio key, source tiebreak); the valid cut is the unique first
+    * unsaturated row i — all j < i saturated (s_j·unsatW ≤ L·w_j) and
+    * i itself not (s_i·unsatW > L·w_i), where L = B − Σ_{j<i} s_j and
+    * unsatW = Σ_{j≥i} w_j. Prefix sums + lag over the SOURCE-grain
+    * frame (20 rows — the unpartitioned window is at report grain,
+    * q65's allowlisted shape), one 1-row cut broadcast, allocations
+    * map-only. Σ a_i lands in (B − n, B] (floor remainders). */
+  def tokenWaterfill(s: SparkSession, d: String): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+    val stats = Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("supply"))
+      .withColumn("w", floor(sqrt(col("n_docs") * lit(1000000L))).cast("long"))
+    val tot = stats.agg(sum(col("supply")).as("ts"), sum(col("w")).as("tw"))
+    val ordered = stats.crossJoin(broadcast(tot))
+      .withColumn("b", expr("ts div 2"))
+      .withColumn("ratio", expr("(supply * 1000000) div w"))
+      .withColumn("rk", row_number().over(
+        win.orderBy(col("ratio"), col("source"))))
+      .withColumn("satS", coalesce(sum(col("supply")).over(
+        win.orderBy(col("ratio"), col("source"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("satW", coalesce(sum(col("w")).over(
+        win.orderBy(col("ratio"), col("source"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("unsatW", col("tw") - col("satW"))
+      .withColumn("lagS", lag(col("supply"), 1).over(
+        win.orderBy(col("ratio"), col("source"))))
+      .withColumn("lagW", lag(col("w"), 1).over(
+        win.orderBy(col("ratio"), col("source"))))
+      .withColumn("el", col("b") - col("satS"))
+    val cut = ordered
+      .filter((col("rk") === 1 ||
+        col("lagS") * col("unsatW") <= col("el") * col("lagW")) &&
+        col("supply") * col("unsatW") > col("el") * col("w"))
+      .orderBy(col("rk")).limit(1)
+      .select(col("rk").as("cut_rk"), col("el").as("lam_num"),
+        col("unsatW").as("lam_den"))
+      .localCheckpoint()
+    ordered.crossJoin(broadcast(cut))
+      .select(col("source"), col("n_docs"), col("supply"), col("w").as("weight"),
+        (col("rk") < col("cut_rk")).as("saturated"),
+        when(col("rk") < col("cut_rk"), col("supply"))
+          .otherwise(expr("(lam_num * w) div lam_den")).as("alloc"))
+      .orderBy(col("source"))
+  }
+
+  private val tokenWaterfillSql =
+    """WITH st AS (SELECT source, count(*) AS n_docs,
+      |         CAST(sum(len(string_split(text,' '))) AS BIGINT) AS supply
+      |       FROM documents GROUP BY source),
+      |ws AS (SELECT source, n_docs, supply,
+      |         CAST(floor(sqrt(n_docs * 1000000)) AS BIGINT) AS w FROM st),
+      |tot AS (SELECT CAST(sum(supply) AS BIGINT) AS ts,
+      |               CAST(sum(w) AS BIGINT) AS tw FROM ws),
+      |o AS (SELECT ws.*, tot.tw, tot.ts // 2 AS b,
+      |        (supply * 1000000) // w AS ratio,
+      |        ROW_NUMBER() OVER (ORDER BY (supply * 1000000) // w, source) AS rk,
+      |        coalesce(SUM(supply) OVER (ORDER BY (supply * 1000000) // w, source
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS satS,
+      |        coalesce(SUM(w) OVER (ORDER BY (supply * 1000000) // w, source
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS satW,
+      |        LAG(supply) OVER (ORDER BY (supply * 1000000) // w, source) AS lagS,
+      |        LAG(w) OVER (ORDER BY (supply * 1000000) // w, source) AS lagW
+      |      FROM ws, tot),
+      |o2 AS (SELECT o.*, tw - satW AS unsatW, b - satS AS el FROM o),
+      |cut AS (SELECT rk AS cut_rk, el AS lam_num, unsatW AS lam_den FROM o2
+      |        WHERE (rk = 1 OR lagS * unsatW <= el * lagW)
+      |          AND supply * unsatW > el * w
+      |        ORDER BY rk LIMIT 1)
+      |SELECT o2.source, o2.n_docs, o2.supply, o2.w AS weight,
+      |  o2.rk < cut.cut_rk AS saturated,
+      |  CAST(CASE WHEN o2.rk < cut.cut_rk THEN o2.supply
+      |       ELSE (cut.lam_num * o2.w) // cut.lam_den END AS BIGINT) AS alloc
+      |FROM o2, cut ORDER BY o2.source""".stripMargin
+
   /** q123: sorted-neighborhood near-dup candidate generation
     * (Hernández/Stolfo, SIGMOD'95 — the merge/purge method): sort each
     * language block by a text prefix key, slide a window of 3 over the
@@ -933,6 +1029,8 @@ object CurationOps {
       "packing acceptance report: bins, fill rate, padding waste per language"),
     QueryDef("q123_sorted_neighborhood", sortedNeighborhood, Some(sortedNeighborhoodSql),
       "sorted-neighborhood (SIGMOD'95 merge/purge) near-dup candidates, edit-distance verified"),
+    QueryDef("q157_token_waterfill", tokenWaterfill, Some(tokenWaterfillSql),
+      "B97 token-budget waterfilling: supply-capped temperature quotas in exact integers"),
     QueryDef("q117_temperature_mix", temperatureMix, Some(temperatureMixSql),
       "temperature-based (n^alpha, alpha=1/2) language mixing in deterministic hash order"),
     QueryDef("q102_corpus_shards", corpusShards, Some(corpusShardsSql),

@@ -492,6 +492,97 @@ object VectorOps {
       // not once per (vector, cell) pair
       .withColumn("cnorm", dotFast(col("cv"), col("cv")))
 
+  /** [[ivfCentroids]] over an arbitrary vector frame — the
+    * training-slice parameterization q156's index-maintenance report
+    * needs (centroids from the OLD corpus only). */
+  private def ivfCentroidsOf(vecs: DataFrame): DataFrame =
+    vecs
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(dsum(col("col").cast("double")).as("csum"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), (col("csum") / col("n")).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+      .withColumn("cnorm", dotFast(col("cv"), col("cv")))
+
+  /** q156: IVF INDEX DELTA MAINTENANCE — the production posture for a
+    * growing corpus: new vectors are assigned to the EXISTING cells
+    * map-only (no retrain, no rebuild — the q124/q128 incremental
+    * stance applied to the ANN index), and the graded artifact is the
+    * per-cell maintenance report an operator watches to decide when a
+    * rebuild IS due: old/new member counts, the growth fraction, and
+    * the assignment-score drift (new members sitting systematically
+    * farther from their centroid than old ones = the cell no longer
+    * describes the data arriving into it). Index trained on the
+    * vec_id % 7 != 0 slice; the held-out % 7 == 0 batch plays the
+    * arriving delta.
+    *
+    * Scale shape: training aggregates only the old slice (one
+    * vocabulary-bounded pass), the index is a broadcast, assignment of
+    * old + new is one map-side cross + skew-free argmin windows, and
+    * the report is a 10-row aggregate. The delta path adds ZERO
+    * shuffles over what serving already pays. */
+  def ivfDeltaAssign(s: SparkSession, d: String): DataFrame = {
+    val all = Tables.embeddings(s, d)
+    val cents = ivfCentroidsOf(all.filter(col("vec_id") % 7 =!= 0))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("score"), col("label"))
+    all.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("label"),
+        (col("cnorm") - lit(2.0) * dotFast(col("embedding"), col("cv"))).as("score"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .withColumn("is_new", col("vec_id") % 7 === 0)
+      .groupBy(col("label").as("cell"))
+      .agg(
+        sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_old"),
+        sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        round(dsum(when(!col("is_new"), col("score"))) /
+          sum(when(!col("is_new"), 1L).otherwise(0L)), 6).as("mean_score_old"),
+        round(dsum(when(col("is_new"), col("score"))) /
+          sum(when(col("is_new"), 1L).otherwise(0L)), 6).as("mean_score_new"))
+      .select(col("cell"), col("n_old"), col("n_new"),
+        round(col("n_new").cast("double") / col("n_old"), 6).as("growth"),
+        col("mean_score_old"), col("mean_score_new"),
+        round(col("mean_score_new") - col("mean_score_old"), 6).as("drift"))
+      .orderBy(col("cell"))
+  }
+
+  private lazy val ivfDeltaAssignSql =
+    s"""WITH cent AS (
+       |  SELECT label, list(c ORDER BY i) AS cv FROM (
+       |    SELECT label, i,
+       |      CAST(CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS c
+       |    FROM (SELECT label, unnest(embedding) AS e,
+       |          generate_subscripts(embedding, 1) AS i FROM embeddings
+       |          WHERE vec_id % 7 <> 0) t
+       |    GROUP BY label, i) u GROUP BY label),
+       |cn AS (SELECT label, cv,
+       |         list_sum([cv[i]*cv[i] for i in generate_series(1,64)]) AS cnorm
+       |       FROM cent),
+       |sc AS (SELECT e.vec_id, cn.label,
+       |    cn.cnorm - 2 * list_sum([CAST(embedding[i] AS DOUBLE)*cv[i]
+       |                             for i in generate_series(1,64)]) AS score
+       |  FROM embeddings e, cn),
+       |asg AS (SELECT vec_id, label, score,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, label) AS rn FROM sc),
+       |a AS (SELECT vec_id, label, score, vec_id % 7 = 0 AS is_new
+       |      FROM asg WHERE rn = 1)
+       |SELECT label AS cell,
+       |  CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+       |  CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |  ROUND(CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END), 6) AS growth,
+       |  ROUND(${graft.functions.GraftFunctions.dsumSql("CASE WHEN NOT is_new THEN score END")}
+       |        / SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END), 6) AS mean_score_old,
+       |  ROUND(${graft.functions.GraftFunctions.dsumSql("CASE WHEN is_new THEN score END")}
+       |        / SUM(CASE WHEN is_new THEN 1 ELSE 0 END), 6) AS mean_score_new,
+       |  ROUND(ROUND(${graft.functions.GraftFunctions.dsumSql("CASE WHEN is_new THEN score END")}
+       |        / SUM(CASE WHEN is_new THEN 1 ELSE 0 END), 6)
+       |      - ROUND(${graft.functions.GraftFunctions.dsumSql("CASE WHEN NOT is_new THEN score END")}
+       |        / SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END), 6), 6) AS drift
+       |FROM a GROUP BY label ORDER BY label""".stripMargin
+
   /** TRAINED coarse quantizer — full-dimension k-means over the
     * embeddings (MLlib, fixed seed), exposed in the SAME (label, cv,
     * cnorm) shape as [[ivfCentroids]] so every downstream consumer
@@ -1190,6 +1281,8 @@ object VectorOps {
       "B31 IVF ANN: deterministic centroid quantizer, probed-cell re-rank"),
     QueryDef("q152_ivf_serving_recall", ivfServingRecall, Some(ivfServingRecallSql),
       "B92 serving-grade IVF operating point: nProbe=7, mean recall@10 >= 0.8 pinned"),
+    QueryDef("q156_ivf_delta_assign", ivfDeltaAssign, Some(ivfDeltaAssignSql),
+      "B96 IVF index delta maintenance: map-only assignment of an arriving batch + drift report"),
     QueryDef("q136_multiprobe_ann", pqRerankAnnWide, Some(pqRerankAnnWideSql),
       "B76 serving stack at multiprobe breadth 2 (recall/latency knob, oracle-pinned)"),
     QueryDef("q134_pq_rerank_ann", pqRerankAnn, Some(pqRerankAnnSql),

@@ -214,4 +214,42 @@ class CurationAnalyticsSpec extends AnyFunSuite with LocalSparkSuite {
       }
     } finally out.unpersist()
   }
+
+  test("q157 waterfill satisfies the KKT optimality conditions against independent stats") {
+    import org.apache.spark.sql.functions._
+    // independent per-source stats from the raw table
+    val stats = Tables.documents(spark, sfDir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (s, v) => s -> ((v.size.toLong, v.map(_._2).sum)) }
+    val b = stats.values.map(_._2).sum / 2
+    val out = graft.ops.CurationOps.tokenWaterfill(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4), r.getLong(5)))).toMap
+    assert(out.keySet === stats.keySet)
+    // stats columns tie out; weights are q117's integer temperature
+    stats.foreach { case (src, (n, sup)) =>
+      val (gn, gs, gw, _, alloc) = out(src)
+      assert(gn === n && gs === sup)
+      assert(gw === math.floor(math.sqrt((n * 1000000L).toDouble)).toLong)
+      assert(alloc <= sup, s"$src allocated beyond supply")
+    }
+    // budget exhausted up to the <1-per-source floor remainder
+    val total = out.values.map(_._5).sum
+    assert(total <= b && total > b - out.size, s"sum $total vs budget $b")
+    // KKT: a single water level lambda = L/W rationalizes every row —
+    // saturated rows sit below it, unsaturated rows are its floor cut
+    val l = b - out.values.collect { case (_, s, _, true, _) => s }.sum
+    val wSum = out.values.collect { case (_, _, w, false, _) => w }.sum
+    out.foreach { case (src, (_, sup, w, saturated, alloc)) =>
+      if (saturated) {
+        assert(alloc === sup, s"$src saturated but not at supply")
+        assert(sup * wSum <= l * w, s"$src saturated above the water level")
+      } else {
+        assert(alloc === (l * w) / wSum, s"$src alloc is not the lambda cut")
+        assert(sup * wSum > l * w, s"$src unsaturated below the water level")
+      }
+    }
+  }
 }
+

@@ -95,6 +95,46 @@ class VectorServingSpec extends AnyFunSuite with LocalSparkSuite {
       f"trained efficiency ${tr / (tc / n)}%.2f vs label ${lr / (lc / n)}%.2f")
   }
 
+  test("q156 delta report equals a brute-force old-slice index + full reassignment") {
+    // centroids from the OLD slice with the operator's exact-decimal
+    // means (per-value DECIMAL(28,8) quantization, double division)
+    val old = vecs.filter { case (id, _) => id % 7 != 0 }
+    val labels = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cents = old.groupBy { case (id, _) => labels(id) }.map { case (l, m) =>
+      val vs = m.values.toSeq
+      l -> (0 until 64).map { i =>
+        vs.map(v => BigDecimal(v(i)).setScale(8, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble / vs.size
+      }
+    }
+    val cn = cents.map { case (l, c) => l -> dot(c, c) }
+    def cellOf(v: Seq[Double]): Int =
+      cents.toSeq.map { case (l, c) => (cn(l) - 2.0 * dot(v, c), l) }.min._2
+    val byCell = vecs.toSeq.map { case (id, v) =>
+      val l = cellOf(v)
+      (l, id % 7 == 0, cn(l) - 2.0 * dot(v, cents(l)))
+    }.groupBy(_._1)
+    val got = graft.ops.VectorOps.ivfDeltaAssign(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(6)))).toMap
+    assert(got.keySet === byCell.keySet)
+    byCell.foreach { case (cell, rows) =>
+      val oldScores = rows.filter(!_._2).map(_._3)
+      val newScores = rows.filter(_._2).map(_._3)
+      assert(got(cell)._1 === oldScores.size.toLong, s"n_old cell $cell")
+      assert(got(cell)._2 === newScores.size.toLong, s"n_new cell $cell")
+      def m6(xs: Seq[Double]): Double = BigDecimal(
+        xs.map(x => BigDecimal(x).setScale(8, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+          / xs.size).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val drift = BigDecimal(m6(newScores) - m6(oldScores))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(got(cell)._3 - drift) < 2e-6, s"drift cell $cell")
+    }
+    // the report covers the whole corpus, once
+    assert(got.values.map(v => v._1 + v._2).sum === vecs.size.toLong)
+  }
+
   test("isotropy bound: fixture embeddings are near-random, recall tracks probed fraction") {
     // mean pairwise cosine ~ 0 (no cluster structure): document the
     // data property that makes nProbe = 7 the honest serving point
