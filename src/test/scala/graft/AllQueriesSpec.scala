@@ -11,10 +11,13 @@ class AllQueriesSpec extends AnyFunSuite with LocalSparkSuite {
 
   /** Queries allowed an unpartitioned window: their window input is a
     * pre-aggregated, provably bounded grain (q65 runs over one row per
-    * day — the documented daily-grain RANGE frame). Everything else
-    * must partition: a global window over an unbounded grain is a
-    * single-partition sort of the corpus at 100 TB (the q74 lesson). */
-  private val globalWindowAllowed = Set("q65_rolling_revenue")
+    * day — the documented daily-grain RANGE frame; q157's prefix-sum
+    * windows run over one row per SOURCE, the waterfill's report-grain
+    * solve). Everything else must partition: a global window over an
+    * unbounded grain is a single-partition sort of the corpus at
+    * 100 TB (the q74 lesson). */
+  private val globalWindowAllowed =
+    Set("q65_rolling_revenue", "q157_token_waterfill")
 
   /** Queries allowed a SortMergeJoin at the test scale. At sf0.001
     * EVERY join side sits far under the broadcast threshold, so the
