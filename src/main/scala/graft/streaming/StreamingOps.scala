@@ -201,6 +201,36 @@ object StreamingOps {
       .select(col("doc_id"), col("ts"), col("text"), col("weight"),
         (col("weight") >= threshold).as("keep"))
 
+  /** Stream-STATIC in-domain perplexity gate — q155's CCNet scorer at
+    * ingest time: each arriving doc scores under the broadcast 1-row
+    * target-domain KN model
+    * ([[graft.ops.StatsOps.indomainLmModel]] — map columns at
+    * bigram-type grain, the dsirGate shape one size up) and carries a
+    * keep flag at the caller's perplexity ceiling. Map-only, zero
+    * streaming state, no shuffle on the ingest path; the fold sums
+    * plain-double log-probs (the batch scorer's exact-decimal route
+    * exists for cross-ENGINE determinism, which a single-engine
+    * stream does not need — agreement with batch q155 is within the
+    * ROUND(4) grain, asserted in StreamingSpec). Docs under 2 tokens
+    * have no bigrams and score ppl 0 (kept: nothing to judge). */
+  def indomainPplGate(docs: DataFrame, model: DataFrame,
+      maxPpl: Double): DataFrame =
+    docs
+      .withColumn("tk", split(col("text"), " "))
+      .crossJoin(broadcast(model))
+      .withColumn("n_bi", greatest(size(col("tk")) - 1, lit(0)).cast("long"))
+      // sequence(1, greatest(size-1, 1)) sidesteps the descending
+      // sequence(1, 0) trap; the 1-token row's garbage term is never
+      // read because the CASE below takes the n_bi = 0 branch
+      .withColumn("ppl", when(col("n_bi") > 0, round(exp(-expr(
+        "aggregate(transform(sequence(1, greatest(size(tk) - 1, 1)), " +
+          "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2)), " +
+          "CAST(0.0 AS DOUBLE), (acc, x) -> acc + ln(" +
+          graft.ops.StatsOps.knMapProbSql + "))") / col("n_bi")), 4))
+        .otherwise(lit(0.0)))
+      .select(col("doc_id"), col("ts"), col("text"), col("n_bi"), col("ppl"),
+        (col("n_bi") === 0 || col("ppl") <= maxPpl).as("keep"))
+
   /** The monitoring twin of [[decontaminationGate]]: a stream-static
     * LEFT join flags (rather than drops) benchmark matches and a
     * watermarked hourly window counts clean vs contaminated arrivals —

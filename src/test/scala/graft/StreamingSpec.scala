@@ -465,6 +465,50 @@ class StreamingSpec extends AnyFunSuite with LocalSparkSuite {
     } finally q.stop()
   }
 
+  test("in-domain ppl gate scores arrivals against the broadcast KN model, zero state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val model = graft.ops.StatsOps.indomainLmModel(spark, sfDir).localCheckpoint()
+    // two docs lifted verbatim from the corpus (one src0, one not) +
+    // a fully-unseen-history doc (the backoff path) + a 1-token doc
+    val corpus = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+    val inDomain = corpus.find(_.getString(1) == "src0").get.getString(2)
+    val outDomain = corpus.find(_.getString(1) != "src0").get.getString(2)
+    val in = MemoryStream[StreamingOps.Doc]
+    val q = StreamingOps.indomainPplGate(in.toDF(), model, maxPpl = 30.0)
+      .writeStream.outputMode("append").format("memory").queryName("ppl_gate").start()
+    try {
+      in.addData(
+        StreamingOps.Doc(1, ts("2024-01-01 10:00:00"), inDomain),
+        StreamingOps.Doc(2, ts("2024-01-01 10:00:10"), outDomain),
+        StreamingOps.Doc(3, ts("2024-01-01 10:00:20"), "zzz yyy xxx"),
+        StreamingOps.Doc(4, ts("2024-01-01 10:00:30"), "solo"))
+      q.processAllAvailable()
+      val rows = spark.table("ppl_gate")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(3), r.getDouble(4), r.getBoolean(5)))).toMap
+      // streamed ppl agrees with the graded batch scorer at the
+      // ROUND(4) grain (the fold orders differ: plain-double vs the
+      // cross-engine exact-decimal route)
+      val batch = graft.ops.StatsOps.indomainPpl(spark, sfDir).collect()
+        .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      val idIn = corpus.find(_.getString(1) == "src0").get.getLong(0)
+      val idOut = corpus.find(_.getString(1) != "src0").get.getLong(0)
+      assert(math.abs(rows(1L)._2 - batch(idIn)) < 2e-4)
+      assert(math.abs(rows(2L)._2 - batch(idOut)) < 2e-4)
+      // in-domain text passes the ceiling; unseen-history text scores
+      // the smoothed-backoff perplexity (finite — never log 0) and
+      // fails it by a wide margin
+      assert(rows(1L)._3, s"in-domain doc should pass: ${rows(1L)}")
+      assert(rows(3L)._2 > 100.0 && !rows(3L)._3,
+        s"backoff doc should score high but finite: ${rows(3L)}")
+      assert(!rows(3L)._2.isNaN && !rows(3L)._2.isInfinite)
+      // featureless doc: ppl 0, kept
+      assert(rows(4L) === ((0L, 0.0, true)))
+    } finally q.stop()
+  }
+
   test("contamination monitor: hourly clean/contaminated counts per closed window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
