@@ -79,7 +79,9 @@ object PlanDump {
       "q154_soft_dedup_weights" -> "B94 soft dedup: memoized fixpoint labels (Scan ExistingRDD) + one cluster-keyed size aggregate + skinny shuffle_hash join-back; weights map-only",
       "q155_indomain_ppl" -> "B95 in-domain ppl: three vocab-bounded target-slice aggregates broadcast back over the corpus bigram explode, one doc-keyed exact-decimal log-sum — no corpus-grain shuffle but the final aggregate",
       "q156_ivf_delta_assign" -> "B96 index delta maintenance: old-slice centroid aggregate broadcast, one map-side cross + skew-free argmin windows over old+new, 10-row report aggregate",
-      "q157_token_waterfill" -> "B97 waterfilling: source-grain prefix-sum windows (report grain), 1-row cut broadcast, integer-exact allocations map-only")
+      "q157_token_waterfill" -> "B97 waterfilling: source-grain prefix-sum windows (report grain), 1-row cut broadcast, integer-exact allocations map-only",
+      "q158_decon_retention" -> "B98 retention report: broadcast probe semi-shape flags + one skinny shuffle_hash left join onto doc-grain stats + source rollup",
+      "q159_simhash_operating_point" -> "B99 SimHash operating point: both pair sets read memoized rep-grain cores (Scan ExistingRDD), one left-semi + three 1-row aggregates")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")
     picks.foreach { case (name, why) =>

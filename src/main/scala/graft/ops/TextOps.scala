@@ -500,10 +500,13 @@ object TextOps {
           round(col("n_tp").cast("double") / col("n_exact"), 6)).as("recall"))
   }
 
-  private val lshOperatingPointSql = lshOperatingPointSqlAt(Seq(Seq(0, 1), Seq(2, 3)))
+  private lazy val lshOperatingPointSql = lshOperatingPointSqlAt(Seq(Seq(0, 1), Seq(2, 3)))
 
-  private def lshOperatingPointSqlAt(bands: Seq[Seq[Int]]): String =
-    s"""WITH reps AS (SELECT MIN(doc_id) AS doc_id, text
+  /** The rep-grain exact τ=1/2 Jaccard ground-truth chain (reps →
+    * `exact(doc_a, doc_b)`) — the shared truth side of every
+    * operating-point oracle (q144/q146 banding, q159 SimHash). */
+  private lazy val exactJaccardCtes: String =
+    s"""reps AS (SELECT MIN(doc_id) AS doc_id, text
        |              FROM documents GROUP BY text),
        |tok AS (SELECT doc_id, string_split(text,' ') AS toks FROM reps),
        |sh AS (SELECT doc_id, unnest([array_to_string(list_slice(toks, i, i+2), ' ')
@@ -527,7 +530,10 @@ object TextOps {
        |         GROUP BY c.da, c.db),
        |exact AS (SELECT i.da AS doc_a, i.db AS doc_b
        |  FROM ints i JOIN sz sa ON sa.doc_id = i.da JOIN sz sb ON sb.doc_id = i.db
-       |  WHERE 2 * i.inter >= sa.n + sb.n - i.inter),
+       |  WHERE 2 * i.inter >= sa.n + sb.n - i.inter)""".stripMargin
+
+  private def lshOperatingPointSqlAt(bands: Seq[Seq[Int]]): String =
+    s"""WITH $exactJaccardCtes,
        |sig AS (SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
        |               ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
        |        FROM sh GROUP BY doc_id),
@@ -1078,6 +1084,66 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** q158: DECONTAMINATION RETENTION report — the number a curation
+    * team actually reviews after running the q69/q103 gate: per
+    * source, how many train-side docs (and tokens) survive dropping
+    * everything flagged as benchmark-contaminated (≥3 shared distinct
+    * shingles with the held-out probe slice). A source with an
+    * outlier retention is either genuinely contaminated (a mirror of
+    * the eval suite) or the gate is misfiring on it — either way the
+    * per-source view is the alarm, the doc-grain q69/q103 output is
+    * the forensics.
+    *
+    * Scale shape: q69's broadcast semi-shape flags (the q103 Bloom
+    * two-phase is the same answer at benchmark scale), one skinny
+    * left join of (doc_id) flags onto the doc-grain stats, one
+    * source-grain aggregate. */
+  def deconRetention(s: SparkSession, d: String): DataFrame = {
+    val train = Tables.documents(s, d)
+      .filter(col("doc_id") % 31 =!= 0)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("nt"))
+    val flagged = contamination(s, d).select(col("doc_id"), lit(1).as("flag"))
+    train.join(flagged.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_train"),
+        sum(when(col("flag").isNotNull, 1L).otherwise(0L)).as("n_flagged"),
+        sum(col("nt")).as("tokens_train"),
+        sum(when(col("flag").isNull, col("nt")).otherwise(0L)).as("tokens_kept"))
+      .select(col("source"), col("n_train"), col("n_flagged"),
+        (col("n_train") - col("n_flagged")).as("n_kept"),
+        col("tokens_train"), col("tokens_kept"),
+        round((col("n_train") - col("n_flagged")).cast("double") /
+          col("n_train"), 6).as("retention"),
+        round(col("tokens_kept").cast("double") / col("tokens_train"), 6)
+          .as("token_retention"))
+      .orderBy(col("source"))
+  }
+
+  private val deconRetentionSql =
+    s"""$shinglesSqlCte,
+       |shd AS (SELECT DISTINCT doc_id, s FROM sh),
+       |probe AS (SELECT DISTINCT s FROM shd WHERE doc_id % 31 = 0),
+       |fl AS (SELECT doc_id FROM shd JOIN probe USING (s)
+       |       WHERE doc_id % 31 <> 0
+       |       GROUP BY doc_id HAVING COUNT(*) >= 3),
+       |tr AS (SELECT d.doc_id, d.source,
+       |         CAST(len(string_split(d.text, ' ')) AS BIGINT) AS nt,
+       |         fl.doc_id IS NOT NULL AS flagged
+       |       FROM documents d LEFT JOIN fl ON fl.doc_id = d.doc_id
+       |       WHERE d.doc_id % 31 <> 0)
+       |SELECT source,
+       |  CAST(count(*) AS BIGINT) AS n_train,
+       |  CAST(SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       |  CAST(count(*) - SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(nt) AS BIGINT) AS tokens_train,
+       |  CAST(SUM(CASE WHEN flagged THEN 0 ELSE nt END) AS BIGINT) AS tokens_kept,
+       |  round(CAST(count(*) - SUM(CASE WHEN flagged THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / count(*), 6) AS retention,
+       |  round(CAST(SUM(CASE WHEN flagged THEN 0 ELSE nt END) AS DOUBLE)
+       |        / SUM(nt), 6) AS token_retention
+       |FROM tr GROUP BY source ORDER BY source""".stripMargin
+
   /** q104: exact n-gram Jaccard similarity join via prefix filtering
     * (the All-Pairs/PPJoin family) — the EXACT-threshold complement
     * to q34's approximate MinHash candidates. Every shingle gets its
@@ -1368,7 +1434,10 @@ object TextOps {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private val simhashJoinSql = {
+  /** The SimHash pair CTE chain (reps-independent names so it can sit
+    * next to [[exactJaccardCtes]] in a composed oracle): `swords` →
+    * `spairs(doc_a, doc_b, hamming)` at hamming ≤ 3, rep grain. */
+  private lazy val simhashPairCtes: String = {
     val sets = Seq(
       "'1','3','5','7','9','b','d','f'",
       "'2','3','6','7','a','b','e','f'",
@@ -1383,23 +1452,70 @@ object TextOps {
         s"(CASE WHEN s${b}_$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
       s"CAST($terms AS BIGINT) AS b$b"
     }.mkString(",\n  ")
-    s"""WITH reps AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
-       |w AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM reps),
-       |tok AS (SELECT doc_id, md5(w) AS h FROM w),
+    s"""swords AS (SELECT doc_id, unnest(string_split(text,' ')) AS w FROM reps),
+       |stok AS (SELECT doc_id, md5(w) AS h FROM swords),
        |bal AS (SELECT doc_id,
        |  $bal
-       | FROM tok GROUP BY doc_id),
-       |sig AS (SELECT doc_id,
+       | FROM stok GROUP BY doc_id),
+       |ssig AS (SELECT doc_id,
        |  $bands
        | FROM bal),
-       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |spairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |        CAST(bit_count(xor(a.b0,b.b0)) + bit_count(xor(a.b1,b.b1)) +
        |             bit_count(xor(a.b2,b.b2)) + bit_count(xor(a.b3,b.b3)) AS BIGINT) AS hamming
-       |   FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       |    AND (a.b0=b.b0 OR a.b1=b.b1 OR a.b2=b.b2 OR a.b3=b.b3))
-       |SELECT doc_a, doc_b, hamming FROM pairs WHERE hamming <= 3
-       |ORDER BY doc_a, doc_b""".stripMargin
+       |   FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
+       |    AND (a.b0=b.b0 OR a.b1=b.b1 OR a.b2=b.b2 OR a.b3=b.b3))""".stripMargin
   }
+
+  private lazy val simhashJoinSql =
+    s"""WITH reps AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+       |$simhashPairCtes
+       |SELECT doc_a, doc_b, hamming FROM spairs WHERE hamming <= 3
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** q159: SIMHASH OPERATING-POINT eval — the q144/q146 recipe applied
+    * to the OTHER near-dup family: precision/recall of the hamming ≤ 3
+    * SimHash candidate pairs (q105's graded join) against the exact
+    * τ = 1/2 Jaccard ground truth (q104's graded join). The two
+    * families make opposite errors — MinHash banding samples the
+    * Jaccard S-curve, SimHash thresholds an angle between weighted
+    * term vectors — so a pipeline choosing between them (or stacking
+    * both) needs them graded on the SAME truth set; this row makes
+    * the comparison oracle-pinned next to q144/q146's banding points.
+    *
+    * Scale shape: both pair sets reuse their memoized rep-grain cores
+    * (signature checkpoint, shared shingle frame); the eval adds one
+    * skinny left-semi and three 1-row aggregates — the q144 shape. */
+  def simhashOperatingPoint(s: SparkSession, d: String): DataFrame = {
+    val cand = simhashJoinAt(s, d, 3)
+      .select(col("doc_a").as("da"), col("doc_b").as("db"))
+    val exact = jaccardJoinAt(s, d, 1, 2)
+      .select(col("doc_a"), col("doc_b"))
+    val tp = cand.join(exact.hint("shuffle_hash"),
+      col("da") === col("doc_a") && col("db") === col("doc_b"), "left_semi")
+    cand.agg(count(lit(1)).as("n_cand"))
+      .crossJoin(broadcast(exact.agg(count(lit(1)).as("n_exact"))))
+      .crossJoin(broadcast(tp.agg(count(lit(1)).as("n_tp"))))
+      .select(col("n_cand"), col("n_exact"), col("n_tp"),
+        when(col("n_cand") > 0,
+          round(col("n_tp").cast("double") / col("n_cand"), 6)).as("precision"),
+        when(col("n_exact") > 0,
+          round(col("n_tp").cast("double") / col("n_exact"), 6)).as("recall"))
+  }
+
+  private lazy val simhashOperatingPointSql =
+    s"""WITH $exactJaccardCtes,
+       |$simhashPairCtes,
+       |scand AS (SELECT doc_a, doc_b FROM spairs WHERE hamming <= 3),
+       |m AS (SELECT
+       |  (SELECT count(*) FROM scand) AS n_cand,
+       |  (SELECT count(*) FROM exact) AS n_exact,
+       |  (SELECT count(*) FROM scand c JOIN exact e
+       |     ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b) AS n_tp)
+       |SELECT n_cand, n_exact, n_tp,
+       |  CASE WHEN n_cand > 0 THEN round(CAST(n_tp AS DOUBLE) / n_cand, 6) END AS precision,
+       |  CASE WHEN n_exact > 0 THEN round(CAST(n_tp AS DOUBLE) / n_exact, 6) END AS recall
+       |FROM m""".stripMargin
 
   /** Near-dup cluster rollup by fingerprint prefix: group docs on a
     * 40-char prefix key, keep clusters of ≥2, and report the member
@@ -3077,6 +3193,10 @@ object TextOps {
       "contamination-ratio decile report over the q69 benchmark overlap (integer-exact deciles)"),
     QueryDef("q108_lang_vocab_overlap", langVocabOverlap, Some(langVocabOverlapSql),
       "pairwise language vocabulary-overlap (Jaccard) matrix"),
+    QueryDef("q158_decon_retention", deconRetention, Some(deconRetentionSql),
+      "B98 decontamination retention report: per-source doc/token survival after the gate"),
+    QueryDef("q159_simhash_operating_point", simhashOperatingPoint, Some(simhashOperatingPointSql),
+      "B99 SimHash operating point: hamming<=3 candidates graded on the exact tau=1/2 truth"),
     QueryDef("q103_bloom_decontaminate", bloomContamination, Some(contaminationSql),
       "two-phase decontamination: fixed-size Bloom prefilter + exact verify (same contract as q69)"),
     QueryDef("q104_jaccard_join", jaccardJoin, Some(jaccardJoinSql),

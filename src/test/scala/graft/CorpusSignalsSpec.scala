@@ -400,4 +400,35 @@ class CorpusSignalsSpec extends AnyFunSuite with LocalSparkSuite {
     // corpus sanity: frequency decays with rank
     assert(r.getDouble(1) < 0.0)
   }
+
+  test("q158 retention report equals a brute-force shingle decontamination") {
+    val rows = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def shingles(t: String): Set[String] = {
+      val tk = t.split(" ", -1)
+      if (tk.length < 3) Set.empty else tk.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val probe = rows.filter(_._1 % 31 == 0).flatMap(r => shingles(r._3)).toSet
+    val train = rows.filter(_._1 % 31 != 0)
+    val flagged = train.filter(r => (shingles(r._3) & probe).size >= 3).map(_._1).toSet
+    val expected = train.groupBy(_._2).map { case (src, docs) =>
+      val kept = docs.filter(d => !flagged(d._1))
+      val nt = docs.map(_._3.split(" ", -1).length.toLong).sum
+      val ntKept = kept.map(_._3.split(" ", -1).length.toLong).sum
+      src -> ((docs.size.toLong, (docs.size - kept.size).toLong, nt, ntKept))
+    }
+    val got = graft.ops.TextOps.deconRetention(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5), r.getDouble(6)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (src, (n, nf, nt, ntk)) =>
+      val (gn, gnf, gnt, gntk, ret) = got(src)
+      assert((gn, gnf, gnt, gntk) === ((n, nf, nt, ntk)), s"source $src")
+      assert(ret === BigDecimal((n - nf).toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // the gate bites on this corpus (mirrored eval shingles exist)
+    assert(flagged.nonEmpty)
+  }
 }

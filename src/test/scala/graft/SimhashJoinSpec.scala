@@ -100,4 +100,21 @@ class SimhashJoinSpec extends AnyFunSuite with LocalSparkSuite {
       assert(r.getLong(2) >= 0 && r.getLong(2) <= 3)
     }
   }
+
+  test("q159 operating point ties out against the two graded pair sets") {
+    val cand = graft.ops.TextOps.simhashJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = graft.ops.TextOps.jaccardJoin(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val row = graft.ops.TextOps.simhashOperatingPoint(spark, sfDir).head
+    assert(row.getLong(0) === cand.size.toLong)
+    assert(row.getLong(1) === exact.size.toLong)
+    assert(row.getLong(2) === (cand & exact).size.toLong)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(row.getDouble(3) === r6(row.getLong(2).toDouble / cand.size))
+    assert(row.getDouble(4) === r6(row.getLong(2).toDouble / exact.size))
+    // the families disagree somewhere on this corpus - the reason the
+    // comparison row exists (hamming<=3 is tighter than J>=1/2 here)
+    assert(cand != exact)
+  }
 }
