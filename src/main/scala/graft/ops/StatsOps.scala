@@ -1117,7 +1117,83 @@ object StatsOps {
        |  ROUND(EXP(-${graft.functions.GraftFunctions.dsumSql("LN(p)")} / COUNT(*)), 4) AS ppl
        |FROM sc GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
 
+  /** q160: VOCABULARY COVERAGE curve — the tokenizer-design table "how
+    * much of the corpus does a size-k vocabulary cover": token-trigram
+    * types ranked by frequency (gram tiebreak), occurrence coverage
+    * and OOV rate at k ∈ {100, 500, 1k, 2k, 5k, 10k}. The BPE
+    * trainer's vocab-size knob (q153) trades this exact curve against
+    * model embedding size; Heaps' law (q141) says how the curve's
+    * ceiling grows with corpus size.
+    *
+    * Scale shape: ONE corpus pass feeds a type-grain count aggregate;
+    * the candidate vocabulary is then cut to the top-10k by
+    * TakeOrderedAndProject (bounded BY DESIGN, like every real
+    * tokenizer's candidate set — trigram types at 100 TB are NOT
+    * vocabulary-bounded, the cut is what makes the curve computable),
+    * and only that bounded frame sees the rank/cumsum window; the six
+    * report rows join against it skinny. */
+  def vocabCoverage(s: SparkSession, d: String): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+    val grams = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(split(col("text"), " ").as("tk"))
+      .filter(size(col("tk")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(1, size(tk) - 2), i -> concat_ws(' ', " +
+          "element_at(tk, i), element_at(tk, i + 1), element_at(tk, i + 2)))"))
+        .as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("cnt"))
+    val top = grams.orderBy(col("cnt").desc, col("g")).limit(10000)
+      .localCheckpoint()
+    val tot = grams.agg(sum(col("cnt")).as("total_occ"),
+      count(lit(1)).as("n_types"))
+      .crossJoin(broadcast(top.agg(count(lit(1)).as("n_top"))))
+    val ranked = top
+      .withColumn("rk", row_number().over(
+        win.orderBy(col("cnt").desc, col("g"))))
+      .withColumn("cum", sum(col("cnt")).over(
+        win.orderBy(col("cnt").desc, col("g"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("rk").cast("long").as("rk"), col("cum"))
+    import s.implicits._
+    Seq(100L, 500L, 1000L, 2000L, 5000L, 10000L).toDF("k")
+      .crossJoin(broadcast(tot))
+      .join(broadcast(ranked), col("rk") === least(col("k"), col("n_top")))
+      .select(col("k"), col("n_types"),
+        least(col("k"), col("n_top")).as("covered_types"),
+        col("cum").as("covered_occ"), col("total_occ"),
+        round(col("cum").cast("double") / col("total_occ"), 6).as("coverage"),
+        round(lit(1.0) - col("cum").cast("double") / col("total_occ"), 6)
+          .as("oov_rate"))
+      .orderBy(col("k"))
+  }
+
+  private val vocabCoverageSql =
+    """WITH tk AS (SELECT string_split(text,' ') AS tk FROM documents
+      |            WHERE len(string_split(text,' ')) >= 3),
+      |g AS (SELECT unnest([array_to_string(list_slice(tk, i, i+2), ' ')
+      |                     for i in generate_series(1, len(tk)-2)]) AS g FROM tk),
+      |gc AS (SELECT g, count(*) AS cnt FROM g GROUP BY g),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_occ,
+      |               CAST(count(*) AS BIGINT) AS n_types FROM gc),
+      |top AS (SELECT g, cnt FROM gc ORDER BY cnt DESC, g LIMIT 10000),
+      |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_top FROM top),
+      |rankd AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, g) AS BIGINT) AS rk,
+      |        CAST(SUM(cnt) OVER (ORDER BY cnt DESC, g
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |      FROM top),
+      |ks AS (SELECT CAST(unnest([100, 500, 1000, 2000, 5000, 10000]) AS BIGINT) AS k)
+      |SELECT ks.k, tot.n_types, least(ks.k, nt.n_top) AS covered_types,
+      |  rankd.cum AS covered_occ, tot.total_occ,
+      |  round(CAST(rankd.cum AS DOUBLE) / tot.total_occ, 6) AS coverage,
+      |  round(1.0 - CAST(rankd.cum AS DOUBLE) / tot.total_occ, 6) AS oov_rate
+      |FROM ks, tot, nt
+      |JOIN rankd ON rankd.rk = least(ks.k, nt.n_top)
+      |ORDER BY ks.k""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q160_vocab_coverage", vocabCoverage, Some(vocabCoverageSql),
+      "B100 vocabulary coverage curve: occurrence coverage + OOV rate at six vocab sizes"),
     QueryDef("q155_indomain_ppl", indomainPpl, Some(indomainPplSql),
       "B95 in-domain KN perplexity scoring (CCNet recipe): target-trained LM ranks every doc"),
     QueryDef("q147_kn_bigram_lm", knBigramLm, Some(knBigramLmSql),

@@ -17,7 +17,11 @@ class AllQueriesSpec extends AnyFunSuite with LocalSparkSuite {
     * unbounded grain is a single-partition sort of the corpus at
     * 100 TB (the q74 lesson). */
   private val globalWindowAllowed =
-    Set("q65_rolling_revenue", "q157_token_waterfill")
+    Set("q65_rolling_revenue", "q157_token_waterfill",
+      // q160's rank/cumsum windows run over the top-10000
+      // TakeOrderedAndProject cut — bounded BY DESIGN (a tokenizer's
+      // candidate vocabulary), never corpus-grain
+      "q160_vocab_coverage")
 
   /** Queries allowed a SortMergeJoin at the test scale. At sf0.001
     * EVERY join side sits far under the broadcast threshold, so the

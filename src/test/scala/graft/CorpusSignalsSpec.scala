@@ -431,4 +431,31 @@ class CorpusSignalsSpec extends AnyFunSuite with LocalSparkSuite {
     // the gate bites on this corpus (mirrored eval shingles exist)
     assert(flagged.nonEmpty)
   }
+
+  test("q160 coverage curve equals brute force and is monotone in k") {
+    val grams = docs().flatMap { case (_, _, t) =>
+      val tk = t.split(" ", -1)
+      if (tk.length < 3) Seq.empty
+      else tk.sliding(3).map(_.mkString(" ")).toSeq
+    }
+    val counts = grams.groupBy(identity).map { case (g, v) => g -> v.size.toLong }
+    val ranked = counts.toSeq.sortBy { case (g, c) => (-c, g) }.take(10000)
+    val total = counts.values.sum
+    val got = graft.ops.StatsOps.vocabCoverage(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(got.keySet === Set(100L, 500L, 1000L, 2000L, 5000L, 10000L))
+    got.foreach { case (k, (nTypes, covered, tot, coverage)) =>
+      assert(nTypes === counts.size.toLong)
+      assert(tot === total)
+      val cut = math.min(k.toInt, ranked.size)
+      val expCov = ranked.take(cut).map(_._2).sum
+      assert(covered === expCov, s"k=$k")
+      assert(coverage === BigDecimal(expCov.toDouble / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // coverage is monotone non-decreasing in k
+    val byK = got.toSeq.sortBy(_._1).map(_._2._4)
+    assert(byK.zip(byK.tail).forall { case (a, b) => a <= b })
+  }
 }
