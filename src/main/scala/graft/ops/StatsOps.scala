@@ -1191,7 +1191,79 @@ object StatsOps {
       |JOIN rankd ON rankd.rk = least(ks.k, nt.n_top)
       |ORDER BY ks.k""".stripMargin
 
+  /** q162: per-source LENGTH-DISTRIBUTION drift — the
+    * Kolmogorov-Smirnov statistic between each source's token-length
+    * distribution and the whole corpus's: D = max_l |F_src(l) −
+    * F_all(l)|. The ingest-monitoring diagnostic behind "did this
+    * feed change its document shape" (a crawler that starts
+    * truncating, a source that switches chunking) — length is the
+    * cheapest distributional fingerprint and KS is its standard
+    * drift test. The WHOLE statistic is exact integer arithmetic
+    * until one final division: the max runs over
+    * |cum_src·n_all − cum_all·n_src| (longs; at 10⁹-doc-per-source
+    * scale these upgrade to DECIMAL, same shapes), so both engines
+    * pick the identical argmax with no float comparisons.
+    *
+    * Scale shape: one doc pass to (source, length) counts
+    * (vocabulary-bounded: lengths are bounded by the tokenizer's
+    * max-sequence policy), a dense source × length frame (tiny cross
+    * of two aggregates), per-source cumsum windows at that bounded
+    * grain, and the global CDF as a SUM OF per-source cumsums (no
+    * unpartitioned window anywhere). */
+  def lengthDriftKs(s: SparkSession, d: String): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+    val cnt = Tables.documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("len"))
+      .groupBy(col("source"), col("len")).agg(count(lit(1)).as("cnt"))
+    val sources = cnt.select(col("source")).distinct()
+    val lens = cnt.select(col("len")).distinct()
+    val dense = sources.crossJoin(lens)
+      .join(cnt.hint("shuffle_hash"), Seq("source", "len"), "left")
+      .select(col("source"), col("len"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val cum = dense.withColumn("cum", sum(col("cnt")).over(
+      win.partitionBy(col("source")).orderBy(col("len"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val glob = cum.groupBy(col("len")).agg(sum(col("cum")).as("cum_all"))
+    val nSrc = cnt.groupBy(col("source")).agg(sum(col("cnt")).as("n_docs"))
+    val nAll = cnt.agg(sum(col("cnt")).as("n_all"))
+    cum.join(broadcast(glob), Seq("len"))
+      .join(broadcast(nSrc), Seq("source"))
+      .crossJoin(broadcast(nAll))
+      .select(col("source"), col("n_docs"),
+        abs(col("cum") * col("n_all") - col("cum_all") * col("n_docs")).as("diff"),
+        col("n_all"))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"), max(col("diff")).as("ks_num"),
+        round(max(col("diff")).cast("double") /
+          (max(col("n_docs")) * max(col("n_all"))), 6).as("ks"))
+      .orderBy(col("source"))
+  }
+
+  private val lengthDriftKsSql =
+    """WITH c AS (SELECT source, CAST(len(string_split(text,' ')) AS BIGINT) AS len,
+      |            count(*) AS cnt
+      |          FROM documents GROUP BY source, len),
+      |srcs AS (SELECT DISTINCT source FROM c),
+      |lens AS (SELECT DISTINCT len FROM c),
+      |dense AS (SELECT s.source, l.len, coalesce(c.cnt, 0) AS cnt
+      |          FROM srcs s CROSS JOIN lens l
+      |          LEFT JOIN c ON c.source = s.source AND c.len = l.len),
+      |cum AS (SELECT source, len, CAST(SUM(cnt) OVER (PARTITION BY source
+      |          ORDER BY len ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+      |        FROM dense),
+      |gcdf AS (SELECT len, CAST(SUM(cum) AS BIGINT) AS cum_all FROM cum GROUP BY len),
+      |ns AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_docs FROM c GROUP BY source),
+      |na AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_all FROM c)
+      |SELECT cum.source, ns.n_docs,
+      |  CAST(MAX(abs(cum.cum * na.n_all - gcdf.cum_all * ns.n_docs)) AS BIGINT) AS ks_num,
+      |  round(CAST(MAX(abs(cum.cum * na.n_all - gcdf.cum_all * ns.n_docs)) AS DOUBLE)
+      |        / (ns.n_docs * na.n_all), 6) AS ks
+      |FROM cum JOIN gcdf USING (len) JOIN ns ON ns.source = cum.source, na
+      |GROUP BY cum.source, ns.n_docs, na.n_all ORDER BY cum.source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q162_length_drift_ks", lengthDriftKs, Some(lengthDriftKsSql),
+      "B102 per-source length-distribution KS drift (exact integer argmax)"),
     QueryDef("q160_vocab_coverage", vocabCoverage, Some(vocabCoverageSql),
       "B100 vocabulary coverage curve: occurrence coverage + OOV rate at six vocab sizes"),
     QueryDef("q155_indomain_ppl", indomainPpl, Some(indomainPplSql),

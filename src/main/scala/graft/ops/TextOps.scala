@@ -2917,6 +2917,62 @@ object TextOps {
        |FROM rk GROUP BY cluster ORDER BY cluster""".stripMargin
   }
 
+  /** q161: QUALITY × DUPLICATION interaction — the diagnostic behind
+    * "does dedup double as a quality filter here": per quality
+    * quartile (q130's ensemble percentile), the fraction of docs with
+    * at least one near-duplicate and the mean cluster size. Lee et
+    * al. (ACL'22) found duplicated web text skews low-quality; when
+    * the interaction holds, dedup budget and quality-filter budget
+    * overlap and the pipeline can spend less on one — when it does
+    * not (flat dup_rate across quartiles), the two filters are
+    * independent and both earn their cost. Composes two memoized
+    * frames (quality signals, fixpoint labels) with one size
+    * aggregate — zero new corpus passes.
+    *
+    * Scale shape: the q133 composition plan plus a 4-row rollup. */
+  def qualityDupInteraction(s: SparkSession, d: String): DataFrame = {
+    val qual = qualityEnsembleCore(s, d)
+      .select(col("doc_id"), col("quality_pct"))
+    val cl = Tables.documents(s, d).select(col("doc_id"))
+      .join(dedupComponentsCore(s, d).hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    val sizes = cl.groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+    qual.join(cl.hint("shuffle_hash"), Seq("doc_id"))
+      .join(sizes.hint("shuffle_hash"), Seq("cluster"))
+      .withColumn("quartile",
+        least(floor(col("quality_pct") * 4), lit(3.0)).cast("long"))
+      .groupBy(col("quartile"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_dup"),
+        round(sum(when(col("csize") > 1, 1L).otherwise(0L)).cast("double") /
+          count(lit(1)), 6).as("dup_rate"),
+        round(sum(col("csize")).cast("double") / count(lit(1)), 6)
+          .as("mean_cluster_size"))
+      .orderBy(col("quartile"))
+  }
+
+  private lazy val qualityDupInteractionSql =
+    s"""$componentsSqlCtes,
+       |$qualitySqlCtes,
+       |qual AS (SELECT doc_id,
+       |  (percent_rank() OVER (PARTITION BY lang ORDER BY stop_ratio, doc_id)
+       |   + percent_rank() OVER (PARTITION BY lang ORDER BY rep_frac DESC, doc_id DESC)
+       |   + percent_rank() OVER (PARTITION BY lang ORDER BY avg_bits, doc_id)) / 3.0 AS quality_pct
+       | FROM base),
+       |cl AS (SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster
+       |       FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+       |szs AS (SELECT cluster, count(*) AS csize FROM cl GROUP BY cluster),
+       |j AS (SELECT qual.doc_id, qual.quality_pct, szs.csize
+       |      FROM qual JOIN cl ON cl.doc_id = qual.doc_id
+       |           JOIN szs ON szs.cluster = cl.cluster)
+       |SELECT CAST(least(floor(quality_pct * 4), 3) AS BIGINT) AS quartile,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  round(CAST(SUM(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / count(*), 6) AS dup_rate,
+       |  round(CAST(SUM(csize) AS DOUBLE) / count(*), 6) AS mean_cluster_size
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---- corpus drift report (q129) ----------------------------------
 
   /** q129: corpus drift between the accumulated corpus and the new
@@ -3140,6 +3196,8 @@ object TextOps {
       |FROM sc ORDER BY doc_id""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q161_quality_dup_interaction", qualityDupInteraction, Some(qualityDupInteractionSql),
+      "B101 quality x duplication interaction: dup rate and cluster size per quality quartile"),
     QueryDef("q133_survivor_policy", survivorPolicy, Some(survivorPolicySql),
       "quality-argmax dedup survivor selection per near-dup cluster (vs min-id default)"),
     QueryDef("q132_bpe_merges", bpeMerges, Some(bpeMergesSql),

@@ -458,4 +458,52 @@ class CorpusSignalsSpec extends AnyFunSuite with LocalSparkSuite {
     val byK = got.toSeq.sortBy(_._1).map(_._2._4)
     assert(byK.zip(byK.tail).forall { case (a, b) => a <= b })
   }
+
+  test("q161 interaction rollup ties out against the graded quality and weight frames") {
+    val qual = TextOps.qualityEnsemble(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    val csize = TextOps.softDedupWeights(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val expected = qual.toSeq.map { case (id, q) =>
+      (math.min(math.floor(q * 4), 3.0).toLong, csize(id))
+    }.groupBy(_._1).map { case (qt, v) =>
+      qt -> ((v.size.toLong, v.count(_._2 > 1).toLong, v.map(_._2).sum))
+    }
+    val got = TextOps.qualityDupInteraction(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (qt, (n, nd, sz)) =>
+      val (gn, gnd, rate, mean) = got(qt)
+      assert((gn, gnd) === ((n, nd)), s"quartile $qt")
+      assert(rate === BigDecimal(nd.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(mean === BigDecimal(sz.toDouble / n)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got.values.map(_._1).sum === qual.size.toLong)
+  }
+
+  test("q162 KS drift equals a brute-force two-sample statistic per source") {
+    val rows = docs().map { case (_, src, t) => (src, t.split(" ", -1).length) }
+    val all = rows.map(_._2).sorted
+    val nAll = all.size.toLong
+    def cdfNum(xs: Seq[Int], l: Int): Long = xs.count(_ <= l).toLong
+    val got = graft.ops.StatsOps.lengthDriftKs(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    rows.groupBy(_._1).foreach { case (src, v) =>
+      val xs = v.map(_._2)
+      val n = xs.size.toLong
+      val lens = all.distinct
+      val ksNum = lens.map(l =>
+        math.abs(cdfNum(xs, l) * nAll - cdfNum(all, l) * n)).max
+      val (gn, gnum, gks) = got(src)
+      assert(gn === n, s"source $src")
+      assert(gnum === ksNum, s"source $src ks_num")
+      assert(gks === BigDecimal(ksNum.toDouble / (n * nAll))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    // KS is a proper statistic: within [0, 1]
+    got.values.foreach { case (_, _, ks) => assert(ks >= 0.0 && ks <= 1.0) }
+  }
 }
