@@ -444,6 +444,83 @@ object TextOps {
        |FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** q163: NEAR-DUP SIMILARITY HISTOGRAM — the distribution of EXACT
+    * Jaccard over the q34 MinHash candidate pairs: "what similarity is
+    * the dedup pass actually removing". A mass concentrated near 1.0
+    * says the banding mostly finds true copies (tighten nothing); a
+    * long low-J tail says the band config over-generates and the
+    * verify step (q35/q104) is earning its cost. Bins are EXACT
+    * integer arithmetic — bin = min((10·|A∩B|) div |A∪B|, 9) — so no
+    * float comparison decides a bin boundary cross-engine.
+    *
+    * Scale shape: q34's band-bucketed pair set (never all-pairs), the
+    * intersection via two skinny shingle join-backs keyed on doc ids
+    * (the q104 ints pattern), sizes from the distinct-shingle
+    * aggregate, then a ≤10-row rollup. Zero-intersection candidates
+    * stay in bin 0 via the left join. */
+  def neardupSimHistogram(s: SparkSession, d: String): DataFrame = {
+    val pairs = candidatePairs(s, d)
+    val shd = shingleArrays(s, d)
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("sh2"))
+    val sz = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(shd.select(col("doc_id").as("doc_a"), col("sh2"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(shd.select(col("doc_id").as("doc_b"), col("sh2"))
+        .hint("shuffle_hash"), Seq("doc_b", "sh2"))
+      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
+    val binned = pairs
+      .join(inter.hint("shuffle_hash"), Seq("doc_a", "doc_b"), "left")
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na"))
+        .hint("shuffle_hash"), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+        .hint("shuffle_hash"), Seq("doc_b"))
+      .select(coalesce(col("inter"), lit(0L)).as("inter"),
+        (col("na") + col("nb") - coalesce(col("inter"), lit(0L))).as("uni"))
+      .withColumn("bin", least(expr("(10 * inter) div uni"), lit(9L)))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
+    binned
+      .crossJoin(broadcast(binned.agg(sum(col("n_pairs")).as("tot"))))
+      .select(col("bin"),
+        round(col("bin").cast("double") / 10, 1).as("j_lo"),
+        round((col("bin") + 1).cast("double") / 10, 1).as("j_hi"),
+        col("n_pairs"),
+        round(col("n_pairs").cast("double") / col("tot"), 6).as("share"))
+      .orderBy(col("bin"))
+  }
+
+  private val neardupSimHistogramSql =
+    s"""$shinglesSqlCte,
+       |sig AS (SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
+       |               ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
+       |        FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, mh0 || mh1 AS band FROM sig
+       |          UNION ALL SELECT doc_id, mh2 || mh3 AS band FROM sig),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |shd AS (SELECT DISTINCT doc_id, s FROM sh),
+       |sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
+       |ints AS (SELECT p.doc_a, p.doc_b, count(*) AS inter
+       |         FROM pairs p
+       |         JOIN shd x ON x.doc_id = p.doc_a
+       |         JOIN shd y ON y.doc_id = p.doc_b AND y.s = x.s
+       |         GROUP BY p.doc_a, p.doc_b),
+       |j AS (SELECT coalesce(i.inter, 0) AS inter,
+       |        sa.n + sb.n - coalesce(i.inter, 0) AS uni
+       |      FROM pairs p
+       |      LEFT JOIN ints i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+       |      JOIN sz sa ON sa.doc_id = p.doc_a
+       |      JOIN sz sb ON sb.doc_id = p.doc_b),
+       |b AS (SELECT least((10 * inter) // uni, 9) AS bin, count(*) AS n_pairs
+       |      FROM j GROUP BY 1),
+       |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tot FROM b)
+       |SELECT CAST(bin AS BIGINT) AS bin,
+       |  round(CAST(bin AS DOUBLE) / 10, 1) AS j_lo,
+       |  round(CAST(bin + 1 AS DOUBLE) / 10, 1) AS j_hi,
+       |  CAST(n_pairs AS BIGINT) AS n_pairs,
+       |  round(CAST(n_pairs AS DOUBLE) / t.tot, 6) AS share
+       |FROM b, t ORDER BY bin""".stripMargin
+
   /** q144: LSH OPERATING-POINT EVALUATION — precision/recall of the
     * q34-family MinHash banding (2 bands × 2 components) against the
     * exact tau = 1/2 Jaccard join, both at representative (distinct
@@ -3273,6 +3350,8 @@ object TextOps {
     QueryDef("q33_minhash_sig", minhashSignatures, Some(minhashSignaturesSql), "B27 minhash signatures"),
     QueryDef("q34_minhash_pairs", minhashPairs, Some(minhashPairsSql), "B27/28 LSH banding pairs"),
     QueryDef("q35_jaccard_adjacent", jaccardAdjacent, Some(jaccardAdjacentSql), "B28 exact Jaccard"),
+    QueryDef("q163_neardup_sim_histogram", neardupSimHistogram, Some(neardupSimHistogramSql),
+      "B103 near-dup similarity histogram: exact-Jaccard distribution of the banding candidates"),
     QueryDef("q36_text_stats", textStats, Some(textStatsSql), "B32 token stats"),
     QueryDef("q37_word_count", wordCount, Some(wordCountSql), "B33 word count"),
     QueryDef("q38_tfidf", tfidfTop, Some(tfidfTopSql), "B34 TF-IDF"),

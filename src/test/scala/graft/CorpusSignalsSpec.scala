@@ -506,4 +506,29 @@ class CorpusSignalsSpec extends AnyFunSuite with LocalSparkSuite {
     // KS is a proper statistic: within [0, 1]
     got.values.foreach { case (_, _, ks) => assert(ks >= 0.0 && ks <= 1.0) }
   }
+
+  test("q163 histogram equals brute-force exact Jaccard over the graded pair set") {
+    val pairs = TextOps.minhashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val shingleSets = docs().map { case (id, _, t) =>
+      val tk = t.split(" ", -1)
+      id -> (if (tk.length < 3) Set.empty[String]
+             else tk.sliding(3).map(_.mkString(" ")).toSet)
+    }.toMap
+    val expected = pairs.map { case (a, b) =>
+      val (sa, sb) = (shingleSets(a), shingleSets(b))
+      val inter = (sa & sb).size.toLong
+      val uni = sa.size + sb.size - inter
+      math.min(10 * inter / uni, 9L)
+    }.groupBy(identity).map { case (b, v) => b -> v.size.toLong }
+    val got = TextOps.neardupSimHistogram(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(3), r.getDouble(4)))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (b, n) =>
+      assert(got(b)._1 === n, s"bin $b")
+      assert(got(b)._2 === BigDecimal(n.toDouble / pairs.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got.values.map(_._1).sum === pairs.length.toLong)
+  }
 }
