@@ -143,6 +143,25 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum / 1e3
     }
+    // page-cache diagnostic: the write+fsync sentinel is blind to
+    // READ-cache misses — round 10 measured a 76.9 s "clean" window
+    // (sentinels nominal, everything uniformly 1.5-2x) whose actual
+    // cause was an evicted page cache (4 GB cached / 120 GB free),
+    // every parquet scan hitting disk cold; the immediate rerun over
+    // the rewarmed cache read 64.6 s. Recording Cached: pre/post makes
+    // that failure mode diagnosable from the artifact alone (a low
+    // cache_gb_pre with a much higher cache_gb_post = this window paid
+    // cold reads its sentinels could not see).
+    def cachedGb(): Double =
+      try {
+        val src = scala.io.Source.fromFile("/proc/meminfo")
+        try src.getLines().collectFirst {
+          case l if l.startsWith("Cached:") =>
+            l.split("\\s+")(1).toDouble / (1 << 20)
+        }.getOrElse(-1.0)
+        finally src.close()
+      } catch { case _: Throwable => -1.0 }
+    val cacheGbPre = cachedGb()
     sentinelOnce() // untimed JIT warmup of the loop itself
     val sentinelPre = sentinelOnce()
     ioSentinelOnce() // untimed warmup (tmpfile allocation, JIT)
@@ -424,7 +443,7 @@ object Bench {
         }.mkString("{", ",", "}")
       }
     } catch { case _: Throwable => "{}" }
-    val summary = s""""metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"passes":$repeat,"clean":$clean,"dirty_rerun":$rerun,"cold_total":${fmt(coldSum)},"memo_build_s":${fmt(memoBuildS)},"memo_builds":$memoBuilds,"sentinel_pre":${fmt(sentinelPre)},"sentinel_post":${fmt(sentinelPost)},"sentinel_max":${fmt(sentinelMax)},"io_pre":${fmt(ioPre)},"io_post":${fmt(ioPost)},"io_max":${fmt(ioMax)},"gc_sec":${fmt(gcSec)}$rerunFields,"slowest":$slowest,"dominant":$dominant,"regressions":$regressions,"sf":"$sfDir""""
+    val summary = s""""metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"passes":$repeat,"clean":$clean,"dirty_rerun":$rerun,"cold_total":${fmt(coldSum)},"memo_build_s":${fmt(memoBuildS)},"memo_builds":$memoBuilds,"sentinel_pre":${fmt(sentinelPre)},"sentinel_post":${fmt(sentinelPost)},"sentinel_max":${fmt(sentinelMax)},"io_pre":${fmt(ioPre)},"io_post":${fmt(ioPost)},"io_max":${fmt(ioMax)},"gc_sec":${fmt(gcSec)},"cache_gb_pre":${fmt(cacheGbPre)},"cache_gb_post":${fmt(cachedGb())}$rerunFields,"slowest":$slowest,"dominant":$dominant,"regressions":$regressions,"sf":"$sfDir""""
     val fullJson = s"""{"queries":$qs,$summary}"""
     // ALL warnings print (and stderr flushes) BEFORE the JSON lines:
     // the driver keeps a bounded tail of the COMBINED capture and
