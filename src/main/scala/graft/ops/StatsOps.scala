@@ -1261,6 +1261,26 @@ object StatsOps {
       |FROM cum JOIN gcdf USING (len) JOIN ns ON ns.source = cum.source, na
       |GROUP BY cum.source, ns.n_docs, na.n_all ORDER BY cum.source""".stripMargin
 
+  /** The static reference CDF the streaming drift monitor broadcasts:
+    * the corpus's token-length distribution collapsed to ONE row of
+    * (len, cum_frac) structs — the dsirModel/indomainLmModel shape at
+    * length grain (bounded by the tokenizer's max-sequence policy).
+    * The unpartitioned cumsum runs at that bounded grain only. */
+  private[graft] def lengthRefCdf(s: SparkSession, d: String): DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+    val c = Tables.documents(s, d)
+      .select(size(split(col("text"), " ")).cast("long").as("len"))
+      .groupBy(col("len")).agg(count(lit(1)).as("cnt"))
+    val tot = c.agg(sum(col("cnt")).as("n"))
+    c.crossJoin(broadcast(tot))
+      .withColumn("cf", sum(col("cnt")).over(
+        win.orderBy(col("len")).rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+        .cast("double") / col("n"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("len"), col("cf")))).as("ref"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q162_length_drift_ks", lengthDriftKs, Some(lengthDriftKsSql),
       "B102 per-source length-distribution KS drift (exact integer argmax)"),

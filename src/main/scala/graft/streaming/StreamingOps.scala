@@ -249,6 +249,34 @@ object StreamingOps {
         col("contaminated_docs"), col("clean_docs"))
   }
 
+  /** The monitoring twin of q162's batch KS drift: per closed
+    * watermarked hourly window, the Kolmogorov-Smirnov statistic
+    * between the window's token-length distribution and the static
+    * reference CDF ([[graft.ops.StatsOps.lengthRefCdf]], a 1-row
+    * broadcast at length grain) with a drift flag at the caller's
+    * threshold — the dashboard series that catches "this feed changed
+    * its document shape" within an hour of it happening. The supremum
+    * is evaluated on the reference length grid (which contains every
+    * length the reference corpus produced — the standard binned-KS
+    * monitor; a window length outside the grid clamps into its
+    * neighbors' steps). State is one open window's length list —
+    * bounded by rate × window like every monitor here. */
+  def lengthDriftMonitor(docs: DataFrame, refCdf: DataFrame,
+      threshold: Double): DataFrame =
+    docs
+      .withColumn("len", size(split(col("text"), " ")).cast("long"))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col("len"))).as("ls"))
+      .crossJoin(broadcast(refCdf))
+      .withColumn("ks", round(expr(
+        "array_max(transform(ref, r -> " +
+          "abs(CAST(size(filter(ls, x -> x <= r.len)) AS DOUBLE) / size(ls) - r.cf)))"),
+        6))
+      .select(col("window.start").as("wstart"), col("n_docs"), col("ks"),
+        (col("ks") >= threshold).as("drifted"))
+
   /** B41 stream-stream: watermarked interval join — each click joins
     * the impression that preceded it by ≤ 30 minutes for the same
     * user (the attribution shape; q77's interval join is the batch

@@ -509,6 +509,50 @@ class StreamingSpec extends AnyFunSuite with LocalSparkSuite {
     } finally q.stop()
   }
 
+  test("length-drift monitor: per-window KS vs the static reference, drift flagged") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ref = graft.ops.StatsOps.lengthRefCdf(spark, sfDir).localCheckpoint()
+    val corpusTexts = Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val in = MemoryStream[StreamingOps.Doc]
+    val q = StreamingOps.lengthDriftMonitor(in.toDF(), ref, threshold = 0.3)
+      .writeStream.outputMode("append").format("memory").queryName("lendrift").start()
+    try {
+      // window 1: corpus-shaped lengths (low drift); window 2: all
+      // 3-token docs (a truncating feed — high drift); window 3 only
+      // exists to close the first two via the watermark
+      corpusTexts.take(30).zipWithIndex.foreach { case (t, i) =>
+        in.addData(StreamingOps.Doc(i.toLong, ts("2024-01-01 10:00:00"), t))
+      }
+      (100 to 129).foreach(i =>
+        in.addData(StreamingOps.Doc(i.toLong, ts("2024-01-01 11:00:00"), "a b c")))
+      in.addData(StreamingOps.Doc(999, ts("2024-01-01 13:00:00"), "closer doc"))
+      q.processAllAvailable()
+      val rows = spark.table("lendrift").collect()
+        .map(r => r.getTimestamp(0).toString -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3))))
+        .toMap
+      val w1 = rows("2024-01-01 10:00:00.0")
+      val w2 = rows("2024-01-01 11:00:00.0")
+      assert(w1._1 === 30L && w2._1 === 30L)
+      // brute-force KS for both windows on the reference grid
+      val lens = corpusTexts.map(_.split(" ", -1).length)
+      val n = lens.length.toDouble
+      val grid = lens.distinct.sorted
+      def ks(win: Seq[Int]): Double = {
+        val d = grid.map { l =>
+          math.abs(win.count(_ <= l).toDouble / win.size - lens.count(_ <= l) / n)
+        }.max
+        BigDecimal(d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      assert(w1._2 === ks(corpusTexts.take(30).map(_.split(" ", -1).length)))
+      assert(w2._2 === ks(Seq.fill(30)(3)))
+      // the truncating feed drifts, the corpus-shaped window does not
+      assert(!w1._3, s"window 1 should not drift: $w1")
+      assert(w2._3 && w2._2 > 0.9, s"window 2 should drift hard: $w2")
+    } finally q.stop()
+  }
+
   test("contamination monitor: hourly clean/contaminated counts per closed window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
