@@ -86,7 +86,8 @@ object PlanDump {
       "q161_quality_dup_interaction" -> "B101 interaction: two memoized frames (Scan ExistingRDD) joined skinny + a 4-row quartile rollup — zero new corpus passes",
       "q162_length_drift_ks" -> "B102 KS drift: (source,len)-grain counts, dense cross at bounded grain, per-source cumsum windows, global CDF via sum-of-cumsums — no unpartitioned window",
       "q163_neardup_sim_histogram" -> "B103 similarity histogram: band-bucketed pairs, two skinny shingle join-backs (q104 ints pattern), integer bins, <=10-row rollup",
-      "q164_bpe_fertility" -> "B104 fertility: memoized trained merges (LocalTableScan) folded into ONE 30-deep composed native-expression projection — map-only to the source rollup")
+      "q164_bpe_fertility" -> "B104 fertility: memoized trained merges (LocalTableScan) folded into ONE 30-deep composed native-expression projection — map-only to the source rollup",
+      "q165_dedup_degree_dist" -> "B105 degree distribution: band-bucketed pairs, one doc-keyed degree aggregate, <=7-row rollup, zero-degree row via broadcast total")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")
     picks.foreach { case (name, why) =>

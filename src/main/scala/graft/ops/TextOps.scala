@@ -521,6 +521,74 @@ object TextOps {
        |  round(CAST(n_pairs AS DOUBLE) / t.tot, 6) AS share
        |FROM b, t ORDER BY bin""".stripMargin
 
+  /** q165: DEDUP-GRAPH DEGREE DISTRIBUTION — the shape audit of the
+    * candidate graph the clustering fixpoint (q76) runs on: per doc
+    * its near-dup candidate degree, rolled into log2 buckets (0
+    * candidates, 1, 2–3, 4–7, 8–15, 16–31, 32+). A mass at high
+    * degree means hub documents (boilerplate or a hot band) that
+    * inflate pair counts quadratically — the early-warning signal for
+    * the quadratic blowups the round-9 100× run caught after the
+    * fact; a healthy dedup graph is almost all degree 0–1.
+    * Complements q115 (triangles measure local density) and q163
+    * (similarity measures candidate QUALITY; this measures
+    * concentration). Buckets are exact integer arithmetic (the q110
+    * log-bucket trick: floor log2 via bit length).
+    *
+    * Scale shape: q34's band-bucketed pairs, one doc-keyed degree
+    * aggregate over the two pair sides, a ≤7-row rollup; the
+    * zero-degree row comes from one broadcast total — never a join
+    * against the corpus. */
+  def dedupDegreeDist(s: SparkSession, d: String): DataFrame = {
+    val pairs = candidatePairs(s, d)
+    val deg = pairs.select(col("doc_a").as("doc_id"))
+      .unionAll(pairs.select(col("doc_b").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+    val binned = deg
+      .withColumn("bucket",
+        least(expr("length(bin(deg))"), lit(6)).cast("long"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    val total = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
+    val withZero = binned.unionAll(
+      total.crossJoin(broadcast(deg.agg(count(lit(1)).as("n_pos"))))
+        .select(lit(0L).as("bucket"),
+          (col("n_total") - col("n_pos")).as("n_docs")))
+      .groupBy(col("bucket")).agg(sum(col("n_docs")).as("n_docs"))
+    withZero
+      .crossJoin(broadcast(total))
+      .select(col("bucket"),
+        when(col("bucket") === 0, lit(0L))
+          .otherwise(expr("shiftleft(1L, CAST(bucket AS INT) - 1)")).as("deg_lo"),
+        col("n_docs"),
+        round(col("n_docs").cast("double") / col("n_total"), 6).as("share"))
+      .orderBy(col("bucket"))
+  }
+
+  private val dedupDegreeDistSql =
+    s"""$shinglesSqlCte,
+       |sig AS (SELECT doc_id, ${mhSql(0)} AS mh0, ${mhSql(1)} AS mh1,
+       |               ${mhSql(2)} AS mh2, ${mhSql(3)} AS mh3
+       |        FROM sh GROUP BY doc_id),
+       |bands AS (SELECT doc_id, mh0 || mh1 AS band FROM sig
+       |          UNION ALL SELECT doc_id, mh2 || mh3 AS band FROM sig),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id),
+       |deg AS (SELECT doc_id, count(*) AS deg FROM (
+       |          SELECT doc_a AS doc_id FROM pairs
+       |          UNION ALL SELECT doc_b FROM pairs) GROUP BY doc_id),
+       |binned AS (SELECT least(len(bin(deg)), 6) AS bucket, count(*) AS n_docs
+       |           FROM deg GROUP BY 1),
+       |tot AS (SELECT count(*) AS n_total FROM documents),
+       |np AS (SELECT count(*) AS n_pos FROM deg),
+       |wz AS (SELECT bucket, SUM(n_docs) AS n_docs FROM (
+       |         SELECT CAST(bucket AS BIGINT) AS bucket, n_docs FROM binned
+       |         UNION ALL SELECT 0, tot.n_total - np.n_pos FROM tot, np)
+       |       GROUP BY bucket)
+       |SELECT wz.bucket,
+       |  CAST(CASE WHEN wz.bucket = 0 THEN 0 ELSE 1 << (wz.bucket - 1) END AS BIGINT) AS deg_lo,
+       |  CAST(wz.n_docs AS BIGINT) AS n_docs,
+       |  round(CAST(wz.n_docs AS DOUBLE) / tot.n_total, 6) AS share
+       |FROM wz, tot ORDER BY wz.bucket""".stripMargin
+
   /** q144: LSH OPERATING-POINT EVALUATION — precision/recall of the
     * q34-family MinHash banding (2 bands × 2 components) against the
     * exact tau = 1/2 Jaccard join, both at representative (distinct
@@ -3432,6 +3500,8 @@ object TextOps {
     QueryDef("q35_jaccard_adjacent", jaccardAdjacent, Some(jaccardAdjacentSql), "B28 exact Jaccard"),
     QueryDef("q163_neardup_sim_histogram", neardupSimHistogram, Some(neardupSimHistogramSql),
       "B103 near-dup similarity histogram: exact-Jaccard distribution of the banding candidates"),
+    QueryDef("q165_dedup_degree_dist", dedupDegreeDist, Some(dedupDegreeDistSql),
+      "B105 dedup-graph degree distribution: log2-bucketed candidate degrees, hub early-warning"),
     QueryDef("q36_text_stats", textStats, Some(textStatsSql), "B32 token stats"),
     QueryDef("q37_word_count", wordCount, Some(wordCountSql), "B33 word count"),
     QueryDef("q38_tfidf", tfidfTop, Some(tfidfTopSql), "B34 TF-IDF"),

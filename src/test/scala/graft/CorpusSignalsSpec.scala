@@ -552,4 +552,26 @@ class CorpusSignalsSpec extends AnyFunSuite with LocalSparkSuite {
     val trainerAfter = finalDocs.collect().map(_.getString(0).split(" ", -1).length.toLong).sum
     assert(out.map(_.getLong(3)).sum === trainerAfter)
   }
+
+  test("q165 degree distribution ties out against the graded pair set") {
+    val pairs = TextOps.minhashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val deg = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).map { case (id, v) => id -> v.size }
+    val nTotal = Tables.documents(spark, sfDir).count()
+    val expected = deg.values
+      .map(d => math.min(64 - java.lang.Long.numberOfLeadingZeros(d.toLong), 6))
+      .groupBy(identity).map { case (b, v) => b.toLong -> v.size.toLong }
+      .updated(0L, nTotal - deg.size)
+    val got = TextOps.dedupDegreeDist(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet === expected.filter(_._2 > 0).keySet ++ Set(0L))
+    expected.filter(_._2 > 0).foreach { case (b, n) =>
+      assert(got(b)._2 === n, s"bucket $b")
+      assert(got(b)._1 === (if (b == 0) 0L else 1L << (b - 1)).toLong)
+      assert(got(b)._3 === BigDecimal(n.toDouble / nTotal)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got.values.map(_._2).sum === nTotal)
+  }
 }
