@@ -537,14 +537,21 @@ object VectorOps {
       .agg(
         sum(when(!col("is_new"), 1L).otherwise(0L)).as("n_old"),
         sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
-        round(dsum(when(!col("is_new"), col("score"))) /
-          sum(when(!col("is_new"), 1L).otherwise(0L)), 6).as("mean_score_old"),
-        round(dsum(when(col("is_new"), col("score"))) /
-          sum(when(col("is_new"), 1L).otherwise(0L)), 6).as("mean_score_new"))
+        dsum(when(!col("is_new"), col("score"))).as("sum_score_old"),
+        dsum(when(col("is_new"), col("score"))).as("sum_score_new"))
+      // guard every n_old/n_new division explicitly: a cell whose
+      // members all fall in one slice must yield NULL identically in
+      // Spark (non-ANSI x/0 → NULL) and DuckDB (version-dependent) —
+      // the when() makes the NULL engine-independent
       .select(col("cell"), col("n_old"), col("n_new"),
-        round(col("n_new").cast("double") / col("n_old"), 6).as("growth"),
-        col("mean_score_old"), col("mean_score_new"),
-        round(col("mean_score_new") - col("mean_score_old"), 6).as("drift"))
+        when(col("n_old") > 0,
+          round(col("n_new").cast("double") / col("n_old"), 6)).as("growth"),
+        when(col("n_old") > 0,
+          round(col("sum_score_old") / col("n_old"), 6)).as("mean_score_old"),
+        when(col("n_new") > 0,
+          round(col("sum_score_new") / col("n_new"), 6)).as("mean_score_new"))
+      .withColumn("drift",
+        round(col("mean_score_new") - col("mean_score_old"), 6))
       .orderBy(col("cell"))
   }
 
@@ -567,21 +574,23 @@ object VectorOps {
        |asg AS (SELECT vec_id, label, score,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, label) AS rn FROM sc),
        |a AS (SELECT vec_id, label, score, vec_id % 7 = 0 AS is_new
-       |      FROM asg WHERE rn = 1)
-       |SELECT label AS cell,
+       |      FROM asg WHERE rn = 1),
+       |g AS (SELECT label,
        |  CAST(SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
        |  CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
-       |  ROUND(CAST(SUM(CASE WHEN is_new THEN 1 ELSE 0 END) AS DOUBLE)
-       |        / SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END), 6) AS growth,
-       |  ROUND(${graft.functions.GraftFunctions.dsumSql("CASE WHEN NOT is_new THEN score END")}
-       |        / SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END), 6) AS mean_score_old,
-       |  ROUND(${graft.functions.GraftFunctions.dsumSql("CASE WHEN is_new THEN score END")}
-       |        / SUM(CASE WHEN is_new THEN 1 ELSE 0 END), 6) AS mean_score_new,
-       |  ROUND(ROUND(${graft.functions.GraftFunctions.dsumSql("CASE WHEN is_new THEN score END")}
-       |        / SUM(CASE WHEN is_new THEN 1 ELSE 0 END), 6)
-       |      - ROUND(${graft.functions.GraftFunctions.dsumSql("CASE WHEN NOT is_new THEN score END")}
-       |        / SUM(CASE WHEN NOT is_new THEN 1 ELSE 0 END), 6), 6) AS drift
-       |FROM a GROUP BY label ORDER BY label""".stripMargin
+       |  ${graft.functions.GraftFunctions.dsumSql("CASE WHEN NOT is_new THEN score END")} AS sum_old,
+       |  ${graft.functions.GraftFunctions.dsumSql("CASE WHEN is_new THEN score END")} AS sum_new
+       |  FROM a GROUP BY label)
+       |SELECT label AS cell, n_old, n_new,
+       |  CASE WHEN n_old > 0
+       |       THEN ROUND(CAST(n_new AS DOUBLE) / n_old, 6) END AS growth,
+       |  CASE WHEN n_old > 0
+       |       THEN ROUND(sum_old / n_old, 6) END AS mean_score_old,
+       |  CASE WHEN n_new > 0
+       |       THEN ROUND(sum_new / n_new, 6) END AS mean_score_new,
+       |  ROUND(CASE WHEN n_new > 0 THEN ROUND(sum_new / n_new, 6) END
+       |      - CASE WHEN n_old > 0 THEN ROUND(sum_old / n_old, 6) END, 6) AS drift
+       |FROM g ORDER BY cell""".stripMargin
 
   /** TRAINED coarse quantizer — full-dimension k-means over the
     * embeddings (MLlib, fixed seed), exposed in the SAME (label, cv,

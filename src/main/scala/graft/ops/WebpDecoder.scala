@@ -241,8 +241,11 @@ object WebpDecoder {
               if (c != 0) prevLen = c
             case 16 =>
               val n = 3 + br.bits(2)
+              // a repeat that would run past the alphabet end is a
+              // bitstream error, same as the 17/18 overshoot below
+              if (sym + n > alphabetSize) return new PrefixCode(new Array[Int](0))
               var j = 0
-              while (j < n && sym < alphabetSize) {
+              while (j < n) {
                 lengths(sym) = prevLen; sym += 1; j += 1
               }
             case 17 => sym += 3 + br.bits(3)
@@ -262,9 +265,12 @@ object WebpDecoder {
     if (!greenCode.valid || !redCode.valid || !blueCode.valid ||
       !alphaCode.valid || !distCode.valid) return None
 
-    // LZ77 prefix value: codes 0..3 are 1..4; above that, extra bits
-    def lz77Value(code: Int): Int = {
-      if (code < 0 || code >= 24) return -1
+    // LZ77 prefix value: codes 0..3 are 1..4; above that, extra bits.
+    // The cap differs by alphabet: length symbols stop at 24, distance
+    // symbols run to 40 (extraBits up to 18 → distances to ~1M) — a
+    // shared 24-cap would reject valid long-distance backreferences.
+    def lz77Value(code: Int, maxCode: Int): Int = {
+      if (code < 0 || code >= maxCode) return -1
       if (code < 4) code + 1
       else {
         val extraBits = (code - 2) >> 1
@@ -294,10 +300,10 @@ object WebpDecoder {
         cacheInsert(argb)
         pos += 1
       } else if (s < 256 + 24) {
-        val length = lz77Value(s - 256)
+        val length = lz77Value(s - 256, 24)
         val ds = distCode.read(br)
         if (ds < 0 || br.truncated) return None
-        val dcode = lz77Value(ds)
+        val dcode = lz77Value(ds, 40)
         if (length < 1 || dcode < 1) return None
         val distance =
           if (dcode > 120) dcode - 120
