@@ -87,7 +87,8 @@ object PlanDump {
       "q162_length_drift_ks" -> "B102 KS drift: (source,len)-grain counts, dense cross at bounded grain, per-source cumsum windows, global CDF via sum-of-cumsums — no unpartitioned window",
       "q163_neardup_sim_histogram" -> "B103 similarity histogram: band-bucketed pairs, two skinny shingle join-backs (q104 ints pattern), integer bins, <=10-row rollup",
       "q164_bpe_fertility" -> "B104 fertility: memoized trained merges (LocalTableScan) folded into ONE 30-deep composed native-expression projection — map-only to the source rollup",
-      "q165_dedup_degree_dist" -> "B105 degree distribution: band-bucketed pairs, one doc-keyed degree aggregate, <=7-row rollup, zero-degree row via broadcast total")
+      "q165_dedup_degree_dist" -> "B105 degree distribution: band-bucketed pairs, one doc-keyed degree aggregate, <=7-row rollup, zero-degree row via broadcast total",
+      "q166_image_neardup" -> "B106 perceptual image dedup: graft_dhash64 scan-side (payloads never shuffle — only (id, band, 8-byte hash) rows do), df-capped 16-bit band buckets, shuffle_hash band equi-join, exact bit_count verify on the joined row")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")
     picks.foreach { case (name, why) =>

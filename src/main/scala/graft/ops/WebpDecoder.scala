@@ -29,8 +29,9 @@ package graft.ops
   * direct distances minus 120. */
 object WebpDecoder {
 
-  def decode(p: Array[Byte]): Option[MultimodalOps.DecodedImage] =
-    try decodeImpl(p)
+  def decode(p: Array[Byte],
+      grid: Array[Long] = null): Option[MultimodalOps.DecodedImage] =
+    try decodeImpl(p, grid)
     catch {
       case _: ArrayIndexOutOfBoundsException => None
       case _: NegativeArraySizeException => None
@@ -147,7 +148,8 @@ object WebpDecoder {
     (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7))
   require(NeighborMap.length == 120)
 
-  private def decodeImpl(p: Array[Byte]): Option[MultimodalOps.DecodedImage] = {
+  private def decodeImpl(p: Array[Byte],
+      grid: Array[Long]): Option[MultimodalOps.DecodedImage] = {
     // ---- RIFF container walk ----
     if (p.length < 20) return None
     def tag(off: Int): String =
@@ -340,6 +342,7 @@ object WebpDecoder {
       var b = argb & 0xff
       if (subtractGreen) { r = (r + g) & 0xff; b = (b + g) & 0xff }
       sr += r; sg += g; sb += b
+      if (grid != null) MultimodalOps.gridAdd(grid, i % w, i / w, w, h, r, g, b)
       i += 1
     }
     Some(MultimodalOps.DecodedImage(w, h, sr.toDouble / n, sg.toDouble / n,
