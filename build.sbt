@@ -18,6 +18,12 @@ run / fork := true
 // parsed:null for exactly this reason). StdoutOutput inherits the
 // parent's stdout instead, so the JSON lines land in the capture raw.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Suppress sbt's "[success] Total time: ..." epilogue so the bench/verify
+// JSON really is the TERMINAL stdout line in the driver's bounded-tail
+// capture (BENCH_r10 parsed:null came from the epilogue landing after
+// the JSON). BENCH.json on disk remains the artifact of record.
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

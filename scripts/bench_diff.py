@@ -31,6 +31,16 @@ import sys
 
 RATIO = 1.5          # flag candidate_min > RATIO * best_ref
 MIN_ABS = 0.15       # ignore sub-150ms jitter: both times under this never flag
+ROLLING = 3          # only the N most recent clean references set floors
+                     # (all-time minima from one exceptional window would
+                     # flag a dozen sub-second queries forever)
+
+
+def ref_order(name):
+    """Sort key for bench_refs filenames r{round}_..._{N}q.json."""
+    import re
+    m = re.search(r"r(\d+)_.*?(\d+)q", os.path.basename(name))
+    return (int(m.group(1)), int(m.group(2))) if m else (0, 0)
 
 
 def load(path):
@@ -65,6 +75,7 @@ def main(argv):
         print(f"WARN candidate {cand_path} self-reports clean:false - "
               "its numbers are upper bounds; regressions below may be the window")
     best = {}          # query -> (best_time, ref_path)
+    clean_refs = []
     for rp in ref_paths:
         try:
             ref = load(rp)
@@ -74,6 +85,14 @@ def main(argv):
         if not ref.get("clean", True):
             print(f"WARN skipping dirty reference {rp} (clean:false)")
             continue
+        clean_refs.append((rp, ref))
+    clean_refs.sort(key=lambda r: ref_order(r[0]))
+    dropped = clean_refs[:-ROLLING]
+    if dropped and len(argv) == 2:  # rolling cut only in default mode
+        print(f"rolling window: using {ROLLING} most recent clean refs, "
+              f"ignoring {len(dropped)} older")
+        clean_refs = clean_refs[-ROLLING:]
+    for rp, ref in clean_refs:
         for q, t in ref.get("queries", {}).items():
             if t is None or t < 0:
                 continue

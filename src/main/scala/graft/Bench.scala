@@ -416,24 +416,38 @@ object Bench {
     // thresholds as the script: candidate > 1.5x the best clean
     // reference; sub-150ms pairs never flag (jitter floor); dirty
     // references are never trusted as cost floors. Value = the ratio.
+    // Floors come from a ROLLING window: only the 3 most recent clean
+    // references (by r{round}_..._{N}q filename order) contribute —
+    // an all-time minimum from one exceptional host window otherwise
+    // flags a dozen sub-second queries forever and buries real
+    // regressions (VERDICT_r10 item 8).
     val regressions: String = try {
       val dir = java.nio.file.Paths.get("bench_refs")
       if (!java.nio.file.Files.isDirectory(dir)) "{}" else {
         import scala.jdk.CollectionConverters._
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val best = scala.collection.mutable.Map.empty[String, Double]
+        def refOrder(name: String): (Int, Int) = {
+          val m = """r(\d+)_.*?(\d+)q""".r.findFirstMatchIn(name)
+          m.map(g => (g.group(1).toInt, g.group(2).toInt)).getOrElse((0, 0))
+        }
         java.nio.file.Files.list(dir).iterator().asScala
-          .filter(_.toString.endsWith(".json")).foreach { p =>
+          .filter(_.toString.endsWith(".json"))
+          .toSeq
+          .flatMap { p =>
             try {
               val node = mapper.readTree(p.toFile)
-              if (node.path("clean").asBoolean(true)) {
-                node.path("queries").fields().asScala.foreach { e =>
-                  val t = e.getValue.asDouble(-1)
-                  if (t >= 0 && t < best.getOrElse(e.getKey, Double.MaxValue))
-                    best(e.getKey) = t
-                }
-              }
-            } catch { case _: Throwable => () }
+              if (node.path("clean").asBoolean(true)) Some((p, node)) else None
+            } catch { case _: Throwable => None }
+          }
+          .sortBy(pn => refOrder(pn._1.getFileName.toString))
+          .takeRight(3)
+          .foreach { case (_, node) =>
+            node.path("queries").fields().asScala.foreach { e =>
+              val t = e.getValue.asDouble(-1)
+              if (t >= 0 && t < best.getOrElse(e.getKey, Double.MaxValue))
+                best(e.getKey) = t
+            }
           }
         finalResults.toSeq.sortBy(_._1).flatMap { case (k, v) =>
           best.get(k).collect {
