@@ -3489,7 +3489,334 @@ object TextOps {
       |  CASE WHEN CAST(surprisal AS DOUBLE)/n < 3.4 THEN 'low' ELSE 'ok' END AS gate
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  // ---- unigram-LM tokenizer trainer (q167/q168) --------------------
+
+  /** Word clip for the unigram trainer: DP cost is O(len·Lmax) per
+    * DISTINCT word, so the clip bounds per-word state, not fidelity
+    * (SentencePiece clips its sentences the same way). */
+  private[graft] val UniClip = 12
+  /** Longest candidate piece — the DP's lookback window. */
+  private[graft] val UniMaxPiece = 4
+  /** Multi-char candidate budget (single chars are always kept so the
+    * Viterbi lattice stays total). */
+  private[graft] val UniTopMulti = 200
+
+  /** Clipped word-grain counts (w, c_w) — the unigram trainer's whole
+    * working set. At 100 TB the corpus never re-enters the EM loop:
+    * the word-count table (vocabulary-bounded, the shape every
+    * SentencePiece-style trainer feeds on) is built once and each EM
+    * round re-reads only it. */
+  private def unigramWords(s: SparkSession, d: String): DataFrame =
+    graft.CheckpointMemo.getOrElseUpdate(s, d, "unigram_words") {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 1)
+        .select(substring(col("word"), 1, UniClip).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c_w"))
+        .localCheckpoint()
+    }
+
+  /** Viterbi segmentation of `w` under unigram piece probabilities:
+    * maximizes the product of piece probabilities with the EXACT
+    * arithmetic the DuckDB oracle DP uses (same fold order — score[p]
+    * = score[p−L] · prob(piece) on IEEE doubles — so scores are
+    * bit-identical across engines). Ties: the LONGER last piece wins
+    * at every DP cell (the oracle's CASE chain tests L=4 first with
+    * `>=`; here the descending-L scan replaces only on strict `>`).
+    * Returns piece lengths left-to-right. Assumes every single char
+    * of `w` has a probability (the trainer floors chars at count 1).
+    * ASCII-safe: Java code units = DuckDB codepoints on this corpus;
+    * a non-BMP corpus would need codepoint-grain indexing. */
+  private[graft] def uniViterbi(w: String,
+      prob: scala.collection.Map[String, Double]): Array[Int] = {
+    val n = w.length
+    val best = new Array[Double](n + 1)
+    val back = new Array[Int](n + 1)
+    best(0) = 1.0
+    var p = 1
+    while (p <= n) {
+      var bs = -1.0
+      var bl = 0
+      var l = math.min(UniMaxPiece, p)
+      while (l >= 1) {
+        prob.get(w.substring(p - l, p)) match {
+          case Some(pr) =>
+            val sc = best(p - l) * pr
+            if (sc > bs) { bs = sc; bl = l }
+          case None =>
+        }
+        l -= 1
+      }
+      best(p) = bs
+      back(p) = bl
+      p += 1
+    }
+    val lens = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var q = n
+    while (q > 0) { lens += back(q); q -= back(q) }
+    lens.reverseIterator.toArray
+  }
+
+  /** The DRIVER-LOOPED UNIGRAM-LM TRAINER (SentencePiece's hard-EM
+    * skeleton, Kudo ACL'18): candidate pieces = all single chars +
+    * the [[UniTopMulti]] most frequent substrings of length
+    * 2..[[UniMaxPiece]] (occurrence-weighted); each EM round
+    * broadcasts the normalized piece probabilities, Viterbi-segments
+    * every DISTINCT word in the executors, and the expected counts
+    * (Σ c_w per piece on the argmax path) ride home on the q153
+    * [[PairDeltaAcc]] accumulator — vocabulary-bounded driver state,
+    * zero shuffle. M-step: multi-char pieces keep their expected
+    * count (hard-EM prunes the unused ones to zero), single chars are
+    * floored at 1 so the lattice stays total.
+    *
+    * Scale shape per round: one map-only action over the WORD table
+    * (not the corpus), one broadcast down (≤ chars+200 entries), one
+    * accumulator map up per partition. The corpus is touched exactly
+    * once, at word-count time.
+    *
+    * Returns (raw expected counts per round — pre-floor, the oracle's
+    * n_r —, final post-M-step vocab). */
+  private[graft] def unigramTrainLoop(s: SparkSession, d: String,
+      rounds: Int): (Seq[Map[String, Long]], Map[String, Long]) = {
+    import s.implicits._
+    val words = unigramWords(s, d)
+    val occ = words.as[(String, Long)].flatMap { case (w, c) =>
+      for {
+        i <- 0 until w.length
+        l <- 1 to math.min(UniMaxPiece, w.length - i)
+      } yield (w.substring(i, i + l), c)
+    }.toDF("piece", "c_w")
+      .groupBy(col("piece")).agg(sum(col("c_w")).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val chars = occ.filter(_._1.length == 1)
+    val multi = occ.filter(_._1.length >= 2)
+      .sortBy { case (p, c) => (-c, p) }.take(UniTopMulti)
+    var vocab: Map[String, Long] = (chars ++ multi).toMap
+    val out = scala.collection.mutable.ArrayBuffer.empty[Map[String, Long]]
+    var r = 1
+    while (r <= rounds) {
+      val tot = vocab.valuesIterator.sum.toDouble
+      val probs = vocab.map { case (p, c) => p -> c.toDouble / tot }
+      val bc = s.sparkContext.broadcast(probs)
+      val acc = new PairDeltaAcc
+      s.sparkContext.register(acc, s"unigram_counts_r$r")
+      // foreachPartition is an ACTION, so the accumulator updates get
+      // Spark's exactly-once guarantee; the partition-id keying keeps
+      // them idempotent under task retry regardless (the q153 fix).
+      words.as[(String, Long)].foreachPartition {
+        (it: Iterator[(String, Long)]) =>
+          val pm = bc.value
+          val local = scala.collection.mutable.HashMap.empty[String, Long]
+          it.foreach { case (w, cw) =>
+            var off = 0
+            uniViterbi(w, pm).foreach { l =>
+              val piece = w.substring(off, off + l)
+              local.update(piece, local.getOrElse(piece, 0L) + cw)
+              off += l
+            }
+          }
+          acc.add((org.apache.spark.TaskContext.getPartitionId(),
+            local.toMap))
+      }
+      bc.destroy()
+      val n = acc.value
+      out += n
+      vocab = vocab.iterator.collect { case (p, _) if p.length == 1 =>
+        p -> math.max(n.getOrElse(p, 0L), 1L)
+      }.toMap ++ n.filter(_._1.length >= 2)
+      r += 1
+    }
+    (out.toSeq, vocab)
+  }
+
+  /** The trained 2-round artifacts, built once per (session, sfDir):
+    * raw round-2 expected counts (q167's graded output) and the
+    * post-floor round-2 model (q168's serving vocab). */
+  private def unigramModel2(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    import s.implicits._
+    // one training run feeds BOTH memo tags: `trained` is lazy, so it
+    // fires at most once per call no matter which tags are cold
+    lazy val trained = unigramTrainLoop(s, d, rounds = 2)
+    val c2 = graft.CheckpointMemo.getOrElseUpdate(s, d, "unigram_counts2") {
+      trained._1.last.toSeq.toDF("piece", "cnt").localCheckpoint()
+    }
+    val m2 = graft.CheckpointMemo.getOrElseUpdate(s, d, "unigram_model2") {
+      trained._2.toSeq.toDF("piece", "cnt").localCheckpoint()
+    }
+    (c2, m2)
+  }
+
+  /** q167: the unigram trainer GRADED at 2 hard-EM rounds — the
+    * DuckDB oracle recounts both rounds from scratch with a recursive
+    * per-word DP (bounded at [[UniClip]] iterations), so a hash match
+    * proves the driver-looped accumulator trainer picked the
+    * identical Viterbi path for every word in both rounds. */
+  def unigramTrain(s: SparkSession, d: String): DataFrame =
+    unigramModel2(s, d)._1.orderBy(col("cnt").desc, col("piece"))
+
+  /** q168: TOKENIZER FERTILITY BY SOURCE under the trained unigram
+    * model — q164's eval harness pointed at the round-2 unigram vocab
+    * instead of the BPE merges: tokens-per-word and chars-per-token
+    * per source. Viterbi runs once per DISTINCT word; the per-source
+    * rollup joins the word-grain piece counts back broadcast. */
+  def unigramFertility(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val model = unigramModel2(s, d)._2.collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val tot = model.map(_._2).sum.toDouble
+    val probs = model.map { case (p, c) => p -> (c.toDouble / tot) }.toMap
+    val bc = s.sparkContext.broadcast(probs)
+    val wordPieces = unigramWords(s, d).as[(String, Long)]
+      .map { case (w, _) => (w, uniViterbi(w, bc.value).length.toLong) }
+      .toDF("w", "n_pieces")
+    val bySource = Tables.documents(s, d)
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .select(col("source"), substring(col("word"), 1, UniClip).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    bySource.join(broadcast(wordPieces), Seq("w"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("c") * col("n_pieces")).as("n_tokens"),
+        round(sum(col("c") * col("n_pieces")).cast("double") /
+          sum(col("c")), 6).as("tokens_per_word"),
+        round(sum(col("c") * length(col("w"))).cast("double") /
+          sum(col("c") * col("n_pieces")), 6).as("chars_per_token"))
+      .orderBy(col("source"))
+  }
+
+  /** One DP round of the oracle: vocab CTE `vc{r}` → prob map `vm{r}`
+    * → per-word recursive Viterbi `dp{r}` (state per word = best
+    * score and argmax path per position; the recursive step sees only
+    * the previous iteration, so both arrays ride along row-local) →
+    * argmax-path pieces `seg{r}` → expected counts `n{r}`. The CASE
+    * chain prefers the longest piece on score ties, mirroring
+    * [[uniViterbi]]'s descending-L strict-> scan. */
+  private def uniDpSql(r: Int, withSeg: Boolean): String = {
+    val seg = if (!withSeg) "" else s""",
+       |seg$r AS MATERIALIZED (
+       |  SELECT w, c_w,
+       |         substr(w, (1 + coalesce(list_sum(path[1:ord - 1]), 0))::INT, path[ord]) AS piece
+       |  FROM (SELECT w, c_w, ps[length(w)] AS path FROM dp$r WHERE pos = length(w)),
+       |       unnest(range(1, ${UniClip + 1})) AS t(ord)
+       |  WHERE ord <= length(path)
+       |),
+       |n$r AS MATERIALIZED (
+       |  SELECT piece, sum(c_w)::BIGINT AS cnt FROM seg$r GROUP BY piece
+       |)""".stripMargin
+    s"""vm$r AS MATERIALIZED (
+       |  SELECT map(list(piece ORDER BY piece),
+       |             list(cnt::DOUBLE / t.tot ORDER BY piece)) AS m
+       |  FROM vc$r, (SELECT sum(cnt)::DOUBLE AS tot FROM vc$r) t
+       |  GROUP BY t.tot
+       |),
+       |dp$r AS (
+       |  SELECT w, c_w, 0 AS pos, []::DOUBLE[] AS ss, []::INT[][] AS ps
+       |  FROM wrd
+       |  UNION ALL
+       |  SELECT w, c_w, pos + 1,
+       |         list_append(ss, best.s), list_append(ps, best.p)
+       |  FROM (
+       |    SELECT w, c_w, pos, ss, ps,
+       |      CASE
+       |        WHEN s4 IS NOT NULL AND (s3 IS NULL OR s4 >= s3) AND (s2 IS NULL OR s4 >= s2) AND (s1 IS NULL OR s4 >= s1)
+       |          THEN struct_pack(s := s4, p := list_append(CASE WHEN pos - 3 = 0 THEN []::INT[] ELSE ps[pos - 3] END, 4))
+       |        WHEN s3 IS NOT NULL AND (s2 IS NULL OR s3 >= s2) AND (s1 IS NULL OR s3 >= s1)
+       |          THEN struct_pack(s := s3, p := list_append(CASE WHEN pos - 2 = 0 THEN []::INT[] ELSE ps[pos - 2] END, 3))
+       |        WHEN s2 IS NOT NULL AND (s1 IS NULL OR s2 >= s1)
+       |          THEN struct_pack(s := s2, p := list_append(CASE WHEN pos - 1 = 0 THEN []::INT[] ELSE ps[pos - 1] END, 2))
+       |        ELSE struct_pack(s := s1, p := list_append(CASE WHEN pos = 0 THEN []::INT[] ELSE ps[pos] END, 1))
+       |      END AS best
+       |    FROM (
+       |      SELECT w, c_w, pos, ss, ps,
+       |        (CASE WHEN pos = 0 THEN 1.0::DOUBLE ELSE ss[pos] END) * m[substr(w, pos + 1, 1)][1] AS s1,
+       |        CASE WHEN pos >= 1 THEN (CASE WHEN pos - 1 = 0 THEN 1.0::DOUBLE ELSE ss[pos - 1] END) * m[substr(w, pos, 2)][1] END AS s2,
+       |        CASE WHEN pos >= 2 THEN (CASE WHEN pos - 2 = 0 THEN 1.0::DOUBLE ELSE ss[pos - 2] END) * m[substr(w, pos - 1, 3)][1] END AS s3,
+       |        CASE WHEN pos >= 3 THEN (CASE WHEN pos - 3 = 0 THEN 1.0::DOUBLE ELSE ss[pos - 3] END) * m[substr(w, pos - 2, 4)][1] END AS s4
+       |      FROM dp$r, vm$r
+       |      WHERE pos < length(w)
+       |    )
+       |  )
+       |)$seg""".stripMargin
+  }
+
+  /** Shared oracle staging: clipped word counts, candidate substrings,
+    * round-1 vocab, both DP rounds. */
+  private lazy val uniSqlCtes: String =
+    s"""WITH RECURSIVE
+       |wrd AS MATERIALIZED (
+       |  SELECT substr(word, 1, $UniClip) AS w, count(*)::BIGINT AS c_w
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) >= 1
+       |  GROUP BY 1
+       |),
+       |occ AS MATERIALIZED (
+       |  SELECT substr(w, i, l) AS piece, sum(c_w)::BIGINT AS cnt
+       |  FROM wrd,
+       |       (SELECT unnest(range(1, ${UniMaxPiece + 1})) AS l) ls,
+       |       (SELECT unnest(range(1, ${UniClip + 1})) AS i) st
+       |  WHERE i + l - 1 <= length(w)
+       |  GROUP BY 1
+       |),
+       |vc1 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM occ WHERE length(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+       |    FROM occ WHERE length(piece) >= 2) WHERE rn <= $UniTopMulti
+       |),
+       |${uniDpSql(1, withSeg = true)},
+       |vc2 AS MATERIALIZED (
+       |  SELECT piece, greatest(cnt, 1) AS cnt FROM (
+       |    SELECT c.piece, coalesce(n.cnt, 0) AS cnt
+       |    FROM (SELECT piece FROM vc1 WHERE length(piece) = 1) c
+       |    LEFT JOIN n1 n ON n.piece = c.piece
+       |  )
+       |  UNION ALL
+       |  SELECT piece, cnt FROM n1 WHERE length(piece) >= 2
+       |),
+       |${uniDpSql(2, withSeg = true)}""".stripMargin
+
+  private lazy val unigramTrainSql: String =
+    s"""$uniSqlCtes
+       |SELECT piece, cnt FROM n2 ORDER BY cnt DESC, piece""".stripMargin
+
+  private lazy val unigramFertilitySql: String =
+    s"""$uniSqlCtes,
+       |vc3 AS MATERIALIZED (
+       |  SELECT piece, greatest(cnt, 1) AS cnt FROM (
+       |    SELECT c.piece, coalesce(n.cnt, 0) AS cnt
+       |    FROM (SELECT piece FROM vc1 WHERE length(piece) = 1) c
+       |    LEFT JOIN n2 n ON n.piece = c.piece
+       |  )
+       |  UNION ALL
+       |  SELECT piece, cnt FROM n2 WHERE length(piece) >= 2
+       |),
+       |${uniDpSql(3, withSeg = false)},
+       |wp AS MATERIALIZED (
+       |  SELECT w, length(ps[length(w)])::BIGINT AS n_pieces
+       |  FROM dp3 WHERE pos = length(w)
+       |),
+       |ws AS (
+       |  SELECT source, substr(word, 1, $UniClip) AS w, count(*)::BIGINT AS c
+       |  FROM (SELECT source, unnest(string_split(text, ' ')) AS word FROM documents)
+       |  WHERE length(word) >= 1
+       |  GROUP BY 1, 2
+       |)
+       |SELECT ws.source,
+       |       sum(ws.c)::BIGINT AS n_words,
+       |       sum(ws.c * wp.n_pieces)::BIGINT AS n_tokens,
+       |       round(CAST(sum(ws.c * wp.n_pieces) AS DOUBLE) / sum(ws.c), 6) AS tokens_per_word,
+       |       round(CAST(sum(ws.c * length(ws.w)) AS DOUBLE) / sum(ws.c * wp.n_pieces), 6) AS chars_per_token
+       |FROM ws JOIN wp ON wp.w = ws.w
+       |GROUP BY ws.source ORDER BY ws.source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q167_unigram_train", unigramTrain, Some(unigramTrainSql),
+      "B106 unigram-LM (SentencePiece) trainer: 2 driver-looped hard-EM rounds vs a full-recount DP oracle"),
+    QueryDef("q168_unigram_fertility", unigramFertility, Some(unigramFertilitySql),
+      "tokenizer fertility by source under the trained 2-round unigram model"),
     QueryDef("q161_quality_dup_interaction", qualityDupInteraction, Some(qualityDupInteractionSql),
       "B101 quality x duplication interaction: dup rate and cluster size per quality quartile"),
     QueryDef("q133_survivor_policy", survivorPolicy, Some(survivorPolicySql),

@@ -146,4 +146,69 @@ class VectorServingSpec extends AnyFunSuite with LocalSparkSuite {
     assert(math.abs(mean) < 0.05, s"mean pairwise cos $mean — fixture grew structure; " +
       "revisit the q152 operating point (a clustered corpus serves at much lower nProbe)")
   }
+
+  test("graph ANN (NSW beam search) matches a local replay; recall/candidate row vs IVF") {
+    // ---- local replay of the ENTIRE graph path: top-2-cell blocked
+    // M-NN graph build + fixed-hop beam search, plain Scala ----------
+    val m = 8; val ef = 24; val hops = 4; val entries = 4
+    val cents = graft.ops.VectorOps.ivfCentroids(spark, sfDir).collect()
+      .map(r => r.getInt(r.fieldIndex("label")).toLong ->
+        r.getSeq[Double](r.fieldIndex("cv"))).toMap
+    val cn = cents.map { case (l, c) => l -> dot(c, c) }
+    def cos6(a: Seq[Double], b: Seq[Double]): Double =
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val top2 = vecs.map { case (id, v) =>
+      id -> cents.keys.toSeq
+        .map(l => (cn(l) - 2.0 * dot(v, cents(l)), l)).sorted.take(2).map(_._2)
+    }
+    val edges: Map[Long, Seq[Long]] = vecs.keys.toSeq.sorted.map { src =>
+      val cells = top2(src).toSet
+      val cand = vecs.keys.filter(dst =>
+        dst != src && top2(dst).exists(cells)).toSeq
+      src -> cand.map(dst => (-cos6(vecs(src), vecs(dst)), dst))
+        .sorted.take(m).map(_._2)
+    }.toMap
+    val entryIds = vecs.keys.toSeq.sorted.take(entries)
+    val qids = vecs.keys.filter(_ % 100 == 0).toSeq.sorted
+    val replay = qids.map { qid =>
+      val qv = vecs(qid)
+      val visited = scala.collection.mutable.Map.empty[Long, (Double, Int)]
+      entryIds.filter(_ != qid).foreach(id =>
+        visited(id) = (cos6(vecs(id), qv), 0))
+      (1 to hops).foreach { h =>
+        val beam = visited.toSeq
+          .sortBy { case (id, (c, _)) => (-c, id) }.take(ef)
+        val frontier = beam.collect { case (id, (_, hp)) if hp == h - 1 => id }
+        val newIds = frontier.flatMap(edges(_))
+          .filter(id => id != qid && !visited.contains(id)).distinct
+        newIds.foreach(id => visited(id) = (cos6(vecs(id), qv), h))
+      }
+      val truth = (vecs - qid).toSeq
+        .map { case (id, v) => (id, cos6(v, qv)) }
+        .sortBy { case (id, c) => (-c, id) }.take(10).map(_._1).toSet
+      qid -> ((visited.size.toLong, (truth & visited.keySet).size.toLong))
+    }.toMap
+    val got = graft.ops.VectorOps.nswServingRecall(spark, sfDir, ef, hops, entries)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet === replay.keySet)
+    replay.foreach { case (qid, exp) =>
+      assert(got(qid) === exp, s"qid $qid: got ${got(qid)}, replay $exp")
+    }
+    // ---- the comparison row (recorded in SCALING.md): efficiency =
+    // recall per probed-corpus fraction, vs the graded IVF nProbe=7 --
+    val ivf = graft.ops.VectorOps.ivfServingRecall(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val n = vecs.size - 1.0
+    val (gr, gc) = (got.values.map(_._2).sum / (10.0 * got.size),
+      got.values.map(_._1).sum.toDouble / got.size)
+    val (ir, ic) = (ivf.map(_._2).sum / (10.0 * ivf.length),
+      ivf.map(_._1).sum.toDouble / ivf.length)
+    info(f"NSW beam (m=$m ef=$ef hops=$hops): recall@10 $gr%.3f over $gc%.0f candidates/query")
+    info(f"IVF nProbe=7:                     recall@10 $ir%.3f over $ic%.0f candidates/query")
+    // on the near-isotropic fixture ANY index's recall tracks the
+    // probed fraction; the graph must not be WORSE per candidate
+    assert(gr / (gc / n) >= ir / (ic / n) * 0.9,
+      f"NSW efficiency ${gr / (gc / n)}%.2f vs IVF ${ir / (ic / n)}%.2f")
+  }
 }
