@@ -10,12 +10,17 @@ package graft.ops
   * subtract-green inverse transform.
   *
   * Supported subset (the honest claim for a from-scratch parser, the
-  * GifDecoder posture): single-group streams (no meta-prefix image),
-  * the SUBTRACT_GREEN transform (its inverse is exact and local);
-  * streams using the PREDICTOR / COLOR / COLOR_INDEXING transforms
-  * decode their transform headers structurally and return None — a
-  * wrong inverse would produce garbage features, and the histogram
-  * tier is the contract for payloads outside the subset. Any
+  * GifDecoder posture): single-group streams (no meta-prefix image)
+  * with ALL FOUR transforms — SUBTRACT_GREEN, PREDICTOR (all 14
+  * modes, sub-image-coded block modes), COLOR (cross-color
+  * multipliers, signed int8 delta arithmetic) and COLOR_INDEXING
+  * (delta-coded palette, packed sub-byte indices) — inverses applied
+  * in reverse bitstream order per the spec. The one remaining
+  * combination outside the subset: COLOR_INDEXING together with any
+  * other transform (the packed-width interaction; encoders emit
+  * palette transforms alone) returns None, as does an out-of-range
+  * palette index (stricter than libwebp's black pixel: a wrong
+  * feature is worse than no feature). Any
   * truncated, malformed, version≠0, or non-opaque-alpha payload
   * returns None (a mean over transparent pixels is not a mean — the
   * GIF transparency rule).
@@ -182,165 +187,340 @@ object WebpDecoder {
     if (br.bits(3) != 0) return None // version must be 0
     if (w.toLong * h > (1L << 24)) return None // fixture-scale sanity bound
 
-    // ---- transforms (level-0 stream) ----
-    var subtractGreen = false
+    // ---- entropy-coded image decode (main image AND the transform
+    // sub-images share this; per the spec ABNF only the spatially
+    // coded image carries the meta-prefix bit). Returns null on any
+    // malformed/truncated/unsupported layout. ----
+    def entropyImage(ew: Int, eh: Int, isMain: Boolean): Array[Int] = {
+      // color cache (present at every level)
+      val cacheBits = if (br.bit() == 1) br.bits(4) else 0
+      if (cacheBits > 11) return null
+      val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+      val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
+      // meta prefix (single group only): spatially-coded image only
+      if (isMain && br.bit() == 1) return null // entropy image: outside the subset
+
+      def readCode(alphabetSize: Int): PrefixCode = {
+        val lengths = new Array[Int](alphabetSize)
+        if (br.bit() == 1) { // simple code: 1 or 2 symbols
+          val numSymbols = br.bit() + 1
+          val firstIs8 = br.bit()
+          val s0 = br.bits(if (firstIs8 == 1) 8 else 1)
+          if (s0 >= alphabetSize) return new PrefixCode(new Array[Int](0))
+          if (numSymbols == 2) {
+            val s1 = br.bits(8)
+            if (s1 >= alphabetSize || s1 == s0) return new PrefixCode(new Array[Int](0))
+            lengths(s0) = 1; lengths(s1) = 1
+          } else lengths(s0) = 1 // single symbol: read() returns it, 0 bits
+        } else {
+          val numCodeLengths = 4 + br.bits(4)
+          val clLengths = new Array[Int](19)
+          var i = 0
+          while (i < numCodeLengths) {
+            clLengths(CodeLengthOrder(i)) = br.bits(3); i += 1
+          }
+          val clCode = new PrefixCode(clLengths)
+          if (!clCode.valid) return new PrefixCode(new Array[Int](0))
+          var maxSymbol =
+            if (br.bit() == 1) {
+              val nbits = 2 + 2 * br.bits(3)
+              2 + br.bits(nbits)
+            } else alphabetSize
+          var sym = 0
+          var prevLen = 8
+          while (sym < alphabetSize && maxSymbol > 0) {
+            maxSymbol -= 1
+            val cl = clCode.read(br)
+            if (cl < 0 || br.truncated) return new PrefixCode(new Array[Int](0))
+            cl match {
+              case c if c < 16 =>
+                lengths(sym) = c; sym += 1
+                if (c != 0) prevLen = c
+              case 16 =>
+                val n = 3 + br.bits(2)
+                // a repeat that would run past the alphabet end is a
+                // bitstream error, same as the 17/18 overshoot below
+                if (sym + n > alphabetSize) return new PrefixCode(new Array[Int](0))
+                var j = 0
+                while (j < n) {
+                  lengths(sym) = prevLen; sym += 1; j += 1
+                }
+              case 17 => sym += 3 + br.bits(3)
+              case _ => sym += 11 + br.bits(7)
+            }
+          }
+          if (sym > alphabetSize) return new PrefixCode(new Array[Int](0))
+        }
+        new PrefixCode(lengths)
+      }
+
+      val greenCode = readCode(256 + 24 + cacheSize)
+      val redCode = readCode(256)
+      val blueCode = readCode(256)
+      val alphaCode = readCode(256)
+      val distCode = readCode(40)
+      if (!greenCode.valid || !redCode.valid || !blueCode.valid ||
+        !alphaCode.valid || !distCode.valid) return null
+
+      // LZ77 prefix value: codes 0..3 are 1..4; above that, extra bits.
+      // The cap differs by alphabet: length symbols stop at 24, distance
+      // symbols run to 40 (extraBits up to 18 → distances to ~1M) — a
+      // shared 24-cap would reject valid long-distance backreferences.
+      def lz77Value(code: Int, maxCode: Int): Int = {
+        if (code < 0 || code >= maxCode) return -1
+        if (code < 4) code + 1
+        else {
+          val extraBits = (code - 2) >> 1
+          val offset = (2 + (code & 1)) << extraBits
+          offset + br.bits(extraBits) + 1
+        }
+      }
+
+      val n = ew * eh
+      val pix = new Array[Int](n) // ARGB
+      def cacheInsert(argb: Int): Unit =
+        if (cache != null)
+          cache(((0x1e35a7bd * argb) >>> (32 - cacheBits))) = argb
+      var pos = 0
+      while (pos < n) {
+        val s = greenCode.read(br)
+        if (s < 0 || br.truncated) return null
+        if (s < 256) {
+          val g = s
+          val r = redCode.read(br)
+          val b = blueCode.read(br)
+          val a = alphaCode.read(br)
+          if (r < 0 || b < 0 || a < 0 || br.truncated) return null
+          val argb = (a << 24) | (r << 16) | (g << 8) | b
+          pix(pos) = argb
+          cacheInsert(argb)
+          pos += 1
+        } else if (s < 256 + 24) {
+          val length = lz77Value(s - 256, 24)
+          val ds = distCode.read(br)
+          if (ds < 0 || br.truncated) return null
+          val dcode = lz77Value(ds, 40)
+          if (length < 1 || dcode < 1) return null
+          val distance =
+            if (dcode > 120) dcode - 120
+            else {
+              val (xoff, yoff) = NeighborMap(dcode - 1)
+              math.max(1, yoff * ew + xoff)
+            }
+          if (distance > pos || pos + length > n) return null
+          var j = 0
+          while (j < length) {
+            val argb = pix(pos - distance)
+            pix(pos) = argb
+            cacheInsert(argb)
+            pos += 1; j += 1
+          }
+        } else {
+          if (cache == null) return null
+          val idx = s - 256 - 24
+          if (idx >= cacheSize) return null
+          pix(pos) = cache(idx)
+          pos += 1
+        }
+      }
+      if (br.truncated) return null
+      pix
+    }
+
+    // ---- per-channel ARGB helpers (shared by the inverses) ----
+    @inline def ch(p: Int, s: Int): Int = (p >>> s) & 0xff
+    @inline def pack(a: Int, r: Int, g: Int, b: Int): Int =
+      (a << 24) | (r << 16) | (g << 8) | b
+    def addPix(x: Int, y: Int): Int = pack(
+      (ch(x, 24) + ch(y, 24)) & 0xff, (ch(x, 16) + ch(y, 16)) & 0xff,
+      (ch(x, 8) + ch(y, 8)) & 0xff, (ch(x, 0) + ch(y, 0)) & 0xff)
+    def avg2(x: Int, y: Int): Int = pack(
+      (ch(x, 24) + ch(y, 24)) >> 1, (ch(x, 16) + ch(y, 16)) >> 1,
+      (ch(x, 8) + ch(y, 8)) >> 1, (ch(x, 0) + ch(y, 0)) >> 1)
+    @inline def clamp255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+    // ---- transforms (level-0 stream): read each one's data inline,
+    // remember READ ORDER (inverses apply in reverse of it) ----
+    final case class PredXf(sizeBits: Int, sw: Int, modes: Array[Int])
+    final case class ColorXf(sizeBits: Int, sw: Int, cte: Array[Int])
+    final case class PaletteXf(widthBits: Int, colors: Array[Int])
+    val xforms = scala.collection.mutable.ArrayBuffer.empty[Any]
     var seenTransforms = 0
+    var paletteWidthBits = -1
     while (br.bit() == 1) {
       val ttype = br.bits(2)
       if ((seenTransforms & (1 << ttype)) != 0) return None // each at most once
       seenTransforms |= 1 << ttype
       ttype match {
-        case 2 => subtractGreen = true
-        case _ => return None // predictor/color/color-indexing: outside the subset
-      }
-    }
-
-    // ---- color cache ----
-    val cacheBits = if (br.bit() == 1) br.bits(4) else 0
-    if (cacheBits > 11) return None
-    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
-    val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
-
-    // ---- meta prefix (single group only) ----
-    if (br.bit() == 1) return None // entropy image: outside the subset
-
-    // ---- the 5 prefix codes ----
-    def readCode(alphabetSize: Int): PrefixCode = {
-      val lengths = new Array[Int](alphabetSize)
-      if (br.bit() == 1) { // simple code: 1 or 2 symbols
-        val numSymbols = br.bit() + 1
-        val firstIs8 = br.bit()
-        val s0 = br.bits(if (firstIs8 == 1) 8 else 1)
-        if (s0 >= alphabetSize) return new PrefixCode(new Array[Int](0))
-        if (numSymbols == 2) {
-          val s1 = br.bits(8)
-          if (s1 >= alphabetSize || s1 == s0) return new PrefixCode(new Array[Int](0))
-          lengths(s0) = 1; lengths(s1) = 1
-        } else lengths(s0) = 1 // single symbol: read() returns it, 0 bits
-      } else {
-        val numCodeLengths = 4 + br.bits(4)
-        val clLengths = new Array[Int](19)
-        var i = 0
-        while (i < numCodeLengths) {
-          clLengths(CodeLengthOrder(i)) = br.bits(3); i += 1
-        }
-        val clCode = new PrefixCode(clLengths)
-        if (!clCode.valid) return new PrefixCode(new Array[Int](0))
-        var maxSymbol =
-          if (br.bit() == 1) {
-            val nbits = 2 + 2 * br.bits(3)
-            2 + br.bits(nbits)
-          } else alphabetSize
-        var sym = 0
-        var prevLen = 8
-        while (sym < alphabetSize && maxSymbol > 0) {
-          maxSymbol -= 1
-          val cl = clCode.read(br)
-          if (cl < 0 || br.truncated) return new PrefixCode(new Array[Int](0))
-          cl match {
-            case c if c < 16 =>
-              lengths(sym) = c; sym += 1
-              if (c != 0) prevLen = c
-            case 16 =>
-              val n = 3 + br.bits(2)
-              // a repeat that would run past the alphabet end is a
-              // bitstream error, same as the 17/18 overshoot below
-              if (sym + n > alphabetSize) return new PrefixCode(new Array[Int](0))
-              var j = 0
-              while (j < n) {
-                lengths(sym) = prevLen; sym += 1; j += 1
-              }
-            case 17 => sym += 3 + br.bits(3)
-            case _ => sym += 11 + br.bits(7)
+        case 0 | 1 => // PREDICTOR / COLOR: block-grain sub-image
+          val sizeBits = br.bits(3) + 2
+          val sw = (w + (1 << sizeBits) - 1) >> sizeBits
+          val sh = (h + (1 << sizeBits) - 1) >> sizeBits
+          val sub = entropyImage(sw, sh, isMain = false)
+          if (sub == null) return None
+          xforms += (if (ttype == 0) PredXf(sizeBits, sw, sub)
+                     else ColorXf(sizeBits, sw, sub))
+        case 2 => xforms += "subtract-green"
+        case _ => // COLOR_INDEXING: delta-coded palette + packed indices
+          val tableSize = br.bits(8) + 1
+          val raw = entropyImage(tableSize, 1, isMain = false)
+          if (raw == null) return None
+          val colors = new Array[Int](tableSize)
+          var prev = 0
+          var i = 0
+          while (i < tableSize) { // palette entries are delta-coded
+            colors(i) = addPix(raw(i), prev); prev = colors(i); i += 1
           }
-        }
-        if (sym > alphabetSize) return new PrefixCode(new Array[Int](0))
-      }
-      new PrefixCode(lengths)
-    }
-
-    val greenCode = readCode(256 + 24 + cacheSize)
-    val redCode = readCode(256)
-    val blueCode = readCode(256)
-    val alphaCode = readCode(256)
-    val distCode = readCode(40)
-    if (!greenCode.valid || !redCode.valid || !blueCode.valid ||
-      !alphaCode.valid || !distCode.valid) return None
-
-    // LZ77 prefix value: codes 0..3 are 1..4; above that, extra bits.
-    // The cap differs by alphabet: length symbols stop at 24, distance
-    // symbols run to 40 (extraBits up to 18 → distances to ~1M) — a
-    // shared 24-cap would reject valid long-distance backreferences.
-    def lz77Value(code: Int, maxCode: Int): Int = {
-      if (code < 0 || code >= maxCode) return -1
-      if (code < 4) code + 1
-      else {
-        val extraBits = (code - 2) >> 1
-        val offset = (2 + (code & 1)) << extraBits
-        offset + br.bits(extraBits) + 1
+          paletteWidthBits =
+            if (tableSize <= 2) 3
+            else if (tableSize <= 4) 2
+            else if (tableSize <= 16) 1
+            else 0
+          xforms += PaletteXf(paletteWidthBits, colors)
       }
     }
+    // the packed-width interaction between COLOR_INDEXING and the
+    // block-grain transforms is the one remaining out-of-subset combo
+    if (paletteWidthBits >= 0 && xforms.size > 1) return None
 
-    // ---- pixel decode ----
+    // ---- main (spatially coded) image — at the PACKED width when a
+    // palette transform is present ----
+    val mainW =
+      if (paletteWidthBits > 0) (w + (1 << paletteWidthBits) - 1) >> paletteWidthBits
+      else w
+    var pix = entropyImage(mainW, h, isMain = true)
+    if (pix == null) return None
+    var pw = mainW // current buffer width as inverses apply
+
+    // ---- inverse transforms, REVERSE bitstream order ----
+    var xi = xforms.size - 1
+    var malformed = false
+    while (xi >= 0 && !malformed) {
+      xforms(xi) match {
+        case "subtract-green" =>
+          var i = 0
+          while (i < pix.length) {
+            val p = pix(i)
+            val g = ch(p, 8)
+            pix(i) = pack(ch(p, 24), (ch(p, 16) + g) & 0xff, g,
+              (ch(p, 0) + g) & 0xff)
+            i += 1
+          }
+        case PredXf(sizeBits, sw, modes) =>
+          // scan-order reconstruction: residual + predicted, mod 256
+          // per channel. Edge rules per the spec: (0,0) is black-
+          // predicted, the rest of row 0 is L, column 0 is T; the
+          // top-right of the rightmost pixel wraps to the leftmost
+          // pixel of the SAME row (pos - w + 1 in scan order).
+          def select(l: Int, t: Int, tl: Int): Int = {
+            var pl = 0; var pt = 0
+            var s = 0
+            while (s <= 24) {
+              val p = ch(l, s) + ch(t, s) - ch(tl, s)
+              pl += math.abs(p - ch(l, s)); pt += math.abs(p - ch(t, s))
+              s += 8
+            }
+            if (pl < pt) l else t // the 2021-amended strict form
+          }
+          def casFull(l: Int, t: Int, tl: Int): Int = pack(
+            clamp255(ch(l, 24) + ch(t, 24) - ch(tl, 24)),
+            clamp255(ch(l, 16) + ch(t, 16) - ch(tl, 16)),
+            clamp255(ch(l, 8) + ch(t, 8) - ch(tl, 8)),
+            clamp255(ch(l, 0) + ch(t, 0) - ch(tl, 0)))
+          def casHalf(av: Int, tl: Int): Int = {
+            // clamp(a + (a - b) / 2), C-truncating division
+            @inline def c(a: Int, b: Int): Int = clamp255(a + (a - b) / 2)
+            pack(c(ch(av, 24), ch(tl, 24)), c(ch(av, 16), ch(tl, 16)),
+              c(ch(av, 8), ch(tl, 8)), c(ch(av, 0), ch(tl, 0)))
+          }
+          var y = 0; var pos = 0
+          while (y < h && !malformed) {
+            var x = 0
+            while (x < pw && !malformed) {
+              val pred =
+                if (x == 0 && y == 0) 0xff000000
+                else if (y == 0) pix(pos - 1)
+                else if (x == 0) pix(pos - pw)
+                else {
+                  val mode = ch(modes((y >> sizeBits) * sw + (x >> sizeBits)), 8)
+                  val l = pix(pos - 1); val t = pix(pos - pw)
+                  val tl = pix(pos - pw - 1); val tr = pix(pos - pw + 1)
+                  mode match {
+                    case 0 => 0xff000000
+                    case 1 => l
+                    case 2 => t
+                    case 3 => tr
+                    case 4 => tl
+                    case 5 => avg2(avg2(l, tr), t)
+                    case 6 => avg2(l, tl)
+                    case 7 => avg2(l, t)
+                    case 8 => avg2(tl, t)
+                    case 9 => avg2(t, tr)
+                    case 10 => avg2(avg2(l, tl), avg2(t, tr))
+                    case 11 => select(l, t, tl)
+                    case 12 => casFull(l, t, tl)
+                    case 13 => casHalf(avg2(l, t), tl)
+                    case _ => malformed = true; 0
+                  }
+                }
+              if (!malformed) pix(pos) = addPix(pix(pos), pred)
+              pos += 1; x += 1
+            }
+            y += 1
+          }
+        case ColorXf(sizeBits, sw, cte) =>
+          // cross-color inverse: signed int8 multipliers, green drives
+          // red, then green + NEW red drive blue (libwebp layout:
+          // g2r = blue channel, g2b = green, r2b = red of the element)
+          @inline def ctd(t: Int, c: Int): Int = (t.toByte * c.toByte) >> 5
+          var y = 0; var pos = 0
+          while (y < h) {
+            var x = 0
+            while (x < pw) {
+              val e = cte((y >> sizeBits) * sw + (x >> sizeBits))
+              val p = pix(pos)
+              val g = ch(p, 8)
+              val r = (ch(p, 16) + ctd(ch(e, 0), g)) & 0xff
+              val b = (ch(p, 0) + ctd(ch(e, 8), g) + ctd(ch(e, 16), r)) & 0xff
+              pix(pos) = pack(ch(p, 24), r, g, b)
+              pos += 1; x += 1
+            }
+            y += 1
+          }
+        case PaletteXf(widthBits, colors) =>
+          val bpp = 8 >> widthBits // bits per packed index
+          val perUnit = 1 << widthBits // indices per green byte
+          val mask = (1 << bpp) - 1
+          val out = new Array[Int](w * h)
+          var y = 0
+          while (y < h && !malformed) {
+            var x = 0
+            while (x < w && !malformed) {
+              val packed = pix(y * pw + (x >> widthBits))
+              val idx = (ch(packed, 8) >> ((x & (perUnit - 1)) * bpp)) & mask
+              if (idx >= colors.length) malformed = true
+              else out(y * w + x) = colors(idx)
+              x += 1
+            }
+            y += 1
+          }
+          pix = out
+          pw = w
+      }
+      xi -= 1
+    }
+    if (malformed || pw != w) return None
+
+    // ---- channel stats over the reconstructed image ----
     val n = w * h
-    val pix = new Array[Int](n) // ARGB
-    def cacheInsert(argb: Int): Unit =
-      if (cache != null)
-        cache(((0x1e35a7bd * argb) >>> (32 - cacheBits))) = argb
-    var pos = 0
-    while (pos < n) {
-      val s = greenCode.read(br)
-      if (s < 0 || br.truncated) return None
-      if (s < 256) {
-        val g = s
-        val r = redCode.read(br)
-        val b = blueCode.read(br)
-        val a = alphaCode.read(br)
-        if (r < 0 || b < 0 || a < 0 || br.truncated) return None
-        val argb = (a << 24) | (r << 16) | (g << 8) | b
-        pix(pos) = argb
-        cacheInsert(argb)
-        pos += 1
-      } else if (s < 256 + 24) {
-        val length = lz77Value(s - 256, 24)
-        val ds = distCode.read(br)
-        if (ds < 0 || br.truncated) return None
-        val dcode = lz77Value(ds, 40)
-        if (length < 1 || dcode < 1) return None
-        val distance =
-          if (dcode > 120) dcode - 120
-          else {
-            val (xoff, yoff) = NeighborMap(dcode - 1)
-            math.max(1, yoff * w + xoff)
-          }
-        if (distance > pos || pos + length > n) return None
-        var j = 0
-        while (j < length) {
-          val argb = pix(pos - distance)
-          pix(pos) = argb
-          cacheInsert(argb)
-          pos += 1; j += 1
-        }
-      } else {
-        if (cache == null) return None
-        val idx = s - 256 - 24
-        if (idx >= cacheSize) return None
-        pix(pos) = cache(idx)
-        pos += 1
-      }
-    }
-    if (br.truncated) return None
-
-    // ---- inverse transforms + channel stats ----
     var sr = 0L; var sg = 0L; var sb = 0L
     var i = 0
     while (i < n) {
       val argb = pix(i)
       if (((argb >>> 24) & 0xff) != 255) return None // non-opaque: histogram tier
       val g = (argb >>> 8) & 0xff
-      var r = (argb >>> 16) & 0xff
-      var b = argb & 0xff
-      if (subtractGreen) { r = (r + g) & 0xff; b = (b + g) & 0xff }
+      val r = (argb >>> 16) & 0xff
+      val b = argb & 0xff
       sr += r; sg += g; sb += b
       if (grid != null) MultimodalOps.gridAdd(grid, i % w, i / w, w, h, r, g, b)
       i += 1

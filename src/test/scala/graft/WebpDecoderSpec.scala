@@ -116,6 +116,286 @@ class WebpDecoderSpec extends AnyFunSuite {
     (pixels.map(_._1).sum / n, pixels.map(_._2).sum / n, pixels.map(_._3).sum / n)
   }
 
+  // ---- uniform 8-bit code + ARGB stream writers (transform fixtures
+  // carry arbitrary byte values, which simple/4-symbol codes cannot) --
+
+  /** complete 8-bit code over symbols 0..255 (canonical code ==
+    * symbol), via a single-symbol code-length code and, for alphabets
+    * above 256, the max_symbol cap. */
+  private def writeUniform8(bw: BitWriter, alphabetSize: Int): Unit = {
+    bw.bit(0) // not simple
+    bw.bits(8, 4) // num_code_lengths = 12: order through symbol "8"
+    Seq(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1).foreach(l => bw.bits(l, 3))
+    if (alphabetSize > 256) { // spell exactly 256 lengths then stop
+      bw.bit(1); bw.bits(3, 3); bw.bits(254, 8) // nbits = 8, max = 2 + 254
+    } else bw.bit(0)
+    // the single-symbol code-length code emits "8" in zero bits each
+  }
+
+  private def writeArgb(bw: BitWriter, p: Int): Unit = {
+    bw.code((p >>> 8) & 0xff, 8) // green
+    bw.code((p >>> 16) & 0xff, 8) // red
+    bw.code(p & 0xff, 8) // blue
+    bw.code((p >>> 24) & 0xff, 8) // alpha
+  }
+
+  /** entropy-coded SUB-image (no meta-prefix bit per the spec ABNF). */
+  private def writeSubImage(bw: BitWriter, pixels: Seq[Int]): Unit = {
+    bw.bit(0) // no color cache
+    writeUniform8(bw, 256 + 24)
+    writeUniform8(bw, 256); writeUniform8(bw, 256); writeUniform8(bw, 256)
+    writeSimple(bw, Seq(0)) // distance code (unused)
+    pixels.foreach(writeArgb(bw, _))
+  }
+
+  /** main (spatially coded) image body with uniform 8-bit codes. */
+  private def writeMainPixels(bw: BitWriter, pixels: Seq[Int]): Unit = {
+    bw.bit(0) // no color cache
+    bw.bit(0) // no meta prefix
+    writeUniform8(bw, 256 + 24)
+    writeUniform8(bw, 256); writeUniform8(bw, 256); writeUniform8(bw, 256)
+    writeSimple(bw, Seq(0))
+    pixels.foreach(writeArgb(bw, _))
+  }
+
+  private def header(bw: BitWriter, w: Int, h: Int): Unit = {
+    bw.bits(w - 1, 14); bw.bits(h - 1, 14)
+    bw.bit(0); bw.bits(0, 3) // alpha hint, version
+  }
+
+  // ---- test-side FORWARD transforms (spec formulas, independent
+  // coding; the decoder must invert them exactly) ----
+  private def chn(p: Int, s: Int): Int = (p >>> s) & 0xff
+  private def packArgb(a: Int, r: Int, g: Int, b: Int): Int =
+    (a << 24) | (r << 16) | (g << 8) | b
+  private def subPix(x: Int, y: Int): Int = packArgb(
+    (chn(x, 24) - chn(y, 24)) & 0xff, (chn(x, 16) - chn(y, 16)) & 0xff,
+    (chn(x, 8) - chn(y, 8)) & 0xff, (chn(x, 0) - chn(y, 0)) & 0xff)
+  private def avg2(x: Int, y: Int): Int = packArgb(
+    (chn(x, 24) + chn(y, 24)) >> 1, (chn(x, 16) + chn(y, 16)) >> 1,
+    (chn(x, 8) + chn(y, 8)) >> 1, (chn(x, 0) + chn(y, 0)) >> 1)
+  private def clamp(v: Int): Int = math.max(0, math.min(255, v))
+
+  private def predictAt(pix: Array[Int], w: Int, x: Int, y: Int,
+      mode: Int): Int = {
+    val pos = y * w + x
+    if (x == 0 && y == 0) 0xff000000
+    else if (y == 0) pix(pos - 1)
+    else if (x == 0) pix(pos - w)
+    else {
+      val l = pix(pos - 1); val t = pix(pos - w)
+      val tl = pix(pos - w - 1); val tr = pix(pos - w + 1)
+      def sel: Int = {
+        var pl = 0; var pt = 0
+        Seq(24, 16, 8, 0).foreach { s =>
+          val p = chn(l, s) + chn(t, s) - chn(tl, s)
+          pl += math.abs(p - chn(l, s)); pt += math.abs(p - chn(t, s))
+        }
+        if (pl < pt) l else t
+      }
+      mode match {
+        case 0 => 0xff000000
+        case 1 => l
+        case 2 => t
+        case 3 => tr
+        case 4 => tl
+        case 5 => avg2(avg2(l, tr), t)
+        case 6 => avg2(l, tl)
+        case 7 => avg2(l, t)
+        case 8 => avg2(tl, t)
+        case 9 => avg2(t, tr)
+        case 10 => avg2(avg2(l, tl), avg2(t, tr))
+        case 11 => sel
+        case 12 => packArgb(
+          clamp(chn(l, 24) + chn(t, 24) - chn(tl, 24)),
+          clamp(chn(l, 16) + chn(t, 16) - chn(tl, 16)),
+          clamp(chn(l, 8) + chn(t, 8) - chn(tl, 8)),
+          clamp(chn(l, 0) + chn(t, 0) - chn(tl, 0)))
+        case 13 =>
+          val av = avg2(l, t)
+          def c(a: Int, b: Int): Int = clamp(a + (a - b) / 2)
+          packArgb(c(chn(av, 24), chn(tl, 24)), c(chn(av, 16), chn(tl, 16)),
+            c(chn(av, 8), chn(tl, 8)), c(chn(av, 0), chn(tl, 0)))
+      }
+    }
+  }
+
+  private def predForward(pix: Array[Int], w: Int, h: Int, sizeBits: Int,
+      sw: Int, modes: Array[Int]): Array[Int] =
+    Array.tabulate(w * h) { pos =>
+      val x = pos % w; val y = pos / w
+      val mode = chn(modes((y >> sizeBits) * sw + (x >> sizeBits)), 8)
+      subPix(pix(pos), predictAt(pix, w, x, y, mode))
+    }
+
+  private def ctd(t: Int, c: Int): Int = (t.toByte * c.toByte) >> 5
+
+  private def colorForward(pix: Array[Int], w: Int, h: Int, sizeBits: Int,
+      sw: Int, cte: Array[Int]): Array[Int] =
+    Array.tabulate(w * h) { pos =>
+      val x = pos % w; val y = pos / w
+      val e = cte((y >> sizeBits) * sw + (x >> sizeBits))
+      val p = pix(pos)
+      val g = chn(p, 8)
+      val r0 = chn(p, 16); val b0 = chn(p, 0)
+      val r = (r0 - ctd(chn(e, 0), g)) & 0xff
+      val b = (b0 - ctd(chn(e, 8), g) - ctd(chn(e, 16), r0)) & 0xff
+      packArgb(chn(p, 24), r, g, b)
+    }
+
+  private def sgForward(pix: Array[Int]): Array[Int] =
+    pix.map { p =>
+      val g = chn(p, 8)
+      packArgb(chn(p, 24), (chn(p, 16) - g) & 0xff, g, (chn(p, 0) - g) & 0xff)
+    }
+
+  private def meansOfArgb(pix: Array[Int]): MultimodalOps.DecodedImage = {
+    val n = pix.length.toDouble
+    MultimodalOps.DecodedImage(0, 0, pix.map(chn(_, 16)).sum / n,
+      pix.map(chn(_, 8)).sum / n, pix.map(chn(_, 0)).sum / n)
+  }
+
+  test("predictor transform: all 14 modes roundtrip exactly") {
+    val w = 16; val h = 16
+    val sizeBits = 2; val sw = 4 // 4x4 blocks of 4px
+    val rnd = new scala.util.Random(1311)
+    val pix = Array.fill(w * h)(packArgb(255, rnd.nextInt(256),
+      rnd.nextInt(256), rnd.nextInt(256)))
+    val modes = Array.tabulate(16)(i => packArgb(255, 0, i % 14, 0))
+    val res = predForward(pix, w, h, sizeBits, sw, modes)
+    val bw = new BitWriter
+    header(bw, w, h)
+    bw.bit(1); bw.bits(0, 2) // transform: PREDICTOR
+    bw.bits(sizeBits - 2, 3)
+    writeSubImage(bw, modes.toSeq)
+    bw.bit(0) // no more transforms
+    writeMainPixels(bw, res.toSeq)
+    val got = WebpDecoder.decode(riff(0x2f.toByte +: bw.toBytes))
+    assert(got.isDefined, "predictor stream must decode")
+    val exp = meansOfArgb(pix)
+    assert(got.get == exp.copy(width = w, height = h))
+  }
+
+  test("predictor arithmetic pinned by hand: truncating casHalf and the select tie") {
+    // casHalf, mode 13 on a 2x2 single block: L=T=10, TL=13 per rgb
+    // channel -> pred = 10 + (10-13)/2 = 9 under C-truncating division
+    // (floor division would give 8 and shift the mean)
+    def run(mode: Int, p00: Int, p10: Int, p01: Int): Double = {
+      val w = 2; val h = 2
+      val pix = Array(p00, p10, p01, 0 /* filled from pred */ )
+      val pred = predictAt(pix, w, 1, 1, mode)
+      pix(3) = pred // target = prediction, residual 0
+      val res = predForward(pix, w, h, 1, 1,
+        Array(packArgb(255, 0, mode, 0)))
+      val bw = new BitWriter
+      header(bw, w, h)
+      bw.bit(1); bw.bits(0, 2); bw.bits(0, 3) // predictor, sizeBits=2... (block 4 covers 2x2)
+      writeSubImage(bw, Seq(packArgb(255, 0, mode, 0)))
+      bw.bit(0)
+      writeMainPixels(bw, res.toSeq)
+      val got = WebpDecoder.decode(riff(0x2f.toByte +: bw.toBytes))
+      assert(got.isDefined, s"mode-$mode stream must decode")
+      got.get.meanR
+    }
+    val r13 = run(13, packArgb(255, 13, 13, 13), packArgb(255, 10, 10, 10),
+      packArgb(255, 10, 10, 10))
+    assert(r13 == (13 + 10 + 10 + 9) / 4.0, s"casHalf must truncate toward zero (got $r13)")
+    // select tie: pl == pt == 10 exactly -> the 2021-amended rule picks T
+    val r11 = run(11, packArgb(255, 5, 5, 0), packArgb(255, 0, 10, 0),
+      packArgb(255, 10, 0, 0))
+    assert(r11 == (5 + 0 + 10 + 0) / 4.0, s"select tie must resolve to T (got $r11)")
+  }
+
+  test("color (cross-color) transform inverts exactly, alone and with subtract-green") {
+    val w = 8; val h = 4
+    val sizeBits = 2; val sw = 2 // two 4px-wide blocks
+    val rnd = new scala.util.Random(1312)
+    val pix = Array.fill(w * h)(packArgb(255, rnd.nextInt(256),
+      rnd.nextInt(256), rnd.nextInt(256)))
+    // cte pixel layout: blue = green_to_red, green = green_to_blue,
+    // red = red_to_blue (all signed int8)
+    val cte = Array(packArgb(255, 5, 246, 16), packArgb(255, 255, 3, 200))
+    val fwd = colorForward(pix, w, h, sizeBits, sw, cte)
+    val bw = new BitWriter
+    header(bw, w, h)
+    bw.bit(1); bw.bits(1, 2) // transform: COLOR
+    bw.bits(sizeBits - 2, 3)
+    writeSubImage(bw, cte.toSeq)
+    bw.bit(0)
+    writeMainPixels(bw, fwd.toSeq)
+    val got = WebpDecoder.decode(riff(0x2f.toByte +: bw.toBytes))
+    assert(got.isDefined, "color-transform stream must decode")
+    assert(got.get == meansOfArgb(pix).copy(width = w, height = h))
+    // read order [COLOR, SUBTRACT_GREEN]: forwards apply in read order,
+    // the decoder must invert in REVERSE order
+    val fwd2 = sgForward(colorForward(pix, w, h, sizeBits, sw, cte))
+    val bw2 = new BitWriter
+    header(bw2, w, h)
+    bw2.bit(1); bw2.bits(1, 2); bw2.bits(sizeBits - 2, 3)
+    writeSubImage(bw2, cte.toSeq)
+    bw2.bit(1); bw2.bits(2, 2) // transform: SUBTRACT_GREEN
+    bw2.bit(0)
+    writeMainPixels(bw2, fwd2.toSeq)
+    val got2 = WebpDecoder.decode(riff(0x2f.toByte +: bw2.toBytes))
+    assert(got2.isDefined, "color+subtract-green stream must decode")
+    assert(got2.get == meansOfArgb(pix).copy(width = w, height = h))
+  }
+
+  test("color-indexing transform: delta-coded palette, packed indices") {
+    val w = 6; val h = 2 // tableSize 5 -> widthBits 1 -> packedW 3
+    val colors = Array(packArgb(255, 10, 20, 30), packArgb(255, 200, 150, 5),
+      packArgb(255, 0, 255, 128), packArgb(255, 77, 66, 55),
+      packArgb(255, 1, 2, 3))
+    val raw = colors.indices.map(i =>
+      if (i == 0) colors(0) else subPix(colors(i), colors(i - 1)))
+    val idx = Array(0, 4, 1, 1, 3, 2, 2, 0, 4, 3, 1, 0)
+    // packed: 2 indices per green byte, low nibble first
+    val packed = (0 until h).flatMap { y =>
+      (0 until 3).map { px =>
+        val lo = idx(y * w + 2 * px); val hi = idx(y * w + 2 * px + 1)
+        packArgb(255, 0, lo | (hi << 4), 0)
+      }
+    }
+    val bw = new BitWriter
+    header(bw, w, h)
+    bw.bit(1); bw.bits(3, 2) // transform: COLOR_INDEXING
+    bw.bits(4, 8) // table size - 1
+    writeSubImage(bw, raw)
+    bw.bit(0)
+    writeMainPixels(bw, packed)
+    val got = WebpDecoder.decode(riff(0x2f.toByte +: bw.toBytes))
+    assert(got.isDefined, "palette stream must decode")
+    val exp = meansOfArgb(idx.map(colors))
+    assert(got.get == exp.copy(width = w, height = h))
+  }
+
+  test("color-indexing strictness: out-of-range index and combos return None") {
+    // tableSize 3 -> widthBits 2 -> 2-bit indices, index 3 is out of range
+    val colors = Array(packArgb(255, 1, 1, 1), packArgb(255, 2, 2, 2),
+      packArgb(255, 3, 3, 3))
+    val raw = colors.indices.map(i =>
+      if (i == 0) colors(0) else subPix(colors(i), colors(i - 1)))
+    val bw = new BitWriter
+    header(bw, 4, 1) // packedW = 1
+    bw.bit(1); bw.bits(3, 2); bw.bits(2, 8)
+    writeSubImage(bw, raw)
+    bw.bit(0)
+    // packed byte carries indices (0,1,2,3): the 3 is malformed
+    writeMainPixels(bw, Seq(packArgb(255, 0, 0 | (1 << 2) | (2 << 4) | (3 << 6), 0)))
+    assert(WebpDecoder.decode(riff(0x2f.toByte +: bw.toBytes)).isEmpty,
+      "out-of-range palette index must not decode")
+    // palette combined with another transform: outside the subset
+    val bw2 = new BitWriter
+    header(bw2, 4, 1)
+    bw2.bit(1); bw2.bits(2, 2) // subtract-green
+    bw2.bit(1); bw2.bits(3, 2); bw2.bits(2, 8)
+    writeSubImage(bw2, raw)
+    bw2.bit(0)
+    writeMainPixels(bw2, Seq(packArgb(255, 0, 0, 0)))
+    assert(WebpDecoder.decode(riff(0x2f.toByte +: bw2.toBytes)).isEmpty,
+      "palette + subtract-green must stay outside the subset")
+  }
+
   test("literal-only stream with simple prefix codes decodes exactly") {
     // 4x3 image: green in {10, 200}, red in {30, 40}, blue fixed 7
     val w = 4; val h = 3
