@@ -110,7 +110,8 @@ object MultimodalOps {
   }
 
   /** REAL pure-JVM decode of binary PPM (P6), 24-bit uncompressed
-    * BMP, 8-bit non-interlaced RGB/RGBA PNG (zlib inflate via
+    * BMP, full static PNG (grey/RGB/palette/grey-alpha/RGBA at every
+    * legal bit depth, non-interlaced and Adam7; zlib inflate via
     * `java.util.zip.Inflater`), and baseline sequential JPEG
     * ([[JpegDecoder]]: Huffman + IDCT + 4:2:0/4:2:2/4:4:4 chroma,
     * zero native codecs). Returns None unless the payload is a
@@ -142,27 +143,42 @@ object MultimodalOps {
       v
     }
     val w = nextInt(); val h = nextInt(); val maxv = nextInt()
-    // maxval pinned to 255: 2-byte-per-sample PPMs (maxval > 255) are
-    // a different pixel layout, not a bigger one
-    if (w <= 0 || h <= 0 || maxv != 255 || i >= p.length) return None
+    // both PPM sample layouts: 1 byte per sample (maxval <= 255) and
+    // 2 bytes big-endian (maxval 256..65535); samples normalize to
+    // 8-bit by the deterministic integer map v * 255 / maxval (exact
+    // for 255 and the v*257 replication pattern at 65535)
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 65535 || i >= p.length) return None
+    val wide = maxv > 255
+    val spb = if (wide) 2 else 1 // bytes per sample
     // exactly one whitespace byte between maxval and raster — and it
     // must BE whitespace: a malformed header whose total length still
     // matches w*h*3 would otherwise decode a shifted raster
     val sep = p(i) & 0xff
     if (sep != ' ' && sep != '\n' && sep != '\r' && sep != '\t') return None
     i += 1
-    if ((p.length - i).toLong != w * h * 3) return None
+    if ((p.length - i).toLong != w * h * 3 * spb) return None
+    val mv = maxv.toInt
     var sr = 0L; var sg = 0L; var sb = 0L
     val wi = w.toInt
     var pi = 0
     var j = i
-    while (j + 2 < p.length) {
-      val r = p(j) & 0xff; val g = p(j + 1) & 0xff; val b = p(j + 2) & 0xff
-      sr += r; sg += g; sb += b
-      if (grid != null) gridAdd(grid, pi % wi, pi / wi, wi, h.toInt, r, g, b)
-      pi += 1
-      j += 3
+    val step = 3 * spb
+    var bad = false
+    while (j + step - 1 < p.length && !bad) {
+      def samp(o: Int): Int =
+        if (wide) ((p(j + 2 * o) & 0xff) << 8) | (p(j + 2 * o + 1) & 0xff)
+        else p(j + o) & 0xff
+      val rv = samp(0); val gv = samp(1); val bv = samp(2)
+      if (rv > mv || gv > mv || bv > mv) bad = true // sample above maxval: malformed
+      else {
+        val r = rv * 255 / mv; val g = gv * 255 / mv; val b = bv * 255 / mv
+        sr += r; sg += g; sb += b
+        if (grid != null) gridAdd(grid, pi % wi, pi / wi, wi, h.toInt, r, g, b)
+        pi += 1
+        j += step
+      }
     }
+    if (bad) return None
     val n = (w * h).toDouble
     Some(DecodedImage(w.toInt, h.toInt, sr / n, sg / n, sb / n))
   }
@@ -204,12 +220,18 @@ object MultimodalOps {
   /** PNG: signature → chunk walk (every chunk's CRC32 verified — the
     * JDK's `java.util.zip.CRC32` is PNG's exact polynomial, so a
     * corrupted or coincidental-magic payload is rejected before any
-    * decompression) → IHDR gate → concatenated IDAT → `Inflater` →
-    * per-scanline unfilter (None/Sub/Up/Average/Paeth) → channel
-    * means. Supported subset: 8-bit-per-sample, color type 2 (RGB)
-    * or 6 (RGBA, alpha ignored in the means), non-interlaced — the
-    * honest claim for a from-scratch parser; Adam7 / palette /
-    * 16-bit return None and fall to the histogram tier. */
+    * decompression) → IHDR gate → PLTE capture → concatenated IDAT →
+    * `Inflater` → per-pass per-scanline unfilter (None/Sub/Up/
+    * Average/Paeth at byte grain) → sample extraction → channel
+    * means. FULL static coverage: color types 0 (grey), 2 (RGB),
+    * 3 (palette), 4 (grey+alpha) and 6 (RGBA) at every legal bit
+    * depth, non-interlaced AND Adam7 (seven sub-images, each
+    * independently filtered, pixels placed on the pass grid).
+    * Deterministic sample normalization: sub-8-bit greys scale by the
+    * exact 255/(2^d−1) integer factor, 16-bit samples take the high
+    * byte; alpha (types 4/6, tRNS) is ignored in the means per the
+    * standing RGBA rule. An out-of-range palette index or a
+    * PLTE/depth/type combination the spec forbids returns None. */
   private def decodePng(p: Array[Byte], grid: Array[Long] = null): Option[DecodedImage] = {
     val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
     if (p.length < sig.length + 25) return None
@@ -218,7 +240,9 @@ object MultimodalOps {
     def i32(off: Int): Int = ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
       ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
     var i = sig.length
-    var w = 0; var h = 0; var colorType = -1
+    var w = 0; var h = 0; var colorType = -1; var bitDepth = 0
+    var interlace = 0
+    var palette: Array[Int] = null // packed RGB
     var seenIhdr = false; var seenIend = false
     val idat = new java.io.ByteArrayOutputStream()
     val crc = new java.util.zip.CRC32()
@@ -233,24 +257,53 @@ object MultimodalOps {
         case "IHDR" =>
           if (len != 13 || seenIhdr) return None
           w = i32(i + 8); h = i32(i + 12)
-          val bitDepth = p(i + 16) & 0xff; colorType = p(i + 17) & 0xff
+          bitDepth = p(i + 16) & 0xff; colorType = p(i + 17) & 0xff
           val compression = p(i + 18) & 0xff; val filterMethod = p(i + 19) & 0xff
-          val interlace = p(i + 20) & 0xff
-          if (w <= 0 || h <= 0 || bitDepth != 8 ||
-            (colorType != 2 && colorType != 6) ||
-            compression != 0 || filterMethod != 0 || interlace != 0) return None
+          interlace = p(i + 20) & 0xff
+          val depthOk = colorType match {
+            case 0 => Set(1, 2, 4, 8, 16)(bitDepth)
+            case 2 | 4 | 6 => bitDepth == 8 || bitDepth == 16
+            case 3 => Set(1, 2, 4, 8)(bitDepth)
+            case _ => false
+          }
+          if (w <= 0 || h <= 0 || !depthOk ||
+            compression != 0 || filterMethod != 0 || interlace > 1) return None
           seenIhdr = true
+        case "PLTE" =>
+          if (!seenIhdr || palette != null || len % 3 != 0 ||
+            len == 0 || len > 768) return None
+          palette = Array.tabulate(len / 3)(e =>
+            ((p(i + 8 + 3 * e) & 0xff) << 16) |
+              ((p(i + 9 + 3 * e) & 0xff) << 8) | (p(i + 10 + 3 * e) & 0xff))
         case "IDAT" => if (!seenIhdr) return None; idat.write(p, i + 8, len)
         case "IEND" => if (len != 0) return None; seenIend = true
-        case _ => () // ancillary chunks (tEXt, pHYs, …) carry no pixels
+        case _ => () // ancillary chunks (tEXt, pHYs, tRNS, …) carry no pixels
       }
       i += 12 + len
     }
     if (!seenIhdr || idat.size == 0) return None
-    val bpp = if (colorType == 2) 3 else 4
-    val stride = 1 + w.toLong * bpp // filter byte + samples, per scanline
-    if (h.toLong * stride > Int.MaxValue) return None
-    val raw = new Array[Byte]((h * stride).toInt)
+    if (colorType == 3 && palette == null) return None
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case _ => 4
+    }
+    val bitsPerPix = bitDepth * channels
+    val bppBytes = math.max(1, bitsPerPix / 8) // filter left-neighbor stride
+    def rowBytes(width: Int): Long = (width.toLong * bitsPerPix + 7) / 8
+    // Adam7 pass grid (pass 7 = the non-interlaced single pass)
+    val passes: Seq[(Int, Int, Int, Int)] = // (xStart, yStart, xStep, yStep)
+      if (interlace == 0) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passDims(pass: (Int, Int, Int, Int)): (Int, Int) = {
+      val (xs, ys, xp, yp) = pass
+      (math.max(0, (w - xs + xp - 1) / xp), math.max(0, (h - ys + yp - 1) / yp))
+    }
+    val totalRaw = passes.map { ps =>
+      val (pw, ph) = passDims(ps)
+      if (pw == 0 || ph == 0) 0L else ph.toLong * (1 + rowBytes(pw))
+    }.sum
+    if (totalRaw <= 0 || totalRaw > Int.MaxValue) return None
+    val raw = new Array[Byte](totalRaw.toInt)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(idat.toByteArray)
@@ -260,55 +313,99 @@ object MultimodalOps {
         if (n == 0 && inf.needsInput()) return None // truncated zlib stream
         off += n
       }
-      // exactly h*stride bytes, nothing more: a stream that keeps
+      // exactly the pass bytes, nothing more: a stream that keeps
       // producing disagrees with IHDR and is rejected, not clipped
       if (off != raw.length || inf.inflate(new Array[Byte](1)) != 0) return None
     } catch { case _: java.util.zip.DataFormatException => return None }
     finally inf.end()
-    // unfilter in place; prior row is already reconstructed when the
-    // Up/Average/Paeth predictors read it
     def paeth(a: Int, b: Int, c: Int): Int = {
       val pa = math.abs(b - c); val pb = math.abs(a - c)
       val pc = math.abs(a + b - c - c)
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
-    val rowLen = (stride - 1).toInt
-    var y = 0
-    while (y < h) {
-      val base = y * stride.toInt
-      val filter = raw(base) & 0xff
-      if (filter > 4) return None
-      var x = 0
-      while (x < rowLen) {
-        val cur = raw(base + 1 + x) & 0xff
-        val left = if (x >= bpp) raw(base + 1 + x - bpp) & 0xff else 0
-        val up = if (y > 0) raw(base - stride.toInt + 1 + x) & 0xff else 0
-        val ul = if (y > 0 && x >= bpp) raw(base - stride.toInt + 1 + x - bpp) & 0xff else 0
-        val recon = filter match {
-          case 0 => cur
-          case 1 => cur + left
-          case 2 => cur + up
-          case 3 => cur + (left + up) / 2
-          case 4 => cur + paeth(left, up, ul)
-        }
-        raw(base + 1 + x) = (recon & 0xff).toByte
-        x += 1
-      }
-      y += 1
-    }
+    // exact sub-8-bit grey multipliers: 255/1, 255/3, 255/15 are integers
+    val greyScale = if (bitDepth < 8) 255 / ((1 << bitDepth) - 1) else 1
     var sr = 0L; var sg = 0L; var sb = 0L
-    y = 0
-    while (y < h) {
-      var j = y * stride.toInt + 1
-      var x = 0
-      while (x < w) {
-        val r = raw(j) & 0xff; val g = raw(j + 1) & 0xff; val b = raw(j + 2) & 0xff
-        sr += r; sg += g; sb += b
-        if (grid != null) gridAdd(grid, x, y, w, h, r, g, b)
-        x += 1; j += bpp
+    var base = 0
+    var malformed = false
+    passes.foreach { ps =>
+      val (xs, ys, xp, yp) = ps
+      val (pw, ph) = passDims(ps)
+      if (pw > 0 && ph > 0 && !malformed) {
+        val rb = rowBytes(pw).toInt
+        val stride = 1 + rb
+        // unfilter this pass in place (prior row = previous row of the
+        // SAME pass; the first row of each pass has no Up neighbor)
+        var y = 0
+        while (y < ph && !malformed) {
+          val rowBase = base + y * stride
+          val filter = raw(rowBase) & 0xff
+          if (filter > 4) malformed = true
+          var x = 0
+          while (x < rb && !malformed) {
+            val cur = raw(rowBase + 1 + x) & 0xff
+            val left = if (x >= bppBytes) raw(rowBase + 1 + x - bppBytes) & 0xff else 0
+            val up = if (y > 0) raw(rowBase - stride + 1 + x) & 0xff else 0
+            val ul = if (y > 0 && x >= bppBytes) raw(rowBase - stride + 1 + x - bppBytes) & 0xff else 0
+            val recon = filter match {
+              case 0 => cur
+              case 1 => cur + left
+              case 2 => cur + up
+              case 3 => cur + (left + up) / 2
+              case _ => cur + paeth(left, up, ul)
+            }
+            raw(rowBase + 1 + x) = (recon & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        // extract samples (MSB-first bit packing below 8 bits,
+        // big-endian above) and place pixels on the pass grid
+        y = 0
+        while (y < ph && !malformed) {
+          val rowBase = base + y * stride + 1
+          var x = 0
+          while (x < pw && !malformed) {
+            def sample(c: Int): Int = bitDepth match {
+              case 16 =>
+                val o = rowBase + (x * channels + c) * 2
+                ((raw(o) & 0xff) << 8) | (raw(o + 1) & 0xff)
+              case 8 => raw(rowBase + x * channels + c) & 0xff
+              case d =>
+                val bitOff = (x * channels + c) * d
+                val b = raw(rowBase + (bitOff >> 3)) & 0xff
+                (b >> (8 - d - (bitOff & 7))) & ((1 << d) - 1)
+            }
+            var r = 0; var g = 0; var b = 0
+            colorType match {
+              case 0 | 4 =>
+                val v = sample(0)
+                val v8 = if (bitDepth == 16) v >> 8 else v * greyScale
+                r = v8; g = v8; b = v8
+              case 2 | 6 =>
+                if (bitDepth == 16) {
+                  r = sample(0) >> 8; g = sample(1) >> 8; b = sample(2) >> 8
+                } else { r = sample(0); g = sample(1); b = sample(2) }
+              case _ =>
+                val idx = sample(0)
+                if (idx >= palette.length) malformed = true
+                else {
+                  val e = palette(idx)
+                  r = (e >> 16) & 0xff; g = (e >> 8) & 0xff; b = e & 0xff
+                }
+            }
+            if (!malformed) {
+              sr += r; sg += g; sb += b
+              if (grid != null) gridAdd(grid, xs + x * xp, ys + y * yp, w, h, r, g, b)
+            }
+            x += 1
+          }
+          y += 1
+        }
+        base += ph * stride
       }
-      y += 1
     }
+    if (malformed) return None
     val n = w.toDouble * h
     Some(DecodedImage(w, h, sr / n, sg / n, sb / n))
   }
