@@ -1117,6 +1117,106 @@ object StatsOps {
        |  ROUND(EXP(-${graft.functions.GraftFunctions.dsumSql("LN(p)")} / COUNT(*)), 4) AS ppl
        |FROM sc GROUP BY doc_id, source ORDER BY doc_id""".stripMargin
 
+  /** q169: CORPUS-MIXTURE REWEIGHTING — one DoReMi-flavored update
+    * round (Xie et al. '23, linearized): per-source token share as the
+    * baseline weight, per-source mean in-domain NLL under the q155
+    * Kneser-Ney target LM, excess over the target domain's own NLL,
+    * and the multiplicative update w' ∝ share · (1 + η·excess) with
+    * η = 1/2 — the exactly-representable surrogate for exp(η·excess)
+    * (same ordering, no cross-engine exp in the update itself). The
+    * output is the next-epoch sampling-weight table a mixture tuner
+    * feeds back into q117/q157.
+    *
+    * Determinism: NLL sums ride the exact-decimal dsum (LN quantized
+    * at 1e-8 before summing, so engine ulp drift is erased), means
+    * round at 1e-6 BEFORE the excess subtraction, and the normalizer
+    * is itself a dsum — every division is a single IEEE op on
+    * identical operands. Scale shape: q155's three broadcast
+    * vocabulary-bounded joins + ONE source-grain aggregate; the
+    * update arithmetic runs on a 20-row frame. */
+  def mixtureReweight(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("tk"))
+    def bigrams(df: DataFrame): DataFrame = df
+      .filter(size(col("tk")) >= 2)
+      .select(col("doc_id"), col("source"), explode(expr(
+        "transform(sequence(1, size(tk) - 1), " +
+          "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")).as("b"))
+      .select(col("doc_id"), col("source"),
+        col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val (bc, left, right, tot) = knTargetParts(toks)
+    val pcont = (coalesce(col("nr"), lit(0L)) + lit(1.0)) /
+      (col("nt") + col("nu") + lit(1.0))
+    val bySrc = bigrams(toks)
+      .join(broadcast(bc), Seq("w1", "w2"), "left")
+      .join(broadcast(left), Seq("w1"), "left")
+      .join(broadcast(right), Seq("w2"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("p", when(col("c1").isNotNull,
+        greatest(coalesce(col("c12"), lit(0L)) - 0.75, lit(0.0)) / col("c1") +
+          ((lit(0.75) * col("nl") / col("c1")) * pcont))
+        .otherwise(pcont))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bi"),
+        round(-dsum(log(col("p"))) / count(lit(1)), 6).as("mean_nll"))
+      // 20 rows; checkpointed so total/target/update don't re-run the
+      // corpus-grain aggregate once per reference
+      .localCheckpoint()
+    val total = bySrc.groupBy().agg(sum(col("n_bi")).as("n_tot"))
+    val target = bySrc.filter(col("source") === "src0")
+      .select(col("mean_nll").as("target_nll"))
+    val pre = bySrc.crossJoin(broadcast(total)).crossJoin(broadcast(target))
+      .withColumn("token_share", col("n_bi").cast("double") / col("n_tot"))
+      .withColumn("excess",
+        greatest(round(col("mean_nll") - col("target_nll"), 6), lit(0.0)))
+      .withColumn("unnorm",
+        col("token_share") * (lit(1.0) + lit(0.5) * col("excess")))
+      .localCheckpoint()
+    val z = pre.groupBy().agg(dsum(col("unnorm")).as("z"))
+    pre.crossJoin(broadcast(z))
+      .select(col("source"), col("n_bi"),
+        round(col("token_share"), 6).as("token_share"),
+        col("mean_nll"), col("excess"),
+        round(col("unnorm") / col("z"), 6).as("new_weight"))
+      .orderBy(col("source"))
+  }
+
+  private val mixtureReweightSql =
+    s"""WITH tk AS (SELECT doc_id, source, string_split(text,' ') AS tk FROM documents),
+       |bg AS (SELECT doc_id, source,
+       |         unnest([struct_pack(w1 := tk[i], w2 := tk[i+1])
+       |                 for i in generate_series(1, len(tk)-1)], recursive := true)
+       |       FROM tk WHERE len(tk) >= 2),
+       |bc AS (SELECT w1, w2, count(*) AS c12 FROM bg WHERE source = 'src0' GROUP BY w1, w2),
+       |l AS (SELECT w1, sum(c12) AS c1, count(*) AS nl FROM bc GROUP BY w1),
+       |r AS (SELECT w2, count(*) AS nr FROM bc GROUP BY w2),
+       |t AS (SELECT count(*) AS nt, count(DISTINCT w2) AS nu FROM bc),
+       |sc AS (SELECT bg.doc_id, bg.source,
+       |    CASE WHEN l.c1 IS NOT NULL THEN
+       |      greatest(coalesce(bc.c12, 0) - 0.75, 0.0) / l.c1
+       |      + ((0.75 * l.nl / l.c1) *
+       |         ((coalesce(r.nr, 0) + CAST(1.0 AS DOUBLE)) / (t.nt + t.nu + CAST(1.0 AS DOUBLE))))
+       |    ELSE (coalesce(r.nr, 0) + CAST(1.0 AS DOUBLE)) / (t.nt + t.nu + CAST(1.0 AS DOUBLE))
+       |    END AS p
+       |  FROM bg LEFT JOIN bc USING (w1, w2) LEFT JOIN l USING (w1)
+       |       LEFT JOIN r USING (w2), t),
+       |bs AS MATERIALIZED (SELECT source, CAST(count(*) AS BIGINT) AS n_bi,
+       |        ROUND(-${graft.functions.GraftFunctions.dsumSql("LN(p)")} / COUNT(*), 6) AS mean_nll
+       |      FROM sc GROUP BY source),
+       |tt AS (SELECT sum(n_bi) AS n_tot FROM bs),
+       |tg AS (SELECT mean_nll AS target_nll FROM bs WHERE source = 'src0'),
+       |pre AS MATERIALIZED (SELECT source, n_bi,
+       |        CAST(n_bi AS DOUBLE) / n_tot AS token_share, mean_nll,
+       |        greatest(ROUND(mean_nll - target_nll, 6), 0.0) AS excess
+       |      FROM bs, tt, tg),
+       |p2 AS MATERIALIZED (SELECT *,
+       |        token_share * (1.0 + 0.5 * excess) AS unnorm FROM pre),
+       |z AS (SELECT ${graft.functions.GraftFunctions.dsumSql("unnorm")} AS z FROM p2)
+       |SELECT source, n_bi, ROUND(token_share, 6) AS token_share, mean_nll, excess,
+       |       ROUND(unnorm / z.z, 6) AS new_weight
+       |FROM p2, z ORDER BY source""".stripMargin
+
   /** q160: VOCABULARY COVERAGE curve — the tokenizer-design table "how
     * much of the corpus does a size-k vocabulary cover": token-trigram
     * types ranked by frequency (gram tiebreak), occurrence coverage
@@ -1286,6 +1386,8 @@ object StatsOps {
       "B102 per-source length-distribution KS drift (exact integer argmax)"),
     QueryDef("q160_vocab_coverage", vocabCoverage, Some(vocabCoverageSql),
       "B100 vocabulary coverage curve: occurrence coverage + OOV rate at six vocab sizes"),
+    QueryDef("q169_mixture_reweight", mixtureReweight, Some(mixtureReweightSql),
+      "one DoReMi-flavored mixture round: per-source excess in-domain NLL -> multiplicative weight update"),
     QueryDef("q155_indomain_ppl", indomainPpl, Some(indomainPplSql),
       "B95 in-domain KN perplexity scoring (CCNet recipe): target-trained LM ranks every doc"),
     QueryDef("q147_kn_bigram_lm", knBigramLm, Some(knBigramLmSql),

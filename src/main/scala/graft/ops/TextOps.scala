@@ -3660,16 +3660,24 @@ object TextOps {
     * instead of the BPE merges: tokens-per-word and chars-per-token
     * per source. Viterbi runs once per DISTINCT word; the per-source
     * rollup joins the word-grain piece counts back broadcast. */
-  def unigramFertility(s: SparkSession, d: String): DataFrame = {
+  /** (w, n_pieces) at distinct-clipped-word grain under the trained
+    * round-2 model — q168's join side, and the broadcast static side
+    * of the streaming fertility-drift monitor. */
+  private[graft] def unigramWordPieces(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val model = unigramModel2(s, d)._2.collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val tot = model.map(_._2).sum.toDouble
     val probs = model.map { case (p, c) => p -> (c.toDouble / tot) }.toMap
     val bc = s.sparkContext.broadcast(probs)
-    val wordPieces = unigramWords(s, d).as[(String, Long)]
+    unigramWords(s, d).as[(String, Long)]
       .map { case (w, _) => (w, uniViterbi(w, bc.value).length.toLong) }
       .toDF("w", "n_pieces")
+  }
+
+  def unigramFertility(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wordPieces = unigramWordPieces(s, d)
     val bySource = Tables.documents(s, d)
       .select(col("source"), explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) >= 1)

@@ -39,6 +39,8 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
   final case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+  final case class SrcDoc(doc_id: Long, ts: java.sql.Timestamp,
+    source: String, text: String)
 
   /** The near-dup GATE under Structured Streaming: incoming docs are
     * shingled and minhashed with the same codegen'd expressions the
@@ -276,6 +278,41 @@ object StreamingOps {
         6))
       .select(col("window.start").as("wstart"), col("n_docs"), col("ks"),
         (col("ks") >= threshold).as("drifted"))
+
+  /** B107-streaming: TOKENIZER-FERTILITY drift monitor — the serving
+    * twin of q168. Each hourly window's tokens-per-word per source
+    * under the TRAINED unigram model: the stream's words join the
+    * broadcast (word → n_pieces) table
+    * ([[graft.ops.TextOps.unigramWordPieces]], distinct-clipped-word
+    * grain — the model artifact a serving fleet ships); words the
+    * trained vocabulary never saw fall back to character count (the
+    * all-singles segmentation — the worst-case fertility, which is
+    * exactly what makes OOV influx VISIBLE in this metric). A window
+    * whose fertility exceeds the trained-corpus baseline by the
+    * caller's margin flags `drifted` — the "this feed stopped looking
+    * like the tokenizer's training corpus" alarm, fired within an
+    * hour. State is the windowed aggregate only (two longs per
+    * (window, source)); the model side is a broadcast, so the monitor
+    * scales exactly like the batch join. */
+  def fertilityDriftMonitor(docs: DataFrame, wordPieces: DataFrame,
+      baseline: Double, margin: Double): DataFrame =
+    docs
+      .withWatermark("ts", "10 minutes")
+      .select(col("ts"), col("source"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 1)
+      .select(col("ts"), col("source"),
+        substring(col("word"), 1, graft.ops.TextOps.UniClip).as("w"))
+      .join(broadcast(wordPieces), Seq("w"), "left")
+      .withColumn("np",
+        coalesce(col("n_pieces"), length(col("w")).cast("long")))
+      .groupBy(window(col("ts"), "1 hour"), col("source"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_tokens"))
+      .withColumn("fertility",
+        round(col("n_tokens").cast("double") / col("n_words"), 6))
+      .select(col("window.start").as("wstart"), col("source"),
+        col("n_words"), col("n_tokens"), col("fertility"),
+        (col("fertility") - lit(baseline) >= lit(margin)).as("drifted"))
 
   /** B41 stream-stream: watermarked interval join — each click joins
     * the impression that preceded it by ≤ 30 minutes for the same

@@ -553,6 +553,55 @@ class StreamingSpec extends AnyFunSuite with LocalSparkSuite {
     } finally q.stop()
   }
 
+  test("fertility-drift monitor: windowed tokens-per-word under the trained unigram model") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val wp = graft.ops.TextOps.unigramWordPieces(spark, sfDir).localCheckpoint()
+    val pieceOf = wp.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val corpusTexts = Tables.documents(spark, sfDir)
+      .select("text").collect().map(_.getString(0))
+    val in = MemoryStream[StreamingOps.SrcDoc]
+    // baseline = the trained corpus's own fertility; margin 0.5 pieces/word
+    val base = {
+      val words = corpusTexts.flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+        .map(_.take(graft.ops.TextOps.UniClip))
+      words.map(pieceOf).sum.toDouble / words.length
+    }
+    val q = StreamingOps.fertilityDriftMonitor(in.toDF(), wp, base, margin = 0.5)
+      .writeStream.outputMode("append").format("memory").queryName("fdrift").start()
+    try {
+      // window 1: corpus-shaped text (fertility ~ baseline); window 2:
+      // OOV gibberish (every word falls back to char-count pieces);
+      // window 3 closes the first two via the watermark
+      corpusTexts.take(20).zipWithIndex.foreach { case (t, i) =>
+        in.addData(StreamingOps.SrcDoc(i.toLong, ts("2024-01-01 10:00:00"), "s0", t))
+      }
+      (100 to 119).foreach(i =>
+        in.addData(StreamingOps.SrcDoc(i.toLong, ts("2024-01-01 11:00:00"), "s0",
+          "zqxjvvkw pfffrtq wmmzzyx")))
+      in.addData(StreamingOps.SrcDoc(999, ts("2024-01-01 13:00:00"), "s0", "closer"))
+      q.processAllAvailable()
+      val rows = spark.table("fdrift").collect()
+        .map(r => r.getTimestamp(0).toString ->
+          ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))))
+        .toMap
+      val w1 = rows("2024-01-01 10:00:00.0")
+      val w2 = rows("2024-01-01 11:00:00.0")
+      // window 1 recount: the batch formula over the same 20 docs
+      val words1 = corpusTexts.take(20).flatMap(_.split(" ", -1)).filter(_.nonEmpty)
+        .map(_.take(graft.ops.TextOps.UniClip))
+      val nt1 = words1.map(pieceOf).sum // all in-vocab: trained corpus words
+      assert(w1._1 === words1.length.toLong && w1._2 === nt1)
+      val f1 = BigDecimal(nt1.toDouble / words1.length)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(w1._3 === f1)
+      assert(!w1._4, s"corpus-shaped window must not drift: $w1")
+      // window 2: every word OOV -> char-count fallback (8+7+7 per doc)
+      assert(w2._1 === 60L && w2._2 === 20L * (8 + 7 + 7))
+      assert(w2._4, s"the OOV feed must flag drifted: $w2")
+    } finally q.stop()
+  }
+
   test("contamination monitor: hourly clean/contaminated counts per closed window") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
