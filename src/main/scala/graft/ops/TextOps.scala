@@ -485,30 +485,66 @@ object TextOps {
     * float comparison decides a bin boundary cross-engine.
     *
     * Scale shape: q34's band-bucketed pair set (never all-pairs), the
-    * intersection via two skinny shingle join-backs keyed on doc ids
-    * (the q104 ints pattern), sizes from the distinct-shingle
-    * aggregate, then a ≤10-row rollup. Zero-intersection candidates
-    * stay in bin 0 via the left join. */
+    * exact intersections computed ONCE PER DISTINCT-TEXT PAIR and
+    * joined back to the doc-grain pairs — identical texts have
+    * identical shingle sets, so on a duplication-heavy corpus the
+    * shingle-grain work collapses by the duplication factor while the
+    * doc-pair multiplicities still count every pair (same-rep pairs
+    * are Jaccard-1 by identity, bin 9 with no shingle work at all;
+    * measured 114 s → rep-grain at the 100x mirrored corpus). Sizes
+    * from the distinct-shingle aggregate, then a ≤10-row rollup.
+    * Zero-intersection candidates stay in bin 0 via the left join. */
   def neardupSimHistogram(s: SparkSession, d: String): DataFrame = {
     val pairs = candidatePairs(s, d)
-    val shd = shingleArrays(s, d)
-      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("sh2"))
-    val sz = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = pairs
-      .join(shd.select(col("doc_id").as("doc_a"), col("sh2"))
+    // doc → representative (min doc_id per exact text), keyed by
+    // sha256 so the full text never shuffles; memoized — the same
+    // frame any rep-grain consumer wants
+    val docRep = graft.CheckpointMemo.getOrElseUpdate(s, d, "doc_rep") {
+      val withH = Tables.documents(s, d)
+        .select(col("doc_id"), sha2(col("text"), 256).as("hh"))
+      withH
+        .join(withH.groupBy(col("hh")).agg(min(col("doc_id")).as("rep"))
+          .hint("shuffle_hash"), Seq("hh"))
+        .select(col("doc_id"), col("rep"))
+        .localCheckpoint()
+    }
+    val pr = pairs
+      .join(docRep.select(col("doc_id").as("doc_a"), col("rep").as("ra0"))
         .hint("shuffle_hash"), Seq("doc_a"))
-      .join(shd.select(col("doc_id").as("doc_b"), col("sh2"))
-        .hint("shuffle_hash"), Seq("doc_b", "sh2"))
-      .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("inter"))
-    val binned = pairs
-      .join(inter.hint("shuffle_hash"), Seq("doc_a", "doc_b"), "left")
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na"))
-        .hint("shuffle_hash"), Seq("doc_a"))
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb"))
+      .join(docRep.select(col("doc_id").as("doc_b"), col("rep").as("rb0"))
         .hint("shuffle_hash"), Seq("doc_b"))
-      .select(coalesce(col("inter"), lit(0L)).as("inter"),
-        (col("na") + col("nb") - coalesce(col("inter"), lit(0L))).as("uni"))
-      .withColumn("bin", least(expr("(10 * inter) div uni"), lit(9L)))
+      .select(least(col("ra0"), col("rb0")).as("ra"),
+        greatest(col("ra0"), col("rb0")).as("rb"))
+      .localCheckpoint() // referenced by repPairs AND the bin join-back
+    val repPairs = pr.filter(col("ra") =!= col("rb")).distinct()
+    // shingle sets at rep grain come FREE from the memoized q104/q131
+    // frame (one row per distinct text, doc_id = the same min-id rep,
+    // identical 3-shingle definition — shared scan, zero recompute)
+    val docs = graft.CheckpointMemo.getOrElseUpdate(s, d, "jaccard_docs") {
+      jaccardDocsBuild(s, d)
+    }
+    val shd = docs.select(col("doc_id"), explode(col("shs")).as("sh2"))
+    val sz = docs.select(col("doc_id"), col("n"))
+    val inter = repPairs
+      .join(shd.select(col("doc_id").as("ra"), col("sh2"))
+        .hint("shuffle_hash"), Seq("ra"))
+      .join(shd.select(col("doc_id").as("rb"), col("sh2"))
+        .hint("shuffle_hash"), Seq("rb", "sh2"))
+      .groupBy(col("ra"), col("rb")).agg(count(lit(1)).as("inter"))
+    val repBin = repPairs
+      .join(inter.hint("shuffle_hash"), Seq("ra", "rb"), "left")
+      .join(sz.select(col("doc_id").as("ra"), col("n").as("na"))
+        .hint("shuffle_hash"), Seq("ra"))
+      .join(sz.select(col("doc_id").as("rb"), col("n").as("nb"))
+        .hint("shuffle_hash"), Seq("rb"))
+      .select(col("ra"), col("rb"),
+        least(expr("(10 * coalesce(inter, 0L)) div " +
+          "(na + nb - coalesce(inter, 0L))"), lit(9L)).as("bin"))
+    // doc-grain multiplicities: every candidate pair counts once;
+    // same-rep pairs (identical texts) are exactly Jaccard 1 → bin 9
+    val binned = pr
+      .join(repBin.hint("shuffle_hash"), Seq("ra", "rb"), "left")
+      .select(coalesce(col("bin"), lit(9L)).as("bin"))
       .groupBy(col("bin")).agg(count(lit(1)).as("n_pairs"))
     binned
       .crossJoin(broadcast(binned.agg(sum(col("n_pairs")).as("tot"))))
@@ -528,21 +564,27 @@ object TextOps {
        |bands AS (SELECT doc_id, mh0 || mh1 AS band FROM sig
        |          UNION ALL SELECT doc_id, mh2 || mh3 AS band FROM sig),
        |${cappedPairsSql("bands")},
+       |rp AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep FROM documents),
+       |pr AS MATERIALIZED (SELECT least(a.rep, b.rep) AS ra, greatest(a.rep, b.rep) AS rb
+       |      FROM pairs p JOIN rp a ON a.doc_id = p.doc_a
+       |                   JOIN rp b ON b.doc_id = p.doc_b),
+       |rpp AS MATERIALIZED (SELECT DISTINCT ra, rb FROM pr WHERE ra <> rb),
        |shd AS (SELECT DISTINCT doc_id, s FROM sh),
        |sz AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),
-       |ints AS (SELECT p.doc_a, p.doc_b, count(*) AS inter
-       |         FROM pairs p
-       |         JOIN shd x ON x.doc_id = p.doc_a
-       |         JOIN shd y ON y.doc_id = p.doc_b AND y.s = x.s
-       |         GROUP BY p.doc_a, p.doc_b),
-       |j AS (SELECT coalesce(i.inter, 0) AS inter,
-       |        sa.n + sb.n - coalesce(i.inter, 0) AS uni
-       |      FROM pairs p
-       |      LEFT JOIN ints i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-       |      JOIN sz sa ON sa.doc_id = p.doc_a
-       |      JOIN sz sb ON sb.doc_id = p.doc_b),
-       |b AS (SELECT least((10 * inter) // uni, 9) AS bin, count(*) AS n_pairs
-       |      FROM j GROUP BY 1),
+       |ints AS (SELECT p.ra, p.rb, count(*) AS inter
+       |         FROM rpp p
+       |         JOIN shd x ON x.doc_id = p.ra
+       |         JOIN shd y ON y.doc_id = p.rb AND y.s = x.s
+       |         GROUP BY p.ra, p.rb),
+       |rb2 AS (SELECT p.ra, p.rb,
+       |        least((10 * coalesce(i.inter, 0)) // (sa.n + sb.n - coalesce(i.inter, 0)), 9) AS bin
+       |      FROM rpp p
+       |      LEFT JOIN ints i ON i.ra = p.ra AND i.rb = p.rb
+       |      JOIN sz sa ON sa.doc_id = p.ra
+       |      JOIN sz sb ON sb.doc_id = p.rb),
+       |b AS (SELECT coalesce(r2.bin, 9) AS bin, count(*) AS n_pairs
+       |      FROM pr LEFT JOIN rb2 r2 ON r2.ra = pr.ra AND r2.rb = pr.rb
+       |      GROUP BY 1),
        |t AS (SELECT CAST(sum(n_pairs) AS BIGINT) AS tot FROM b)
        |SELECT CAST(bin AS BIGINT) AS bin,
        |  round(CAST(bin AS DOUBLE) / 10, 1) AS j_lo,
