@@ -39,8 +39,11 @@ ROLLING = 3          # only the N most recent clean references set floors
 def ref_order(name):
     """Sort key for bench_refs filenames r{round}_..._{N}q.json."""
     import re
-    m = re.search(r"r(\d+)_.*?(\d+)q", os.path.basename(name))
-    return (int(m.group(1)), int(m.group(2))) if m else (0, 0)
+    base = os.path.basename(name)
+    m = re.search(r"r(\d+)_.*?(\d+)q", base)
+    # tertiary key = full filename so same-round same-count refs sort
+    # deterministically (mirrors graft.Bench.refOrder)
+    return (int(m.group(1)), int(m.group(2)), base) if m else (0, 0, base)
 
 
 def load(path):

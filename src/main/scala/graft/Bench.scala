@@ -427,13 +427,20 @@ object Bench {
         import scala.jdk.CollectionConverters._
         val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val best = scala.collection.mutable.Map.empty[String, Double]
-        def refOrder(name: String): (Int, Int) = {
+        // tertiary key = full filename: same-round same-count refs
+        // (r11_sf0.1_169q.json vs _final vs _w2) otherwise tie and
+        // fall back to filesystem enumeration order (ADVICE_r11)
+        def refOrder(name: String): (Int, Int, String) = {
           val m = """r(\d+)_.*?(\d+)q""".r.findFirstMatchIn(name)
-          m.map(g => (g.group(1).toInt, g.group(2).toInt)).getOrElse((0, 0))
+          m.map(g => (g.group(1).toInt, g.group(2).toInt, name))
+            .getOrElse((0, 0, name))
         }
-        java.nio.file.Files.list(dir).iterator().asScala
-          .filter(_.toString.endsWith(".json"))
-          .toSeq
+        val listing = java.nio.file.Files.list(dir)
+        val refFiles =
+          try listing.iterator().asScala
+            .filter(_.toString.endsWith(".json")).toSeq
+          finally listing.close()
+        refFiles
           .flatMap { p =>
             try {
               val node = mapper.readTree(p.toFile)

@@ -270,8 +270,11 @@ object MultimodalOps {
             compression != 0 || filterMethod != 0 || interlace > 1) return None
           seenIhdr = true
         case "PLTE" =>
+          // spec: PLTE is forbidden for grayscale types (0, 4) and
+          // must precede the first IDAT (ADVICE_r11)
           if (!seenIhdr || palette != null || len % 3 != 0 ||
-            len == 0 || len > 768) return None
+            len == 0 || len > 768 ||
+            colorType == 0 || colorType == 4 || idat.size > 0) return None
           palette = Array.tabulate(len / 3)(e =>
             ((p(i + 8 + 3 * e) & 0xff) << 16) |
               ((p(i + 9 + 3 * e) & 0xff) << 8) | (p(i + 10 + 3 * e) & 0xff))

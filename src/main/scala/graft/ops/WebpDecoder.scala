@@ -193,8 +193,11 @@ object WebpDecoder {
     // malformed/truncated/unsupported layout. ----
     def entropyImage(ew: Int, eh: Int, isMain: Boolean): Array[Int] = {
       // color cache (present at every level)
-      val cacheBits = if (br.bit() == 1) br.bits(4) else 0
-      if (cacheBits > 11) return null
+      val cacheFlag = br.bit() == 1
+      val cacheBits = if (cacheFlag) br.bits(4) else 0
+      // spec: when the flag is set, cache_bits is 1..11 — a set flag
+      // with 0 bits is malformed, not "no cache" (ADVICE_r11)
+      if (cacheFlag && (cacheBits < 1 || cacheBits > 11)) return null
       val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
       val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
       // meta prefix (single group only): spatially-coded image only

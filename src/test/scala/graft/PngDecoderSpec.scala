@@ -205,4 +205,30 @@ class PngDecoderSpec extends AnyFunSuite {
     val ok = png(2, 2, 2, 8, 0, (_, _) => Seq(1, 2, 3))
     assert(decode(ok).isDefined)
   }
+
+  test("strictness: PLTE on grayscale types and PLTE after IDAT return None") {
+    val pal = Seq((1, 2, 3), (4, 5, 6))
+    // spec forbids PLTE for grayscale (0) and gray+alpha (4)
+    assert(decode(png(2, 1, 0, 8, 0, (_, _) => Seq(7), pal)).isEmpty)
+    assert(decode(png(2, 1, 4, 8, 0, (_, _) => Seq(7, 200), pal)).isEmpty)
+    // splice a valid palette png so PLTE follows IDAT: chunk order is
+    // sig ++ IHDR ++ PLTE ++ IDAT ++ IEND; move PLTE after IDAT
+    val good = png(2, 1, 3, 2, 0, (_, _) => Seq(1), pal)
+    assert(decode(good).isDefined)
+    def chunkStart(b: Array[Byte], tag: String): Int =
+      b.indices.find(i => i + 8 <= b.length &&
+        new String(b, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII) == tag).get - 0
+    def chunkLen(b: Array[Byte], at: Int): Int = {
+      val dataLen = ((b(at) & 0xff) << 24) | ((b(at + 1) & 0xff) << 16) |
+        ((b(at + 2) & 0xff) << 8) | (b(at + 3) & 0xff)
+      dataLen + 12
+    }
+    val ps = chunkStart(good, "PLTE"); val pl = chunkLen(good, ps)
+    val is = chunkStart(good, "IDAT"); val il = chunkLen(good, is)
+    assert(ps < is)
+    val reordered = good.take(ps) ++
+      good.slice(is, is + il) ++ good.slice(ps, ps + pl) ++
+      good.drop(is + il)
+    assert(decode(reordered).isEmpty)
+  }
 }

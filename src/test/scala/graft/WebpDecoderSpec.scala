@@ -537,5 +537,15 @@ class WebpDecoderSpec extends AnyFunSuite {
     // coincidental magic: RIFF/WEBP but garbage payload
     val garbage = riff(Array.fill[Byte](10)(0x55))
     assert(WebpDecoder.decode(garbage).isEmpty)
+    // color-cache flag set with cache_bits = 0: spec requires 1..11
+    // when the flag is 1, so this is malformed, not "no cache"
+    val bwC = new BitWriter
+    bwC.bits(1, 14); bwC.bits(0, 14); bwC.bit(0); bwC.bits(0, 3)
+    bwC.bit(0) // no transforms
+    bwC.bit(1); bwC.bits(0, 4) // flag set, cache_bits = 0
+    bwC.bit(0) // no meta prefix
+    writeSimple(bwC, Seq(5)); writeSimple(bwC, Seq(6)); writeSimple(bwC, Seq(7))
+    writeSimple(bwC, Seq(255)); writeSimple(bwC, Seq(0))
+    assert(WebpDecoder.decode(riff(0x2f.toByte +: bwC.toBytes)).isEmpty)
   }
 }
