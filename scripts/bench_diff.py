@@ -104,6 +104,17 @@ def main(argv):
     if not best:
         print("bench_diff: no clean reference queries to compare against")
         return 2
+    # band normalization (mirrors graft.Bench, VERDICT_r11 #6): the
+    # window's MEDIAN ratio over floor-matched queries is its host band
+    # — a uniformly slower (e.g. driver-profile) window shifts the
+    # median, a real regression moves one query. Clamped >= 1, trusted
+    # only with >= 20 matched pairs.
+    ratios = sorted(t / best[q][0] for q, t in cand.get("queries", {}).items()
+                    if t is not None and t >= 0 and q in best and best[q][0] > 0)
+    band = max(1.0, ratios[len(ratios) // 2]) if len(ratios) >= 20 else 1.0
+    if band > 1.05:
+        print(f"band normalization: median candidate/floor ratio {band:.2f} "
+              f"- thresholds scaled by it")
     regressions, improvements, new = [], [], []
     for q, t in sorted(cand.get("queries", {}).items()):
         if t is None or t < 0:
@@ -112,7 +123,7 @@ def main(argv):
             new.append((q, t))
             continue
         bt, src = best[q]
-        if t > RATIO * bt and not (t < MIN_ABS and bt < MIN_ABS):
+        if t > RATIO * band * bt and not (t < MIN_ABS and bt < MIN_ABS * band):
             regressions.append((q, t, bt, src))
         elif bt > RATIO * t and not (t < MIN_ABS and bt < MIN_ABS):
             improvements.append((q, t, bt, src))

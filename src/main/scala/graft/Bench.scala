@@ -421,6 +421,7 @@ object Bench {
     // an all-time minimum from one exceptional host window otherwise
     // flags a dozen sub-second queries forever and buries real
     // regressions (VERDICT_r10 item 8).
+    var bandRatio = 1.0
     val regressions: String = try {
       val dir = java.nio.file.Paths.get("bench_refs")
       if (!java.nio.file.Files.isDirectory(dir)) "{}" else {
@@ -456,15 +457,34 @@ object Bench {
                 best(e.getKey) = t
             }
           }
+        // BAND NORMALIZATION (VERDICT_r11 #6): the references were
+        // measured in the repo's own quiet windows; a driver window on
+        // the same host can run uniformly ~1.3-1.9x slower (same-day
+        // two-commit A/B, SCALING.md round-11 adjudication) and a raw
+        // 1.5x floor then flags dozens of sub-second queries that
+        // merely rode the band. The window's MEDIAN per-query ratio
+        // over all floor-matched queries IS the band (a real
+        // regression moves one query, not the median), so flags fire
+        // on v > 1.5 * band * floor. Clamped at >= 1 so a faster-than-
+        // reference window never AMPLIFIES sensitivity, and only
+        // trusted with >= 20 matched pairs.
+        val ratios = finalResults.toSeq.flatMap { case (k, v) =>
+          best.get(k).collect { case bt if v >= 0 && bt > 0 => v / bt }
+        }.sorted
+        val band =
+          if (ratios.size < 20) 1.0
+          else math.max(1.0, ratios(ratios.size / 2))
+        bandRatio = band
         finalResults.toSeq.sortBy(_._1).flatMap { case (k, v) =>
           best.get(k).collect {
-            case bt if v >= 0 && v > 1.5 * bt && !(v < 0.15 && bt < 0.15) =>
+            case bt if v >= 0 && v > 1.5 * band * bt &&
+                !(v < 0.15 && bt < 0.15 * band) =>
               "\"" + k + "\":" + fmt(v / bt)
           }
         }.mkString("{", ",", "}")
       }
     } catch { case _: Throwable => "{}" }
-    val summary = s""""metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"passes":$repeat,"clean":$clean,"dirty_rerun":$rerun,"cold_total":${fmt(coldSum)},"memo_build_s":${fmt(memoBuildS)},"memo_builds":$memoBuilds,"sentinel_pre":${fmt(sentinelPre)},"sentinel_post":${fmt(sentinelPost)},"sentinel_max":${fmt(sentinelMax)},"io_pre":${fmt(ioPre)},"io_post":${fmt(ioPost)},"io_max":${fmt(ioMax)},"gc_sec":${fmt(gcSec)},"cache_gb_pre":${fmt(cacheGbPre)},"cache_gb_post":${fmt(cachedGb())}$rerunFields,"slowest":$slowest,"dominant":$dominant,"regressions":$regressions,"sf":"$sfDir""""
+    val summary = s""""metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"passes":$repeat,"clean":$clean,"dirty_rerun":$rerun,"cold_total":${fmt(coldSum)},"memo_build_s":${fmt(memoBuildS)},"memo_builds":$memoBuilds,"sentinel_pre":${fmt(sentinelPre)},"sentinel_post":${fmt(sentinelPost)},"sentinel_max":${fmt(sentinelMax)},"io_pre":${fmt(ioPre)},"io_post":${fmt(ioPost)},"io_max":${fmt(ioMax)},"gc_sec":${fmt(gcSec)},"cache_gb_pre":${fmt(cacheGbPre)},"cache_gb_post":${fmt(cachedGb())}$rerunFields,"slowest":$slowest,"dominant":$dominant,"regressions":$regressions,"band_ratio":${fmt(bandRatio)},"sf":"$sfDir""""
     val fullJson = s"""{"queries":$qs,$summary}"""
     // ALL warnings print (and stderr flushes) BEFORE the JSON lines:
     // the driver keeps a bounded tail of the COMBINED capture and

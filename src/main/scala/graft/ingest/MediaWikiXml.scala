@@ -181,6 +181,25 @@ object MediaWikiXml {
       .select(col("page_id"), col("from_title"), col("to_title"))
   }
 
+  /** `[[Category:…]]` membership per page — MediaWiki's categorylinks
+    * table from the same flattened frame as [[extractLinks]]: one
+    * codegen'd regex pass ([[graft.ops.WikitextOps.categoriesOf]], the
+    * expression q171 grades cross-engine), sortkeys stripped,
+    * first-letter-normalized. */
+  def categoryLinks(flat: DataFrame): DataFrame =
+    flat.filter(col("text").isNotNull)
+      .select(col("page_id"), col("title").as("from_title"),
+        explode(graft.ops.WikitextOps.categoriesOf("text")).as("category"))
+
+  /** `{{template}}` transclusions per page — the templatelinks table:
+    * every transclusion opener's normalized name
+    * ([[graft.ops.WikitextOps.templatesOf]], graded as q172), parser
+    * functions excluded. */
+  def templateLinks(flat: DataFrame): DataFrame =
+    flat.filter(col("text").isNotNull)
+      .select(col("page_id"), col("title").as("from_title"),
+        explode(graft.ops.WikitextOps.templatesOf("text")).as("template"))
+
   /** The distinct link graph with per-page out-degree — the edge list
     * a PageRank/centrality pass (q97's machinery) consumes; built on
     * the LATEST revision per page so the graph reflects current

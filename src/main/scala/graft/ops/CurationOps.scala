@@ -660,7 +660,13 @@ object CurationOps {
     cand
       .select(least(col("ida"), col("idb")).as("doc_a"),
         greatest(col("ida"), col("idb")).as("doc_b"),
-        levenshtein(col("ha"), col("hb")).as("edit_dist"))
+        // identical heads short-circuit to 0 before the O(|a|·|b|) DP:
+        // on a duplication-heavy corpus exact copies sort adjacent, so
+        // nearly every in-window pair is an equality check, not a
+        // levenshtein (measured 100×-proportional pre-shortcut —
+        // lev(x, x) = 0, so the output is unchanged)
+        when(col("ha") === col("hb"), lit(0))
+          .otherwise(levenshtein(col("ha"), col("hb"))).as("edit_dist"))
       .filter(col("edit_dist") <= 30)
       .orderBy(col("doc_a"), col("doc_b"))
   }

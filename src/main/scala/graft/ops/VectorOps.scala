@@ -23,6 +23,11 @@ object VectorOps {
   private def dotSql(a: String, b: String): String =
     s"list_sum([CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) for i in generate_series(1,64)])"
 
+  /** SQL fragment: the round(6) cosine both engines share
+    * (cosineSimFast's dot/(|a|·|b|) with one final ROUND). */
+  private def cosSql(a: String, b: String): String =
+    s"ROUND(${dotSql(a, b)} / (SQRT(${dotSql(a, a)}) * SQRT(${dotSql(b, b)})), 6)"
+
   /** B29 cosine similarity on adjacent-id pairs. */
   def cosineAdjacent(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -777,9 +782,22 @@ object VectorOps {
       val probe2 = ivfScored(s, d)
         .withColumn("rn", row_number().over(w2)).filter(col("rn") <= 2)
         .select(col("vec_id"), col("embedding"), col("label").as("cell"))
-      val a = probe2.select(col("cell"), col("vec_id").as("src"),
+      // BOTH join sides at REPRESENTATIVE grain (q112's dedup-first
+      // precondition in vector space, round 12): identical embeddings
+      // score identically, so copies share cells and the per-cell
+      // self-join would otherwise pay pairs QUADRATIC in the
+      // duplication factor (the killed 100×-corpus run: ~10^10
+      // cosines). Per-cell min(vec_id) IS the global rep — identical
+      // vectors get identical cell assignments — and on a corpus with
+      // no exact-duplicate embeddings the grouping is a no-op, so the
+      // graded native-SF graph is unchanged. Graph nodes are reps;
+      // the beam's entry points (lowest vec_ids) are reps by
+      // construction.
+      val reps = probe2.groupBy(col("cell"), col("embedding"))
+        .agg(min(col("vec_id")).as("vid"))
+      val a = reps.select(col("cell"), col("vid").as("src"),
         col("embedding").as("ev"))
-      val b = probe2.select(col("cell"), col("vec_id").as("dst"),
+      val b = reps.select(col("cell"), col("vid").as("dst"),
         col("embedding").as("dv"))
       val wm = org.apache.spark.sql.expressions.Window
         .partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
@@ -861,7 +879,9 @@ object VectorOps {
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         round(cosineSimFast(col("embedding"), col("qv")), 6).as("cos"))
-      .join(seen, Seq("qid", "vec_id"), "left")
+      // the beam frame is checkpoint-derived (no stats): pin the hash
+      // join, or the planner falls to sort-merge on the truth side
+      .join(seen.hint("shuffle_hash"), Seq("qid", "vec_id"), "left")
       .withColumn("rk", row_number().over(w))
       .groupBy(col("qid"))
       .agg(sum(when(col("seen").isNotNull, 1L).otherwise(0L)).as("n_cand"),
@@ -872,18 +892,97 @@ object VectorOps {
       .orderBy(col("qid"))
   }
 
+  /** The deterministic-quantizer scoring chain (centroids + every
+    * (vector, cell) score) shared by the q152 and q170 oracles — the
+    * SQL twin of [[ivfScored]] under [[ivfCentroids]]. */
+  private val centScSqlCtes =
+    """cent AS (
+      |  SELECT label, list(c ORDER BY i) AS cv FROM (
+      |    SELECT label, i,
+      |      CAST(CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS c
+      |    FROM (SELECT label, unnest(embedding) AS e,
+      |          generate_subscripts(embedding, 1) AS i FROM embeddings) t
+      |    GROUP BY label, i) u GROUP BY label),
+      |sc AS (SELECT e.vec_id, e.embedding, cent.label,
+      |    list_sum([cv[i]*cv[i] for i in generate_series(1,64)])
+      |    - 2 * list_sum([CAST(embedding[i] AS DOUBLE)*cv[i] for i in generate_series(1,64)]) AS score
+      |  FROM embeddings e, cent)""".stripMargin
+
+  /** q170: the GRAPH-ANN serving operating point, graded (VERDICT_r11
+    * #3) — [[nswServingRecall]] frozen at the deterministic default
+    * build/search recipe (M=8 graph from top-2 IVF cells, ef=24,
+    * hops=4, entries=4, round(6) cosine, vec_id tiebreaks everywhere),
+    * so the serving stack's graph index family has a CORRECTNESS row
+    * next to q152's IVF point instead of riding the spec lane. The
+    * fixed hop count is what makes the beam SQL-expressible: the
+    * oracle unrolls the four frontier→expand→union rounds as
+    * materialized CTEs over the same SQL-reconstructed edge list. */
+  def graphAnnRecall(s: SparkSession, d: String): DataFrame =
+    nswServingRecall(s, d)
+
+  private lazy val graphAnnRecallSql: String = {
+    val (m, ef, hops, entries) = (8, 24, 4, 4)
+    // one frontier→expand→union round; every v{h} is MATERIALIZED —
+    // DuckDB inlines non-recursive CTEs, and v{h} is read three times
+    // (frontier, anti-join, union), so an unmaterialized unroll would
+    // re-evaluate the whole prefix exponentially (the q84 lesson)
+    val rounds = (1 to hops).map { h =>
+      s"""f$h AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, hop,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |    FROM v${h - 1}) WHERE rk <= $ef AND hop = ${h - 1}),
+         |e$h AS (SELECT x.qid, x.vec_id,
+         |    ${cosSql("em.embedding", "q.qv")} AS cos, $h AS hop
+         |  FROM (SELECT DISTINCT f.qid, g.dst AS vec_id
+         |        FROM f$h f JOIN g ON g.src = f.vec_id) x
+         |  JOIN embeddings em ON em.vec_id = x.vec_id
+         |  JOIN q ON q.qid = x.qid
+         |  WHERE x.vec_id <> x.qid AND NOT EXISTS (
+         |    SELECT 1 FROM v${h - 1} v
+         |    WHERE v.qid = x.qid AND v.vec_id = x.vec_id)),
+         |v$h AS MATERIALIZED (SELECT * FROM v${h - 1}
+         |  UNION ALL SELECT qid, vec_id, cos, hop FROM e$h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $centScSqlCtes,
+       |asg2 AS MATERIALIZED (SELECT vec_id, embedding, label AS cell FROM (
+       |    SELECT vec_id, embedding, label,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, label) AS rn
+       |    FROM sc) WHERE rn <= 2),
+       |reps AS (SELECT cell, embedding, MIN(vec_id) AS vid
+       |         FROM asg2 GROUP BY cell, embedding),
+       |g AS MATERIALIZED (SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+       |    FROM (SELECT DISTINCT a.vid AS src, b.vid AS dst,
+       |            ${cosSql("a.embedding", "b.embedding")} AS cos
+       |          FROM reps a JOIN reps b
+       |            ON a.cell = b.cell AND a.vid <> b.vid))
+       |  WHERE rn <= $m),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |      WHERE vec_id % 100 = 0),
+       |entry AS (SELECT vec_id, embedding FROM embeddings
+       |          ORDER BY vec_id LIMIT $entries),
+       |v0 AS MATERIALIZED (SELECT q.qid, e.vec_id,
+       |    ${cosSql("e.embedding", "q.qv")} AS cos, 0 AS hop
+       |  FROM q, entry e WHERE e.vec_id <> q.qid),
+       |$rounds,
+       |seen AS (SELECT qid, vec_id FROM v$hops),
+       |bf0 AS (SELECT q.qid, e.vec_id,
+       |    ${cosSql("e.embedding", "q.qv")} AS cos
+       |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+       |bf AS (SELECT qid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+       |  FROM bf0)
+       |SELECT bf.qid,
+       |  CAST(SUM(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+       |  CAST(SUM(CASE WHEN s.vec_id IS NOT NULL AND bf.rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  CAST(SUM(CASE WHEN s.vec_id IS NOT NULL AND bf.rk <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS recall10
+       |FROM bf LEFT JOIN seen s ON s.qid = bf.qid AND s.vec_id = bf.vec_id
+       |GROUP BY bf.qid ORDER BY bf.qid""".stripMargin
+  }
+
   private lazy val ivfServingRecallSql =
-    s"""WITH cent AS (
-       |  SELECT label, list(c ORDER BY i) AS cv FROM (
-       |    SELECT label, i,
-       |      CAST(CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS c
-       |    FROM (SELECT label, unnest(embedding) AS e,
-       |          generate_subscripts(embedding, 1) AS i FROM embeddings) t
-       |    GROUP BY label, i) u GROUP BY label),
-       |sc AS (SELECT e.vec_id, e.embedding, cent.label,
-       |    list_sum([cv[i]*cv[i] for i in generate_series(1,64)])
-       |    - 2 * list_sum([CAST(embedding[i] AS DOUBLE)*cv[i] for i in generate_series(1,64)]) AS score
-       |  FROM embeddings e, cent),
+    s"""WITH $centScSqlCtes,
        |asg AS (SELECT vec_id, embedding, label,
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, label) AS rn FROM sc),
        |probes AS (SELECT qid, label FROM (
@@ -1406,6 +1505,8 @@ object VectorOps {
       "B31 IVF ANN: deterministic centroid quantizer, probed-cell re-rank"),
     QueryDef("q152_ivf_serving_recall", ivfServingRecall, Some(ivfServingRecallSql),
       "B92 serving-grade IVF operating point: nProbe=7, mean recall@10 >= 0.8 pinned"),
+    QueryDef("q170_graph_ann_recall", graphAnnRecall, Some(graphAnnRecallSql),
+      "graph-ANN (NSW) serving point: M=8 blocked-build graph, ef=24 4-hop beam, recall@10 vs brute force"),
     QueryDef("q156_ivf_delta_assign", ivfDeltaAssign, Some(ivfDeltaAssignSql),
       "B96 IVF index delta maintenance: map-only assignment of an arriving batch + drift report"),
     QueryDef("q136_multiprobe_ann", pqRerankAnnWide, Some(pqRerankAnnWideSql),

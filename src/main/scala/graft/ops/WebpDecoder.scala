@@ -9,20 +9,20 @@ package graft.ops
   * 2-D neighbor map, a hash-addressed color cache, and the
   * subtract-green inverse transform.
   *
-  * Supported subset (the honest claim for a from-scratch parser, the
-  * GifDecoder posture): single-group streams (no meta-prefix image)
-  * with ALL FOUR transforms — SUBTRACT_GREEN, PREDICTOR (all 14
-  * modes, sub-image-coded block modes), COLOR (cross-color
-  * multipliers, signed int8 delta arithmetic) and COLOR_INDEXING
-  * (delta-coded palette, packed sub-byte indices) — inverses applied
-  * in reverse bitstream order per the spec. The one remaining
-  * combination outside the subset: COLOR_INDEXING together with any
-  * other transform (the packed-width interaction; encoders emit
-  * palette transforms alone) returns None, as does an out-of-range
-  * palette index (stricter than libwebp's black pixel: a wrong
-  * feature is worse than no feature). Any
+  * Coverage (round 12: the full VP8L feature set): meta-prefix entropy
+  * images (N prefix-code groups selected per pixel block, the
+  * spec's (red<<8|green) group index) and ALL FOUR transforms —
+  * SUBTRACT_GREEN, PREDICTOR (all 14 modes, sub-image-coded block
+  * modes), COLOR (cross-color multipliers, signed int8 delta
+  * arithmetic) and COLOR_INDEXING (delta-coded palette, packed
+  * sub-byte indices) — in ANY spec-legal combination: a palette read
+  * shrinks the working width for everything read after it (libwebp's
+  * ReadTransform posture), and inverses apply in reverse bitstream
+  * order walking the widths back. An out-of-range palette index
+  * returns None (stricter than libwebp's black pixel: a wrong
+  * feature is worse than no feature), as does any
   * truncated, malformed, version≠0, or non-opaque-alpha payload
-  * returns None (a mean over transparent pixels is not a mean — the
+  * (a mean over transparent pixels is not a mean — the
   * GIF transparency rule).
   *
   * Format facts used here are from the public "WebP Lossless
@@ -200,8 +200,27 @@ object WebpDecoder {
       if (cacheFlag && (cacheBits < 1 || cacheBits > 11)) return null
       val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
       val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
-      // meta prefix (single group only): spatially-coded image only
-      if (isMain && br.bit() == 1) return null // entropy image: outside the subset
+      // meta prefix (spatially-coded image only): an entropy image at
+      // block grain selects which of N prefix-code GROUPS decodes each
+      // pixel — group index = (red << 8) | green of the block's entropy
+      // pixel, group count = max index + 1 (the spec's rule). The
+      // entropy image is itself an entropy-coded image (recursive call,
+      // never meta-coded per the ABNF).
+      var metaCodes: Array[Int] = null
+      var metaW = 0
+      var metaBits = 0
+      var numGroups = 1
+      if (isMain && br.bit() == 1) {
+        metaBits = br.bits(3) + 2
+        metaW = (ew + (1 << metaBits) - 1) >> metaBits
+        val mh = (eh + (1 << metaBits) - 1) >> metaBits
+        val mimg = entropyImage(metaW, mh, isMain = false)
+        if (mimg == null) return null
+        metaCodes = mimg.map(p => ((p >>> 16) & 0xff) << 8 | ((p >>> 8) & 0xff))
+        numGroups = metaCodes.max + 1
+        // fixture-scale sanity bound, same spirit as the w*h cap
+        if (numGroups > (1 << 16)) return null
+      }
 
       def readCode(alphabetSize: Int): PrefixCode = {
         val lengths = new Array[Int](alphabetSize)
@@ -257,13 +276,24 @@ object WebpDecoder {
         new PrefixCode(lengths)
       }
 
-      val greenCode = readCode(256 + 24 + cacheSize)
-      val redCode = readCode(256)
-      val blueCode = readCode(256)
-      val alphaCode = readCode(256)
-      val distCode = readCode(40)
-      if (!greenCode.valid || !redCode.valid || !blueCode.valid ||
-        !alphaCode.valid || !distCode.valid) return null
+      // one 5-code group per meta index, read in index order
+      val greenCodes = new Array[PrefixCode](numGroups)
+      val redCodes = new Array[PrefixCode](numGroups)
+      val blueCodes = new Array[PrefixCode](numGroups)
+      val alphaCodes = new Array[PrefixCode](numGroups)
+      val distCodes = new Array[PrefixCode](numGroups)
+      var gi = 0
+      while (gi < numGroups) {
+        greenCodes(gi) = readCode(256 + 24 + cacheSize)
+        redCodes(gi) = readCode(256)
+        blueCodes(gi) = readCode(256)
+        alphaCodes(gi) = readCode(256)
+        distCodes(gi) = readCode(40)
+        if (!greenCodes(gi).valid || !redCodes(gi).valid ||
+          !blueCodes(gi).valid || !alphaCodes(gi).valid ||
+          !distCodes(gi).valid) return null
+        gi += 1
+      }
 
       // LZ77 prefix value: codes 0..3 are 1..4; above that, extra bits.
       // The cap differs by alphabet: length symbols stop at 24, distance
@@ -286,13 +316,24 @@ object WebpDecoder {
           cache(((0x1e35a7bd * argb) >>> (32 - cacheBits))) = argb
       var pos = 0
       while (pos < n) {
+        // the prefix group is selected by the CURRENT pixel's block
+        // (re-evaluated per symbol — an LZ77 copy can cross blocks)
+        val grp =
+          if (metaCodes == null) 0
+          else {
+            val idx = metaCodes(((pos / ew) >> metaBits) * metaW +
+              ((pos % ew) >> metaBits))
+            if (idx >= numGroups) return null
+            idx
+          }
+        val greenCode = greenCodes(grp)
         val s = greenCode.read(br)
         if (s < 0 || br.truncated) return null
         if (s < 256) {
           val g = s
-          val r = redCode.read(br)
-          val b = blueCode.read(br)
-          val a = alphaCode.read(br)
+          val r = redCodes(grp).read(br)
+          val b = blueCodes(grp).read(br)
+          val a = alphaCodes(grp).read(br)
           if (r < 0 || b < 0 || a < 0 || br.truncated) return null
           val argb = (a << 24) | (r << 16) | (g << 8) | b
           pix(pos) = argb
@@ -300,7 +341,7 @@ object WebpDecoder {
           pos += 1
         } else if (s < 256 + 24) {
           val length = lz77Value(s - 256, 24)
-          val ds = distCode.read(br)
+          val ds = distCodes(grp).read(br)
           if (ds < 0 || br.truncated) return null
           val dcode = lz77Value(ds, 40)
           if (length < 1 || dcode < 1) return null
@@ -349,7 +390,14 @@ object WebpDecoder {
     final case class PaletteXf(widthBits: Int, colors: Array[Int])
     val xforms = scala.collection.mutable.ArrayBuffer.empty[Any]
     var seenTransforms = 0
-    var paletteWidthBits = -1
+    // COLOR_INDEXING packs sub-byte indices, so everything READ AFTER
+    // it — later transforms' block sub-images and the main image —
+    // lives at the PACKED width (libwebp's ReadTransform shrinks xsize
+    // in place); transforms read before it stay at the full width.
+    // The inverse pass below walks widths back in reverse
+    // automatically via `pw`, so any spec-legal combination of the
+    // four transforms decodes (the round-11 gap).
+    var curW = w
     while (br.bit() == 1) {
       val ttype = br.bits(2)
       if ((seenTransforms & (1 << ttype)) != 0) return None // each at most once
@@ -357,7 +405,7 @@ object WebpDecoder {
       ttype match {
         case 0 | 1 => // PREDICTOR / COLOR: block-grain sub-image
           val sizeBits = br.bits(3) + 2
-          val sw = (w + (1 << sizeBits) - 1) >> sizeBits
+          val sw = (curW + (1 << sizeBits) - 1) >> sizeBits
           val sh = (h + (1 << sizeBits) - 1) >> sizeBits
           val sub = entropyImage(sw, sh, isMain = false)
           if (sub == null) return None
@@ -374,26 +422,21 @@ object WebpDecoder {
           while (i < tableSize) { // palette entries are delta-coded
             colors(i) = addPix(raw(i), prev); prev = colors(i); i += 1
           }
-          paletteWidthBits =
+          val widthBits =
             if (tableSize <= 2) 3
             else if (tableSize <= 4) 2
             else if (tableSize <= 16) 1
             else 0
-          xforms += PaletteXf(paletteWidthBits, colors)
+          if (widthBits > 0) curW = (w + (1 << widthBits) - 1) >> widthBits
+          xforms += PaletteXf(widthBits, colors)
       }
     }
-    // the packed-width interaction between COLOR_INDEXING and the
-    // block-grain transforms is the one remaining out-of-subset combo
-    if (paletteWidthBits >= 0 && xforms.size > 1) return None
 
-    // ---- main (spatially coded) image — at the PACKED width when a
-    // palette transform is present ----
-    val mainW =
-      if (paletteWidthBits > 0) (w + (1 << paletteWidthBits) - 1) >> paletteWidthBits
-      else w
-    var pix = entropyImage(mainW, h, isMain = true)
+    // ---- main (spatially coded) image — at the current (packed when
+    // a palette transform was read) width ----
+    var pix = entropyImage(curW, h, isMain = true)
     if (pix == null) return None
-    var pw = mainW // current buffer width as inverses apply
+    var pw = curW // current buffer width as inverses apply
 
     // ---- inverse transforms, REVERSE bitstream order ----
     var xi = xforms.size - 1

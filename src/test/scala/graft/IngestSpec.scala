@@ -188,6 +188,31 @@ class IngestSpec extends AnyFunSuite with LocalSparkSuite {
     g.foreach(r => assert(r.getLong(2) >= 1L))
   }
 
+  test("A14+ categorylinks/templatelinks: the wiki structure tables") {
+    val dir = java.nio.file.Files.createTempDirectory("catdump")
+    val xml =
+      """<mediawiki><page><title>Cats</title><ns>0</ns><id>1</id>
+        |<revision><id>10</id><timestamp>2024-01-01T00:00:00Z</timestamp>
+        |<contributor><username>u</username><id>5</id></contributor>
+        |<text bytes="9">Body [[Category:Living_people]] [[category:1970 births|Cats]]
+        |[[Category: Padded ]] [[Plain link]] {{Infobox_person|name=x}}
+        |{{cite web|url={{URL_helper}}}} {{#if:a|b}} {{ lowercase }}</text>
+        |<sha1>x</sha1></revision></page></mediawiki>""".stripMargin
+    java.nio.file.Files.writeString(dir.resolve("d.xml"), xml)
+    val f = MediaWikiXml.flattenRevisions(
+      MediaWikiXml.readPages(spark, dir.resolve("d.xml").toString))
+    val cats = MediaWikiXml.categoryLinks(f).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(cats === Set(
+      (1L, "Cats", "Living people"),   // underscore -> space
+      (1L, "Cats", "1970 births"),     // lowercase prefix + sortkey stripped
+      (1L, "Cats", "Padded")))         // trimmed; [[Plain link]] excluded
+    val tpls = MediaWikiXml.templateLinks(f).collect()
+      .map(_.getString(2)).sorted.toSeq
+    // parser function {{#if}} dropped; nested {{URL_helper}} reported
+    assert(tpls === Seq("Cite web", "Infobox person", "Lowercase", "URL helper"))
+  }
+
   test("link PageRank: mass conserved, link targets outrank isolates") {
     val r = MediaWikiXml.linkRank(flat).collect()
     val total = r.map(_.getDouble(1)).sum

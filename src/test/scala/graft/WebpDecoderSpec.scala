@@ -384,16 +384,91 @@ class WebpDecoderSpec extends AnyFunSuite {
     writeMainPixels(bw, Seq(packArgb(255, 0, 0 | (1 << 2) | (2 << 4) | (3 << 6), 0)))
     assert(WebpDecoder.decode(riff(0x2f.toByte +: bw.toBytes)).isEmpty,
       "out-of-range palette index must not decode")
-    // palette combined with another transform: outside the subset
-    val bw2 = new BitWriter
-    header(bw2, 4, 1)
-    bw2.bit(1); bw2.bits(2, 2) // subtract-green
-    bw2.bit(1); bw2.bits(3, 2); bw2.bits(2, 8)
-    writeSubImage(bw2, raw)
-    bw2.bit(0)
-    writeMainPixels(bw2, Seq(packArgb(255, 0, 0, 0)))
-    assert(WebpDecoder.decode(riff(0x2f.toByte +: bw2.toBytes)).isEmpty,
-      "palette + subtract-green must stay outside the subset")
+  }
+
+  test("color-indexing combined with subtract-green decodes (round 12)") {
+    // read order [SG, PAL] -> inverses [PAL, SG]: unpack to the stored
+    // palette colors, then the subtract-green inverse adds g to r and b
+    val colors = Array(packArgb(255, 1, 1, 1), packArgb(255, 2, 2, 2),
+      packArgb(255, 3, 3, 3))
+    val raw = colors.indices.map(i =>
+      if (i == 0) colors(0) else subPix(colors(i), colors(i - 1)))
+    val bw = new BitWriter
+    header(bw, 4, 1)
+    bw.bit(1); bw.bits(2, 2) // subtract-green (read first, inverted last)
+    bw.bit(1); bw.bits(3, 2); bw.bits(2, 8) // COLOR_INDEXING, tableSize 3
+    writeSubImage(bw, raw)
+    bw.bit(0)
+    // indices (0, 1, 2, 0) packed into one green byte (widthBits 2)
+    writeMainPixels(bw, Seq(packArgb(255, 0, 0 | (1 << 2) | (2 << 4) | (0 << 6), 0)))
+    val got = WebpDecoder.decode(riff(0x2f.toByte +: bw.toBytes))
+    assert(got.isDefined, "palette + subtract-green is in the full-VP8L subset now")
+    val sgInv = Array(0, 1, 2, 0).map(colors).map { p =>
+      val g = chn(p, 8)
+      packArgb(chn(p, 24), (chn(p, 16) + g) & 0xff, g, (chn(p, 0) + g) & 0xff)
+    }
+    assert(got.get == meansOfArgb(sgInv).copy(width = 4, height = 1))
+  }
+
+  test("color-indexing combined with predictor decodes at the packed width (round 12)") {
+    // read order [PAL, PRED]: the predictor was read AFTER the palette,
+    // so it applies to the PACKED image (width 3, the green bytes are
+    // packed index pairs) and inverts FIRST; its block sub-image is
+    // sized from the packed width.
+    val w = 6; val h = 2
+    val colors = Array(packArgb(255, 10, 20, 30), packArgb(255, 200, 150, 5),
+      packArgb(255, 0, 255, 128), packArgb(255, 77, 66, 55),
+      packArgb(255, 1, 2, 3))
+    val raw = colors.indices.map(i =>
+      if (i == 0) colors(0) else subPix(colors(i), colors(i - 1)))
+    val idx = Array(0, 4, 1, 1, 3, 2, 2, 0, 4, 3, 1, 0)
+    val packedW = 3 // tableSize 5 -> widthBits 1 -> 2 indices per byte
+    val packed = (0 until h).flatMap { y =>
+      (0 until packedW).map { px =>
+        val lo = idx(y * w + 2 * px); val hi = idx(y * w + 2 * px + 1)
+        packArgb(255, 0, lo | (hi << 4), 0)
+      }
+    }.toArray
+    // predictor at packed width: one block (sizeBits 2 covers 3x2), mode 1 (L)
+    val sizeBits = 2; val sw = (packedW + 3) >> 2
+    val modes = Array(packArgb(255, 0, 1, 0))
+    val residuals = predForward(packed, packedW, h, sizeBits, sw, modes)
+    val bw = new BitWriter
+    header(bw, w, h)
+    bw.bit(1); bw.bits(3, 2); bw.bits(4, 8) // COLOR_INDEXING, tableSize 5
+    writeSubImage(bw, raw)
+    bw.bit(1); bw.bits(0, 2) // PREDICTOR (read second: packed width)
+    bw.bits(sizeBits - 2, 3)
+    writeSubImage(bw, modes)
+    bw.bit(0)
+    writeMainPixels(bw, residuals)
+    val got = WebpDecoder.decode(riff(0x2f.toByte +: bw.toBytes))
+    assert(got.isDefined, "palette + predictor is in the full-VP8L subset now")
+    assert(got.get == meansOfArgb(idx.map(colors)).copy(width = w, height = h))
+  }
+
+  test("meta-prefix entropy image: two prefix-code groups select per block (round 12)") {
+    // 8x1 image, metaBits 2 -> two 4px blocks; the meta entropy image
+    // maps block 0 -> group 0, block 1 -> group 1 via (red<<8)|green.
+    // Each group is five single-symbol simple codes, so the groups'
+    // literals differ with zero data bits — the decode is the group map.
+    val bw = new BitWriter
+    header(bw, 8, 1)
+    bw.bit(0) // no transforms
+    bw.bit(0) // no color cache
+    bw.bit(1) // meta prefix present
+    bw.bits(0, 3) // metaBits = 2 -> metaW = 2
+    writeSubImage(bw, Seq(packArgb(255, 0, 0, 0), packArgb(255, 0, 1, 0)))
+    // group 0: literal (r,g,b,a) = (6,5,7,255)
+    writeSimple(bw, Seq(5)); writeSimple(bw, Seq(6)); writeSimple(bw, Seq(7))
+    writeSimple(bw, Seq(255)); writeSimple(bw, Seq(0))
+    // group 1: literal (10,9,11,255)
+    writeSimple(bw, Seq(9)); writeSimple(bw, Seq(10)); writeSimple(bw, Seq(11))
+    writeSimple(bw, Seq(255)); writeSimple(bw, Seq(0))
+    // zero data bits: every pixel decodes from its block's group codes
+    val got = WebpDecoder.decode(riff(0x2f.toByte +: bw.toBytes))
+    assert(got.isDefined, "meta-prefix stream must decode")
+    assert(got.get == MultimodalOps.DecodedImage(8, 1, 8.0, 7.0, 9.0))
   }
 
   test("literal-only stream with simple prefix codes decodes exactly") {
