@@ -101,6 +101,14 @@ def main(argv):
                 continue
             if q not in best or t < best[q][0]:
                 best[q] = (t, os.path.basename(rp))
+    # newest ref separately: a flag must also hold round-over-round
+    # (mirrors graft.Bench — a host-band shift vs an old fast reference
+    # is not a regression)
+    newest = {}
+    if clean_refs:
+        for q, t in clean_refs[-1][1].get("queries", {}).items():
+            if t is not None and t >= 0:
+                newest[q] = t
     if not best:
         print("bench_diff: no clean reference queries to compare against")
         return 2
@@ -123,7 +131,9 @@ def main(argv):
             new.append((q, t))
             continue
         bt, src = best[q]
-        if t > RATIO * band * bt and not (t < MIN_ABS and bt < MIN_ABS * band):
+        if (t > RATIO * band * bt
+                and not (t < MIN_ABS and bt < MIN_ABS * band)
+                and (q not in newest or t > RATIO * band * newest[q])):
             regressions.append((q, t, bt, src))
         elif bt > RATIO * t and not (t < MIN_ABS and bt < MIN_ABS):
             improvements.append((q, t, bt, src))

@@ -441,7 +441,8 @@ object Bench {
           try listing.iterator().asScala
             .filter(_.toString.endsWith(".json")).toSeq
           finally listing.close()
-        refFiles
+        val newest = scala.collection.mutable.Map.empty[String, Double]
+        val rolling = refFiles
           .flatMap { p =>
             try {
               val node = mapper.readTree(p.toFile)
@@ -450,13 +451,23 @@ object Bench {
           }
           .sortBy(pn => refOrder(pn._1.getFileName.toString))
           .takeRight(3)
-          .foreach { case (_, node) =>
-            node.path("queries").fields().asScala.foreach { e =>
-              val t = e.getValue.asDouble(-1)
-              if (t >= 0 && t < best.getOrElse(e.getKey, Double.MaxValue))
-                best(e.getKey) = t
-            }
+        rolling.foreach { case (_, node) =>
+          node.path("queries").fields().asScala.foreach { e =>
+            val t = e.getValue.asDouble(-1)
+            if (t >= 0 && t < best.getOrElse(e.getKey, Double.MaxValue))
+              best(e.getKey) = t
           }
+        }
+        // the NEWEST ref separately: a flag must also hold round-over-
+        // round, or a one-day host-band shift vs an old fast reference
+        // reads as a dozen regressions (the r11->r12 A/B: identical
+        // commit, text micro-queries 2x an older window's floor)
+        rolling.lastOption.foreach { case (_, node) =>
+          node.path("queries").fields().asScala.foreach { e =>
+            val t = e.getValue.asDouble(-1)
+            if (t >= 0) newest(e.getKey) = t
+          }
+        }
         // BAND NORMALIZATION (VERDICT_r11 #6): the references were
         // measured in the repo's own quiet windows; a driver window on
         // the same host can run uniformly ~1.3-1.9x slower (same-day
@@ -478,7 +489,8 @@ object Bench {
         finalResults.toSeq.sortBy(_._1).flatMap { case (k, v) =>
           best.get(k).collect {
             case bt if v >= 0 && v > 1.5 * band * bt &&
-                !(v < 0.15 && bt < 0.15 * band) =>
+                !(v < 0.15 && bt < 0.15 * band) &&
+                newest.get(k).forall(nt => v > 1.5 * band * nt) =>
               "\"" + k + "\":" + fmt(v / bt)
           }
         }.mkString("{", ",", "}")

@@ -88,7 +88,10 @@ object PlanDump {
       "q163_neardup_sim_histogram" -> "B103 similarity histogram: band-bucketed pairs, two skinny shingle join-backs (q104 ints pattern), integer bins, <=10-row rollup",
       "q164_bpe_fertility" -> "B104 fertility: memoized trained merges (LocalTableScan) folded into ONE 30-deep composed native-expression projection — map-only to the source rollup",
       "q165_dedup_degree_dist" -> "B105 degree distribution: band-bucketed pairs, one doc-keyed degree aggregate, <=7-row rollup, zero-degree row via broadcast total",
-      "q166_image_neardup" -> "B106 perceptual image dedup: graft_dhash64 scan-side (payloads never shuffle — only (id, band, 8-byte hash) rows do), df-capped 16-bit band buckets, shuffle_hash band equi-join, exact bit_count verify on the joined row")
+      "q166_image_neardup" -> "B106 perceptual image dedup: graft_dhash64 scan-side (payloads never shuffle — only (id, band, 8-byte hash) rows do), df-capped 16-bit band buckets, shuffle_hash band equi-join, exact bit_count verify on the joined row",
+      "q170_graph_ann_recall" -> "B109 graph-ANN serving point: rep-grain blocked graph build (memoized), broadcast-frontier beam hops, shuffle_hash seen-join against the brute-force truth — no cartesian, no sort-merge",
+      "q171_wikitext_categories" -> "A16 categorylinks: scan -> codegen regexp_extract_all + array transform -> explode -> low-cardinality hash agg (only (category,count) shuffles)",
+      "q172_wikitext_templates" -> "A16 templatelinks: same map-only extract shape, parser functions filtered in the array transform before the explode")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")
     picks.foreach { case (name, why) =>
