@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   * parquet (revisions + namespaces + a latest-revision page table),
   * optionally a batched JDBC load. Row-count metrics ride along via
   * observe() (A13) — no extra pass.
+  *
+  * Multistream dumps: set `SPARK_GRAFT_MULTISTREAM_INDEX=<index file>`
+  * and the page scan switches to [[Multistream.readPages]] — one task
+  * per bz2 stream instead of one task per (non-splittable) file; the
+  * rest of the pipeline is byte-identical (MultistreamSpec's frame
+  * equality). The siteinfo/namespace read stays on the XML source —
+  * the header is stream 0, a single tiny decode.
   */
 object ImportDump {
   def main(args: Array[String]): Unit = {
@@ -32,10 +39,20 @@ object ImportDump {
     spark.sparkContext.setLogLevel("WARN")
 
     val obs = org.apache.spark.sql.Observation("import")
-    val flat = MediaWikiXml.flattenRevisions(MediaWikiXml.readPages(spark, dump))
+    // multistream index present -> splittable parallel scan (A15);
+    // header-only namespace decode rides the same index
+    val msIndex = sys.env.get("SPARK_GRAFT_MULTISTREAM_INDEX")
+    val pages = msIndex match {
+      case Some(idx) => Multistream.readPages(spark, dump, idx)
+      case None => MediaWikiXml.readPages(spark, dump)
+    }
+    val flat = MediaWikiXml.flattenRevisions(pages)
       .observe(obs, count(lit(1)).as("revisions"),
         approx_count_distinct(col("page_id")).as("approx_pages"))
-    val ns = MediaWikiXml.readNamespaces(spark, dump)
+    val ns = msIndex match {
+      case Some(idx) => Multistream.readNamespaces(spark, dump, idx)
+      case None => MediaWikiXml.readNamespaces(spark, dump)
+    }
     val classified = MediaWikiXml.verifySha1(MediaWikiXml.classify(flat, ns))
 
     Sinks.writeParquetPartitioned(classified, s"$outDir/revision")

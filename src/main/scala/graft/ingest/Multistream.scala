@@ -110,6 +110,33 @@ object Multistream {
       }
     }
 
+  /** A2-multistream: the `<siteinfo>` namespace map from the HEADER
+    * stream only — byte range [0, first index offset), one tiny
+    * decode, never the whole dump (the XML source on a multistream
+    * file would decode every stream just to find the header's
+    * namespace tags). Output matches [[MediaWikiXml.readNamespaces]]
+    * column-for-column. */
+  def readNamespaces(spark: SparkSession, dumpPath: String,
+      indexPath: String): DataFrame = {
+    import spark.implicits._
+    val firstOffset = streamRanges(spark, dumpPath, indexPath).head._1
+    val header = decodeRange(dumpPath, 0L, firstOffset)
+    // namespace elements are self-closing or text-bearing
+    val elems = "<namespace\\b[^>]*(?:/>|>[^<]*</namespace>)".r
+      .findAllIn(header).toSeq
+    spark.createDataset(elems).toDF("xml")
+      .select(from_xml(col("xml"), org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_VALUE",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_case",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("_key",
+          org.apache.spark.sql.types.LongType)))).as("n"))
+      .select(col("n._key").cast("int").as("ns_key"),
+        coalesce(col("n._VALUE"), lit("")).as("ns_name"),
+        col("n._case").as("ns_case"))
+  }
+
   /** A1-multistream: page-grain scan of a multistream dump — the
     * parallel twin of [[MediaWikiXml.readPages]], one task per bz2
     * stream, identical output schema and rows. */

@@ -99,6 +99,17 @@ class MultistreamSpec extends AnyFunSuite with LocalSparkSuite {
     assert(pageXml.count() === 8)
   }
 
+  test("header-only namespace read == XML-source namespaces") {
+    val dir = Files.createTempDirectory("msns")
+    val (dump, index) = writeFixture(dir, 3)
+    val fromHeader = Multistream.readNamespaces(spark, dump, index)
+      .orderBy(col("ns_key")).collect().toSeq
+    val fromXml = MediaWikiXml.readNamespaces(
+      spark, "src/test/resources/minidump.xml")
+      .orderBy(col("ns_key")).collect().toSeq
+    assert(fromHeader === fromXml)
+  }
+
   test("splitPages: exact top-level page extraction") {
     val s = "<page><title>A</title></page>junk<page><title>B</title></page>"
     assert(Multistream.splitPages(s).toSeq ===
