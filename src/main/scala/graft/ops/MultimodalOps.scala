@@ -19,7 +19,12 @@ import graft.{QueryDef, Tables}
   * bytes by MultimodalSpec/JpegDecoderSpec/WebpDecoderSpec. Everything
   * else falls back to `decodeStub`, a clearly-marked deterministic
   * stand-in (byte histogram) for the codecs still outside the pure-JVM
-  * tier (lossy WebP (VP8)/PCM/H.264). Around both tiers sits the real Spark
+  * tier (lossy WebP (VP8)/PCM/H.264). For lossy WebP the METADATA is
+  * real even though the pixels are not yet: [[Vp8Decoder.dims]] parses
+  * the RFC 6386 uncompressed frame prefix (and [[Vp8Decoder.parseHeader]]
+  * the whole front-of-frame header through the quantizer block), so a
+  * corpus profile reports true dimensions while the pixel tier waits
+  * on the coefficient/IDCT slice. Around both tiers sits the real Spark
   * plumbing a production pipeline needs and what the tests cover:
   * declared binary schema, partition-local batch processing (one
   * reusable buffer per partition, the mapPartitions analog of a
