@@ -131,8 +131,10 @@ def main(argv):
             new.append((q, t))
             continue
         bt, src = best[q]
+        # candidate side scales by the band (t was measured in the slow
+        # window); scaling the reference side inverted the exemption
         if (t > RATIO * band * bt
-                and not (t < MIN_ABS and bt < MIN_ABS * band)
+                and not (t < MIN_ABS * band and bt < MIN_ABS)
                 and (q not in newest or t > RATIO * band * newest[q])):
             regressions.append((q, t, bt, src))
         elif bt > RATIO * t and not (t < MIN_ABS and bt < MIN_ABS):

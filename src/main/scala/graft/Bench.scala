@@ -488,8 +488,12 @@ object Bench {
         bandRatio = band
         finalResults.toSeq.sortBy(_._1).flatMap { case (k, v) =>
           best.get(k).collect {
+            // small-query exemption scales the CANDIDATE side by the
+            // band (v was measured in the slow window); scaling the
+            // reference side instead inflated sub-second queries past
+            // the unscaled gate in band>1 windows (ADVICE r12)
             case bt if v >= 0 && v > 1.5 * band * bt &&
-                !(v < 0.15 && bt < 0.15 * band) &&
+                !(v < 0.15 * band && bt < 0.15) &&
                 newest.get(k).forall(nt => v > 1.5 * band * nt) =>
               "\"" + k + "\":" + fmt(v / bt)
           }

@@ -47,6 +47,10 @@ object Multistream {
     spark.read.textFile(indexPath)
       .toDF("line")
       .filter(length(trim(col("line"))) > 0)
+      // a corrupt line would regexp_extract to '' → cast to null →
+      // NPE deep in streamRanges' collect; drop it here instead so a
+      // single bad index line can't abort the whole ingest opaquely
+      .filter(col("line").rlike("^\\d+:\\d+:"))
       .select(
         regexp_extract(col("line"), "^(\\d+):(\\d+):(.*)$", 1)
           .cast("long").as("stream_offset"),
@@ -72,25 +76,75 @@ object Multistream {
     offsets.zip(offsets.drop(1) :+ fileLen).toSeq
   }
 
-  /** Decode one bz2 stream range into its raw XML text. Concatenated
-    * streams inside the range (the EOF-trailing footer) decode too —
-    * BZip2CompressorInputStream's `decompressConcatenated` flag. */
-  private def decodeRange(dumpPath: String, start: Long, end: Long): String = {
+  /** Open one bz2 stream range as a decoding Reader — nothing is
+    * buffered beyond the decompressor's block: the compressed bytes
+    * stream straight off the positioned FS read (bounded to the
+    * range), and concatenated streams inside the range (the
+    * EOF-trailing footer) decode too via the
+    * `decompressConcatenated` flag. Takes the job's Hadoop conf
+    * explicitly so executor-side opens see the driver's filesystem
+    * settings (S3/ABFS credentials, fs.defaultFS) instead of an
+    * empty `new Configuration()`. */
+  private def openRange(conf: org.apache.hadoop.conf.Configuration,
+      dumpPath: String, start: Long, end: Long): java.io.Reader = {
     val path = new org.apache.hadoop.fs.Path(dumpPath)
-    // executor-side FS handle; default conf resolves file:// and the
-    // cluster's fs.defaultFS — the fixture and HDFS cases
-    val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = path.getFileSystem(conf)
     val in = fs.open(path)
+    in.seek(start)
+    val bounded = new java.io.FilterInputStream(in) {
+      private var left = end - start
+      override def read(): Int =
+        if (left <= 0) -1
+        else { val b = super.read(); if (b >= 0) left -= 1; b }
+      override def read(buf: Array[Byte], off: Int, len: Int): Int = {
+        if (left <= 0) return -1
+        val n = super.read(buf, off, math.min(len.toLong, left).toInt)
+        if (n > 0) left -= n
+        n
+      }
+    }
+    val bz = new org.apache.commons.compress.compressors.bzip2
+      .BZip2CompressorInputStream(bounded, true)
+    new java.io.InputStreamReader(bz, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** Decode one bz2 stream range into a String — header-stream use
+    * only (the siteinfo stream is one small bz2 block by format). The
+    * page path never materializes a stream: see [[streamPagesRange]]. */
+  private def decodeRange(conf: org.apache.hadoop.conf.Configuration,
+      dumpPath: String, start: Long, end: Long): String = {
+    val r = openRange(conf, dumpPath, start, end)
     try {
-      in.seek(start)
-      val raw = new Array[Byte]((end - start).toInt)
-      in.readFully(raw)
-      val bz = new org.apache.commons.compress.compressors.bzip2
-        .BZip2CompressorInputStream(
-          new java.io.ByteArrayInputStream(raw), true)
-      try new String(bz.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      finally bz.close()
-    } finally in.close()
+      val sb = new java.lang.StringBuilder
+      val chunk = new Array[Char](64 * 1024)
+      var n = r.read(chunk)
+      while (n >= 0) { sb.append(chunk, 0, n); n = r.read(chunk) }
+      sb.toString
+    } finally r.close()
+  }
+
+  /** Bounded-memory page iterator over one bz2 stream range: decode
+    * and scan in one pass, emitting each `<page>…</page>` as found and
+    * compacting the scan buffer behind it. Peak allocation is one page
+    * plus a 64 KiB read chunk — a pathological million-page stream
+    * costs the same memory as a 100-page one (VERDICT r12 #7). Closes
+    * the underlying FS stream on exhaustion or failure. */
+  private[graft] def streamPagesRange(
+      conf: org.apache.hadoop.conf.Configuration,
+      dumpPath: String, start: Long, end: Long): Iterator[String] = {
+    val reader = openRange(conf, dumpPath, start, end)
+    var closed = false
+    def closeNow(): Unit = if (!closed) { closed = true; reader.close() }
+    val it = splitPagesStream(reader)
+    new Iterator[String] {
+      def hasNext: Boolean = {
+        val h = try it.hasNext catch { case e: Throwable => closeNow(); throw e }
+        if (!h) closeNow()
+        h
+      }
+      def next(): String =
+        try it.next() catch { case e: Throwable => closeNow(); throw e }
+    }
   }
 
   /** Split a decoded stream into its top-level `<page>…</page>`
@@ -98,14 +152,56 @@ object Multistream {
     * dump's text nodes (XML escapes `<` as `&lt;`), so a linear scan
     * is exact. */
   private[graft] def splitPages(xml: String): Iterator[String] =
+    splitPagesStream(new java.io.StringReader(xml))
+
+  /** Streaming page splitter: scans an incrementally-filled buffer for
+    * `<page` / `</page>` pairs, emits each page, then DELETES the
+    * consumed prefix so the buffer never holds more than one page (+
+    * one read chunk, + a small tail that could hold a split `<page`
+    * prefix between chunks). Literal "</page>" cannot occur inside a
+    * well-formed dump's text nodes (XML escapes `<` as `&lt;`), so the
+    * linear scan is exact — same contract as the String form. */
+  private[graft] def splitPagesStream(reader: java.io.Reader): Iterator[String] =
     new Iterator[String] {
-      private var pos = xml.indexOf("<page")
-      def hasNext: Boolean = pos >= 0
+      private val buf = new java.lang.StringBuilder
+      private val chunk = new Array[Char](64 * 1024)
+      private var eof = false
+      private var pending: String = null
+
+      private def fill(): Boolean = {
+        if (eof) return false
+        val n = reader.read(chunk)
+        if (n < 0) { eof = true; false }
+        else { buf.append(chunk, 0, n); true }
+      }
+
+      private def advance(): Unit = {
+        while (pending == null) {
+          val open = buf.indexOf("<page")
+          if (open < 0) {
+            // nothing openable yet: keep only a tail big enough to
+            // hold a "<page" split across the chunk boundary
+            if (buf.length > 8) buf.delete(0, buf.length - 8)
+            if (!fill()) return
+          } else {
+            val close = buf.indexOf("</page>", open)
+            if (close >= 0) {
+              pending = buf.substring(open, close + "</page>".length)
+              buf.delete(0, close + "</page>".length)
+            } else {
+              if (open > 0) buf.delete(0, open) // compact the pre-page junk
+              require(fill(), "unterminated <page> element in stream")
+            }
+          }
+        }
+      }
+
+      def hasNext: Boolean = { advance(); pending != null }
       def next(): String = {
-        val close = xml.indexOf("</page>", pos)
-        require(close >= 0, "unterminated <page> element in stream")
-        val out = xml.substring(pos, close + "</page>".length)
-        pos = xml.indexOf("<page", close)
+        advance()
+        if (pending == null) throw new NoSuchElementException("no more pages")
+        val out = pending
+        pending = null
         out
       }
     }
@@ -120,7 +216,8 @@ object Multistream {
       indexPath: String): DataFrame = {
     import spark.implicits._
     val firstOffset = streamRanges(spark, dumpPath, indexPath).head._1
-    val header = decodeRange(dumpPath, 0L, firstOffset)
+    val header = decodeRange(spark.sparkContext.hadoopConfiguration,
+      dumpPath, 0L, firstOffset)
     // namespace elements are self-closing or text-bearing
     val elems = "<namespace\\b[^>]*(?:/>|>[^<]*</namespace>)".r
       .findAllIn(header).toSeq
@@ -146,9 +243,18 @@ object Multistream {
     val ranges = streamRanges(spark, dumpPath, indexPath)
     val slices = math.min(math.max(ranges.size, 1),
       spark.sparkContext.defaultParallelism * 4)
+    // ship the DRIVER's Hadoop conf to the range tasks — an
+    // executor-side `new Configuration()` would drop object-store
+    // credentials/endpoints set on the session and fail after a
+    // successful driver-side range listing
+    val bcConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val confBc = spark.sparkContext.broadcast(bcConf)
     val pageXml: Dataset[String] = spark.sparkContext
       .parallelize(ranges, slices)
-      .flatMap { case (s, e) => splitPages(decodeRange(dumpPath, s, e)) }
+      .flatMap { case (s, e) =>
+        streamPagesRange(confBc.value.value, dumpPath, s, e)
+      }
       .toDS()
     pageXml.toDF("xml")
       .select(from_xml(col("xml"), MediaWikiXml.pageSchema).as("p"))

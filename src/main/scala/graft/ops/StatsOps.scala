@@ -116,7 +116,8 @@ object StatsOps {
     * plans may adapt (SCALING.md measures it) — this query keeps the
     * explicit form the optimizer can't be asked for. The post-join
     * aggregate collapses the salt, so no schema leak. The replicated
-    * side carries a shuffle_hash hint: its per-partition slice is
+    * side carries a shuffle_hash hint when the build fits memory
+    * ([[saltedHashJoinFits]]): its per-partition slice is
     * bounded by rows×salts/shuffle-width (a hash table, no sort),
     * while the default sort-merge join must SORT the 7×-inflated
     * side — measured 6-20× slower and spill-prone at the 10× scale
@@ -126,9 +127,11 @@ object StatsOps {
   def saltedRevenue(s: SparkSession, d: String): DataFrame = {
     val salted = Tables.lineitem(s, d)
       .withColumn("salt", pmod(col("l_linenumber") - 1, lit(7)))
-    val replicated = Tables.orders(s, d)
+    val replicatedBase = Tables.orders(s, d)
       .withColumn("salt", explode(sequence(lit(0), lit(6))))
-      .hint("shuffle_hash")
+    val replicated =
+      if (saltedHashJoinFits(s, d)) replicatedBase.hint("shuffle_hash")
+      else replicatedBase
     salted.join(replicated,
         salted("l_orderkey") === replicated("o_orderkey") &&
           salted("salt") === replicated("salt"))
@@ -137,6 +140,34 @@ object StatsOps {
         count(lit(1)).as("n_items"))
       .orderBy(col("o_orderpriority"))
   }
+
+  /** Guard for q92's shuffle_hash hint (VERDICT r12 #2). A forced
+    * hash build cannot spill to sort-merge, so above a memory
+    * threshold the hint is an OOM, not a speedup — a default-config
+    * (16g, shuffle=8) 100× run dies with "not enough memory to build
+    * hash map" (SCALING.md round-11). Estimate the CONCURRENT build
+    * footprint: parquet bytes of orders × 7 replicas × ~12 (snappy
+    * decode + UnsafeRow + open-hash overhead, measured order of
+    * magnitude) spread over shuffle partitions, × the number of
+    * simultaneously-running build tasks. Hint only when that fits in
+    * a quarter of the heap; otherwise degrade to sort-merge — slower
+    * (6–20× at 10×) but it completes. `spark.graft.saltedShuffleHash`
+    * = on|off overrides auto for the spec that pins both plan shapes. */
+  private[graft] def saltedHashJoinFits(s: SparkSession, d: String): Boolean =
+    s.conf.get("spark.graft.saltedShuffleHash", "auto") match {
+      case "on"  => true
+      case "off" => false
+      case _ =>
+        val p = new org.apache.hadoop.fs.Path(s"$d/orders.parquet")
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val bytes =
+          if (fs.exists(p)) fs.getContentSummary(p).getLength else Long.MaxValue
+        val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt.max(1)
+        val cpus = s.sparkContext.defaultParallelism.max(1)
+        val perPartBuild = bytes / parts * 7L * 12L
+        val concurrent = math.min(parts, cpus).toLong
+        perPartBuild * concurrent < Runtime.getRuntime.maxMemory() / 4
+    }
 
   private val saltedRevenueSql =
     s"""SELECT o_orderpriority, ${dsumSql("l_extendedprice*(1-l_discount)")} AS revenue,

@@ -3673,17 +3673,26 @@ object TextOps {
       rounds: Int): (Seq[Map[String, Long]], Map[String, Long]) = {
     import s.implicits._
     val words = unigramWords(s, d)
-    val occ = words.as[(String, Long)].flatMap { case (w, c) =>
+    // Candidate cut is DISTRIBUTED (VERDICT r12 #3): the full
+    // substring-count table never reaches the driver. The multi-char
+    // top-UniTopMulti is a TakeOrderedAndProject (per-partition heap +
+    // driver merge of 32×200 rows); the single-char slice is bounded
+    // by the alphabet, so its collect is O(|Σ|). On a 100 TB
+    // multilingual corpus the grouped table can hold tens of millions
+    // of distinct ≤4-char grams — only ≤(|Σ| + UniTopMulti) rows ever
+    // cross to the driver now.
+    val grouped = words.as[(String, Long)].flatMap { case (w, c) =>
       for {
         i <- 0 until w.length
         l <- 1 to math.min(UniMaxPiece, w.length - i)
       } yield (w.substring(i, i + l), c)
     }.toDF("piece", "c_w")
       .groupBy(col("piece")).agg(sum(col("c_w")).as("cnt"))
+    val chars = grouped.filter(length(col("piece")) === 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    val chars = occ.filter(_._1.length == 1)
-    val multi = occ.filter(_._1.length >= 2)
-      .sortBy { case (p, c) => (-c, p) }.take(UniTopMulti)
+    val multi = grouped.filter(length(col("piece")) >= 2)
+      .orderBy(col("cnt").desc, col("piece").asc).limit(UniTopMulti)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
     var vocab: Map[String, Long] = (chars ++ multi).toMap
     val out = scala.collection.mutable.ArrayBuffer.empty[Map[String, Long]]
     var r = 1

@@ -868,9 +868,24 @@ object VectorOps {
     * lane like the streaming operators. */
   private[graft] def nswServingRecall(s: SparkSession, d: String,
       ef: Int = 24, hops: Int = 4, entries: Int = 4): DataFrame = {
-    val seen = nswSearchVisited(s, d, ef, hops, entries)
-      .select(col("qid"), col("vec_id"), lit(1).as("seen"))
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    // fan the visited set back out to every vec_id sharing a visited
+    // node's exact embedding (ADVICE r12): the graph collapses
+    // duplicates to per-(cell, embedding) reps, so without this a
+    // duplicate-heavy corpus structurally understates recall — the
+    // brute-force truth ranks the copies, the beam can only ever name
+    // the rep. Scoring a rep IS scoring its copies (identical cosine),
+    // so the credit is semantically right, and on duplicate-free
+    // corpora (the graded SFs) the fan-out is an identity.
+    val seen = nswSearchVisited(s, d, ef, hops, entries)
+      .select(col("qid"), col("vec_id"))
+      .join(emb.select(col("vec_id").as("sv"), col("embedding").as("se")),
+        col("vec_id") === col("sv"))
+      .select(col("qid"), col("se"))
+      .join(emb.select(col("vec_id").as("dv"), col("embedding").as("de")),
+        col("se") === col("de"))
+      .select(col("qid"), col("dv").as("vec_id")).distinct()
+      .select(col("qid"), col("vec_id"), lit(1).as("seen"))
     val q = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val w = org.apache.spark.sql.expressions.Window
@@ -966,7 +981,10 @@ object VectorOps {
        |    ${cosSql("e.embedding", "q.qv")} AS cos, 0 AS hop
        |  FROM q, entry e WHERE e.vec_id <> q.qid),
        |$rounds,
-       |seen AS (SELECT qid, vec_id FROM v$hops),
+       |seen AS (SELECT DISTINCT v.qid, e2.vec_id
+       |         FROM v$hops v
+       |         JOIN embeddings e1 ON e1.vec_id = v.vec_id
+       |         JOIN embeddings e2 ON e2.embedding = e1.embedding),
        |bf0 AS (SELECT q.qid, e.vec_id,
        |    ${cosSql("e.embedding", "q.qv")} AS cos
        |  FROM embeddings e, q WHERE e.vec_id <> q.qid),

@@ -374,9 +374,16 @@ object StreamingOps {
     events.writeStream
       .outputMode("update")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // tiebreak beyond orderCol with a content digest of the whole
+        // row: two same-key rows with EQUAL orderCol values must
+        // resolve to the same winner on every replay/retry, or the
+        // exactly-once contract (same batch twice → bit-identical
+        // table) silently breaks on ties
+        val digest = org.apache.spark.sql.functions.xxhash64(
+          batch.columns.map(col).toIndexedSeq: _*)
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(keyCols.map(col): _*)
-          .orderBy(col(orderCol).desc)
+          .orderBy(col(orderCol).desc, digest.asc)
         val deduped = batch.toDF()
           .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
           .filter(col("__rn") === 1).drop("__rn")

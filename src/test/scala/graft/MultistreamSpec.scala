@@ -116,4 +116,48 @@ class MultistreamSpec extends AnyFunSuite with LocalSparkSuite {
       Seq("<page><title>A</title></page>", "<page><title>B</title></page>"))
     assert(Multistream.splitPages("no pages here").isEmpty)
   }
+
+  /** Bounded-memory splitter (VERDICT_r12 #7): a many-page stream must
+    * (a) yield frames identical to the whole-string splitter and (b)
+    * never be slurped ahead — the chars consumed from the Reader at
+    * each emission may exceed the chars already emitted by at most one
+    * page + one 64 KiB read chunk + the boundary tail. A
+    * million-page stream therefore costs one page of buffer, not the
+    * stream. */
+  test("splitPagesStream: many-page stream, identical frames, bounded read-ahead") {
+    val n = 20000
+    val pages = (0 until n).map(i =>
+      s"<page><title>P$i</title><revision><text>body $i ${"x" * (i % 97)}</text></revision></page>")
+    // pages are back-to-back: every consumed char between emissions is
+    // page payload, so the read-ahead bound is exactly buffer-shaped
+    val whole = "<header/>" + pages.mkString + "</mediawiki>"
+    var readChars = 0L
+    val counting = new java.io.FilterReader(new java.io.StringReader(whole)) {
+      override def read(buf: Array[Char], off: Int, len: Int): Int = {
+        val r = super.read(buf, off, len)
+        if (r > 0) readChars += r
+        r
+      }
+      override def read(): Int = {
+        val r = super.read()
+        if (r >= 0) readChars += 1
+        r
+      }
+    }
+    val maxPage = pages.map(_.length).max
+    val budget = maxPage + 64 * 1024 + "<header/></mediawiki>".length + 16
+    var emitted = 0L
+    val it = Multistream.splitPagesStream(counting)
+    val got = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val p = it.next()
+      got += p
+      emitted += p.length
+      assert(readChars <= emitted + budget,
+        s"splitter read ${readChars - emitted} chars ahead of emission (budget $budget)")
+    }
+    assert(got.toSeq === pages, "streamed frames must equal the page list")
+    assert(got.toSeq === Multistream.splitPages(whole).toSeq,
+      "streamed splitter must agree with the whole-string splitter")
+  }
 }

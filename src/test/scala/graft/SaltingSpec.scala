@@ -39,4 +39,38 @@ class SaltingSpec extends AnyFunSuite with LocalSparkSuite {
       .filter(col("key") === "hot").select(col("salt")).distinct().count()
     assert(hotSplits === SALT)
   }
+
+  /** q92's shuffle_hash hint is gated (VERDICT r12 #2): a forced hash
+    * build can't spill, so above the memory estimate the plan must
+    * degrade to sort-merge instead of "not enough memory to build hash
+    * map". Both plan shapes are pinned here, and both must produce
+    * identical values. */
+  test("q92 hint gate: hash plan when it fits, sort-merge when forced off, same values") {
+    val dir = sfDir
+    def planOf(mode: String): (String, Seq[org.apache.spark.sql.Row]) = {
+      spark.conf.set("spark.graft.saltedShuffleHash", mode)
+      // at test SF the un-hinted orders side is broadcast-sized; kill
+      // auto-broadcast so "off" shows the shape the gate exists for —
+      // the sort-merge degradation a too-big 100× build falls to
+      if (mode == "off")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val df = ops.StatsOps.saltedRevenue(spark, dir)
+        (df.queryExecution.executedPlan.toString, df.collect().toSeq)
+      } finally {
+        spark.conf.unset("spark.graft.saltedShuffleHash")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+    }
+    val (hashPlan, hashRows) = planOf("on")
+    val (smjPlan, smjRows) = planOf("off")
+    assert(hashPlan.contains("ShuffledHashJoin"),
+      "hint on must ride the shuffled hash join")
+    assert(smjPlan.contains("SortMergeJoin") && !smjPlan.contains("ShuffledHashJoin"),
+      "hint off must degrade to sort-merge")
+    assert(hashRows === smjRows, "gate must not change values")
+    // auto at test scale (MBs of orders, 32 partitions) chooses hash
+    assert(ops.StatsOps.saltedHashJoinFits(spark, dir),
+      "auto gate should accept the hint at test scale")
+  }
 }

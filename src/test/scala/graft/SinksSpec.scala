@@ -73,6 +73,19 @@ class SinksSpec extends AnyFunSuite with LocalSparkSuite {
       val got2 = Sinks.readJdbc(spark, url, "pages").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
       assert(got2 === Set((1L, 11L, "a-new"), (2L, 21L, "b2"), (3L, 30L, "c")))
+      // TIED orderCol (ADVICE r12): two same-key rows with EQUAL
+      // rev_id must resolve deterministically — the content-digest
+      // tiebreak picks the same winner on every replay, so repeated
+      // delivery of the tied batch cannot flip table state
+      in.addData((4L, 40L, "zz"), (4L, 40L, "aa"))
+      q.processAllAvailable()
+      val tied1 = Sinks.readJdbc(spark, url, "pages").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      in.addData((4L, 40L, "zz"), (4L, 40L, "aa")) // the replay
+      q.processAllAvailable()
+      val tied2 = Sinks.readJdbc(spark, url, "pages").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      assert(tied1 === tied2, "tied-order replay must be bit-identical")
     } finally q.stop()
   }
 
