@@ -200,6 +200,28 @@ object MediaWikiXml {
       .select(col("page_id"), col("title").as("from_title"),
         explode(graft.ops.WikitextOps.templatesOf("text")).as("template"))
 
+  /** `http(s)://…` URLs per page — MediaWiki's externallinks table:
+    * raw URL plus its lowercased host
+    * ([[graft.ops.WikitextOps.urlsOf]]/[[graft.ops.WikitextOps.hostOf]],
+    * the expressions q173 grades cross-engine). */
+  def externalLinks(flat: DataFrame): DataFrame =
+    flat.filter(col("text").isNotNull)
+      .select(col("page_id"), col("title").as("from_title"),
+        explode(graft.ops.WikitextOps.urlsOf("text")).as("url"))
+      .withColumn("host", graft.ops.WikitextOps.hostOf(col("url")))
+
+  /** `[[xx:Title]]` interwiki links per page — the langlinks table:
+    * lowercase 2–3 letter code (+optional variant suffix) and the
+    * first-letter-normalized target title
+    * ([[graft.ops.WikitextOps.langLinksOf]] family, graded as q174). */
+  def langLinks(flat: DataFrame): DataFrame =
+    flat.filter(col("text").isNotNull)
+      .select(col("page_id"), col("title").as("from_title"),
+        explode(graft.ops.WikitextOps.langLinksOf("text")).as("m"))
+      .select(col("page_id"), col("from_title"),
+        graft.ops.WikitextOps.langCodeOf(col("m")).as("lang_code"),
+        graft.ops.WikitextOps.langTitleOf(col("m")).as("ll_title"))
+
   /** The distinct link graph with per-page out-degree — the edge list
     * a PageRank/centrality pass (q97's machinery) consumes; built on
     * the LATEST revision per page so the graph reflects current

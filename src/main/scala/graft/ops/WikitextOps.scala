@@ -74,6 +74,46 @@ object WikitextOps {
         raw => normTitle(raw)),
       x => length(x) > 0 && !x.startsWith("#"))
 
+  /** Raw `http(s)://…` URL matches — MediaWiki's externallinks
+    * surface. Both bracketed external links (`[http://url label]`)
+    * and bare URLs count; the match runs to the first character a URL
+    * cannot contain in wikitext (whitespace, brackets, angle quotes,
+    * double quote). URLs are NOT case-normalized (paths are
+    * case-sensitive); the host rollup lowercases separately. */
+  private val urlRe = """https?://[^\s\]\[<>"]+"""
+
+  /** `[[xx:Title]]` interwiki language links — the langlinks table.
+    * The prefix is a lowercase 2–3 letter code with an optional
+    * lowercase variant suffix (`pt-br`); MediaWiki validates against
+    * its interwiki map, which a regex cannot see — the documented
+    * semantics here is the SYNTACTIC rule, exactly like q172's flat
+    * transclusion scan. Group 1 = code, group 2 = target title
+    * (display text after `|` consumed by the optional tail). */
+  private val langRe =
+    """\[\[\s*([a-z]{2,3}(?:-[a-z]+)?)\s*:\s*([^\[\]|]+?)\s*(?:\|[^\[\]]*)?\]\]"""
+
+  /** Array of raw URL matches of a wikitext column. */
+  private[graft] def urlsOf(colName: String): Column =
+    expr(s"regexp_extract_all($colName, '${urlRe.replace("\\", "\\\\")}', 0)")
+
+  /** Lowercased host of a URL column (authority up to the first
+    * `/ : ? #`). */
+  private[graft] def hostOf(url: Column): Column =
+    lower(regexp_extract(url, """https?://([^/:?#\s]+)""", 1))
+
+  /** Array of full `[[xx:Title]]` matches of a wikitext column; the
+    * per-row (lang, title) split happens post-explode with group
+    * extracts — regexp_extract_all pulls one group per pass, and both
+    * engines re-match cheaply on the exploded row. */
+  private[graft] def langLinksOf(colName: String): Column =
+    expr(s"regexp_extract_all($colName, '${langRe.replace("\\", "\\\\")}', 0)")
+
+  private[graft] def langCodeOf(m: Column): Column =
+    regexp_extract(m, langRe, 1)
+
+  private[graft] def langTitleOf(m: Column): Column =
+    normTitle(regexp_extract(m, langRe, 2))
+
   /** The deterministic wikitext both engines synthesize from a
     * documents row for q171 — every category form the extractor must
     * handle: underscore target, lowercase prefix + sortkey, padded
@@ -157,11 +197,109 @@ object WikitextOps {
        |FROM norm WHERE length(template) > 0 AND template NOT LIKE '#%'
        |GROUP BY template ORDER BY template""".stripMargin
 
+  /** q173's synthesized URLs: bracketed link with mixed-case host
+    * (proves the host rollup lowercases), bare https URL, query-string
+    * URL, a non-http scheme and a bare `http://` stub (both must
+    * drop). */
+  private val extWikitext =
+    """text || ' [http://Example.org/' || lang || '/a label]'
+      | || ' see https://' || source || '.example.com/page/' || CAST(doc_id AS STRING)
+      | || CASE WHEN doc_id % 3 = 0 THEN ' [https://cdn.example.net/x?a=1&b=2]' ELSE '' END
+      | || ' ftp://old-scheme http://'"""
+      .stripMargin.replace("\n", "")
+
+  /** q173: external-URL extraction + per-host rollup — MediaWiki's
+    * externallinks table as an analytic: per lowercased host, link
+    * count, distinct linking docs, and how many links are https. */
+  def wikitextExtlinks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(extWikitext).as("wt"))
+      .select(col("doc_id"), explode(urlsOf("wt")).as("url"))
+      .groupBy(hostOf(col("url")).as("host"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(when(col("url").startsWith("https://"), 1L).otherwise(0L))
+          .as("n_https"))
+      .orderBy(col("host"))
+
+  private val wikitextExtlinksSql =
+    s"""WITH wt AS (SELECT doc_id,
+       |    text || ' [http://Example.org/' || lang || '/a label]'
+       |         || ' see https://' || source || '.example.com/page/' || CAST(doc_id AS VARCHAR)
+       |         || CASE WHEN doc_id % 3 = 0 THEN ' [https://cdn.example.net/x?a=1&b=2]' ELSE '' END
+       |         || ' ftp://old-scheme http://' AS wt
+       |  FROM documents),
+       |raw AS (SELECT doc_id,
+       |    unnest(regexp_extract_all(wt, '$urlRe', 0)) AS url FROM wt)
+       |SELECT lower(regexp_extract(url, 'https?://([^/:?#\\s]+)', 1)) AS host,
+       |       count(*) AS n_links,
+       |       count(DISTINCT doc_id) AS n_docs,
+       |       CAST(SUM(CASE WHEN url LIKE 'https://%' THEN 1 ELSE 0 END) AS BIGINT) AS n_https
+       |FROM raw GROUP BY 1 ORDER BY host""".stripMargin
+
+  /** q174's synthesized interwiki links: plain code, code + display
+    * text, hyphenated variant code, an uppercase code / long code /
+    * Category prefix / empty title (all four must drop). */
+  private val langWikitext =
+    """text || ' [[fr:Titre_' || CAST(doc_id % 7 AS STRING) || ']]'
+      | || ' [[de:Seite ' || lang || '|shown]]'
+      | || CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN ' [[pt-br:Pagina principal]]'
+      |      WHEN 1 THEN ' [[EN:Wrong case]]'
+      |      WHEN 2 THEN ' [[simple:too_long]]'
+      |      ELSE ' [[es: padded_title ]]' END
+      | || ' [[Category:NotLang]] [[fr:]]'"""
+      .stripMargin.replace("\n", "")
+
+  /** q174: interwiki language-link extraction + per-code rollup — the
+    * langlinks table: per language code, link count, distinct linking
+    * docs, distinct normalized target titles. */
+  def wikitextLanglinks(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(langWikitext).as("wt"))
+      .select(col("doc_id"), explode(langLinksOf("wt")).as("m"))
+      .select(col("doc_id"), langCodeOf(col("m")).as("lang_code"),
+        langTitleOf(col("m")).as("title"))
+      .groupBy(col("lang_code"))
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("title")).as("n_titles"))
+      .orderBy(col("lang_code"))
+
+  private val wikitextLanglinksSql =
+    s"""WITH wt AS (SELECT doc_id,
+       |    text || ' [[fr:Titre_' || CAST(doc_id % 7 AS VARCHAR) || ']]'
+       |         || ' [[de:Seite ' || lang || '|shown]]'
+       |         || CASE CAST(doc_id % 4 AS INT)
+       |              WHEN 0 THEN ' [[pt-br:Pagina principal]]'
+       |              WHEN 1 THEN ' [[EN:Wrong case]]'
+       |              WHEN 2 THEN ' [[simple:too_long]]'
+       |              ELSE ' [[es: padded_title ]]' END
+       |         || ' [[Category:NotLang]] [[fr:]]' AS wt
+       |  FROM documents),
+       |raw AS (SELECT doc_id,
+       |    unnest(regexp_extract_all(wt, '$langRe', 0)) AS m FROM wt),
+       |split AS (SELECT doc_id,
+       |    regexp_extract(m, '$langRe', 1) AS lang_code,
+       |    upper(substring(trim(replace(regexp_extract(m, '$langRe', 2), '_', ' ')), 1, 1))
+       |      || substring(trim(replace(regexp_extract(m, '$langRe', 2), '_', ' ')), 2) AS title
+       |  FROM raw)
+       |SELECT lang_code, count(*) AS n_links,
+       |       count(DISTINCT doc_id) AS n_docs,
+       |       count(DISTINCT title) AS n_titles
+       |FROM split GROUP BY lang_code ORDER BY lang_code""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q171_wikitext_categories", wikitextCategories,
       Some(wikitextCategoriesSql),
       "[[Category:...]] membership extraction + per-category rollup (categorylinks)"),
     QueryDef("q172_wikitext_templates", wikitextTemplates,
       Some(wikitextTemplatesSql),
-      "{{template}} transclusion extraction + per-name rollup (templatelinks)"))
+      "{{template}} transclusion extraction + per-name rollup (templatelinks)"),
+    QueryDef("q173_wikitext_extlinks", wikitextExtlinks,
+      Some(wikitextExtlinksSql),
+      "http(s) URL extraction + per-host rollup (externallinks)"),
+    QueryDef("q174_wikitext_langlinks", wikitextLanglinks,
+      Some(wikitextLanglinksSql),
+      "[[xx:Title]] interwiki extraction + per-code rollup (langlinks)"))
 }

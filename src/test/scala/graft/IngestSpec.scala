@@ -213,6 +213,35 @@ class IngestSpec extends AnyFunSuite with LocalSparkSuite {
     assert(tpls === Seq("Cite web", "Infobox person", "Lowercase", "URL helper"))
   }
 
+  test("A14+ externallinks/langlinks: the remaining wiki link tables") {
+    val dir = java.nio.file.Files.createTempDirectory("extdump")
+    val xml =
+      """<mediawiki><page><title>Ext</title><ns>0</ns><id>1</id>
+        |<revision><id>10</id><timestamp>2024-01-01T00:00:00Z</timestamp>
+        |<contributor><username>u</username><id>5</id></contributor>
+        |<text bytes="9">See [http://Example.ORG/Path/a label] and bare
+        |https://cdn.example.net/x?a=1 plus ftp://no and http://
+        |[[fr:Titre_un|affiche]] [[de:Seite zwei]] [[pt-br:Pagina]]
+        |[[EN:Drop me]] [[simple:drop]] [[Category:Drop]] [[fr:]]</text>
+        |<sha1>x</sha1></revision></page></mediawiki>""".stripMargin
+    java.nio.file.Files.writeString(dir.resolve("d.xml"), xml)
+    val f = MediaWikiXml.flattenRevisions(
+      MediaWikiXml.readPages(spark, dir.resolve("d.xml").toString))
+    val ext = MediaWikiXml.externalLinks(f).collect()
+      .map(r => (r.getString(2), r.getString(3))).toSet
+    assert(ext === Set(
+      // raw URL kept case-intact, host lowercased; bracket/space end the match
+      ("http://Example.ORG/Path/a", "example.org"),
+      ("https://cdn.example.net/x?a=1", "cdn.example.net")))
+    val ll = MediaWikiXml.langLinks(f).collect()
+      .map(r => (r.getString(2), r.getString(3))).toSet
+    assert(ll === Set(
+      ("fr", "Titre un"),      // display text consumed, underscore -> space
+      ("de", "Seite zwei"),
+      ("pt-br", "Pagina")))    // hyphenated variant code
+    // uppercase code, >3-letter code, Category prefix, empty title: all dropped
+  }
+
   test("link PageRank: mass conserved, link targets outrank isolates") {
     val r = MediaWikiXml.linkRank(flat).collect()
     val total = r.map(_.getDouble(1)).sum
