@@ -9,22 +9,22 @@ import graft.{QueryDef, Tables}
   * columns with typed metadata, decode → feature-extract over
   * mapPartitions.
   *
-  * Decode is two-tier. Payloads in one of the six pure-JVM-decodable
+  * Decode is two-tier. Payloads in one of the seven pure-JVM-decodable
   * image formats — binary PPM ("P6"), 24-bit uncompressed BMP, 8-bit
   * non-interlaced PNG, baseline+progressive JPEG, GIF 87a/89a (LZW),
-  * and lossless WebP ([[WebpDecoder]]: VP8L prefix codes, LZ77,
-  * color cache, subtract-green) — take the REAL decode path
+  * lossless WebP ([[WebpDecoder]]: VP8L prefix codes, LZ77,
+  * color cache, subtract-green), and lossy WebP keyframes
+  * ([[Vp8Decoder]]: RFC 6386 bool decoder, token trees, dequant,
+  * IDCT/WHT, 16×16 intra prediction — see its conformance note; the
+  * one declared pixel edge is B_PRED keyframes, which fall to the
+  * byte tier) — take the REAL decode path
   * ([[decodeImage]]: magic sniff, header/entropy parse, per-channel
   * stats), exercised end-to-end on checked-in and generated fixture
-  * bytes by MultimodalSpec/JpegDecoderSpec/WebpDecoderSpec. Everything
+  * bytes by MultimodalSpec/JpegDecoderSpec/WebpDecoderSpec/
+  * Vp8DecoderSpec. Everything
   * else falls back to `decodeStub`, a clearly-marked deterministic
   * stand-in (byte histogram) for the codecs still outside the pure-JVM
-  * tier (lossy WebP (VP8)/PCM/H.264). For lossy WebP the METADATA is
-  * real even though the pixels are not yet: [[Vp8Decoder.dims]] parses
-  * the RFC 6386 uncompressed frame prefix (and [[Vp8Decoder.parseHeader]]
-  * the whole front-of-frame header through the quantizer block), so a
-  * corpus profile reports true dimensions while the pixel tier waits
-  * on the coefficient/IDCT slice. Around both tiers sits the real Spark
+  * tier (PCM/H.264). Around both tiers sits the real Spark
   * plumbing a production pipeline needs and what the tests cover:
   * declared binary schema, partition-local batch processing (one
   * reusable buffer per partition, the mapPartitions analog of a
@@ -111,7 +111,8 @@ object MultimodalOps {
       attempt(decodePng(payload, grid)) ||
       attempt(JpegDecoder.decode(payload, grid)) ||
       attempt(GifDecoder.decode(payload, grid)) ||
-      attempt(WebpDecoder.decode(payload, grid))
+      attempt(WebpDecoder.decode(payload, grid)) ||
+      attempt(Vp8Decoder.decode(payload, grid))
   }
 
   /** REAL pure-JVM decode of binary PPM (P6), 24-bit uncompressed
@@ -127,6 +128,7 @@ object MultimodalOps {
     decodePpm(payload).orElse(decodeBmp(payload)).orElse(decodePng(payload))
       .orElse(JpegDecoder.decode(payload)).orElse(GifDecoder.decode(payload))
       .orElse(WebpDecoder.decode(payload))
+      .orElse(Vp8Decoder.decode(payload))
 
   private def decodePpm(p: Array[Byte], grid: Array[Long] = null): Option[DecodedImage] = {
     if (p.length < 2 || p(0) != 'P'.toByte || p(1) != '6'.toByte) return None

@@ -143,8 +143,8 @@ class Vp8DecoderSpec extends AnyFunSuite {
       ((3, 0, -8, 1, 0)))
     assert(g.refreshEntropyProbs)
     assert(Vp8Decoder.dims(riffVp8(payload)) === Some((640, 360)))
-    // tier contract: pixels stay on the byte tier until the
-    // coefficient/IDCT slice lands — metadata is real, decode is None
+    // strictness contract: a header with no coefficient section behind
+    // it must overrun the bool decoder and stay off the pixel tier
     assert(graft.ops.MultimodalOps.decodeImage(riffVp8(payload)).isEmpty)
   }
 
@@ -180,5 +180,447 @@ class Vp8DecoderSpec extends AnyFunSuite {
     assert(Vp8Decoder.parseHeader(riffVp8(frame(0, 16, part))).isEmpty)
     // a VP8L payload has no "VP8 " chunk
     assert(Vp8Decoder.dims(Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  // ===== round 13: coefficient decode + IDCT + reconstruction ========
+
+  /** Generic tree WRITE — walks the shared tree to the token's leaf
+    * and emits the path bits with the node probabilities (the §8.2
+    * encode direction). `start` mirrors the decoder's
+    * EOB-cannot-follow-ZERO entry point. */
+  private def treeWrite(enc: BoolEncoder, tree: Array[Int],
+      probs: Array[Int], tok: Int, start: Int = 0): Unit = {
+    def go(i: Int, path: List[(Int, Int)]): Option[List[(Int, Int)]] = {
+      var r: Option[List[(Int, Int)]] = None
+      var b = 0
+      while (b <= 1 && r.isEmpty) {
+        val c = tree(i + b)
+        val p2 = path :+ ((i >> 1, b))
+        if (c <= 0) { if (-c == tok) r = Some(p2) }
+        else r = go(c, p2)
+        b += 1
+      }
+      r
+    }
+    val path = go(start, Nil).getOrElse(fail(s"token $tok unreachable"))
+    path.foreach { case (pi, bit) => enc.bool(probs(pi), bit) }
+  }
+
+  /** Token-encode one block of QUANTIZED levels (natural order),
+    * tracking the in-block context exactly like §13.3's decode loop.
+    * Returns the nonzero flag the neighbor contexts consume. */
+  private def encodeCoeffs(enc: BoolEncoder, levels: Array[Int],
+      blockType: Int, first: Int,
+      probs: Array[Array[Array[Array[Int]]]], ctx0: Int): Boolean = {
+    import Vp8Decoder.{CatBase, CatBits, CatProbs, CoeffBands, CoeffTree, TokEob, Zigzag}
+    val nzIdx = (first until 16).filter(i => levels(Zigzag(i)) != 0)
+    var c = ctx0
+    var prevZero = false
+    if (nzIdx.isEmpty) {
+      treeWrite(enc, CoeffTree, probs(blockType)(CoeffBands(first))(c), TokEob)
+      return false
+    }
+    val last = nzIdx.max
+    var idx = first
+    while (idx <= last) {
+      val v = levels(Zigzag(idx))
+      val pr = probs(blockType)(CoeffBands(idx))(c)
+      val start = if (prevZero) 2 else 0
+      if (v == 0) {
+        treeWrite(enc, CoeffTree, pr, 0, start); c = 0; prevZero = true
+      } else {
+        val av = math.abs(v)
+        val tok =
+          if (av <= 4) av
+          else (0 to 5).find(k => k == 5 || av < CatBase(k) + (1 << CatBits(k)))
+            .map(_ + 5).get
+        treeWrite(enc, CoeffTree, pr, tok, start)
+        if (tok >= 5) {
+          val cat = tok - 5
+          val extra = av - CatBase(cat)
+          var j = 0
+          while (j < CatBits(cat)) {
+            enc.bool(CatProbs(cat)(j), (extra >> (CatBits(cat) - 1 - j)) & 1)
+            j += 1
+          }
+        }
+        enc.bool(128, if (v < 0) 1 else 0)
+        c = if (av > 1) 2 else 1
+        prevZero = false
+      }
+      idx += 1
+    }
+    if (last < 15)
+      treeWrite(enc, CoeffTree, probs(blockType)(CoeffBands(last + 1))(c), TokEob)
+    true
+  }
+
+  /** One macroblock's fixture content: quantized coefficient LEVELS in
+    * natural order (y2; 16 luma blocks missing their DC — it rides
+    * y2; 4+4 chroma). */
+  private case class MbFix(segId: Int, skip: Boolean, ymode: Int, uvmode: Int,
+      y2: Array[Int], y: Array[Array[Int]], u: Array[Array[Int]],
+      v: Array[Array[Int]])
+
+  private def zeros = new Array[Int](16)
+
+  /** Deterministic shared probability table — every slot explicitly
+    * updated in-stream, so the fixture is self-contained regardless of
+    * the engine-local defaults (the decoder's documented conformance
+    * posture). */
+  private def fixtureProbs(): Array[Array[Array[Array[Int]]]] =
+    Array.tabulate(4, 8, 3, 11)((t, b, c, l) =>
+      ((t * 59 + b * 31 + c * 17 + l * 7) % 224) + 16)
+
+  private val SkipProb = 200
+
+  /** Assemble a complete 2×2-macroblock (32×32) keyframe bitstream:
+    * segmentation with an update map and ABS per-segment quantizers,
+    * two token partitions (round-robin by MB row), full probability
+    * updates, per-MB skip flags — the whole §9/§10/§13 surface the
+    * decoder claims. */
+  private def encodeFrame(mbs: Seq[MbFix], mbW: Int, mbH: Int,
+      segQ: Array[Int], nParts: Int): Array[Byte] = {
+    import Vp8Decoder.{CoeffUpdateProb, KfYmodeProb, KfYmodeTree, KfUvModeProb, SegmentTree, UvModeTree}
+    val probs = fixtureProbs()
+    val enc0 = new BoolEncoder
+    enc0.bool(128, 0); enc0.bool(128, 0) // color space, clamping
+    enc0.bool(128, 1) // segmentation enabled
+    enc0.bool(128, 1) // update map
+    enc0.bool(128, 1) // update feature data
+    enc0.bool(128, 1) // abs deltas
+    segQ.foreach(enc0.maybeSigned(_, 7))
+    Seq(0, 0, 0, 0).foreach(enc0.maybeSigned(_, 6)) // filter deltas
+    // segment tree probs: all three explicit (160, 170, 180)
+    Seq(160, 170, 180).foreach { pr => enc0.bool(128, 1); enc0.literal(pr, 8) }
+    val segTreeProbs = Array(160, 170, 180)
+    enc0.bool(128, 0) // filter type
+    enc0.literal(0, 6) // filter level 0: reconstruction is exact
+    enc0.literal(0, 3) // sharpness
+    enc0.bool(128, 0) // lf deltas off
+    enc0.literal(Integer.numberOfTrailingZeros(nParts), 2)
+    enc0.literal(0, 7) // y_ac_qi (unused: abs segment quantizers)
+    (0 until 5).foreach(_ => enc0.bool(128, 0)) // no quant deltas
+    enc0.bool(128, 1) // refresh entropy probs
+    // full coefficient probability update
+    for (t <- 0 until 4; b <- 0 until 8; c <- 0 until 3; l <- 0 until 11) {
+      enc0.bool(CoeffUpdateProb, 1); enc0.literal(probs(t)(b)(c)(l), 8)
+    }
+    enc0.bool(128, 1) // mb_no_coeff_skip
+    enc0.literal(SkipProb, 8)
+
+    val tokEncs = Array.fill(nParts)(new BoolEncoder)
+    // entropy contexts, mirrored from the decode loop
+    val aboveY = new Array[Int](mbW * 4)
+    val aboveU = new Array[Int](mbW * 2)
+    val aboveV = new Array[Int](mbW * 2)
+    val aboveY2 = new Array[Int](mbW)
+    for (mbY <- 0 until mbH) {
+      val leftY = new Array[Int](4)
+      val leftU = new Array[Int](2)
+      val leftV = new Array[Int](2)
+      var leftY2 = 0
+      val te = tokEncs(mbY % nParts)
+      for (mbX <- 0 until mbW) {
+        val mb = mbs(mbY * mbW + mbX)
+        treeWrite(enc0, SegmentTree, segTreeProbs, mb.segId)
+        enc0.bool(SkipProb, if (mb.skip) 1 else 0)
+        treeWrite(enc0, KfYmodeTree, KfYmodeProb, mb.ymode)
+        treeWrite(enc0, UvModeTree, KfUvModeProb, mb.uvmode)
+        if (!mb.skip) {
+          val nz2 = encodeCoeffs(te, mb.y2, 1, 0, probs, aboveY2(mbX) + leftY2)
+          aboveY2(mbX) = if (nz2) 1 else 0; leftY2 = aboveY2(mbX)
+          for (b <- 0 until 16) {
+            val row = b / 4; val colb = b % 4
+            val nz = encodeCoeffs(te, mb.y(b), 0, 1, probs,
+              aboveY(mbX * 4 + colb) + leftY(row))
+            aboveY(mbX * 4 + colb) = if (nz) 1 else 0; leftY(row) = if (nz) 1 else 0
+          }
+          for (b <- 0 until 8) {
+            val blocks = if (b < 4) mb.u else mb.v
+            val above = if (b < 4) aboveU else aboveV
+            val left = if (b < 4) leftU else leftV
+            val bb = b % 4; val row = bb / 2; val colb = bb % 2
+            val nz = encodeCoeffs(te, blocks(bb), 2, 0, probs,
+              above(mbX * 2 + colb) + left(row))
+            above(mbX * 2 + colb) = if (nz) 1 else 0; left(row) = if (nz) 1 else 0
+          }
+        } else {
+          java.util.Arrays.fill(aboveY, mbX * 4, mbX * 4 + 4, 0)
+          java.util.Arrays.fill(leftY, 0)
+          aboveU(mbX * 2) = 0; aboveU(mbX * 2 + 1) = 0
+          aboveV(mbX * 2) = 0; aboveV(mbX * 2 + 1) = 0
+          leftU(0) = 0; leftU(1) = 0; leftV(0) = 0; leftV(1) = 0
+          aboveY2(mbX) = 0; leftY2 = 0
+        }
+      }
+    }
+    val part0 = enc0.finish()
+    val parts = tokEncs.map(_.finish())
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(frame(mbW * 16, mbH * 16, part0))
+    for (i <- 0 until nParts - 1) {
+      val sz = parts(i).length
+      bos.write(sz & 0xff); bos.write((sz >> 8) & 0xff); bos.write((sz >> 16) & 0xff)
+    }
+    parts.foreach(bos.write)
+    riffVp8(bos.toByteArray)
+  }
+
+  // ---- independent reconstruction (the expected pixels) -------------
+
+  private def idctRef(in: Array[Int]): Array[Int] = {
+    val t = new Array[Int](16)
+    val out = new Array[Int](16)
+    for (i <- 0 until 4) {
+      val a = in(i) + in(i + 8); val b = in(i) - in(i + 8)
+      val c = ((in(i + 4) * 35468) >> 16) -
+        (in(i + 12) + ((in(i + 12) * 20091) >> 16))
+      val d = (in(i + 4) + ((in(i + 4) * 20091) >> 16)) +
+        ((in(i + 12) * 35468) >> 16)
+      t(i) = a + d; t(i + 12) = a - d; t(i + 4) = b + c; t(i + 8) = b - c
+    }
+    for (i <- 0 until 4) {
+      val r = 4 * i
+      val a = t(r) + t(r + 2); val b = t(r) - t(r + 2)
+      val c = ((t(r + 1) * 35468) >> 16) -
+        (t(r + 3) + ((t(r + 3) * 20091) >> 16))
+      val d = (t(r + 1) + ((t(r + 1) * 20091) >> 16)) +
+        ((t(r + 3) * 35468) >> 16)
+      out(r) = (a + d + 4) >> 3; out(r + 3) = (a - d + 4) >> 3
+      out(r + 1) = (b + c + 4) >> 3; out(r + 2) = (b - c + 4) >> 3
+    }
+    out
+  }
+
+  private def iwhtRef(in: Array[Int]): Array[Int] = {
+    val t = new Array[Int](16)
+    val out = new Array[Int](16)
+    for (i <- 0 until 4) {
+      val a = in(i) + in(12 + i); val b = in(4 + i) + in(8 + i)
+      val c = in(4 + i) - in(8 + i); val d = in(i) - in(12 + i)
+      t(i) = a + b; t(4 + i) = c + d; t(8 + i) = a - b; t(12 + i) = d - c
+    }
+    for (i <- 0 until 4) {
+      val r = 4 * i
+      val a = t(r) + t(r + 3); val b = t(r + 1) + t(r + 2)
+      val c = t(r + 1) - t(r + 2); val d = t(r) - t(r + 3)
+      out(r) = (a + b + 3) >> 3; out(r + 1) = (c + d + 3) >> 3
+      out(r + 2) = (a - b + 3) >> 3; out(r + 3) = (d - c + 3) >> 3
+    }
+    out
+  }
+
+  private def clamp(v: Int) = math.max(0, math.min(255, v))
+
+  /** Reference reconstruction of the fixture: borders, per-segment
+    * dequant, prediction, transform adds — written flat from the RFC,
+    * independent of the decoder's plane layout. Returns (Y, U, V) as
+    * (x, y) → value maps over the full macroblock canvas. */
+  private def reconstructRef(mbs: Seq[MbFix], mbW: Int, mbH: Int,
+      segQ: Array[Int]): (Array[Array[Int]], Array[Array[Int]], Array[Array[Int]]) = {
+    import Vp8Decoder.{AcQLookup, DcQLookup}
+    val W = mbW * 16; val H = mbH * 16
+    val Y = Array.fill(H, W)(0)
+    val U = Array.fill(H / 2, W / 2)(0)
+    val V = Array.fill(H / 2, W / 2)(0)
+    def pix(pl: Array[Array[Int]], x: Int, y: Int): Int =
+      if (y < 0) 127 else if (x < 0) 129 else pl(y)(x)
+    def predict(pl: Array[Array[Int]], bx: Int, by: Int, n: Int, mode: Int,
+        hasA: Boolean, hasL: Boolean): Unit = mode match {
+      case 0 =>
+        var sum = 0; var cnt = 0
+        if (hasA) { sum += (0 until n).map(i => pix(pl, bx + i, by - 1)).sum; cnt += n }
+        if (hasL) { sum += (0 until n).map(i => pix(pl, bx - 1, by + i)).sum; cnt += n }
+        val dc = if (cnt == 0) 128 else (sum + cnt / 2) / cnt
+        for (y <- 0 until n; x <- 0 until n) pl(by + y)(bx + x) = dc
+      case 1 => for (y <- 0 until n; x <- 0 until n)
+        pl(by + y)(bx + x) = pix(pl, bx + x, by - 1)
+      case 2 => for (y <- 0 until n; x <- 0 until n)
+        pl(by + y)(bx + x) = pix(pl, bx - 1, by + y)
+      case _ =>
+        val tl = if (by == 0 || bx == 0) pix(pl, bx - 1, by - 1)
+        else pl(by - 1)(bx - 1)
+        for (y <- 0 until n; x <- 0 until n)
+          pl(by + y)(bx + x) = clamp(pix(pl, bx - 1, by + y) +
+            pix(pl, bx + x, by - 1) - tl)
+    }
+    def addBlock(pl: Array[Array[Int]], bx: Int, by: Int, res: Array[Int]): Unit =
+      for (y <- 0 until 4; x <- 0 until 4)
+        pl(by + y)(bx + x) = clamp(pl(by + y)(bx + x) + res(4 * y + x))
+    def q127(v: Int) = math.max(0, math.min(127, v))
+    for (mbY <- 0 until mbH; mbX <- 0 until mbW) {
+      val mb = mbs(mbY * mbW + mbX)
+      val qi = q127(segQ(mb.segId))
+      val y1dc = DcQLookup(qi); val y1ac = AcQLookup(qi)
+      val y2dc = DcQLookup(qi) * 2
+      val y2ac = math.max(8, AcQLookup(qi) * 155 / 100)
+      val uvdc = math.min(132, DcQLookup(qi)); val uvac = AcQLookup(qi)
+      predict(Y, mbX * 16, mbY * 16, 16, mb.ymode, mbY > 0, mbX > 0)
+      predict(U, mbX * 8, mbY * 8, 8, mb.uvmode, mbY > 0, mbX > 0)
+      predict(V, mbX * 8, mbY * 8, 8, mb.uvmode, mbY > 0, mbX > 0)
+      if (!mb.skip) {
+        val dq2 = Array.tabulate(16)(i =>
+          mb.y2(i) * (if (i == 0) y2dc else y2ac))
+        val dcs = iwhtRef(dq2)
+        for (b <- 0 until 16) {
+          val dq = Array.tabulate(16)(i =>
+            if (i == 0) dcs(b) else mb.y(b)(i) * y1ac)
+          // (luma DC rides Y2; y1dc would scale a direct DC — unused here)
+          val _ = y1dc
+          addBlock(Y, mbX * 16 + (b % 4) * 4, mbY * 16 + (b / 4) * 4, idctRef(dq))
+        }
+        for (b <- 0 until 4) {
+          val dqU = Array.tabulate(16)(i => mb.u(b)(i) * (if (i == 0) uvdc else uvac))
+          val dqV = Array.tabulate(16)(i => mb.v(b)(i) * (if (i == 0) uvdc else uvac))
+          addBlock(U, mbX * 8 + (b % 2) * 4, mbY * 8 + (b / 2) * 4, idctRef(dqU))
+          addBlock(V, mbX * 8 + (b % 2) * 4, mbY * 8 + (b / 2) * 4, idctRef(dqV))
+        }
+      }
+    }
+    (Y, U, V)
+  }
+
+  private def yuv2rgb(y: Int, u: Int, v: Int): (Int, Int, Int) = {
+    val c = 298 * (y - 16)
+    (clamp((c + 409 * (v - 128) + 128) >> 8),
+      clamp((c - 100 * (u - 128) - 208 * (v - 128) + 128) >> 8),
+      clamp((c + 516 * (u - 128) + 128) >> 8))
+  }
+
+  // the 2×2-MB fixture: all four 16×16 modes, a skip MB, per-segment
+  // quantizers, category tokens, negative coefficients, zero runs
+  private def fixture(): (Seq[MbFix], Array[Int]) = {
+    val segQ = Array(40, 60, 0, 100)
+    def blk(pairs: (Int, Int)*): Array[Int] = {
+      val a = new Array[Int](16)
+      pairs.foreach { case (i, v) => a(i) = v }
+      a
+    }
+    val mb00 = MbFix(0, skip = false, ymode = 0, uvmode = 3,
+      y2 = blk(0 -> 3, 1 -> -2, 5 -> 1),
+      y = Array.tabulate(16)(b => if (b % 3 == 0) blk(1 -> 2, 4 -> -1) else zeros),
+      u = Array(blk(0 -> 1, 2 -> 6), zeros, blk(0 -> -2), zeros),
+      v = Array(zeros, blk(1 -> 1), zeros, zeros))
+    val mb10 = MbFix(1, skip = true, ymode = 1, uvmode = 0,
+      y2 = zeros, y = Array.fill(16)(zeros), u = Array.fill(4)(zeros),
+      v = Array.fill(4)(zeros))
+    val mb01 = MbFix(2, skip = false, ymode = 2, uvmode = 1,
+      y2 = blk(0 -> -5),
+      y = Array.tabulate(16)(b =>
+        if (b == 0) blk(1 -> 6, 15 -> -1) // cat1 + a trailing coeff
+        else if (b == 5) blk(2 -> -9) // cat2, zero run before it
+        else zeros),
+      u = Array.fill(4)(zeros),
+      v = Array(blk(0 -> 2, 1 -> 2, 2 -> 2), zeros, zeros, zeros))
+    val mb11 = MbFix(3, skip = false, ymode = 3, uvmode = 2,
+      y2 = blk(0 -> 1, 15 -> 1), // coeff at the last scan position
+      y = Array.tabulate(16)(b =>
+        if (b == 15) blk(1 -> 15, 2 -> -40, 3 -> 80) // cat3..cat5
+        else zeros),
+      u = Array(zeros, zeros, zeros, blk(0 -> 1)),
+      v = Array.fill(4)(zeros))
+    (Seq(mb00, mb10, mb01, mb11), segQ)
+  }
+
+  test("IDCT/IWHT structure: DC impulse is flat, AC impulses are additive") {
+    for (dc <- Seq(8, 100, -13, 2000)) {
+      val out = idctRef(blkOf(0 -> dc))
+      assert(out.toSeq === Seq.fill(16)((dc + 4) >> 3))
+      val w = iwhtRef(blkOf(0 -> dc))
+      assert(w.toSeq === Seq.fill(16)((dc + 3) >> 3))
+    }
+    // linearity of the integer transform holds on shift-safe inputs
+    // (multiples of 8 keep every intermediate exact through >>16)
+    val a = blkOf(1 -> 64); val b = blkOf(4 -> -128)
+    val sum = idctRef(Array.tabulate(16)(i => a(i) + b(i)))
+    val apart = idctRef(a).zip(idctRef(b)).map { case (x, y) => x + y }
+    // (x+4>>3) + (y+4>>3) vs (x+y+4)>>3 differ by rounding only
+    sum.zip(apart).foreach { case (s, t) => assert(math.abs(s - t) <= 1) }
+    // and the decoder's in-place forms agree with the reference forms
+    val probe = Array.tabulate(16)(i => (i * 37 - 80) * 4)
+    val inPlace = probe.clone(); Vp8Decoder.idct4x4(inPlace)
+    assert(inPlace.toSeq === idctRef(probe).toSeq)
+    assert(Vp8Decoder.iwht4x4(probe).toSeq === iwhtRef(probe).toSeq)
+  }
+
+  private def blkOf(pairs: (Int, Int)*): Array[Int] = {
+    val a = new Array[Int](16)
+    pairs.foreach { case (i, v) => a(i) = v }
+    a
+  }
+
+  test("full keyframe roundtrip: tokens, Y2/WHT, segmentation, partitions, all modes") {
+    val (mbs, segQ) = fixture()
+    val webp = encodeFrame(mbs, 2, 2, segQ, nParts = 2)
+    val (expY, expU, expV) = reconstructRef(mbs, 2, 2, segQ)
+    val fOpt = Vp8Decoder.parseHeader(webp)
+    assert(fOpt.isDefined && fOpt.get.nDctPartitions === 2)
+    val frame = {
+      val (s, e) = riffRange(webp)
+      Vp8Decoder.decodeFrame(webp, s, e)
+    }
+    assert(frame.isDefined, "keyframe must decode")
+    val f = frame.get
+    assert((f.width, f.height) === ((32, 32)))
+    for (y <- 0 until 32; x <- 0 until 32)
+      assert(f.yAt(x, y) === expY(y)(x), s"luma ($x,$y)")
+    for (y <- 0 until 16; x <- 0 until 16) {
+      assert(f.uAt(x, y) === expU(y)(x), s"U ($x,$y)")
+      assert(f.vAt(x, y) === expV(y)(x), s"V ($x,$y)")
+    }
+    // decode() means equal the reference means through the same YUV→RGB
+    val img = graft.ops.MultimodalOps.decodeImage(webp)
+    assert(img.isDefined, "lossy WebP must take the pixel tier now")
+    var sr = 0.0; var sg = 0.0; var sb = 0.0
+    for (y <- 0 until 32; x <- 0 until 32) {
+      val (r, g, b) = yuv2rgb(expY(y)(x), expU(y / 2)(x / 2), expV(y / 2)(x / 2))
+      sr += r; sg += g; sb += b
+    }
+    assert(img.get === graft.ops.MultimodalOps.DecodedImage(32, 32,
+      sr / 1024, sg / 1024, sb / 1024))
+  }
+
+  private def riffRange(p: Array[Byte]): (Int, Int) = {
+    // VP8 payload starts after RIFF(12) + chunk header(8)
+    (20, p.length)
+  }
+
+  test("pixel tier: lossy WebP hashes identically to a PPM of the same pixels; rendition floor holds") {
+    import graft.functions.DHash64
+    val (mbs, segQ) = fixture()
+    val webp = encodeFrame(mbs, 2, 2, segQ, nParts = 1)
+    val (expY, expU, expV) = reconstructRef(mbs, 2, 2, segQ)
+    def rgb(x: Int, y: Int): (Int, Int, Int) =
+      yuv2rgb(expY(y)(x), expU(y / 2)(x / 2), expV(y / 2)(x / 2))
+    val ppmBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bos.write(s"P6\n32 32\n255\n".getBytes("US-ASCII"))
+      for (y <- 0 until 32; x <- 0 until 32) {
+        val (r, g, b) = rgb(x, y); bos.write(r); bos.write(g); bos.write(b)
+      }
+      bos.toByteArray
+    }
+    assert(DHash64.hash(webp) === DHash64.hash(ppmBytes),
+      "same pixels must hash identically across VP8 and PPM (the perceptual point)")
+    // rendition: one coefficient bumped = a re-encode-grade perturbation;
+    // the hash must stay within q166's Hamming ≤ 3 join radius
+    val (mbs2, _) = fixture()
+    mbs2.head.y(0)(1) += 1
+    val rendition = encodeFrame(mbs2, 2, 2, segQ, nParts = 1)
+    val d = java.lang.Long.bitCount(
+      DHash64.hash(webp) ^ DHash64.hash(rendition))
+    assert(d <= 3, s"rendition moved $d hash bits")
+  }
+
+  test("declared edges: B_PRED falls to the byte tier; truncated token data is None") {
+    val (mbs, segQ) = fixture()
+    // ymode 4 = B_PRED — the decoder's documented None edge
+    val bmbs = mbs.updated(0, mbs.head.copy(ymode = 4))
+    assert(graft.ops.MultimodalOps.decodeImage(
+      encodeFrame(bmbs, 2, 2, segQ, nParts = 1)).isEmpty)
+    // chopping the token partition tail must fail closed, not garble
+    val webp = encodeFrame(mbs, 2, 2, segQ, nParts = 1)
+    assert(graft.ops.MultimodalOps.decodeImage(webp.dropRight(12)).isEmpty)
   }
 }
