@@ -78,6 +78,13 @@ def main(argv):
         print(f"WARN candidate {cand_path} self-reports clean:false - "
               "its numbers are upper bounds; regressions below may be the window")
     best = {}          # query -> (best_time, ref_path)
+    # floors are scale-classed (mirrors graft.Bench): only references
+    # of the candidate's sf class set floors; pre-"sf"-field refs were
+    # all sf0.1 runs
+    def sf_class(obj):
+        sf = obj.get("sf") or "/root/testdata/sf0.1"
+        return os.path.basename(sf.rstrip("/"))
+    cand_class = sf_class(cand)
     clean_refs = []
     for rp in ref_paths:
         try:
@@ -87,6 +94,8 @@ def main(argv):
             continue
         if not ref.get("clean", True):
             print(f"WARN skipping dirty reference {rp} (clean:false)")
+            continue
+        if sf_class(ref) != cand_class:
             continue
         clean_refs.append((rp, ref))
     clean_refs.sort(key=lambda r: ref_order(r[0]))

