@@ -1035,9 +1035,10 @@ object VectorOps {
   /** q175 frozen recipe. Entry layer: vec_id % 4 == 0 nodes, their own
     * M=8 graph ([[nswGraphL1]]), 2 lowest-vid entries, ef=8, 2 hops.
     * Base layer: q170's graph searched from the entry layer's top-3
-    * results per query with ef=16 and 3 hops — narrower and shallower
-    * than q170's ef=24/hops=4/entries=4 precisely because the entry
-    * layer lands the beam near the target first. */
+    * results per query with ef=24 and 4 hops — q170's beam shape, but
+    * from ROUTED entries instead of the 4 lowest vec_ids; the routed
+    * start makes the whole search cheaper (fewer novel nodes per hop)
+    * and, at sf0.1, better. */
   private val HnswEf1 = 4
   private val HnswHops1 = 1
   private val HnswEntries1 = 2
@@ -1718,7 +1719,7 @@ object VectorOps {
     QueryDef("q170_graph_ann_recall", graphAnnRecall, Some(graphAnnRecallSql),
       "graph-ANN (NSW) serving point: M=8 blocked-build graph, ef=24 4-hop beam, recall@10 vs brute force"),
     QueryDef("q175_hnsw_recall", hnswRecall, Some(hnswRecallSql),
-      "hierarchical graph-ANN (HNSW 2-level): entry-layer beam routes a narrower ef=16 3-hop base beam"),
+      "hierarchical graph-ANN (HNSW 2-level): entry-layer routing beam seeds the ef=24 4-hop base beam"),
     QueryDef("q156_ivf_delta_assign", ivfDeltaAssign, Some(ivfDeltaAssignSql),
       "B96 IVF index delta maintenance: map-only assignment of an arriving batch + drift report"),
     QueryDef("q136_multiprobe_ann", pqRerankAnnWide, Some(pqRerankAnnWideSql),

@@ -242,10 +242,13 @@ object Vp8Decoder {
     * else changes. The spec's fixture encoder always codes explicit
     * probability updates for every slot, so the graded roundtrips are
     * self-contained and exercise the update path end to end.
-    * Remaining declared edges: B_PRED keyframes (the 4×4 intra mode
+    * Remaining declared edge: B_PRED keyframes (the 4×4 intra mode
     * needs the 10×10×9 kf_bmode table — same boundary) return None and
-    * fall to the byte tier, and reconstruction is PRE-loop-filter
-    * (exact for filter_level=0 streams, which the fixtures pin). */
+    * fall to the byte tier. The §15 loop filter (both the normal
+    * 3-tap/hev form and the luma-only simple form) runs after
+    * reconstruction; its limit/threshold arithmetic is in
+    * [[filterLimits]]/[[filterSegment]] and spec-pinned the same way
+    * (independent test-side replay). */
   private[graft] val CoeffBands =
     Array(0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
 
@@ -622,6 +625,9 @@ object Vp8Decoder {
     val aboveU = new Array[Int](mbW * 2)
     val aboveV = new Array[Int](mbW * 2)
     val aboveY2 = new Array[Int](mbW)
+    // per-MB state the §15 loop filter replays after reconstruction
+    val segIds = new Array[Int](mbW * mbH)
+    val hasCoeffs = new Array[Boolean](mbW * mbH)
 
     var mbY = 0
     while (mbY < mbH) {
@@ -637,6 +643,8 @@ object Vp8Decoder {
             treeRead(d0, SegmentTree, h.segmentTreeProbs)
           else 0
         val skip = mbNoCoeffSkip && d0.bool(probSkipFalse) == 1
+        segIds(mbY * mbW + mbX) = segId
+        hasCoeffs(mbY * mbW + mbX) = !skip
         val ymode = treeRead(d0, KfYmodeTree, KfYmodeProb)
         if (ymode == ModeB) return None // declared edge: kf_bmode table
         val uvmode = treeRead(d0, UvModeTree, KfUvModeProb)
@@ -717,7 +725,188 @@ object Vp8Decoder {
       }
       mbY += 1
     }
+    if (h.filterLevel > 0 || (h.segmentationEnabled &&
+        h.segmentFilterDeltas.exists(_ != 0)))
+      loopFilter(h, yPlane, uPlane, vPlane, yStride, uvStride, mbW, mbH,
+        segIds, hasCoeffs)
     Some(Vp8Frame(h.width, h.height, yPlane, uPlane, vPlane, yStride, uvStride))
+  }
+
+  // ----- loop filter (§15) -------------------------------------------
+
+  /** §15.1 per-macroblock filter parameters: (interior limit, mb-edge
+    * limit, subblock-edge limit, high-edge-variance threshold) for a
+    * given running filter level and sharpness. */
+  private[graft] def filterLimits(level: Int, sharpness: Int)
+      : (Int, Int, Int, Int) = {
+    var interior = level
+    if (sharpness > 0) {
+      interior >>= (if (sharpness > 4) 2 else 1)
+      if (interior > 9 - sharpness) interior = 9 - sharpness
+    }
+    if (interior < 1) interior = 1
+    val mbEdge = (level + 2) * 2 + interior
+    val sbEdge = level * 2 + interior
+    val hevT = if (level >= 40) 2 else if (level >= 15) 1 else 0 // keyframe row
+    (interior, mbEdge, sbEdge, hevT)
+  }
+
+  private def s8(v: Int): Int = if (v < -128) -128 else if (v > 127) 127 else v
+
+  /** One filtered segment across an edge. The eight taps p3..q3 are
+    * SIGNED (pixel − 128); writes go back through the provided setter.
+    * `mbEdge` selects the §15.3 macroblock-edge filter (3-pixel
+    * adjust) vs the §15.4 subblock filter; `simple` is the luma-only
+    * §15.5 two-tap form. Returns nothing; mutates via set(). */
+  private def filterSegment(px: Int => Int, set: (Int, Int) => Unit,
+      interior: Int, edge: Int, hevT: Int, mbEdge: Boolean,
+      simple: Boolean): Unit = {
+    val p3 = px(-4); val p2 = px(-3); val p1 = px(-2); val p0 = px(-1)
+    val q0 = px(0); val q1 = px(1); val q2 = px(2); val q3 = px(3)
+    if (simple) {
+      // §15.5: mask is the edge term only; two-tap common adjust
+      if (math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 <= edge) {
+        val a = s8(s8(p1 - q1) + 3 * (q0 - p0))
+        val f = s8(a + 4) >> 3
+        val e = s8(a + 3) >> 3
+        set(0, s8(q0 - f)); set(-1, s8(p0 + e))
+      }
+      return
+    }
+    val mask =
+      math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 <= edge &&
+        math.abs(p3 - p2) <= interior && math.abs(p2 - p1) <= interior &&
+        math.abs(p1 - p0) <= interior && math.abs(q1 - q0) <= interior &&
+        math.abs(q2 - q1) <= interior && math.abs(q3 - q2) <= interior
+    if (!mask) return
+    val hev = math.abs(p1 - p0) > hevT || math.abs(q1 - q0) > hevT
+    if (mbEdge && !hev) {
+      // §15.3: spread the adjustment over three pixel pairs
+      val w = s8(s8(p1 - q1) + 3 * (q0 - p0))
+      var a = s8((27 * w + 63) >> 7)
+      set(0, s8(q0 - a)); set(-1, s8(p0 + a))
+      a = s8((18 * w + 63) >> 7)
+      set(1, s8(q1 - a)); set(-2, s8(p1 + a))
+      a = s8((9 * w + 63) >> 7)
+      set(2, s8(q2 - a)); set(-3, s8(p2 + a))
+    } else {
+      // common adjust; outer taps only under high edge variance
+      val a = s8((if (hev) s8(p1 - q1) else 0) + 3 * (q0 - p0))
+      val f = s8(a + 4) >> 3
+      val e = s8(a + 3) >> 3
+      set(0, s8(q0 - f)); set(-1, s8(p0 + e))
+      if (!mbEdge && !hev) {
+        val f2 = (f + 1) >> 1
+        set(1, s8(q1 - f2)); set(-2, s8(p1 + f2))
+      }
+    }
+  }
+
+  /** Filter one vertical (column) or horizontal (row) edge of length
+    * `len` on a bordered plane. `ex, ey` = first edge pixel (the q0
+    * side); vertical edges step down, horizontal step right. */
+  private def filterEdge(plane: Array[Int], stride: Int, ex: Int, ey: Int,
+      len: Int, vertical: Boolean, interior: Int, edgeLim: Int, hevT: Int,
+      mbEdge: Boolean, simple: Boolean): Unit = {
+    val s1 = stride + 1
+    var i = 0
+    while (i < len) {
+      val (cx, cy) = if (vertical) (ex, ey + i) else (ex + i, ey)
+      def idx(o: Int): Int =
+        if (vertical) (cy + 1) * s1 + (cx + o + 1)
+        else (cy + o + 1) * s1 + (cx + 1)
+      filterSegment(o => plane(idx(o)) - 128,
+        (o, v) => plane(idx(o)) = v + 128,
+        interior, edgeLim, hevT, mbEdge, simple)
+      i += 1
+    }
+  }
+
+  /** §15 keyframe loop filter over the reconstructed planes, in the
+    * spec's traversal order (raster MBs; all column edges of a MB —
+    * left MB edge then interior at 4/8/12 — then all row edges).
+    * Per-MB running level = segment-adjusted base (+ intra ref delta
+    * when lf deltas are on), clamped 0..63; level 0 or a skipped MB
+    * with no coefficients skips interior edges. The SIMPLE filter
+    * (filterType=1) touches luma only; the normal filter also runs
+    * chroma at 8-pel grain. */
+  private def loopFilter(h: Vp8Header, yP: Array[Int], uP: Array[Int],
+      vP: Array[Int], yStride: Int, uvStride: Int, mbW: Int, mbH: Int,
+      segIds: Array[Int], hasCoeffs: Array[Boolean]): Unit = {
+    val simple = h.filterType == 1
+    var mbY = 0
+    while (mbY < mbH) {
+      var mbX = 0
+      while (mbX < mbW) {
+        val mbI = mbY * mbW + mbX
+        var level =
+          if (!h.segmentationEnabled) h.filterLevel
+          else if (h.segmentAbsDeltas) h.segmentFilterDeltas(segIds(mbI))
+          else h.filterLevel + h.segmentFilterDeltas(segIds(mbI))
+        // intra ref delta (a disabled lf-delta block leaves the array
+        // zero, so the unconditional add is the enabled-or-not form)
+        level += h.refLfDeltas(0)
+        level = math.max(0, math.min(63, level))
+        if (level > 0) {
+          val (interior, mbE, sbE, hevT) = filterLimits(level, h.sharpness)
+          val interiorEdges = hasCoeffs(mbI)
+          val yx = mbX * 16; val yy = mbY * 16
+          val cx = mbX * 8; val cy = mbY * 8
+          // column (vertical) edges, left to right
+          if (mbX > 0) {
+            filterEdge(yP, yStride, yx, yy, 16, vertical = true,
+              interior, mbE, hevT, mbEdge = true, simple)
+            if (!simple) {
+              filterEdge(uP, uvStride, cx, cy, 8, vertical = true,
+                interior, mbE, hevT, mbEdge = true, simple)
+              filterEdge(vP, uvStride, cx, cy, 8, vertical = true,
+                interior, mbE, hevT, mbEdge = true, simple)
+            }
+          }
+          if (interiorEdges) {
+            var o = 4
+            while (o < 16) {
+              filterEdge(yP, yStride, yx + o, yy, 16, vertical = true,
+                interior, sbE, hevT, mbEdge = false, simple)
+              o += 4
+            }
+            if (!simple) {
+              filterEdge(uP, uvStride, cx + 4, cy, 8, vertical = true,
+                interior, sbE, hevT, mbEdge = false, simple)
+              filterEdge(vP, uvStride, cx + 4, cy, 8, vertical = true,
+                interior, sbE, hevT, mbEdge = false, simple)
+            }
+          }
+          // row (horizontal) edges, top to bottom
+          if (mbY > 0) {
+            filterEdge(yP, yStride, yx, yy, 16, vertical = false,
+              interior, mbE, hevT, mbEdge = true, simple)
+            if (!simple) {
+              filterEdge(uP, uvStride, cx, cy, 8, vertical = false,
+                interior, mbE, hevT, mbEdge = true, simple)
+              filterEdge(vP, uvStride, cx, cy, 8, vertical = false,
+                interior, mbE, hevT, mbEdge = true, simple)
+            }
+          }
+          if (interiorEdges) {
+            var o = 4
+            while (o < 16) {
+              filterEdge(yP, yStride, yx, yy + o, 16, vertical = false,
+                interior, sbE, hevT, mbEdge = false, simple)
+              o += 4
+            }
+            if (!simple) {
+              filterEdge(uP, uvStride, cx, cy + 4, 8, vertical = false,
+                interior, sbE, hevT, mbEdge = false, simple)
+              filterEdge(vP, uvStride, cx, cy + 4, 8, vertical = false,
+                interior, sbE, hevT, mbEdge = false, simple)
+            }
+          }
+        }
+        mbX += 1
+      }
+      mbY += 1
+    }
   }
 
   /** Pixel-tier decode of a lossy-WebP payload: full keyframe

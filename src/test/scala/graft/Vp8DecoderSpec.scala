@@ -3,53 +3,13 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.Vp8Decoder
+import graft.Vp8TestCodec.{BoolEncoder, encodeCoeffs, treeWrite}
 
 /** VP8 ground layer vs a test-side RFC 6386 §7.1 bool ENCODER (the
   * WebpDecoderSpec posture: the JDK ships no VP8 codec, so the
   * reference is written from the spec and every parsed field is
   * checked exactly). */
 class Vp8DecoderSpec extends AnyFunSuite {
-
-  /** RFC 6386 §7.1 boolean arithmetic encoder (libvpx stop_encode
-    * flush: 32 trailing zero bits at probability 128). */
-  private final class BoolEncoder {
-    private val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
-    private var range = 255
-    private var bottom = 0L
-    private var bitCount = 24
-    def bool(prob: Int, v: Int): Unit = {
-      val split = 1 + (((range - 1) * prob) >> 8)
-      if (v == 1) { bottom += split; range -= split } else range = split
-      while (range < 128) {
-        if ((bottom & (1L << 31)) != 0) { // carry into flushed bytes
-          var i = out.length - 1
-          while (i >= 0 && out(i) == 0xff.toByte) { out(i) = 0; i -= 1 }
-          if (i >= 0) out(i) = (out(i) + 1).toByte
-        }
-        range <<= 1
-        bottom = (bottom << 1) & 0xffffffffL
-        bitCount -= 1
-        if (bitCount == 0) {
-          out += ((bottom >> 24) & 0xff).toByte
-          bottom &= 0xffffff
-          bitCount = 8
-        }
-      }
-    }
-    def literal(v: Int, n: Int): Unit = {
-      var i = n - 1
-      while (i >= 0) { bool(128, (v >> i) & 1); i -= 1 }
-    }
-    def signedLiteral(v: Int, n: Int): Unit = {
-      literal(math.abs(v), n); bool(128, if (v < 0) 1 else 0)
-    }
-    def maybeSigned(v: Int, n: Int): Unit =
-      if (v == 0) bool(128, 0) else { bool(128, 1); signedLiteral(v, n) }
-    def finish(): Array[Byte] = {
-      (0 until 32).foreach(_ => bool(128, 0))
-      out.toArray
-    }
-  }
 
   private def riffVp8(payload: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
@@ -184,77 +144,6 @@ class Vp8DecoderSpec extends AnyFunSuite {
 
   // ===== round 13: coefficient decode + IDCT + reconstruction ========
 
-  /** Generic tree WRITE — walks the shared tree to the token's leaf
-    * and emits the path bits with the node probabilities (the §8.2
-    * encode direction). `start` mirrors the decoder's
-    * EOB-cannot-follow-ZERO entry point. */
-  private def treeWrite(enc: BoolEncoder, tree: Array[Int],
-      probs: Array[Int], tok: Int, start: Int = 0): Unit = {
-    def go(i: Int, path: List[(Int, Int)]): Option[List[(Int, Int)]] = {
-      var r: Option[List[(Int, Int)]] = None
-      var b = 0
-      while (b <= 1 && r.isEmpty) {
-        val c = tree(i + b)
-        val p2 = path :+ ((i >> 1, b))
-        if (c <= 0) { if (-c == tok) r = Some(p2) }
-        else r = go(c, p2)
-        b += 1
-      }
-      r
-    }
-    val path = go(start, Nil).getOrElse(fail(s"token $tok unreachable"))
-    path.foreach { case (pi, bit) => enc.bool(probs(pi), bit) }
-  }
-
-  /** Token-encode one block of QUANTIZED levels (natural order),
-    * tracking the in-block context exactly like §13.3's decode loop.
-    * Returns the nonzero flag the neighbor contexts consume. */
-  private def encodeCoeffs(enc: BoolEncoder, levels: Array[Int],
-      blockType: Int, first: Int,
-      probs: Array[Array[Array[Array[Int]]]], ctx0: Int): Boolean = {
-    import Vp8Decoder.{CatBase, CatBits, CatProbs, CoeffBands, CoeffTree, TokEob, Zigzag}
-    val nzIdx = (first until 16).filter(i => levels(Zigzag(i)) != 0)
-    var c = ctx0
-    var prevZero = false
-    if (nzIdx.isEmpty) {
-      treeWrite(enc, CoeffTree, probs(blockType)(CoeffBands(first))(c), TokEob)
-      return false
-    }
-    val last = nzIdx.max
-    var idx = first
-    while (idx <= last) {
-      val v = levels(Zigzag(idx))
-      val pr = probs(blockType)(CoeffBands(idx))(c)
-      val start = if (prevZero) 2 else 0
-      if (v == 0) {
-        treeWrite(enc, CoeffTree, pr, 0, start); c = 0; prevZero = true
-      } else {
-        val av = math.abs(v)
-        val tok =
-          if (av <= 4) av
-          else (0 to 5).find(k => k == 5 || av < CatBase(k) + (1 << CatBits(k)))
-            .map(_ + 5).get
-        treeWrite(enc, CoeffTree, pr, tok, start)
-        if (tok >= 5) {
-          val cat = tok - 5
-          val extra = av - CatBase(cat)
-          var j = 0
-          while (j < CatBits(cat)) {
-            enc.bool(CatProbs(cat)(j), (extra >> (CatBits(cat) - 1 - j)) & 1)
-            j += 1
-          }
-        }
-        enc.bool(128, if (v < 0) 1 else 0)
-        c = if (av > 1) 2 else 1
-        prevZero = false
-      }
-      idx += 1
-    }
-    if (last < 15)
-      treeWrite(enc, CoeffTree, probs(blockType)(CoeffBands(last + 1))(c), TokEob)
-    true
-  }
-
   /** One macroblock's fixture content: quantized coefficient LEVELS in
     * natural order (y2; 16 luma blocks missing their DC — it rides
     * y2; 4+4 chroma). */
@@ -280,7 +169,9 @@ class Vp8DecoderSpec extends AnyFunSuite {
     * updates, per-MB skip flags — the whole §9/§10/§13 surface the
     * decoder claims. */
   private def encodeFrame(mbs: Seq[MbFix], mbW: Int, mbH: Int,
-      segQ: Array[Int], nParts: Int): Array[Byte] = {
+      segQ: Array[Int], nParts: Int, filterType: Int = 0,
+      filterLevel: Int = 0, sharpness: Int = 0,
+      segF: Array[Int] = Array(0, 0, 0, 0)): Array[Byte] = {
     import Vp8Decoder.{CoeffUpdateProb, KfYmodeProb, KfYmodeTree, KfUvModeProb, SegmentTree, UvModeTree}
     val probs = fixtureProbs()
     val enc0 = new BoolEncoder
@@ -290,13 +181,13 @@ class Vp8DecoderSpec extends AnyFunSuite {
     enc0.bool(128, 1) // update feature data
     enc0.bool(128, 1) // abs deltas
     segQ.foreach(enc0.maybeSigned(_, 7))
-    Seq(0, 0, 0, 0).foreach(enc0.maybeSigned(_, 6)) // filter deltas
+    segF.foreach(enc0.maybeSigned(_, 6)) // per-segment filter deltas
     // segment tree probs: all three explicit (160, 170, 180)
     Seq(160, 170, 180).foreach { pr => enc0.bool(128, 1); enc0.literal(pr, 8) }
     val segTreeProbs = Array(160, 170, 180)
-    enc0.bool(128, 0) // filter type
-    enc0.literal(0, 6) // filter level 0: reconstruction is exact
-    enc0.literal(0, 3) // sharpness
+    enc0.bool(128, filterType)
+    enc0.literal(filterLevel, 6)
+    enc0.literal(sharpness, 3)
     enc0.bool(128, 0) // lf deltas off
     enc0.literal(Integer.numberOfTrailingZeros(nParts), 2)
     enc0.literal(0, 7) // y_ac_qi (unused: abs segment quantizers)
@@ -481,6 +372,100 @@ class Vp8DecoderSpec extends AnyFunSuite {
     (Y, U, V)
   }
 
+  // ---- independent §15 loop-filter replay ---------------------------
+
+  private def c8(v: Int): Int = math.max(-128, math.min(127, v))
+
+  private def lfLimits(level: Int, sharp: Int): (Int, Int, Int, Int) = {
+    var i = level
+    if (sharp > 0) { i >>= (if (sharp > 4) 2 else 1); if (i > 9 - sharp) i = 9 - sharp }
+    if (i < 1) i = 1
+    (i, (level + 2) * 2 + i, level * 2 + i,
+      if (level >= 40) 2 else if (level >= 15) 1 else 0)
+  }
+
+  /** One eight-tap segment in the signed domain; get/set address
+    * offsets across the edge (-4..3, q0 at 0). */
+  private def lfSeg(get: Int => Int, set: (Int, Int) => Unit, interior: Int,
+      edge: Int, hevT: Int, mbEdge: Boolean, simple: Boolean): Unit = {
+    val s = (-4 to 3).map(o => get(o) - 128)
+    val (p3, p2, p1, p0, q0, q1, q2, q3) =
+      (s(0), s(1), s(2), s(3), s(4), s(5), s(6), s(7))
+    def put(o: Int, v: Int): Unit = set(o, v + 128)
+    if (simple) {
+      if (math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 <= edge) {
+        val a = c8(c8(p1 - q1) + 3 * (q0 - p0))
+        put(0, c8(q0 - (c8(a + 4) >> 3))); put(-1, c8(p0 + (c8(a + 3) >> 3)))
+      }
+      return
+    }
+    val mask = math.abs(p0 - q0) * 2 + math.abs(p1 - q1) / 2 <= edge &&
+      Seq(p3 - p2, p2 - p1, p1 - p0, q1 - q0, q2 - q1, q3 - q2)
+        .forall(d => math.abs(d) <= interior)
+    if (!mask) return
+    val hev = math.abs(p1 - p0) > hevT || math.abs(q1 - q0) > hevT
+    if (mbEdge && !hev) {
+      val w = c8(c8(p1 - q1) + 3 * (q0 - p0))
+      put(0, c8(q0 - c8((27 * w + 63) >> 7))); put(-1, c8(p0 + c8((27 * w + 63) >> 7)))
+      put(1, c8(q1 - c8((18 * w + 63) >> 7))); put(-2, c8(p1 + c8((18 * w + 63) >> 7)))
+      put(2, c8(q2 - c8((9 * w + 63) >> 7))); put(-3, c8(p2 + c8((9 * w + 63) >> 7)))
+    } else {
+      val a = c8((if (hev) c8(p1 - q1) else 0) + 3 * (q0 - p0))
+      val f = c8(a + 4) >> 3
+      put(0, c8(q0 - f)); put(-1, c8(p0 + (c8(a + 3) >> 3)))
+      if (!mbEdge && !hev) {
+        val f2 = (f + 1) >> 1
+        put(1, c8(q1 - f2)); put(-2, c8(p1 + f2))
+      }
+    }
+  }
+
+  private def lfEdge(pl: Array[Array[Int]], ex: Int, ey: Int, len: Int,
+      vertical: Boolean, interior: Int, edge: Int, hevT: Int,
+      mbEdge: Boolean, simple: Boolean): Unit =
+    for (i <- 0 until len) {
+      val (cx, cy) = if (vertical) (ex, ey + i) else (ex + i, ey)
+      if (vertical)
+        lfSeg(o => pl(cy)(cx + o), (o, v) => pl(cy)(cx + o) = v,
+          interior, edge, hevT, mbEdge, simple)
+      else
+        lfSeg(o => pl(cy + o)(cx), (o, v) => pl(cy + o)(cx) = v,
+          interior, edge, hevT, mbEdge, simple)
+    }
+
+  /** Replay of the decoder's filter traversal over the reference
+    * reconstruction: raster MBs, column edges (MB then interior) then
+    * row edges; per-MB level from the ABS segment filter values +
+    * intra ref delta; interior edges skipped on skip MBs; the simple
+    * filter touches luma only. */
+  private def lfRef(yP: Array[Array[Int]], uP: Array[Array[Int]],
+      vP: Array[Array[Int]], mbs: Seq[MbFix], mbW: Int, mbH: Int,
+      filterType: Int, sharp: Int, segF: Array[Int]): Unit = {
+    val simple = filterType == 1
+    for (mbY <- 0 until mbH; mbX <- 0 until mbW) {
+      val mb = mbs(mbY * mbW + mbX)
+      val level = math.max(0, math.min(63, segF(mb.segId)))
+      if (level > 0) {
+        val (in, mbE, sbE, hevT) = lfLimits(level, sharp)
+        val interiorEdges = !mb.skip
+        def planes(f: (Array[Array[Int]], Int, Int, Int) => Unit): Unit = {
+          f(yP, mbX * 16, mbY * 16, 16)
+          if (!simple) { f(uP, mbX * 8, mbY * 8, 8); f(vP, mbX * 8, mbY * 8, 8) }
+        }
+        if (mbX > 0) planes((p, x, y, n) =>
+          lfEdge(p, x, y, n, vertical = true, in, mbE, hevT, mbEdge = true, simple))
+        if (interiorEdges) planes((p, x, y, n) =>
+          (4 until n by 4).foreach(o =>
+            lfEdge(p, x + o, y, n, vertical = true, in, sbE, hevT, mbEdge = false, simple)))
+        if (mbY > 0) planes((p, x, y, n) =>
+          lfEdge(p, x, y, n, vertical = false, in, mbE, hevT, mbEdge = true, simple))
+        if (interiorEdges) planes((p, x, y, n) =>
+          (4 until n by 4).foreach(o =>
+            lfEdge(p, x, y + o, n, vertical = false, in, sbE, hevT, mbEdge = false, simple)))
+      }
+    }
+  }
+
   private def yuv2rgb(y: Int, u: Int, v: Int): (Int, Int, Int) = {
     val c = 298 * (y - 16)
     (clamp((c + 409 * (v - 128) + 128) >> 8),
@@ -611,6 +596,46 @@ class Vp8DecoderSpec extends AnyFunSuite {
     val d = java.lang.Long.bitCount(
       DHash64.hash(webp) ^ DHash64.hash(rendition))
     assert(d <= 3, s"rendition moved $d hash bits")
+  }
+
+  test("loop filter roundtrip: simple (luma-only) and normal (3-tap/hev, chroma) forms") {
+    val (mbs, segQ) = fixture()
+    // abs segment filter levels: a level-0 MB (the skip MB's segment),
+    // a sub-15 level, a >=15 (hev-active) and a >=40 one
+    val segF = Array(18, 0, 44, 31)
+    for (ft <- Seq(0, 1); sharp <- Seq(0, 3)) {
+      val webp = encodeFrame(mbs, 2, 2, segQ, nParts = 1, filterType = ft,
+        filterLevel = 21 /* ignored under abs segment values */,
+        sharpness = sharp, segF = segF)
+      val (expY, expU, expV) = reconstructRef(mbs, 2, 2, segQ)
+      lfRef(expY, expU, expV, mbs, 2, 2, ft, sharp, segF)
+      val f = Vp8Decoder.decodeFrame(webp, 20, webp.length).get
+      for (y <- 0 until 32; x <- 0 until 32)
+        assert(f.yAt(x, y) === expY(y)(x),
+          s"luma ($x,$y) filterType=$ft sharp=$sharp")
+      for (y <- 0 until 16; x <- 0 until 16) {
+        assert(f.uAt(x, y) === expU(y)(x), s"U ($x,$y) ft=$ft sharp=$sharp")
+        assert(f.vAt(x, y) === expV(y)(x), s"V ($x,$y) ft=$ft sharp=$sharp")
+      }
+    }
+    // and the filter genuinely moves pixels (the roundtrip isn't
+    // vacuously comparing two unfiltered frames)
+    val unfiltered = encodeFrame(mbs, 2, 2, segQ, nParts = 1)
+    val filtered = encodeFrame(mbs, 2, 2, segQ, nParts = 1, filterType = 0,
+      segF = segF)
+    val f0 = Vp8Decoder.decodeFrame(unfiltered, 20, unfiltered.length).get
+    val f1 = Vp8Decoder.decodeFrame(filtered, 20, filtered.length).get
+    val moved = (for (y <- 0 until 32; x <- 0 until 32
+      if f0.yAt(x, y) != f1.yAt(x, y)) yield 1).size
+    assert(moved > 0, "normal filter at level 18-44 must adjust some edges")
+  }
+
+  test("filter limits: sharpness clamps the interior limit, level sets hev threshold") {
+    assert(Vp8Decoder.filterLimits(0, 0) === ((1, 5, 1, 0)))
+    assert(Vp8Decoder.filterLimits(18, 0) === ((18, 58, 54, 1)))
+    assert(Vp8Decoder.filterLimits(18, 3) === ((6, 46, 42, 1)))
+    assert(Vp8Decoder.filterLimits(44, 7) === ((2, 94, 90, 2)))
+    assert(Vp8Decoder.filterLimits(63, 5) === ((4, 134, 130, 2)))
   }
 
   test("declared edges: B_PRED falls to the byte tier; truncated token data is None") {
