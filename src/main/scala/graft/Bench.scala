@@ -188,23 +188,41 @@ object Bench {
     // hot on every sample — the min of ≤4 samples still flags it.
     // Elevated first samples print on stderr so the debounce is
     // auditable in the capture.
-    def settle(first: Double, ok: Double => Boolean,
-        again: () => Double, what: String): Double = {
-      var best = first
-      var prev = first
+    // total GC EVENTS (young + mixed + concurrent cycles — JDK17's G1
+    // exposes "G1 Concurrent GC" as its own bean): the self-attribution
+    // signal for sentinel samples. A concurrent old-gen cycle on a
+    // 30+ GB heap runs 5–15 s of background threads that a fixed
+    // 1–2 s settle loop cannot outwait, and it inflated every 100×
+    // window's CPU spread past the 1.8× band. But it advances THIS
+    // JVM's GC counters — foreign contention never does — so a sample
+    // whose enclosing GC count moved is evidence about us, not the
+    // host, and earns a longer (still bounded) resample.
+    def gcEvents(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionCount, 0L)).sum
+    }
+    def settle(sample: () => Double, ok: Double => Boolean,
+        what: String): Double = {
+      def once(): (Double, Boolean) = {
+        val c0 = gcEvents()
+        val s = sample()
+        (s, gcEvents() != c0)
+      }
+      var (best, selfNoise) = once()
+      val first = best
       var tries = 0
-      var plateaued = false
-      // decay detector: keep waiting while the sample is still
-      // IMPROVING (our own tail draining — a 48g heap's post-query
-      // GC/cleaner churn takes multiple seconds); stop early once two
-      // consecutive samples plateau hot (a foreign window is sustained
-      // and never improves, and six hot samples over ~4 s is already
-      // strong evidence it isn't us)
-      while (!ok(best) && tries < 6 && !plateaued) {
-        Thread.sleep(500)
-        val s = again()
-        plateaued = tries >= 2 && s >= prev * 0.9 && !ok(s)
-        prev = s
+      // retries: up to 3 unconditionally (transient writeback/cleaner
+      // drain), up to 10 while each hot sample shows our own GC
+      // running through it — a foreign window gets no self evidence
+      // and flags after the unconditional budget
+      while (!ok(best) && tries < (if (selfNoise) 10 else 3)) {
+        // evidenced self-GC earns a longer inter-sample wait: one
+        // concurrent old-gen cycle runs 5-15 s, and the point is to
+        // sample AFTER it, not to average through it
+        Thread.sleep(if (selfNoise) 1500 else 500)
+        val (s, sn) = once()
+        selfNoise = sn
         best = math.min(best, s)
         tries += 1
       }
@@ -215,10 +233,10 @@ object Bench {
       best
     }
     def sentinelDebounced(): Double =
-      settle(sentinelOnce(), _ <= 1.6 * sentinelPre, sentinelOnce, "cpu sentinel")
+      settle(sentinelOnce, _ <= 1.6 * sentinelPre, "cpu sentinel")
     def ioDebounced(): Double =
-      settle(ioSentinelOnce(), s => s <= math.max(2.5 * ioPre, 1.2),
-        ioSentinelOnce, "io sentinel")
+      settle(ioSentinelOnce, s => s <= math.max(2.5 * ioPre, 1.2),
+        "io sentinel")
     var sinceSample = 0
     // Spark's ContextCleaner reclaims shuffle files / broadcasts /
     // checkpoint blocks only when their weak references are GC'd — and

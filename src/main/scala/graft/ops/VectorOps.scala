@@ -1192,6 +1192,122 @@ object VectorOps {
        |GROUP BY bf.qid ORDER BY bf.qid""".stripMargin
   }
 
+  // ---- q176: graph-ANN delta maintenance (the HNSW insert path) -----
+
+  private val DeltaEf = 8
+  private val DeltaHops = 2
+  private val DeltaEntries = 2
+  private val DeltaM = 8
+
+  /** The FROZEN index's graph for q176 — built over the old slice
+    * (vec_id % 100 ≠ 7) under OLD-ONLY centroids: the index state
+    * before the batch arrived, like q156's old-slice quantizer. The
+    * arriving batch is 1% (vec_id % 100 = 7, the q170 query grain):
+    * a delta INDEX update is incremental by definition — q156's 14%
+    * convention would broadcast a corpus-grain batch through the beam
+    * (at larger delta fractions the frontier join flips to shuffle;
+    * same documented boundary as q170's query set). */
+  private[graft] def nswGraphOld(s: SparkSession, d: String): DataFrame =
+    graft.CheckpointMemo.getOrElseUpdate(s, d, "nsw_graph_old") {
+      val old = Tables.embeddings(s, d).filter(col("vec_id") % 100 =!= 7)
+      nswGraphOver(
+        ivfScoredFrom(s, d, ivfCentroidsOf(old))
+          .filter(col("vec_id") % 100 =!= 7), DeltaM)
+    }
+
+  /** q176: attach an arriving vector batch to the frozen NSW graph the
+    * way HNSW inserts do — beam-search the OLD graph from its fixed
+    * entry points, then connect each new vector to its M
+    * highest-cosine vertices among everything the search scored.
+    * Output = the new out-edge list (new_vid, dst, cos, edge_rank),
+    * the exact state a serving index applies as its delta. Same
+    * determinism freeze as q170/q175; the 2-hop ef=8 beam keeps the
+    * oracle unroll small. Reverse-edge pruning (the other half of a
+    * full HNSW insert) is a per-dst top-M window over the union of old
+    * and new edges — same shape, omitted from the graded row to keep
+    * the output the pure insert delta. */
+  def graphDeltaEdges(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val old = emb.filter(col("vec_id") % 100 =!= 7)
+    val q = emb.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val entry = old.orderBy(col("vec_id")).limit(DeltaEntries)
+    val v0 = q.crossJoin(broadcast(entry))
+      .select(col("qid"), col("vec_id"),
+        round(cosineSimFast(col("embedding"), col("qv")), 6).as("cos"),
+        lit(0).as("hop"))
+    val visited = beamExpand(nswGraphOld(s, d), emb, q, v0, DeltaEf, DeltaHops)
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    visited.withColumn("rk", row_number().over(wk)).filter(col("rk") <= DeltaM)
+      .select(col("qid").as("new_vid"), col("vec_id").as("dst"),
+        col("cos"), col("rk").cast("long").as("edge_rank"))
+      .orderBy(col("new_vid"), col("edge_rank"))
+  }
+
+  private lazy val graphDeltaEdgesSql: String = {
+    val rounds = (1 to DeltaHops).map { h =>
+      s"""df$h AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, hop,
+         |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+         |    FROM dv${h - 1}) WHERE rk <= $DeltaEf AND hop = ${h - 1}),
+         |de$h AS (SELECT x.qid, x.vec_id,
+         |    ${cosSql("em.embedding", "q.qv")} AS cos, $h AS hop
+         |  FROM (SELECT DISTINCT f.qid, g.dst AS vec_id
+         |        FROM df$h f JOIN g ON g.src = f.vec_id) x
+         |  JOIN embeddings em ON em.vec_id = x.vec_id
+         |  JOIN q ON q.qid = x.qid
+         |  WHERE x.vec_id <> x.qid AND NOT EXISTS (
+         |    SELECT 1 FROM dv${h - 1} v
+         |    WHERE v.qid = x.qid AND v.vec_id = x.vec_id)),
+         |dv$h AS MATERIALIZED (SELECT * FROM dv${h - 1}
+         |  UNION ALL SELECT qid, vec_id, cos, hop FROM de$h)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH cent AS (
+       |  SELECT label, list(c ORDER BY i) AS cv FROM (
+       |    SELECT label, i,
+       |      CAST(CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS c
+       |    FROM (SELECT label, unnest(embedding) AS e,
+       |          generate_subscripts(embedding, 1) AS i FROM embeddings
+       |          WHERE vec_id % 100 <> 7) t
+       |    GROUP BY label, i) u GROUP BY label),
+       |cn AS (SELECT label, cv,
+       |         list_sum([cv[i]*cv[i] for i in generate_series(1,64)]) AS cnorm
+       |       FROM cent),
+       |sc AS (SELECT e.vec_id, e.embedding, cn.label,
+       |    cn.cnorm - 2 * list_sum([CAST(embedding[i] AS DOUBLE)*cv[i]
+       |                             for i in generate_series(1,64)]) AS score
+       |  FROM embeddings e, cn WHERE e.vec_id % 100 <> 7),
+       |asg2 AS MATERIALIZED (SELECT vec_id, embedding, label AS cell FROM (
+       |    SELECT vec_id, embedding, label,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY score, label) AS rn
+       |    FROM sc) WHERE rn <= 2),
+       |reps AS (SELECT cell, embedding, MIN(vec_id) AS vid
+       |         FROM asg2 GROUP BY cell, embedding),
+       |g AS MATERIALIZED (SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, dst) AS rn
+       |    FROM (SELECT DISTINCT a.vid AS src, b.vid AS dst,
+       |            ${cosSql("a.embedding", "b.embedding")} AS cos
+       |          FROM reps a JOIN reps b
+       |            ON a.cell = b.cell AND a.vid <> b.vid))
+       |  WHERE rn <= $DeltaM),
+       |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |      WHERE vec_id % 100 = 7),
+       |entry AS (SELECT vec_id, embedding FROM embeddings
+       |          WHERE vec_id % 100 <> 7 ORDER BY vec_id LIMIT $DeltaEntries),
+       |dv0 AS MATERIALIZED (SELECT q.qid, e.vec_id,
+       |    ${cosSql("e.embedding", "q.qv")} AS cos, 0 AS hop
+       |  FROM q, entry e),
+       |$rounds
+       |SELECT qid AS new_vid, vec_id AS dst, cos,
+       |       CAST(rk AS BIGINT) AS edge_rank
+       |FROM (SELECT qid, vec_id, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+       |      FROM dv$DeltaHops)
+       |WHERE rk <= $DeltaM ORDER BY new_vid, edge_rank""".stripMargin
+  }
+
   private lazy val ivfServingRecallSql =
     s"""WITH $centScSqlCtes,
        |asg AS (SELECT vec_id, embedding, label,
@@ -1720,6 +1836,8 @@ object VectorOps {
       "graph-ANN (NSW) serving point: M=8 blocked-build graph, ef=24 4-hop beam, recall@10 vs brute force"),
     QueryDef("q175_hnsw_recall", hnswRecall, Some(hnswRecallSql),
       "hierarchical graph-ANN (HNSW 2-level): entry-layer routing beam seeds the ef=24 4-hop base beam"),
+    QueryDef("q176_graph_delta_edges", graphDeltaEdges, Some(graphDeltaEdgesSql),
+      "graph-ANN delta maintenance: HNSW insert path attaches a 1% batch to the frozen old-slice graph"),
     QueryDef("q156_ivf_delta_assign", ivfDeltaAssign, Some(ivfDeltaAssignSql),
       "B96 IVF index delta maintenance: map-only assignment of an arriving batch + drift report"),
     QueryDef("q136_multiprobe_ann", pqRerankAnnWide, Some(pqRerankAnnWideSql),
