@@ -1245,6 +1245,68 @@ object VectorOps {
       .orderBy(col("new_vid"), col("edge_rank"))
   }
 
+  /** q177: the OTHER half of the HNSW insert — reverse-edge pruning.
+    * Each q176 forward edge implies a reverse edge dst→new_vid; a dst
+    * whose in-delta grows past M must re-cut its out-edge list to the
+    * M highest-cosine neighbors among (its old edges ∪ its reverse
+    * delta), or node degree grows without bound as batches arrive.
+    * Output = the post-prune out-edge table of every AFFECTED dst
+    * (old survivors and adopted newcomers alike, ranked), i.e. the
+    * second half of the index delta a serving system applies. Old-edge
+    * cosines are recomputed from the embeddings (the graph stores
+    * structure, not scores) with the same round(6) freeze. */
+  def graphDeltaPrune(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val fwd = graphDeltaEdges(s, d)
+      .select(col("dst").as("src"), col("new_vid").as("nbr"))
+    val affected = fwd.select(col("src")).distinct()
+    val oldEdges = nswGraphOld(s, d)
+      .join(broadcast(affected), Seq("src"))
+      .select(col("src"), col("dst").as("nbr"))
+    val union = oldEdges.unionByName(fwd)
+    val scored = union
+      .join(emb.select(col("vec_id").as("src"), col("embedding").as("se")),
+        Seq("src"))
+      .join(emb.select(col("vec_id").as("nbr"), col("embedding").as("ne")),
+        Seq("nbr"))
+      .select(col("src"), col("nbr"),
+        round(cosineSimFast(col("se"), col("ne")), 6).as("cos"))
+    val wk = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("cos").desc, col("nbr"))
+    scored.withColumn("rk", row_number().over(wk)).filter(col("rk") <= DeltaM)
+      .select(col("src"), col("nbr"), col("cos"),
+        col("rk").cast("long").as("edge_rank"))
+      .orderBy(col("src"), col("edge_rank"))
+  }
+
+  private lazy val graphDeltaPruneSql: String = {
+    // reuse q176's whole chain (old graph g + delta edges), then the
+    // per-affected-src re-cut
+    val base = graphDeltaEdgesSql
+    val prefix =
+      base.substring(0, base.indexOf("SELECT qid AS new_vid")).trim + ",\n"
+    s"""${prefix}delta AS (SELECT qid AS new_vid, vec_id AS dst
+       |  FROM (SELECT qid, vec_id, cos,
+       |          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk
+       |        FROM dv$DeltaHops)
+       |  WHERE rk <= $DeltaM),
+       |affected AS (SELECT DISTINCT dst AS src FROM delta),
+       |unioned AS (
+       |  SELECT g.src, g.dst AS nbr FROM g JOIN affected a ON a.src = g.src
+       |  UNION ALL
+       |  SELECT dst AS src, new_vid AS nbr FROM delta),
+       |scored AS (SELECT u.src, u.nbr,
+       |    ${cosSql("es.embedding", "en.embedding")} AS cos
+       |  FROM unioned u
+       |  JOIN embeddings es ON es.vec_id = u.src
+       |  JOIN embeddings en ON en.vec_id = u.nbr)
+       |SELECT src, nbr, cos, CAST(rk AS BIGINT) AS edge_rank
+       |FROM (SELECT src, nbr, cos,
+       |        ROW_NUMBER() OVER (PARTITION BY src ORDER BY cos DESC, nbr) AS rk
+       |      FROM scored)
+       |WHERE rk <= $DeltaM ORDER BY src, edge_rank""".stripMargin
+  }
+
   private lazy val graphDeltaEdgesSql: String = {
     val rounds = (1 to DeltaHops).map { h =>
       s"""df$h AS (SELECT qid, vec_id FROM (
@@ -1838,6 +1900,8 @@ object VectorOps {
       "hierarchical graph-ANN (HNSW 2-level): entry-layer routing beam seeds the ef=24 4-hop base beam"),
     QueryDef("q176_graph_delta_edges", graphDeltaEdges, Some(graphDeltaEdgesSql),
       "graph-ANN delta maintenance: HNSW insert path attaches a 1% batch to the frozen old-slice graph"),
+    QueryDef("q177_graph_delta_prune", graphDeltaPrune, Some(graphDeltaPruneSql),
+      "HNSW reverse-edge pruning: affected nodes re-cut to M best among old edges + adopted newcomers"),
     QueryDef("q156_ivf_delta_assign", ivfDeltaAssign, Some(ivfDeltaAssignSql),
       "B96 IVF index delta maintenance: map-only assignment of an arriving batch + drift report"),
     QueryDef("q136_multiprobe_ann", pqRerankAnnWide, Some(pqRerankAnnWideSql),
