@@ -222,6 +222,45 @@ object MediaWikiXml {
         graft.ops.WikitextOps.langCodeOf(col("m")).as("lang_code"),
         graft.ops.WikitextOps.langTitleOf(col("m")).as("ll_title"))
 
+  /** `#REDIRECT [[Target]]` at content start — the redirect table
+    * from wikitext ([[graft.ops.WikitextOps.redirectTargetOf]], graded
+    * as q178). Cross-checks the dump's `<redirect/>` attribute: a page
+    * whose text opens with the magic word should carry the attribute,
+    * and the wikitext target is the resolvable one. */
+  def redirectTargets(flat: DataFrame): DataFrame =
+    flat.filter(col("text").isNotNull)
+      .select(col("page_id"), col("title").as("from_title"),
+        graft.ops.WikitextOps.redirectTargetOf(col("text")).as("rd_title"))
+      .filter(length(col("rd_title")) > 0)
+
+  /** `== Heading ==` section outline per page — (level, heading) in
+    * document order ([[graft.ops.WikitextOps.headingsOf]] family,
+    * graded as q179). */
+  def sectionOutline(flat: DataFrame): DataFrame =
+    flat.filter(col("text").isNotNull)
+      .select(col("page_id"), col("title").as("from_title"),
+        explode(graft.ops.WikitextOps.headingsOf("text")).as("m"))
+      .select(col("page_id"), col("from_title"),
+        graft.ops.WikitextOps.headingLevelOf(col("m")).as("level"),
+        graft.ops.WikitextOps.headingTextOf(col("m")).as("heading"))
+
+  /** `{{Infobox <type>|k=v|…}}` parameters per page — the structured
+    * key/value surface ([[graft.ops.WikitextOps.infoboxBodyOf]],
+    * graded as q180); flat single-level form, the type segment
+    * carries no `=` so the contains-filter drops it. */
+  def infoboxParams(flat: DataFrame): DataFrame =
+    flat.filter(col("text").isNotNull)
+      .select(col("page_id"), col("title").as("from_title"),
+        graft.ops.WikitextOps.infoboxBodyOf(col("text")).as("body"))
+      .filter(length(col("body")) > 0)
+      .select(col("page_id"), col("from_title"),
+        substring_index(col("body"), "|", 1).as("infobox"),
+        explode(split(col("body"), "\\|")).as("p"))
+      .filter(col("p").contains("="))
+      .select(col("page_id"), col("from_title"), col("infobox"),
+        trim(substring_index(col("p"), "=", 1)).as("param"),
+        trim(substring_index(col("p"), "=", -1)).as("value"))
+
   /** The distinct link graph with per-page out-degree — the edge list
     * a PageRank/centrality pass (q97's machinery) consumes; built on
     * the LATEST revision per page so the graph reflects current

@@ -299,6 +299,43 @@ object Vp8Decoder {
     Array(-ModeDc, 2, -ModeV, 4, -ModeH, -ModeTm)
   private[graft] val KfUvModeProb = Array(142, 114, 183)
 
+  /** 4×4 luma subblock modes (§11.4 enum order): DC, TM, VE, HE, LD,
+    * RD, VR, VL, HD, HU. The tree mirrors the spec's bmode tree; the
+    * 0 leaf is B_DC (the CoeffTree ZERO-leaf convention). */
+  private[graft] val KfBmodeTree = Array(
+    0, 2, // B_DC
+    -1, 4, // B_TM
+    -2, 6, // B_VE
+    8, 12,
+    -3, 10, // B_HE
+    -5, -6, // B_RD, B_VR
+    -4, 14, // B_LD
+    -7, 16, // B_VL
+    -8, -9) // B_HD, B_HU
+
+  /** Engine-local kf subblock-mode probabilities (above-mode ×
+    * left-mode × 9 tree nodes) — the §11.4 constant table's position.
+    * Unlike the coefficient probabilities there is no in-stream
+    * update mechanism for these, so encoder and decoder share this
+    * deterministic engine-local table; a conformance integration
+    * pastes the spec's 10×10×9 constants here and nothing else
+    * changes (the same paste-in boundary as [[defaultCoeffProbs]]). */
+  private[graft] def kfBmodeProb(above: Int, left: Int, node: Int): Int =
+    ((above * 37 + left * 23 + node * 11) % 224) + 16
+
+  private[graft] lazy val KfBmodeProbs: Array[Array[Array[Int]]] =
+    Array.tabulate(10, 10, 9)(kfBmodeProb)
+
+  /** §11.3: a non-B_PRED macroblock contributes its 16×16 mode's
+    * implied subblock mode to its neighbors' subblock-mode contexts
+    * (DC→B_DC, V→B_VE, H→B_HE, TM→B_TM). */
+  private[graft] def impliedBmode(ymode: Int): Int = ymode match {
+    case ModeV => 2
+    case ModeH => 3
+    case ModeTm => 1
+    case _ => 0
+  }
+
   /** Segment-id tree (§10): two bits, probs from the frame header. */
   private[graft] val SegmentTree = Array(2, 4, 0, -1, -2, -3)
 

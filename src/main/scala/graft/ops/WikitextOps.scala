@@ -114,6 +114,50 @@ object WikitextOps {
   private[graft] def langTitleOf(m: Column): Column =
     normTitle(regexp_extract(m, langRe, 2))
 
+  /** `#REDIRECT [[Target]]` at CONTENT START — the rule behind
+    * MediaWiki's redirect table: the magic word is only recognized as
+    * the first non-whitespace content of the page (a mid-text
+    * `#REDIRECT` is prose), case-insensitive, optional colon, target
+    * label/anchor stripped like any wikilink. Group 1 = raw target. */
+  private val redirRe =
+    """(?is)^\s*#redirect\s*:?\s*\[\[([^\[\]|#]+)(?:[#|][^\[\]]*)?\]\]"""
+
+  /** Normalized redirect target of a wikitext column, '' when the
+    * page is not a redirect (regexp_extract's no-match value in both
+    * engines — filter on length at the use site). */
+  private[graft] def redirectTargetOf(c: Column): Column =
+    normTitle(regexp_extract(c, redirRe, 1))
+
+  /** `== Heading ==` section markers, line-anchored — MediaWiki
+    * recognizes 2..6 balanced `=` runs at line start/end (trailing
+    * blanks allowed). RE2 has no backreferences, so balance is not
+    * expressed in the pattern; the documented semantics takes
+    * level = min(opener, closer) post-match, MediaWiki's own rule for
+    * uneven runs. `[^=\n]+?` keeps the heading text free of `=` so an
+    * uneven run leaves its surplus on the longer side. */
+  private val headRe = """(?m)^(={2,6})([^=\n]+?)(={2,6})[ \t]*$"""
+
+  /** Array of full heading-line matches of a wikitext column. */
+  private[graft] def headingsOf(colName: String): Column =
+    expr("regexp_extract_all(" + colName + ", '" +
+      headRe.replace("\\", "\\\\") + "', 0)")
+
+  private[graft] def headingLevelOf(m: Column): Column =
+    least(length(regexp_extract(m, headRe, 1)),
+      length(regexp_extract(m, headRe, 3)))
+
+  private[graft] def headingTextOf(m: Column): Column =
+    trim(regexp_extract(m, headRe, 2))
+
+  /** `{{Infobox <type>|k=v|…}}` body (group 1 = everything inside the
+    * braces) — the flat single-level form; `[^{}]*` stops the match
+    * at the first nested brace, the same flat-scan posture as q172's
+    * transclusion rule. */
+  private val infoboxRe = """\{\{Infobox ([^{}]*)\}\}"""
+
+  private[graft] def infoboxBodyOf(c: Column): Column =
+    regexp_extract(c, infoboxRe, 1)
+
   /** The deterministic wikitext both engines synthesize from a
     * documents row for q171 — every category form the extractor must
     * handle: underscore target, lowercase prefix + sortkey, padded
@@ -289,6 +333,206 @@ object WikitextOps {
        |       count(DISTINCT title) AS n_titles
        |FROM split GROUP BY lang_code ORDER BY lang_code""".stripMargin
 
+  /** q178's synthesized corpus: every page is titled `Doc <id>`;
+    * ids ≡3 (mod 10) are redirects in three syntactic forms (plain,
+    * indented lowercase + label + trailing prose, colon form with a
+    * padded underscore target and a tracking template after). Target
+    * classes: ids ≡13 (mod 100) point at the NEXT redirect (a double
+    * redirect), ids ≡93 (mod 100) at a page that does not exist, the
+    * rest at the id≡0 (mod 10) page three below (always exists). The
+    * `'p '` prefix on prose pages pins the content-start rule: their
+    * decoy mid-text `#REDIRECT` must not extract. */
+  private val redirTarget =
+    """CASE WHEN doc_id % 100 = 13 THEN 'Doc_' || CAST(doc_id + 10 AS STRING)
+      |     WHEN doc_id % 100 = 93 THEN 'Ghost_' || CAST(doc_id AS STRING)
+      |     ELSE 'Doc_' || CAST(doc_id - 3 AS STRING) END"""
+      .stripMargin.replace("\n", "")
+
+  private val redirWikitext =
+    s"""CASE WHEN doc_id % 10 = 3 THEN
+       |  CASE CAST(doc_id % 3 AS INT)
+       |    WHEN 0 THEN '#REDIRECT [[' || ($redirTarget) || ']]'
+       |    WHEN 1 THEN '  #redirect [[' || ($redirTarget) || '|shown]] trailing prose'
+       |    ELSE '#Redirect :[[ ' || ($redirTarget) || ' ]] {{R from move}}'
+       |  END
+       |ELSE 'p ' || text || CASE WHEN doc_id % 7 = 0
+       |  THEN ' not one: #REDIRECT [[Doc_1]]' ELSE '' END END"""
+      .stripMargin.replace("\n", " ")
+
+  /** q178: redirect extraction + resolution — MediaWiki's redirect
+    * table plus the classic double-redirect maintenance query: per
+    * redirect, its normalized target, the one-hop resolved final
+    * title, and a status (`ok` / `double` / `missing`).
+    *
+    * Scale shape: the redirect side is a ~10% slice of the corpus, so
+    * both resolution joins (against the page-title dim and against
+    * the redirect table itself) are broadcast-able at any corpus size
+    * where titles fit one executor — and plain shuffle-hash on the
+    * title key beyond that; no window, no cartesian. */
+  def wikitextRedirects(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val titleCol = concat(lit("Doc "), col("doc_id").cast("string"))
+    val pages = docs.select(titleCol.as("p_title"))
+    val red = docs
+      .select(col("doc_id").as("src_doc_id"), titleCol.as("src_title"),
+        redirectTargetOf(expr(redirWikitext)).as("target_title"))
+      .filter(length(col("target_title")) > 0)
+    val second = red.select(col("src_title").as("r2_src"),
+      col("target_title").as("r2_target"))
+    red
+      .join(pages, col("target_title") === col("p_title"), "left")
+      .join(second, col("target_title") === col("r2_src"), "left")
+      .select(col("src_doc_id"), col("src_title"), col("target_title"),
+        coalesce(col("r2_target"), col("target_title")).as("final_title"),
+        when(col("p_title").isNull, "missing")
+          .when(col("r2_src").isNotNull, "double")
+          .otherwise("ok").as("status"))
+      .orderBy(col("src_doc_id"))
+  }
+
+  private val wikitextRedirectsSql = {
+    val tgt = redirTarget.replace("AS STRING", "AS VARCHAR")
+    val wt = s"""CASE WHEN doc_id % 10 = 3 THEN
+       |  CASE CAST(doc_id % 3 AS INT)
+       |    WHEN 0 THEN '#REDIRECT [[' || ($tgt) || ']]'
+       |    WHEN 1 THEN '  #redirect [[' || ($tgt) || '|shown]] trailing prose'
+       |    ELSE '#Redirect :[[ ' || ($tgt) || ' ]] {{R from move}}'
+       |  END
+       |ELSE 'p ' || text || CASE WHEN doc_id % 7 = 0
+       |  THEN ' not one: #REDIRECT [[Doc_1]]' ELSE '' END END"""
+      .stripMargin.replace("\n", " ")
+    s"""WITH pages AS (
+       |  SELECT 'Doc ' || CAST(doc_id AS VARCHAR) AS p_title FROM documents),
+       |raw AS (SELECT doc_id,
+       |    regexp_extract($wt, '$redirRe', 1) AS raw FROM documents),
+       |red AS (SELECT doc_id AS src_doc_id,
+       |    'Doc ' || CAST(doc_id AS VARCHAR) AS src_title,
+       |    upper(substring(trim(replace(raw, '_', ' ')), 1, 1))
+       |      || substring(trim(replace(raw, '_', ' ')), 2) AS target_title
+       |  FROM raw WHERE length(trim(raw)) > 0)
+       |SELECT r.src_doc_id, r.src_title, r.target_title,
+       |       COALESCE(r2.target_title, r.target_title) AS final_title,
+       |       CASE WHEN p.p_title IS NULL THEN 'missing'
+       |            WHEN r2.src_doc_id IS NOT NULL THEN 'double'
+       |            ELSE 'ok' END AS status
+       |FROM red r
+       |LEFT JOIN pages p ON r.target_title = p.p_title
+       |LEFT JOIN red r2 ON r.target_title = r2.src_title
+       |ORDER BY r.src_doc_id""".stripMargin
+  }
+
+  /** q179's synthesized sections: a level-2 heading on every page
+    * plus one rotating variant (level 3, unspaced markers, trailing
+    * blanks after the closer, level 6 with a lang-varying title), a
+    * leading-space decoy (not line-start — must not match) and an
+    * unterminated opener (no closer — must not match). */
+  private val secWikitext =
+    """'p ' || text || chr(10) || '== History ==' || chr(10) || 'body ' || lang
+      | || CASE CAST(doc_id % 4 AS INT)
+      |      WHEN 0 THEN chr(10) || '=== Early life ==='
+      |      WHEN 1 THEN chr(10) || '==Works=='
+      |      WHEN 2 THEN chr(10) || '== References ==  '
+      |      ELSE chr(10) || '====== Notes ' || lang || ' ======' END
+      | || chr(10) || ' == not a heading ==' || chr(10) || '== unterminated'"""
+      .stripMargin.replace("\n", "")
+
+  /** q179: section-outline extraction + rollup — per (level, heading),
+    * occurrence and distinct-page counts; the structure pass every
+    * wiki TOC/outline consumer runs. Same scan → codegen regex →
+    * explode → hash-agg shape as q171. */
+  def wikitextSections(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), expr(secWikitext).as("wt"))
+      .select(col("doc_id"), explode(headingsOf("wt")).as("m"))
+      .select(col("doc_id"), headingLevelOf(col("m")).as("level"),
+        headingTextOf(col("m")).as("heading"))
+      .groupBy(col("level"), col("heading"))
+      .agg(count(lit(1)).as("n_heads"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(col("level"), col("heading"))
+
+  private val wikitextSectionsSql =
+    s"""WITH wt AS (SELECT doc_id,
+       |    'p ' || text || chr(10) || '== History ==' || chr(10) || 'body ' || lang
+       |      || CASE CAST(doc_id % 4 AS INT)
+       |           WHEN 0 THEN chr(10) || '=== Early life ==='
+       |           WHEN 1 THEN chr(10) || '==Works=='
+       |           WHEN 2 THEN chr(10) || '== References ==  '
+       |           ELSE chr(10) || '====== Notes ' || lang || ' ======' END
+       |      || chr(10) || ' == not a heading ==' || chr(10) || '== unterminated' AS wt
+       |  FROM documents),
+       |raw AS (SELECT doc_id,
+       |    unnest(regexp_extract_all(wt, '$headRe', 0)) AS m FROM wt),
+       |split AS (SELECT doc_id,
+       |    CAST(least(length(regexp_extract(m, '$headRe', 1)),
+       |               length(regexp_extract(m, '$headRe', 3))) AS INT) AS level,
+       |    trim(regexp_extract(m, '$headRe', 2)) AS heading
+       |  FROM raw)
+       |SELECT level, heading, count(*) AS n_heads,
+       |       count(DISTINCT doc_id) AS n_docs
+       |FROM split GROUP BY level, heading ORDER BY level, heading""".stripMargin
+
+  /** q180's synthesized infobox: rotating type, two always-present
+    * parameters (one with spaced `=`), an even-id extra, an `≡0 (mod
+    * 5)` EMPTY value (must count as a distinct value, not drop), and
+    * the page text outside the braces. */
+  private val infoWikitext =
+    """'{{Infobox ' || CASE CAST(doc_id % 3 AS INT)
+      |      WHEN 0 THEN 'person' WHEN 1 THEN 'place' ELSE 'book' END
+      | || '|name=Name ' || CAST(doc_id AS STRING)
+      | || '|lang = ' || lang
+      | || CASE WHEN doc_id % 2 = 0 THEN '| occupation =writer' ELSE '' END
+      | || CASE WHEN doc_id % 5 = 0 THEN '|empty=' ELSE '' END
+      | || '}} ' || text"""
+      .stripMargin.replace("\n", "")
+
+  /** q180: infobox parameter extraction + per-(type, key) rollup —
+    * the structured-data surface wiki ETL mines (`name=`, `lang=`, …):
+    * usage count, distinct pages, distinct values. The parameter
+    * split is pure codegen string work (split + explode +
+    * substring_index); the type segment never carries `=` so the
+    * LIKE filter drops it without positional bookkeeping. */
+  def wikitextInfobox(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), infoboxBodyOf(expr(infoWikitext)).as("body"))
+      .filter(length(col("body")) > 0)
+      .select(col("doc_id"),
+        substring_index(col("body"), "|", 1).as("infobox"),
+        explode(split(col("body"), "\\|")).as("p"))
+      .filter(col("p").contains("="))
+      .select(col("doc_id"), col("infobox"),
+        trim(substring_index(col("p"), "=", 1)).as("param"),
+        trim(substring_index(col("p"), "=", -1)).as("v"))
+      .groupBy(col("infobox"), col("param"))
+      .agg(count(lit(1)).as("n_uses"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        countDistinct(col("v")).as("n_values"))
+      .orderBy(col("infobox"), col("param"))
+
+  private val wikitextInfoboxSql =
+    s"""WITH wt AS (SELECT doc_id,
+       |    '{{Infobox ' || CASE CAST(doc_id % 3 AS INT)
+       |           WHEN 0 THEN 'person' WHEN 1 THEN 'place' ELSE 'book' END
+       |      || '|name=Name ' || CAST(doc_id AS VARCHAR)
+       |      || '|lang = ' || lang
+       |      || CASE WHEN doc_id % 2 = 0 THEN '| occupation =writer' ELSE '' END
+       |      || CASE WHEN doc_id % 5 = 0 THEN '|empty=' ELSE '' END
+       |      || '}} ' || text AS wt
+       |  FROM documents),
+       |body AS (SELECT doc_id,
+       |    regexp_extract(wt, '$infoboxRe', 1) AS body FROM wt
+       |  ),
+       |params AS (SELECT doc_id,
+       |    split_part(body, '|', 1) AS infobox,
+       |    unnest(string_split(body, '|')) AS p
+       |  FROM body WHERE length(body) > 0)
+       |SELECT infobox, trim(split_part(p, '=', 1)) AS param,
+       |       count(*) AS n_uses,
+       |       count(DISTINCT doc_id) AS n_docs,
+       |       count(DISTINCT trim(split_part(p, '=', 2))) AS n_values
+       |FROM params WHERE p LIKE '%=%'
+       |GROUP BY infobox, param ORDER BY infobox, param""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q171_wikitext_categories", wikitextCategories,
       Some(wikitextCategoriesSql),
@@ -301,5 +545,14 @@ object WikitextOps {
       "http(s) URL extraction + per-host rollup (externallinks)"),
     QueryDef("q174_wikitext_langlinks", wikitextLanglinks,
       Some(wikitextLanglinksSql),
-      "[[xx:Title]] interwiki extraction + per-code rollup (langlinks)"))
+      "[[xx:Title]] interwiki extraction + per-code rollup (langlinks)"),
+    QueryDef("q178_wikitext_redirects", wikitextRedirects,
+      Some(wikitextRedirectsSql),
+      "#REDIRECT extraction + double-redirect resolution (redirect table)"),
+    QueryDef("q179_wikitext_sections", wikitextSections,
+      Some(wikitextSectionsSql),
+      "== Heading == outline extraction + per-(level, heading) rollup"),
+    QueryDef("q180_wikitext_infobox", wikitextInfobox,
+      Some(wikitextInfoboxSql),
+      "{{Infobox}} parameter extraction + per-(type, key) rollup"))
 }

@@ -242,6 +242,48 @@ class IngestSpec extends AnyFunSuite with LocalSparkSuite {
     // uppercase code, >3-letter code, Category prefix, empty title: all dropped
   }
 
+  test("A14+ redirects/sections/infobox: the wiki structure surfaces") {
+    val dir = java.nio.file.Files.createTempDirectory("rdump")
+    val xml =
+      """<mediawiki><page><title>Old Name</title><ns>0</ns><id>1</id>
+        |<redirect title="New Name" />
+        |<revision><id>10</id><timestamp>2024-01-01T00:00:00Z</timestamp>
+        |<contributor><username>u</username><id>5</id></contributor>
+        |<text bytes="9">  #redirect [[new_name|label]] {{R from move}}</text>
+        |<sha1>x</sha1></revision></page>
+        |<page><title>Article</title><ns>0</ns><id>2</id>
+        |<revision><id>11</id><timestamp>2024-01-02T00:00:00Z</timestamp>
+        |<contributor><username>u</username><id>5</id></contributor>
+        |<text bytes="9">{{Infobox person|name=Ada|born = 1815}} intro
+        |mentions #REDIRECT [[Not one]] mid-text
+        |== Life ==
+        |text
+        |=== Early years ===
+        | == not a heading ==
+        |====== Deep ======</text>
+        |<sha1>x</sha1></revision></page></mediawiki>""".stripMargin
+    java.nio.file.Files.writeString(dir.resolve("d.xml"), xml)
+    val f = MediaWikiXml.flattenRevisions(
+      MediaWikiXml.readPages(spark, dir.resolve("d.xml").toString))
+    // redirect: wikitext target agrees with the dump attribute after
+    // normalization; the mid-text decoy on page 2 must not extract
+    val rd = MediaWikiXml.redirectTargets(f).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+    assert(rd === Seq((1L, "Old Name", "New name")))
+    val attrTitle = f.filter(col("page_id") === 1)
+      .select("redirect_title").head().getString(0)
+    assert(attrTitle === "New Name") // raw attribute, pre-normalization
+    // sections: level-2, level-3 with trailing blanks, level-6; the
+    // leading-space line is not a heading
+    val secs = MediaWikiXml.sectionOutline(f).collect()
+      .map(r => (r.getInt(2), r.getString(3))).toSet
+    assert(secs === Set((2, "Life"), (3, "Early years"), (6, "Deep")))
+    // infobox: type + two params, spaced `=` trimmed
+    val ib = MediaWikiXml.infoboxParams(f).collect()
+      .map(r => (r.getString(2), r.getString(3), r.getString(4))).toSet
+    assert(ib === Set(("person", "name", "Ada"), ("person", "born", "1815")))
+  }
+
   test("link PageRank: mass conserved, link targets outrank isolates") {
     val r = MediaWikiXml.linkRank(flat).collect()
     val total = r.map(_.getDouble(1)).sum
