@@ -15,9 +15,10 @@ import graft.{QueryDef, Tables}
   * lossless WebP ([[WebpDecoder]]: VP8L prefix codes, LZ77,
   * color cache, subtract-green), and lossy WebP keyframes
   * ([[Vp8Decoder]]: RFC 6386 bool decoder, token trees, dequant,
-  * IDCT/WHT, 16×16 intra prediction — see its conformance note; the
-  * one declared pixel edge is B_PRED keyframes, which fall to the
-  * byte tier) — take the REAL decode path
+  * IDCT/WHT, 16×16 AND per-subblock 4×4 (B_PRED) intra prediction —
+  * see its conformance note; the remaining boundary is the
+  * engine-local default probability tables) — take the REAL decode
+  * path
   * ([[decodeImage]]: magic sniff, header/entropy parse, per-channel
   * stats), exercised end-to-end on checked-in and generated fixture
   * bytes by MultimodalSpec/JpegDecoderSpec/WebpDecoderSpec/

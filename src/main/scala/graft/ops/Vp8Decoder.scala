@@ -10,11 +10,13 @@ package graft.ops
   * (DC/V/H/TM with the 127/129 edge convention), multi-partition
   * token streams, and skip-macroblock context resets — i.e.
   * [[decode]] reconstructs luma AND chroma for any keyframe built
-  * from those pieces, pre-loop-filter. Each piece is spec-pinned
-  * against a test-side from-the-RFC encoder (the GifDecoder/
-  * WebpDecoder posture); see the conformance note at the round-13
-  * section for the two declared edges (codec-default probability
-  * tables, B_PRED).
+  * from those pieces, pre-loop-filter — including B_PRED macroblocks
+  * (per-subblock modes, the ten §12.3 4×4 predictors, interleaved
+  * reconstruction; landed later in round 13). Each piece is
+  * spec-pinned against a test-side from-the-RFC encoder (the
+  * GifDecoder/WebpDecoder posture); see the conformance note at the
+  * round-13 section for the one declared edge (codec-default
+  * probability tables, including kf_bmode).
   *
   * The ground layer, still exactly as round 12 shipped it:
   *
@@ -242,9 +244,12 @@ object Vp8Decoder {
     * else changes. The spec's fixture encoder always codes explicit
     * probability updates for every slot, so the graded roundtrips are
     * self-contained and exercise the update path end to end.
-    * Remaining declared edge: B_PRED keyframes (the 4×4 intra mode
-    * needs the 10×10×9 kf_bmode table — same boundary) return None and
-    * fall to the byte tier. The §15 loop filter (both the normal
+    * B_PRED keyframes decode fully (round 13): the 4×4 subblock-mode
+    * read ([[KfBmodeTree]]/[[kfBmodeProb]] — the kf_bmode table is the
+    * same paste-in boundary), the ten §12.3 subblock predictors
+    * ([[predict4]]), the no-Y2 type-3 coefficient path, and the
+    * interleaved per-subblock reconstruction. The §15 loop filter
+    * (both the normal
     * 3-tap/hev form and the luma-only simple form) runs after
     * reconstruction; its limit/threshold arithmetic is in
     * [[filterLimits]]/[[filterSegment]] and spec-pinned the same way
@@ -561,6 +566,129 @@ object Vp8Decoder {
     }
   }
 
+  /** §12.3 4×4 luma subblock intra prediction (the ten B_* modes)
+    * into the bordered plane at subblock origin (bx, by), unrolled in
+    * the spec's per-pixel assignments. The 13-pixel context is 4
+    * left, top-left, 4 above, 4 above-right; `arRow`/`arX0` locate
+    * the above-right pixels — directly above-right for subblock
+    * columns 0–2 (already reconstructed in raster subblock order),
+    * the row above the MACROBLOCK for column 3 (the spec's reuse
+    * rule: the true above-right there belongs to the not-yet-decoded
+    * right macroblock), off-frame columns replicating the rightmost
+    * above pixel (border extension; on the top macroblock row the
+    * above row IS the 127 border, so the convention degenerates to
+    * 127). */
+  private def predict4(plane: Array[Int], stride: Int, bx: Int, by: Int,
+      mode: Int, arRow: Int, arX0: Int, width: Int): Unit = {
+    val s1 = stride + 1
+    def at(x: Int, y: Int): Int = plane((y + 1) * s1 + (x + 1))
+    def set(x: Int, y: Int, v: Int): Unit = plane((y + 1) * s1 + (x + 1)) = v
+    val tl = at(bx - 1, by - 1)
+    val a = Array.tabulate(4)(i => at(bx + i, by - 1))
+    val l = Array.tabulate(4)(i => at(bx - 1, by + i))
+    def ar(i: Int): Int = at(math.min(arX0 + i, width - 1), arRow)
+    def avg3(x: Int, y: Int, z: Int): Int = (x + 2 * y + z + 2) >> 2
+    def avg2(x: Int, y: Int): Int = (x + y + 1) >> 1
+    // the two shared edge walks: pp spans left (reversed) → corner →
+    // above; e spans above → above-right
+    def pp(i: Int): Int = i match {
+      case 0 => l(3); case 1 => l(2); case 2 => l(1); case 3 => l(0)
+      case 4 => tl
+      case j => a(j - 5)
+    }
+    def e(i: Int): Int = if (i < 4) a(i) else ar(i - 4)
+    mode match {
+      case 0 => // B_DC: both sides always participate (borders off-frame)
+        val dc = (a(0) + a(1) + a(2) + a(3) + l(0) + l(1) + l(2) + l(3) + 4) >> 3
+        var yy = 0
+        while (yy < 4) { var xx = 0; while (xx < 4) { set(bx + xx, by + yy, dc); xx += 1 }; yy += 1 }
+      case 1 => // B_TM
+        var yy = 0
+        while (yy < 4) {
+          var xx = 0
+          while (xx < 4) { set(bx + xx, by + yy, clamp255(l(yy) + a(xx) - tl)); xx += 1 }
+          yy += 1
+        }
+      case 2 => // B_VE: smoothed above row, constant down columns
+        val row = Array(avg3(tl, a(0), a(1)), avg3(a(0), a(1), a(2)),
+          avg3(a(1), a(2), a(3)), avg3(a(2), a(3), ar(0)))
+        var yy = 0
+        while (yy < 4) { var xx = 0; while (xx < 4) { set(bx + xx, by + yy, row(xx)); xx += 1 }; yy += 1 }
+      case 3 => // B_HE: smoothed left column, constant across rows
+        val colv = Array(avg3(tl, l(0), l(1)), avg3(l(0), l(1), l(2)),
+          avg3(l(1), l(2), l(3)), avg3(l(2), l(3), l(3)))
+        var yy = 0
+        while (yy < 4) { var xx = 0; while (xx < 4) { set(bx + xx, by + yy, colv(yy)); xx += 1 }; yy += 1 }
+      case 4 => // B_LD: down-left diagonal over above + above-right
+        var yy = 0
+        while (yy < 4) {
+          var xx = 0
+          while (xx < 4) {
+            val i = xx + yy
+            set(bx + xx, by + yy,
+              if (i < 6) avg3(e(i), e(i + 1), e(i + 2))
+              else avg3(e(6), e(7), e(7)))
+            xx += 1
+          }
+          yy += 1
+        }
+      case 5 => // B_RD: down-right diagonal over left/corner/above
+        var yy = 0
+        while (yy < 4) {
+          var xx = 0
+          while (xx < 4) {
+            set(bx + xx, by + yy,
+              avg3(pp(xx - yy + 3), pp(xx - yy + 4), pp(xx - yy + 5)))
+            xx += 1
+          }
+          yy += 1
+        }
+      case 6 => // B_VR (unrolled)
+        set(bx + 0, by + 3, avg3(pp(1), pp(2), pp(3)))
+        set(bx + 0, by + 2, avg3(pp(2), pp(3), pp(4)))
+        set(bx + 0, by + 1, avg3(pp(3), pp(4), pp(5))); set(bx + 1, by + 3, avg3(pp(3), pp(4), pp(5)))
+        set(bx + 0, by + 0, avg2(pp(4), pp(5))); set(bx + 1, by + 2, avg2(pp(4), pp(5)))
+        set(bx + 1, by + 1, avg3(pp(4), pp(5), pp(6))); set(bx + 2, by + 3, avg3(pp(4), pp(5), pp(6)))
+        set(bx + 1, by + 0, avg2(pp(5), pp(6))); set(bx + 2, by + 2, avg2(pp(5), pp(6)))
+        set(bx + 2, by + 1, avg3(pp(5), pp(6), pp(7))); set(bx + 3, by + 3, avg3(pp(5), pp(6), pp(7)))
+        set(bx + 2, by + 0, avg2(pp(6), pp(7))); set(bx + 3, by + 2, avg2(pp(6), pp(7)))
+        set(bx + 3, by + 1, avg3(pp(6), pp(7), pp(8)))
+        set(bx + 3, by + 0, avg2(pp(7), pp(8)))
+      case 7 => // B_VL (unrolled)
+        set(bx + 0, by + 0, avg2(e(0), e(1)))
+        set(bx + 0, by + 1, avg3(e(0), e(1), e(2)))
+        set(bx + 0, by + 2, avg2(e(1), e(2))); set(bx + 1, by + 0, avg2(e(1), e(2)))
+        set(bx + 0, by + 3, avg3(e(1), e(2), e(3))); set(bx + 1, by + 1, avg3(e(1), e(2), e(3)))
+        set(bx + 1, by + 2, avg2(e(2), e(3))); set(bx + 2, by + 0, avg2(e(2), e(3)))
+        set(bx + 1, by + 3, avg3(e(2), e(3), e(4))); set(bx + 2, by + 1, avg3(e(2), e(3), e(4)))
+        set(bx + 2, by + 2, avg2(e(3), e(4))); set(bx + 3, by + 0, avg2(e(3), e(4)))
+        set(bx + 2, by + 3, avg3(e(3), e(4), e(5))); set(bx + 3, by + 1, avg3(e(3), e(4), e(5)))
+        set(bx + 3, by + 2, avg3(e(4), e(5), e(6)))
+        set(bx + 3, by + 3, avg3(e(5), e(6), e(7)))
+      case 8 => // B_HD (unrolled)
+        set(bx + 0, by + 3, avg2(pp(0), pp(1)))
+        set(bx + 1, by + 3, avg3(pp(0), pp(1), pp(2)))
+        set(bx + 0, by + 2, avg2(pp(1), pp(2))); set(bx + 2, by + 3, avg2(pp(1), pp(2)))
+        set(bx + 1, by + 2, avg3(pp(1), pp(2), pp(3))); set(bx + 3, by + 3, avg3(pp(1), pp(2), pp(3)))
+        set(bx + 0, by + 1, avg2(pp(2), pp(3))); set(bx + 2, by + 2, avg2(pp(2), pp(3)))
+        set(bx + 1, by + 1, avg3(pp(2), pp(3), pp(4))); set(bx + 3, by + 2, avg3(pp(2), pp(3), pp(4)))
+        set(bx + 0, by + 0, avg2(pp(3), pp(4))); set(bx + 2, by + 1, avg2(pp(3), pp(4)))
+        set(bx + 1, by + 0, avg3(pp(3), pp(4), pp(5))); set(bx + 3, by + 1, avg3(pp(3), pp(4), pp(5)))
+        set(bx + 2, by + 0, avg3(pp(4), pp(5), pp(6)))
+        set(bx + 3, by + 0, avg3(pp(5), pp(6), pp(7)))
+      case _ => // B_HU (unrolled)
+        set(bx + 0, by + 0, avg2(l(0), l(1)))
+        set(bx + 1, by + 0, avg3(l(0), l(1), l(2)))
+        set(bx + 2, by + 0, avg2(l(1), l(2))); set(bx + 0, by + 1, avg2(l(1), l(2)))
+        set(bx + 3, by + 0, avg3(l(1), l(2), l(3))); set(bx + 1, by + 1, avg3(l(1), l(2), l(3)))
+        set(bx + 2, by + 1, avg2(l(2), l(3))); set(bx + 0, by + 2, avg2(l(2), l(3)))
+        set(bx + 3, by + 1, avg3(l(2), l(3), l(3))); set(bx + 1, by + 2, avg3(l(2), l(3), l(3)))
+        set(bx + 2, by + 2, l(3)); set(bx + 3, by + 2, l(3))
+        set(bx + 0, by + 3, l(3)); set(bx + 1, by + 3, l(3))
+        set(bx + 2, by + 3, l(3)); set(bx + 3, by + 3, l(3))
+    }
+  }
+
   /** IDCT the (dequantized, natural-order) block and add it into the
     * bordered plane at (bx, by), clamping to 0..255. */
   private def idctAdd(plane: Array[Int], stride: Int, bx: Int, by: Int,
@@ -580,9 +708,9 @@ object Vp8Decoder {
   }
 
   /** Full keyframe reconstruction (luma + chroma, pre-loop-filter) of
-    * a "VP8 " payload range. None on any malformed, truncated,
-    * non-keyframe, or B_PRED stream — strictly, like every decoder in
-    * this tier: a wrong pixel is worse than no pixel. */
+    * a "VP8 " payload range. None on any malformed, truncated, or
+    * non-keyframe stream — strictly, like every decoder in this tier:
+    * a wrong pixel is worse than no pixel. */
   private[graft] def decodeFrame(p: Array[Byte], start: Int, end: Int)
       : Option[Vp8Frame] = {
     val parsed = parseHeaderFull(p, start, end)
@@ -665,6 +793,9 @@ object Vp8Decoder {
     // per-MB state the §15 loop filter replays after reconstruction
     val segIds = new Array[Int](mbW * mbH)
     val hasCoeffs = new Array[Boolean](mbW * mbH)
+    val isBpred = new Array[Boolean](mbW * mbH)
+    // subblock-mode contexts for B_PRED (§11.3): B_DC outside the frame
+    val aboveBmode = new Array[Int](mbW * 4)
 
     var mbY = 0
     while (mbY < mbH) {
@@ -672,6 +803,7 @@ object Vp8Decoder {
       val leftU = new Array[Int](2)
       val leftV = new Array[Int](2)
       var leftY2 = 0
+      val leftBmode = new Array[Int](4)
       val td = tds(mbY % nParts)
       var mbX = 0
       while (mbX < mbW) {
@@ -683,7 +815,28 @@ object Vp8Decoder {
         segIds(mbY * mbW + mbX) = segId
         hasCoeffs(mbY * mbW + mbX) = !skip
         val ymode = treeRead(d0, KfYmodeTree, KfYmodeProb)
-        if (ymode == ModeB) return None // declared edge: kf_bmode table
+        // B_PRED: 16 subblock modes, each contexted on the (above,
+        // left) neighbor subblock modes (§11.3), read before uvmode
+        val bmodes: Array[Int] =
+          if (ymode == ModeB) {
+            val bm = new Array[Int](16)
+            var b = 0
+            while (b < 16) {
+              val am = if (b < 4) aboveBmode(mbX * 4 + b) else bm(b - 4)
+              val lm = if (b % 4 == 0) leftBmode(b / 4) else bm(b - 1)
+              bm(b) = treeRead(d0, KfBmodeTree, KfBmodeProbs(am)(lm))
+              b += 1
+            }
+            bm
+          } else null
+        isBpred(mbY * mbW + mbX) = bmodes != null
+        val implied = if (bmodes != null) 0 else impliedBmode(ymode)
+        var k = 0
+        while (k < 4) {
+          aboveBmode(mbX * 4 + k) = if (bmodes != null) bmodes(12 + k) else implied
+          leftBmode(k) = if (bmodes != null) bmodes(k * 4 + 3) else implied
+          k += 1
+        }
         val uvmode = treeRead(d0, UvModeTree, KfUvModeProb)
         val (y1dc, y1ac, y2dc, y2ac, uvdc, uvac) = segQuants(segId)
 
@@ -691,23 +844,36 @@ object Vp8Decoder {
         val uBlocks = Array.fill(4)(new Array[Int](16))
         val vBlocks = Array.fill(4)(new Array[Int](16))
         if (!skip) {
-          // Y2 (block type 1), then 16 luma (type 0, coeffs from 1),
-          // then 4+4 chroma (type 2)
-          val y2 = new Array[Int](16)
-          val nz2 = decodeCoeffs(td, y2, 1, 0, probs, y2dc, y2ac,
-            aboveY2(mbX) + leftY2)
-          aboveY2(mbX) = if (nz2) 1 else 0
-          leftY2 = aboveY2(mbX)
-          val dcs = iwht4x4(y2)
+          // Y2 (block type 1, absent for B_PRED — its Y2 contexts are
+          // left untouched), then 16 luma (type 0 from coefficient 1
+          // with the DC riding Y2, or type 3 from 0 for B_PRED), then
+          // 4+4 chroma (type 2)
           var b = 0
-          while (b < 16) {
-            val row = b / 4; val colb = b % 4
-            val ctx = aboveY(mbX * 4 + colb) + leftY(row)
-            val nz = decodeCoeffs(td, yBlocks(b), 0, 1, probs, y1dc, y1ac, ctx)
-            yBlocks(b)(0) = dcs(b)
-            aboveY(mbX * 4 + colb) = if (nz) 1 else 0
-            leftY(row) = if (nz) 1 else 0
-            b += 1
+          if (bmodes == null) {
+            val y2 = new Array[Int](16)
+            val nz2 = decodeCoeffs(td, y2, 1, 0, probs, y2dc, y2ac,
+              aboveY2(mbX) + leftY2)
+            aboveY2(mbX) = if (nz2) 1 else 0
+            leftY2 = aboveY2(mbX)
+            val dcs = iwht4x4(y2)
+            while (b < 16) {
+              val row = b / 4; val colb = b % 4
+              val ctx = aboveY(mbX * 4 + colb) + leftY(row)
+              val nz = decodeCoeffs(td, yBlocks(b), 0, 1, probs, y1dc, y1ac, ctx)
+              yBlocks(b)(0) = dcs(b)
+              aboveY(mbX * 4 + colb) = if (nz) 1 else 0
+              leftY(row) = if (nz) 1 else 0
+              b += 1
+            }
+          } else {
+            while (b < 16) {
+              val row = b / 4; val colb = b % 4
+              val ctx = aboveY(mbX * 4 + colb) + leftY(row)
+              val nz = decodeCoeffs(td, yBlocks(b), 3, 0, probs, y1dc, y1ac, ctx)
+              aboveY(mbX * 4 + colb) = if (nz) 1 else 0
+              leftY(row) = if (nz) 1 else 0
+              b += 1
+            }
           }
           b = 0
           while (b < 8) {
@@ -724,7 +890,9 @@ object Vp8Decoder {
           }
           if (td.overrun) return None
         } else {
-          // §13: a skipped macroblock zeroes its entropy contexts
+          // §13: a skipped macroblock zeroes its entropy contexts —
+          // except the Y2 context of a B_PRED MB, which has no Y2
+          // block and leaves the running context untouched
           var k = 0
           while (k < 4) { aboveY(mbX * 4 + k) = 0; leftY(k) = 0; k += 1 }
           k = 0
@@ -733,24 +901,39 @@ object Vp8Decoder {
             aboveV(mbX * 2 + k) = 0; leftV(k) = 0
             k += 1
           }
-          aboveY2(mbX) = 0; leftY2 = 0
+          if (bmodes == null) { aboveY2(mbX) = 0; leftY2 = 0 }
         }
         if (d0.overrun) return None
 
-        // reconstruction: whole-MB prediction, then per-4×4 IDCT adds
-        predictBlock(yPlane, yStride, mbX * 16, mbY * 16, 16, ymode,
-          mbY > 0, mbX > 0)
+        // reconstruction: whole-MB prediction then per-4×4 IDCT adds;
+        // B_PRED luma interleaves per subblock (each subblock's
+        // prediction reads its already-reconstructed neighbors)
+        if (bmodes == null) {
+          predictBlock(yPlane, yStride, mbX * 16, mbY * 16, 16, ymode,
+            mbY > 0, mbX > 0)
+          var b = 0
+          while (b < 16) {
+            idctAdd(yPlane, yStride, mbX * 16 + (b % 4) * 4,
+              mbY * 16 + (b / 4) * 4, yBlocks(b))
+            b += 1
+          }
+        } else {
+          var b = 0
+          while (b < 16) {
+            val colb = b % 4; val row = b / 4
+            val bx = mbX * 16 + colb * 4; val by = mbY * 16 + row * 4
+            val arRow = if (colb == 3) mbY * 16 - 1 else by - 1
+            val arX0 = if (colb == 3) mbX * 16 + 16 else bx + 4
+            predict4(yPlane, yStride, bx, by, bmodes(b), arRow, arX0, yStride)
+            idctAdd(yPlane, yStride, bx, by, yBlocks(b))
+            b += 1
+          }
+        }
         predictBlock(uPlane, uvStride, mbX * 8, mbY * 8, 8, uvmode,
           mbY > 0, mbX > 0)
         predictBlock(vPlane, uvStride, mbX * 8, mbY * 8, 8, uvmode,
           mbY > 0, mbX > 0)
         var b = 0
-        while (b < 16) {
-          idctAdd(yPlane, yStride, mbX * 16 + (b % 4) * 4,
-            mbY * 16 + (b / 4) * 4, yBlocks(b))
-          b += 1
-        }
-        b = 0
         while (b < 4) {
           idctAdd(uPlane, uvStride, mbX * 8 + (b % 2) * 4,
             mbY * 8 + (b / 2) * 4, uBlocks(b))
@@ -765,7 +948,7 @@ object Vp8Decoder {
     if (h.filterLevel > 0 || (h.segmentationEnabled &&
         h.segmentFilterDeltas.exists(_ != 0)))
       loopFilter(h, yPlane, uPlane, vPlane, yStride, uvStride, mbW, mbH,
-        segIds, hasCoeffs)
+        segIds, hasCoeffs, isBpred)
     Some(Vp8Frame(h.width, h.height, yPlane, uPlane, vPlane, yStride, uvStride))
   }
 
@@ -869,7 +1052,8 @@ object Vp8Decoder {
     * chroma at 8-pel grain. */
   private def loopFilter(h: Vp8Header, yP: Array[Int], uP: Array[Int],
       vP: Array[Int], yStride: Int, uvStride: Int, mbW: Int, mbH: Int,
-      segIds: Array[Int], hasCoeffs: Array[Boolean]): Unit = {
+      segIds: Array[Int], hasCoeffs: Array[Boolean],
+      isBpred: Array[Boolean]): Unit = {
     val simple = h.filterType == 1
     var mbY = 0
     while (mbY < mbH) {
@@ -886,7 +1070,10 @@ object Vp8Decoder {
         level = math.max(0, math.min(63, level))
         if (level > 0) {
           val (interior, mbE, sbE, hevT) = filterLimits(level, h.sharpness)
-          val interiorEdges = hasCoeffs(mbI)
+          // §15.2: interior edges are skipped only on a coefficient-
+          // free MB that is NOT B_PRED (B_PRED subblock boundaries
+          // are real prediction seams even with zero residual)
+          val interiorEdges = hasCoeffs(mbI) || isBpred(mbI)
           val yx = mbX * 16; val yy = mbY * 16
           val cx = mbX * 8; val cy = mbY * 8
           // column (vertical) edges, left to right

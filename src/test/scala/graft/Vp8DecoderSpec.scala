@@ -149,7 +149,12 @@ class Vp8DecoderSpec extends AnyFunSuite {
     * y2; 4+4 chroma). */
   private case class MbFix(segId: Int, skip: Boolean, ymode: Int, uvmode: Int,
       y2: Array[Int], y: Array[Array[Int]], u: Array[Array[Int]],
-      v: Array[Array[Int]])
+      v: Array[Array[Int]],
+      // B_PRED (ymode 4): 16 subblock modes; y blocks then carry
+      // their own DC (type-3 coding, no Y2). null ⇒ all B_DC.
+      bmodes: Array[Int] = null) {
+    def bmodesOr: Array[Int] = if (bmodes != null) bmodes else new Array[Int](16)
+  }
 
   private def zeros = new Array[Int](16)
 
@@ -206,24 +211,44 @@ class Vp8DecoderSpec extends AnyFunSuite {
     val aboveU = new Array[Int](mbW * 2)
     val aboveV = new Array[Int](mbW * 2)
     val aboveY2 = new Array[Int](mbW)
+    val aboveBm = new Array[Int](mbW * 4)
     for (mbY <- 0 until mbH) {
       val leftY = new Array[Int](4)
       val leftU = new Array[Int](2)
       val leftV = new Array[Int](2)
       var leftY2 = 0
+      val leftBm = new Array[Int](4)
       val te = tokEncs(mbY % nParts)
       for (mbX <- 0 until mbW) {
         val mb = mbs(mbY * mbW + mbX)
+        val isB = mb.ymode == 4
         treeWrite(enc0, SegmentTree, segTreeProbs, mb.segId)
         enc0.bool(SkipProb, if (mb.skip) 1 else 0)
         treeWrite(enc0, KfYmodeTree, KfYmodeProb, mb.ymode)
+        if (isB) {
+          val bm = mb.bmodesOr
+          for (b <- 0 until 16) {
+            val am = if (b < 4) aboveBm(mbX * 4 + b) else bm(b - 4)
+            val lm = if (b % 4 == 0) leftBm(b / 4) else bm(b - 1)
+            treeWrite(enc0, Vp8Decoder.KfBmodeTree,
+              Vp8Decoder.KfBmodeProbs(am)(lm), bm(b))
+          }
+        }
+        val implied = if (isB) 0 else Vp8Decoder.impliedBmode(mb.ymode)
+        for (k <- 0 until 4) {
+          aboveBm(mbX * 4 + k) = if (isB) mb.bmodesOr(12 + k) else implied
+          leftBm(k) = if (isB) mb.bmodesOr(k * 4 + 3) else implied
+        }
         treeWrite(enc0, UvModeTree, KfUvModeProb, mb.uvmode)
         if (!mb.skip) {
-          val nz2 = encodeCoeffs(te, mb.y2, 1, 0, probs, aboveY2(mbX) + leftY2)
-          aboveY2(mbX) = if (nz2) 1 else 0; leftY2 = aboveY2(mbX)
+          if (!isB) {
+            val nz2 = encodeCoeffs(te, mb.y2, 1, 0, probs, aboveY2(mbX) + leftY2)
+            aboveY2(mbX) = if (nz2) 1 else 0; leftY2 = aboveY2(mbX)
+          }
           for (b <- 0 until 16) {
             val row = b / 4; val colb = b % 4
-            val nz = encodeCoeffs(te, mb.y(b), 0, 1, probs,
+            val nz = encodeCoeffs(te, mb.y(b), if (isB) 3 else 0,
+              if (isB) 0 else 1, probs,
               aboveY(mbX * 4 + colb) + leftY(row))
             aboveY(mbX * 4 + colb) = if (nz) 1 else 0; leftY(row) = if (nz) 1 else 0
           }
@@ -242,7 +267,7 @@ class Vp8DecoderSpec extends AnyFunSuite {
           aboveU(mbX * 2) = 0; aboveU(mbX * 2 + 1) = 0
           aboveV(mbX * 2) = 0; aboveV(mbX * 2 + 1) = 0
           leftU(0) = 0; leftU(1) = 0; leftV(0) = 0; leftV(1) = 0
-          aboveY2(mbX) = 0; leftY2 = 0
+          if (!isB) { aboveY2(mbX) = 0; leftY2 = 0 }
         }
       }
     }
@@ -340,6 +365,67 @@ class Vp8DecoderSpec extends AnyFunSuite {
       for (y <- 0 until 4; x <- 0 until 4)
         pl(by + y)(bx + x) = clamp(pl(by + y)(bx + x) + res(4 * y + x))
     def q127(v: Int) = math.max(0, math.min(127, v))
+    // §12.3 subblock predictors, INDEPENDENT formulation: per-pixel
+    // diagonal-index formulas (zVR/zVL/zHD/zHU + edge-walk arrays)
+    // instead of the decoder's unrolled assignments.
+    def predict4Ref(pl: Array[Array[Int]], bx: Int, by: Int, mode: Int,
+        arRow: Int, arX0: Int): Unit = {
+      val a = Array.tabulate(4)(i => pix(pl, bx + i, by - 1))
+      val l = Array.tabulate(4)(i => pix(pl, bx - 1, by + i))
+      val tl = pix(pl, bx - 1, by - 1)
+      val ar = Array.tabulate(4)(i => pix(pl, math.min(arX0 + i, W - 1), arRow))
+      val e9 = Array(l(3), l(2), l(1), l(0), tl) ++ a // left↑corner→above
+      val e8 = a ++ ar // above→above-right
+      def s3(p: Int, q: Int, r: Int) = (p + 2 * q + r + 2) >> 2
+      def s2(p: Int, q: Int) = (p + q + 1) >> 1
+      def px(x: Int, y: Int): Int = mode match {
+        case 0 => (a.sum + l.sum + 4) >> 3
+        case 1 => clamp(l(y) + a(x) - tl)
+        case 2 => s3(if (x == 0) tl else a(x - 1), a(x), if (x == 3) ar(0) else a(x + 1))
+        case 3 => s3(if (y == 0) tl else l(y - 1), l(y), l(math.min(y + 1, 3)))
+        case 4 =>
+          val i = x + y
+          if (i < 6) s3(e8(i), e8(i + 1), e8(i + 2)) else s3(e8(6), e8(7), e8(7))
+        case 5 => s3(e9(x - y + 3), e9(x - y + 4), e9(x - y + 5))
+        case 6 =>
+          val z = 2 * x - y
+          if (z == -2) s3(e9(2), e9(3), e9(4))
+          else if (z == -3) s3(e9(1), e9(2), e9(3))
+          else {
+            val j = x - (y >> 1)
+            if ((z & 1) == 0) s2(e9(j + 4), e9(j + 5))
+            else s3(e9(j + 3), e9(j + 4), e9(j + 5))
+          }
+        case 7 =>
+          val z = 2 * x + y
+          if (z == 8) s3(e8(4), e8(5), e8(6))
+          else if (z == 9) s3(e8(5), e8(6), e8(7))
+          else {
+            val j = x + (y >> 1)
+            if ((z & 1) == 0) s2(e8(j), e8(j + 1))
+            else s3(e8(j), e8(j + 1), e8(j + 2))
+          }
+        case 8 =>
+          val z = 2 * y - x
+          if (z == -2) s3(e9(4), e9(5), e9(6))
+          else if (z == -3) s3(e9(5), e9(6), e9(7))
+          else {
+            val j = y - (x >> 1)
+            if ((z & 1) == 0) s2(e9(3 - j), e9(4 - j))
+            else s3(e9(3 - j), e9(4 - j), e9(5 - j))
+          }
+        case _ =>
+          val z = x + 2 * y
+          if (z < 5) {
+            val j = y + (x >> 1)
+            if ((x & 1) == 0) s2(l(j), l(j + 1))
+            else s3(l(j), l(j + 1), l(math.min(j + 2, 3)))
+          } else if (z == 5) s3(l(2), l(3), l(3))
+          else l(3)
+      }
+      val out = Array.tabulate(4, 4)((y, x) => px(x, y))
+      for (y <- 0 until 4; x <- 0 until 4) pl(by + y)(bx + x) = out(y)(x)
+    }
     for (mbY <- 0 until mbH; mbX <- 0 until mbW) {
       val mb = mbs(mbY * mbW + mbX)
       val qi = q127(segQ(mb.segId))
@@ -347,19 +433,37 @@ class Vp8DecoderSpec extends AnyFunSuite {
       val y2dc = DcQLookup(qi) * 2
       val y2ac = math.max(8, AcQLookup(qi) * 155 / 100)
       val uvdc = math.min(132, DcQLookup(qi)); val uvac = AcQLookup(qi)
-      predict(Y, mbX * 16, mbY * 16, 16, mb.ymode, mbY > 0, mbX > 0)
+      if (mb.ymode == 4) {
+        // B_PRED: per-subblock predict-then-add in raster order (each
+        // subblock reads its already-reconstructed neighbors); luma
+        // DC is coded in-block (type 3) and scales by y1dc
+        for (b <- 0 until 16) {
+          val colb = b % 4; val row = b / 4
+          val bx = mbX * 16 + colb * 4; val by = mbY * 16 + row * 4
+          val arRow = if (colb == 3) mbY * 16 - 1 else by - 1
+          val arX0 = if (colb == 3) mbX * 16 + 16 else bx + 4
+          predict4Ref(Y, bx, by, mb.bmodesOr(b), arRow, arX0)
+          if (!mb.skip) {
+            val dq = Array.tabulate(16)(i =>
+              mb.y(b)(i) * (if (i == 0) y1dc else y1ac))
+            addBlock(Y, bx, by, idctRef(dq))
+          }
+        }
+      } else predict(Y, mbX * 16, mbY * 16, 16, mb.ymode, mbY > 0, mbX > 0)
       predict(U, mbX * 8, mbY * 8, 8, mb.uvmode, mbY > 0, mbX > 0)
       predict(V, mbX * 8, mbY * 8, 8, mb.uvmode, mbY > 0, mbX > 0)
       if (!mb.skip) {
-        val dq2 = Array.tabulate(16)(i =>
-          mb.y2(i) * (if (i == 0) y2dc else y2ac))
-        val dcs = iwhtRef(dq2)
-        for (b <- 0 until 16) {
-          val dq = Array.tabulate(16)(i =>
-            if (i == 0) dcs(b) else mb.y(b)(i) * y1ac)
-          // (luma DC rides Y2; y1dc would scale a direct DC — unused here)
-          val _ = y1dc
-          addBlock(Y, mbX * 16 + (b % 4) * 4, mbY * 16 + (b / 4) * 4, idctRef(dq))
+        if (mb.ymode != 4) {
+          val dq2 = Array.tabulate(16)(i =>
+            mb.y2(i) * (if (i == 0) y2dc else y2ac))
+          val dcs = iwhtRef(dq2)
+          for (b <- 0 until 16) {
+            val dq = Array.tabulate(16)(i =>
+              if (i == 0) dcs(b) else mb.y(b)(i) * y1ac)
+            // (luma DC rides Y2; y1dc scales the direct DC of B_PRED)
+            val _ = y1dc
+            addBlock(Y, mbX * 16 + (b % 4) * 4, mbY * 16 + (b / 4) * 4, idctRef(dq))
+          }
         }
         for (b <- 0 until 4) {
           val dqU = Array.tabulate(16)(i => mb.u(b)(i) * (if (i == 0) uvdc else uvac))
@@ -447,7 +551,7 @@ class Vp8DecoderSpec extends AnyFunSuite {
       val level = math.max(0, math.min(63, segF(mb.segId)))
       if (level > 0) {
         val (in, mbE, sbE, hevT) = lfLimits(level, sharp)
-        val interiorEdges = !mb.skip
+        val interiorEdges = !mb.skip || mb.ymode == 4
         def planes(f: (Array[Array[Int]], Int, Int, Int) => Unit): Unit = {
           f(yP, mbX * 16, mbY * 16, 16)
           if (!simple) { f(uP, mbX * 8, mbY * 8, 8); f(vP, mbX * 8, mbY * 8, 8) }
@@ -638,14 +742,106 @@ class Vp8DecoderSpec extends AnyFunSuite {
     assert(Vp8Decoder.filterLimits(63, 5) === ((4, 134, 130, 2)))
   }
 
-  test("declared edges: B_PRED falls to the byte tier; truncated token data is None") {
+  // ---- B_PRED (the 4×4 intra family) ---------------------------------
+
+  /** A 2×2 frame exercising every B_* mode, cross-MB subblock-mode
+    * contexts (including the implied mode of a non-B neighbor), a
+    * skipped B_PRED MB, and type-3 in-block DC coefficients. */
+  private def bpredFixture(): (Seq[MbFix], Array[Int]) = {
+    val segQ = Array(40, 60, 0, 100)
+    def blk(pairs: (Int, Int)*): Array[Int] = {
+      val a = new Array[Int](16)
+      pairs.foreach { case (i, v) => a(i) = v }
+      a
+    }
+    // all ten modes across the first MB; residuals on a spread of
+    // blocks (in-block DC + ACs — the type-3 path)
+    val mb00 = MbFix(0, skip = false, ymode = 4, uvmode = 3,
+      y2 = zeros,
+      y = Array.tabulate(16)(b =>
+        if (b % 4 == 0) blk(0 -> 3, 1 -> -2) // DC + AC in one block
+        else if (b == 5) blk(0 -> -7) // cat1-range DC
+        else if (b == 10) blk(2 -> 9, 15 -> 1) // zero-run + tail
+        else zeros),
+      u = Array(blk(0 -> 1), zeros, zeros, zeros),
+      v = Array(zeros, zeros, blk(1 -> -1), zeros),
+      bmodes = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 0, 1, 2, 3, 4, 5))
+    // a non-B neighbor: its implied submode (V → B_VE) must feed
+    // mb11's left context and mb01 reads nothing from it
+    val mb10 = MbFix(1, skip = false, ymode = 1, uvmode = 0,
+      y2 = blk(0 -> 2), y = Array.fill(16)(zeros),
+      u = Array.fill(4)(zeros), v = Array.fill(4)(zeros))
+    // below mb00: above contexts are mb00's bottom row (2,3,4,5)
+    val mb01 = MbFix(2, skip = false, ymode = 4, uvmode = 1,
+      y2 = zeros,
+      y = Array.tabulate(16)(b => if (b == 3) blk(0 -> 80) else zeros), // cat5 DC
+      u = Array.fill(4)(zeros), v = Array.fill(4)(zeros),
+      bmodes = Array(9, 8, 7, 6, 5, 4, 3, 2, 1, 0, 9, 8, 7, 6, 5, 4))
+    // skipped B_PRED: prediction-only reconstruction, Y2 contexts
+    // untouched, loop-filter interior edges still run
+    val mb11 = MbFix(3, skip = true, ymode = 4, uvmode = 2,
+      y2 = zeros, y = Array.fill(16)(zeros),
+      u = Array.fill(4)(zeros), v = Array.fill(4)(zeros),
+      bmodes = Array(4, 4, 5, 5, 6, 6, 7, 7, 8, 8, 9, 9, 1, 1, 2, 2))
+    (Seq(mb00, mb10, mb01, mb11), segQ)
+  }
+
+  test("B_PRED keyframe roundtrip: all ten 4x4 modes, contexts, interleaved recon") {
+    val (mbs, segQ) = bpredFixture()
+    val webp = encodeFrame(mbs, 2, 2, segQ, nParts = 1)
+    val (expY, expU, expV) = reconstructRef(mbs, 2, 2, segQ)
+    val f = Vp8Decoder.decodeFrame(webp, 20, webp.length)
+    assert(f.isDefined, "B_PRED keyframe must decode now")
+    for (y <- 0 until 32; x <- 0 until 32)
+      assert(f.get.yAt(x, y) === expY(y)(x), s"luma ($x,$y)")
+    for (y <- 0 until 16; x <- 0 until 16) {
+      assert(f.get.uAt(x, y) === expU(y)(x), s"U ($x,$y)")
+      assert(f.get.vAt(x, y) === expV(y)(x), s"V ($x,$y)")
+    }
+    // the pixel tier serves it
+    assert(graft.ops.MultimodalOps.decodeImage(webp).isDefined)
+  }
+
+  test("B_PRED + loop filter: skipped B_PRED MB still filters interior edges") {
+    val (mbs, segQ) = bpredFixture()
+    val segF = Array(18, 0, 44, 31)
+    for (ft <- Seq(0, 1)) {
+      val webp = encodeFrame(mbs, 2, 2, segQ, nParts = 1, filterType = ft,
+        sharpness = 0, segF = segF)
+      val (expY, expU, expV) = reconstructRef(mbs, 2, 2, segQ)
+      lfRef(expY, expU, expV, mbs, 2, 2, ft, 0, segF)
+      val f = Vp8Decoder.decodeFrame(webp, 20, webp.length).get
+      for (y <- 0 until 32; x <- 0 until 32)
+        assert(f.yAt(x, y) === expY(y)(x), s"luma ($x,$y) ft=$ft")
+      for (y <- 0 until 16; x <- 0 until 16) {
+        assert(f.uAt(x, y) === expU(y)(x), s"U ($x,$y) ft=$ft")
+        assert(f.vAt(x, y) === expV(y)(x), s"V ($x,$y) ft=$ft")
+      }
+    }
+    // the skipped B_PRED MB (bottom-right, segment 3, level 31) must
+    // have moved pixels relative to the unfiltered decode — the rule
+    // a skip-only interior-edge gate would miss
+    val u0 = {
+      val w = encodeFrame(mbs, 2, 2, segQ, nParts = 1)
+      Vp8Decoder.decodeFrame(w, 20, w.length).get
+    }
+    val f0 = {
+      val w = encodeFrame(mbs, 2, 2, segQ, nParts = 1, filterType = 0, segF = segF)
+      Vp8Decoder.decodeFrame(w, 20, w.length).get
+    }
+    val moved = (for (y <- 16 until 32; x <- 16 until 32
+      if u0.yAt(x, y) != f0.yAt(x, y)) yield 1).size
+    assert(moved > 0, "filter must move pixels inside the skipped B_PRED MB")
+  }
+
+  test("declared edge: engine-local tables only; truncated token data is None") {
     val (mbs, segQ) = fixture()
-    // ymode 4 = B_PRED — the decoder's documented None edge
-    val bmbs = mbs.updated(0, mbs.head.copy(ymode = 4))
-    assert(graft.ops.MultimodalOps.decodeImage(
-      encodeFrame(bmbs, 2, 2, segQ, nParts = 1)).isEmpty)
     // chopping the token partition tail must fail closed, not garble
     val webp = encodeFrame(mbs, 2, 2, segQ, nParts = 1)
     assert(graft.ops.MultimodalOps.decodeImage(webp.dropRight(12)).isEmpty)
+    // a B_PRED MB with default (all-B_DC) subblock modes also decodes
+    val bmbs = mbs.updated(0, mbs.head.copy(ymode = 4))
+    assert(graft.ops.MultimodalOps.decodeImage(
+      encodeFrame(bmbs, 2, 2, segQ, nParts = 1)).isDefined)
   }
 }
