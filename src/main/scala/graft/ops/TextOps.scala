@@ -142,6 +142,80 @@ object TextOps {
       |    AS dup_token_frac
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q181: CONTENT-DEFINED chunking dedup — the rsync/LBFS boundary
+    * rule at token grain: position i ends a chunk iff the Karp–Rabin
+    * hash of the 4-token window ending at i (base 31 over q45's token
+    * values, kept exact in BIGINT — no modular reduction needed at
+    * these magnitudes) is ≡ 0 (mod 8), giving ~8-token expected
+    * chunks. Unlike q86's fixed 32-token stride, an insertion shifts
+    * only the chunk it lands in — every boundary downstream re-aligns
+    * because boundaries depend on CONTENT, not position; that is the
+    * property that makes chunk-level dedup survive edits. (The
+    * documented simplification vs production CDC: no min/max chunk
+    * clamps — those need a sequential scan; the pure per-position
+    * predicate is what keeps the operator a codegen'd map.)
+    *
+    * Output: the corpus-wide duplicated-chunk table (md5 key, token
+    * length, occurrences, distinct docs). Scale posture: all list
+    * work is per-row codegen; only (hash, n_tok) pairs shuffle to a
+    * high-cardinality skew-free rollup — the q86 shape. */
+  def cdcChunks(s: SparkSession, d: String): DataFrame =
+    cdcChunksFrom(Tables.documents(s, d))
+
+  private[graft] def cdcChunksFrom(docs: DataFrame): DataFrame =
+    cdcChunkTable(docs)
+      .groupBy(col("chunk_hash"), col("n_tok"))
+      .agg(count(lit(1)).as("n_occur"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_occur") >= 2)
+      .orderBy(col("chunk_hash"))
+
+  /** The per-chunk table (doc_id, chunk_hash, n_tok) before the dedup
+    * rollup — the unit CdC property tests pin (boundary re-alignment
+    * after an edit). */
+  private[graft] def cdcChunkTable(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("v",
+        expr("transform(t, x -> CAST(ascii(x) AS BIGINT)*131 + length(x))"))
+      .withColumn("c", expr(
+        "CASE WHEN size(t) >= 5 THEN filter(sequence(3, size(t) - 2), " +
+          "i -> (element_at(v, i-2)*29791 + element_at(v, i-1)*961 + " +
+          "element_at(v, i)*31 + element_at(v, i+1)) % 8 = 0) " +
+          "ELSE CAST(array() AS ARRAY<INT>) END"))
+      .withColumn("st", expr("concat(array(0), transform(c, x -> x + 1))"))
+      .withColumn("en", expr("concat(c, array(size(t) - 1))"))
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(st)), j -> named_struct(" +
+          "'k', md5(array_join(slice(t, element_at(st, j) + 1, " +
+          "element_at(en, j) - element_at(st, j) + 1), ' ')), " +
+          "'nt', element_at(en, j) - element_at(st, j) + 1))")).as("ch"))
+      .select(col("doc_id"), col("ch.k").as("chunk_hash"),
+        col("ch.nt").as("n_tok"))
+
+  private val cdcChunksSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |v AS (SELECT doc_id, t,
+      |    [CAST(ascii(x) AS BIGINT)*131 + length(x) for x in t] AS v FROM t),
+      |c AS (SELECT doc_id, t,
+      |    CASE WHEN len(t) >= 5 THEN
+      |      [i for i in range(3, len(t) - 1) if
+      |        (v[i-2]*29791 + v[i-1]*961 + v[i]*31 + v[i+1]) % 8 = 0]
+      |    ELSE [] END AS c
+      |  FROM v),
+      |seg AS (SELECT doc_id, t,
+      |    list_prepend(0, [x + 1 for x in c]) AS st,
+      |    list_append(c, len(t) - 1) AS en
+      |  FROM c),
+      |ch AS (SELECT doc_id,
+      |    unnest([{'k': md5(array_to_string(list_slice(t, st[j] + 1, en[j] + 1), ' ')),
+      |             'nt': en[j] - st[j] + 1} for j in range(1, len(st) + 1)]) AS ch
+      |  FROM seg)
+      |SELECT ch.k AS chunk_hash, CAST(ch.nt AS INT) AS n_tok,
+      |       count(*) AS n_occur, count(DISTINCT doc_id) AS n_docs
+      |FROM ch GROUP BY 1, 2 HAVING count(*) >= 2
+      |ORDER BY chunk_hash""".stripMargin
+
   /** q88: the rewrite half of the C4-style pass — q86 measures, this
     * PRODUCES the deduplicated corpus: each doc reassembled from only
     * its surviving (first-occurrence) chunks, in position order; a doc
@@ -4018,5 +4092,7 @@ object TextOps {
     QueryDef("q41_quality_score", qualityScore, Some(qualityScoreSql), "quality scoring"),
     QueryDef("q42_fingerprint", fingerprint, Some(fingerprintSql), "document fingerprint"),
     QueryDef("q45_rolling_hash", rollingHash, Some(rollingHashSql), "Karp-Rabin rolling hash"),
+    QueryDef("q181_cdc_chunks", cdcChunks, Some(cdcChunksSql),
+      "content-defined chunking (rolling-hash boundaries) + duplicated-chunk rollup"),
     QueryDef("q43_simhash", simhash, Some(simhashSql), "16-bit simhash"))
 }

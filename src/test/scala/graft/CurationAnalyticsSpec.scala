@@ -251,5 +251,38 @@ class CurationAnalyticsSpec extends AnyFunSuite with LocalSparkSuite {
       }
     }
   }
+
+  test("q181 CDC: boundaries re-align after a prefix edit; fixed stride can't") {
+    import spark.implicits._
+    // 64 deterministic tokens, then the same text with ONE token
+    // inserted at the front — the edit a fixed-stride chunker smears
+    // over every downstream chunk
+    val words = (0 until 64).map(i => s"w${(i * 37) % 23}x${i % 7}")
+    val base = words.mkString(" ")
+    val edited = "zq9 " + base
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val ch = TextOps.cdcChunkTable(docs)
+      .select("doc_id", "chunk_hash").collect()
+    val h1 = ch.filter(_.getLong(0) == 1L).map(_.getString(1)).toSeq
+    val h2 = ch.filter(_.getLong(0) == 2L).map(_.getString(1)).toSeq
+    // content-defined: every chunk after the first boundary downstream
+    // of the edit is bit-identical — the suffix of h1 reappears in h2
+    val shared = h1.toSet.intersect(h2.toSet)
+    assert(shared.nonEmpty, "CDC must preserve chunks past the edit")
+    // and the tail of both chunkings is literally the same sequence
+    val tailLen = (1 to math.min(h1.size, h2.size))
+      .takeWhile(k => h1.takeRight(k) == h2.takeRight(k)).lastOption.getOrElse(0)
+    assert(tailLen >= 1, "chunk tails must re-align after the edit")
+    // the same edit under q86's fixed 32-token stride shifts EVERY
+    // chunk: no chunk of the edited doc equals any chunk of the base
+    def strideChunks(t: String): Seq[String] =
+      t.split(" ").grouped(32).map(_.mkString(" ")).toSeq
+    assert(strideChunks(base).toSet.intersect(strideChunks(edited).toSet).isEmpty,
+      "fixture must be one where fixed-stride loses all chunks")
+    // dedup rollup sees the shared chunks as corpus-wide duplicates
+    val dup = TextOps.cdcChunksFrom(docs).collect()
+    assert(dup.nonEmpty && dup.forall(_.getLong(3) == 2L),
+      "every duplicated chunk here spans both docs")
+  }
 }
 
