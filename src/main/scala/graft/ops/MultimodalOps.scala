@@ -421,12 +421,89 @@ object MultimodalOps {
     Some(DecodedImage(w, h, sr / n, sg / n, sb / n))
   }
 
+  /** Decoded-audio surface of [[decodeAudio]]: per-channel DC mean
+    * (signed sample domain), RMS, and zero-crossing counts — the
+    * cheap fingerprint features an audio curation pass keys on. */
+  final case class DecodedAudio(channels: Int, sampleRate: Int, bits: Int,
+      nFrames: Int, mean: Array[Double], rms: Array[Double],
+      zeroCross: Array[Long])
+
+  /** REAL pure-JVM decode of RIFF/WAVE PCM (format tag 1, 8-bit
+    * unsigned or 16-bit signed little-endian, any channel count):
+    * chunk walk to `fmt ` + `data`, then one pass computing per-
+    * channel mean/RMS/zero-crossings in the SIGNED domain (8-bit
+    * samples recenter by −128, so silence is 0 in both widths).
+    * Strict like the image tier: non-PCM format tags, other bit
+    * widths, truncated chunks, or a data length that does not cover a
+    * whole number of frames return None — a coincidental RIFF match
+    * must fall to the histogram tier, never emit garbage features. */
+  private[graft] def decodeAudio(p: Array[Byte]): Option[DecodedAudio] = {
+    def tag(off: Int): String =
+      new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    def u32(off: Int): Long = (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+      ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+    def u16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+    if (p.length < 44 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    if (u32(4) + 8 > p.length) return None
+    var off = 12
+    var channels = 0; var rate = 0; var bits = 0; var fmtSeen = false
+    var dataAt = -1; var dataLen = 0
+    while (off + 8 <= p.length && (dataAt < 0 || !fmtSeen)) {
+      val t = tag(off)
+      val sz = u32(off + 4)
+      if (off + 8 + sz > p.length) return None // truncated chunk
+      if (t == "fmt ") {
+        if (sz < 16) return None
+        val fmtTag = u16(off + 8)
+        channels = u16(off + 10)
+        rate = u32(off + 12).toInt
+        bits = u16(off + 22)
+        if (fmtTag != 1) return None // PCM only; compressed → stub tier
+        fmtSeen = true
+      } else if (t == "data") { dataAt = off + 8; dataLen = sz.toInt }
+      off += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    if (!fmtSeen || dataAt < 0 || channels <= 0 || rate <= 0) return None
+    if (bits != 8 && bits != 16) return None
+    val bytesPerFrame = channels * (bits / 8)
+    if (dataLen % bytesPerFrame != 0) return None
+    val nFrames = dataLen / bytesPerFrame
+    val sum = new Array[Double](channels)
+    val sq = new Array[Double](channels)
+    val zc = new Array[Long](channels)
+    val prev = new Array[Int](channels)
+    var f = 0
+    while (f < nFrames) {
+      var c = 0
+      while (c < channels) {
+        val at = dataAt + f * bytesPerFrame + c * (bits / 8)
+        val s =
+          if (bits == 8) (p(at) & 0xff) - 128
+          else ((p(at) & 0xff) | (p(at + 1) << 8)).toShort.toInt
+        sum(c) += s
+        sq(c) += s.toDouble * s
+        if (f > 0 && ((s > 0 && prev(c) < 0) || (s < 0 && prev(c) > 0)))
+          zc(c) += 1
+        prev(c) = s
+        c += 1
+      }
+      f += 1
+    }
+    val mean = Array.tabulate(channels)(c =>
+      if (nFrames == 0) 0.0 else sum(c) / nFrames)
+    val rms = Array.tabulate(channels)(c =>
+      if (nFrames == 0) 0.0 else math.sqrt(sq(c) / nFrames))
+    Some(DecodedAudio(channels, rate, bits, nFrames, mean, rms, zc))
+  }
+
   /** Feature extraction: partition-local loop with a reused scratch
     * buffer — the batched-UDF execution shape without a per-row alloc.
     * Real-decoded images emit (w, h, mean-RGB/255, 0, 0, -1) with the
-    * trailing -1 marking the real tier; histogram bins are fractions in
-    * [0, 1] (an all-0xFF payload puts exactly 1.0 in bin 7), so a
-    * negative marker is the only value the stub tier can never emit. */
+    * trailing -1 marking the real tier; real-decoded PCM audio emits
+    * (channels, rate, frames, rms₀/2¹⁵, zcr₀, -2); histogram bins are
+    * fractions in [0, 1] (an all-0xFF payload puts exactly 1.0 in bin
+    * 7), so a negative marker is a value the stub tier can never
+    * emit. */
   def extractFeatures(assets: Dataset[Asset]): Dataset[AssetFeatures] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
@@ -436,7 +513,14 @@ object MultimodalOps {
           case Some(img) => Array(img.width.toFloat, img.height.toFloat,
             (img.meanR / 255.0).toFloat, (img.meanG / 255.0).toFloat,
             (img.meanB / 255.0).toFloat, 0f, 0f, -1f)
-          case None => decodeStub(a.payload, scratch)
+          case None => decodeAudio(a.payload) match {
+            case Some(au) => Array(au.channels.toFloat, au.sampleRate.toFloat,
+              au.nFrames.toFloat, (au.rms(0) / 32768.0).toFloat,
+              (if (au.nFrames > 1)
+                au.zeroCross(0).toDouble / (au.nFrames - 1) else 0.0).toFloat,
+              0f, 0f, -2f)
+            case None => decodeStub(a.payload, scratch)
+          }
         }
         AssetFeatures(a.asset_id, a.modality, a.payload.length, feats)
       }

@@ -146,4 +146,83 @@ class MultimodalSpec extends AnyFunSuite with LocalSparkSuite {
     val out = MultimodalOps.resize(empty, target = 32).collect()
     assert(out.head._2.isEmpty)
   }
+
+  // ---- WAV/PCM audio tier --------------------------------------------
+
+  /** Test-side RIFF/WAVE writer (the JDK ships javax.sound but the
+    * fixture is written raw so every byte is ours): PCM fmt chunk +
+    * data chunk, optional junk chunk first to exercise the walk. */
+  private def wavBytes(channels: Int, rate: Int, bits: Int,
+      frames: Seq[Seq[Int]], junk: Boolean = false): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit = { w16(v & 0xffff); w16((v >>> 16) & 0xffff) }
+    def tag(t: String): Unit = bos.write(t.getBytes("US-ASCII"))
+    val dataLen = frames.size * channels * (bits / 8)
+    val junkLen = if (junk) 8 + 4 else 0
+    tag("RIFF"); w32(4 + junkLen + 24 + 8 + dataLen); tag("WAVE")
+    if (junk) { tag("LIST"); w32(4); tag("INFO") }
+    tag("fmt "); w32(16)
+    w16(1); w16(channels); w32(rate)
+    w32(rate * channels * (bits / 8)); w16(channels * (bits / 8)); w16(bits)
+    tag("data"); w32(dataLen)
+    frames.foreach(f => f.foreach { s =>
+      if (bits == 8) bos.write((s + 128) & 0xff) else w16(s & 0xffff)
+    })
+    bos.toByteArray
+  }
+
+  test("decodes 16-bit stereo PCM WAV: per-channel mean/RMS/zero-crossings") {
+    // ch0 alternates ±1000 (max zero crossings), ch1 climbs a ramp
+    val frames = (0 until 50).map(i =>
+      Seq(if (i % 2 == 0) 1000 else -1000, i * 10 - 245))
+    val au = MultimodalOps.decodeAudio(wavBytes(2, 16000, 16, frames, junk = true))
+    assert(au.isDefined, "well-formed stereo WAV must decode (junk chunk skipped)")
+    val a = au.get
+    assert((a.channels, a.sampleRate, a.bits, a.nFrames) === ((2, 16000, 16, 50)))
+    // independent recount from the sample matrix
+    val ch0 = frames.map(_.head); val ch1 = frames.map(_(1))
+    assert(math.abs(a.mean(0) - ch0.sum.toDouble / 50) < 1e-12)
+    assert(math.abs(a.mean(1) - ch1.sum.toDouble / 50) < 1e-12)
+    assert(math.abs(a.rms(0) - 1000.0) < 1e-9) // constant magnitude
+    assert(math.abs(a.rms(1) -
+      math.sqrt(ch1.map(s => s.toDouble * s).sum / 50)) < 1e-9)
+    assert(a.zeroCross(0) === 49L) // every consecutive pair flips sign
+    assert(a.zeroCross(1) ===
+      ch1.sliding(2).count(p => (p(0) < 0 && p(1) > 0) || (p(0) > 0 && p(1) < 0)))
+  }
+
+  test("decodes 8-bit mono PCM WAV in the signed domain; silence is 0") {
+    val au = MultimodalOps.decodeAudio(
+      wavBytes(1, 8000, 8, (0 until 20).map(_ => Seq(0))))
+    assert(au.isDefined)
+    assert(au.get.mean(0) === 0.0) // 8-bit 0x80 recenters to 0
+    assert(au.get.rms(0) === 0.0)
+    assert(au.get.zeroCross(0) === 0L)
+  }
+
+  test("malformed WAV falls back: non-PCM tag, bad width, truncation, ragged data") {
+    val good = wavBytes(2, 16000, 16, (0 until 10).map(i => Seq(i, -i)))
+    assert(MultimodalOps.decodeAudio(good).isDefined)
+    val nonPcm = good.clone(); nonPcm(20) = 3 // fmt tag = IEEE float
+    assert(MultimodalOps.decodeAudio(nonPcm).isEmpty)
+    val badBits = good.clone(); badBits(34) = 24
+    assert(MultimodalOps.decodeAudio(badBits).isEmpty)
+    assert(MultimodalOps.decodeAudio(good.dropRight(7)).isEmpty)
+    assert(MultimodalOps.decodeAudio("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("extractFeatures routes PCM audio to the real tier with the -2 marker") {
+    import spark.implicits._
+    val wav = wavBytes(1, 44100, 16, (0 until 30).map(i =>
+      Seq(if (i % 3 == 0) 8192 else -4096)))
+    val ds = Seq(
+      MultimodalOps.Asset(1L, "audio", wav, 64, 16000),
+      MultimodalOps.Asset(2L, "audio", "not audio at all".getBytes, 64, 16000)).toDS()
+    val f = MultimodalOps.extractFeatures(ds).collect().sortBy(_.asset_id)
+    assert(f(0).features(7) === -2f) // real audio tier
+    assert(f(0).features(0) === 1f && f(0).features(1) === 44100f)
+    assert(f(0).features(2) === 30f)
+    assert(f(1).features.forall(_ >= 0f)) // text stays on the stub tier
+  }
 }
