@@ -1873,7 +1873,125 @@ object VectorOps {
        |UNION ALL SELECT 5, vec_id, score FROM w5
        |ORDER BY round""".stripMargin
 
+  /** q182: RECIPROCAL-RANK-FUSION hybrid retrieval — the standard
+    * dense+lexical serving composition (Cormack et al. SIGIR'09, the
+    * fusion every hybrid search stack ships): per query, a dense
+    * top-10 (brute-force round-6 cosine — the eval-exact list source;
+    * the q175 HNSW beam is the drop-in at serving scale) and a
+    * lexical top-10 (exact 3-shingle Jaccard of the query doc's text,
+    * ranked by the INTEGER-scaled (10⁶·inter) div union so both
+    * engines order identically) fuse by RRF with k=60, the weights
+    * integer-scaled the same way (10⁶ div (60+rank)) so the fused
+    * order is pure BIGINT arithmetic — no float summation order to
+    * drift cross-engine. Output: fused top-5 per query with both
+    * source ranks (0 = absent from that list, the rows where fusion
+    * actually changed the answer).
+    *
+    * Scale shape: the dense side broadcasts the 1% query set; the
+    * lexical side joins only QUERY shingles (a 1%-of-corpus slice)
+    * against the inverted shingle table, then two skinny size
+    * join-backs; the fusion itself is a full-outer join of two
+    * ≤10-row-per-query lists — shuffle bytes are rank pairs, never
+    * vectors or text. */
+  def rrfFusion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val wD = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand"))
+    val dense = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cand"),
+        round(cosineSimFast(col("embedding"), col("qv")), 6).as("cos"))
+      .withColumn("rk_dense", row_number().over(wD))
+      .filter(col("rk_dense") <= 10)
+      .select(col("qid"), col("cand"), col("rk_dense"))
+    val shd = Tables.documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("t"), 3))).as("sh"))
+    val sz = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val qsh = shd.join(broadcast(q.select(col("qid"))),
+      shd("doc_id") === col("qid")).select(col("qid"), col("sh"))
+    val wL = Window.partitionBy(col("qid")).orderBy(col("jscaled").desc, col("cand"))
+    val lex = qsh
+      .join(shd.select(col("doc_id").as("cand"), col("sh")).hint("shuffle_hash"),
+        Seq("sh"))
+      .filter(col("cand") =!= col("qid"))
+      .groupBy(col("qid"), col("cand")).agg(count(lit(1)).as("inter"))
+      .join(sz.select(col("doc_id").as("qid"), col("n").as("nq")), Seq("qid"))
+      .join(sz.select(col("doc_id").as("cand"), col("n").as("nc"))
+        .hint("shuffle_hash"), Seq("cand"))
+      .withColumn("jscaled", expr("(1000000 * inter) div (nq + nc - inter)"))
+      .withColumn("rk_lex", row_number().over(wL))
+      .filter(col("rk_lex") <= 10)
+      .select(col("qid"), col("cand"), col("rk_lex"))
+    val fused = dense.hint("shuffle_hash")
+      .join(lex.hint("shuffle_hash"), Seq("qid", "cand"), "full_outer")
+      .withColumn("rrf",
+        coalesce(expr("CAST(1000000 div (60 + rk_dense) AS BIGINT)"), lit(0L)) +
+          coalesce(expr("CAST(1000000 div (60 + rk_lex) AS BIGINT)"), lit(0L)))
+    val wF = Window.partitionBy(col("qid")).orderBy(col("rrf").desc, col("cand"))
+    fused.withColumn("fused_rank", row_number().over(wF))
+      .filter(col("fused_rank") <= 5)
+      .select(col("qid"), col("fused_rank"), col("cand"), col("rrf"),
+        coalesce(col("rk_dense").cast("long"), lit(0L)).as("rk_dense"),
+        coalesce(col("rk_lex").cast("long"), lit(0L)).as("rk_lex"))
+      .orderBy(col("qid"), col("fused_rank"))
+  }
+
+  private lazy val rrfFusionSql =
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+       |           FROM embeddings WHERE vec_id % 100 = 0),
+       |dsc AS (SELECT q.qid, e.vec_id AS cand,
+       |         ROUND(${dotSql("e.embedding", "q.qv")} /
+       |           (sqrt(${dotSql("e.embedding", "e.embedding")}) * sqrt(${dotSql("q.qv", "q.qv")})), 6) AS cos
+       |        FROM embeddings e, q WHERE e.vec_id <> q.qid),
+       |d10 AS (SELECT qid, cand, rk_dense FROM (
+       |          SELECT qid, cand, ROW_NUMBER() OVER (
+       |            PARTITION BY qid ORDER BY cos DESC, cand) AS rk_dense
+       |          FROM dsc) WHERE rk_dense <= 10),
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+       |        WHERE len(string_split(text, ' ')) >= 3),
+       |sh0 AS (SELECT doc_id,
+       |          unnest([array_to_string(list_slice(t, i, i+2), ' ')
+       |                  for i in generate_series(1, len(t) - 2)]) AS s
+       |        FROM tok),
+       |shd AS (SELECT DISTINCT doc_id, s FROM sh0),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM shd GROUP BY doc_id),
+       |qsh AS (SELECT q.qid, shd.s FROM shd JOIN q ON shd.doc_id = q.qid),
+       |ints AS (SELECT qsh.qid, shd.doc_id AS cand, COUNT(*) AS inter
+       |         FROM qsh JOIN shd ON shd.s = qsh.s AND shd.doc_id <> qsh.qid
+       |         GROUP BY qsh.qid, shd.doc_id),
+       |l10 AS (SELECT qid, cand, rk_lex FROM (
+       |          SELECT i.qid, i.cand, ROW_NUMBER() OVER (
+       |            PARTITION BY i.qid
+       |            ORDER BY (1000000 * i.inter) // (sq.n + sc.n - i.inter) DESC,
+       |                     i.cand) AS rk_lex
+       |          FROM ints i JOIN sz sq ON sq.doc_id = i.qid
+       |                      JOIN sz sc ON sc.doc_id = i.cand)
+       |        WHERE rk_lex <= 10),
+       |fused AS (SELECT COALESCE(d.qid, l.qid) AS qid,
+       |           COALESCE(d.cand, l.cand) AS cand,
+       |           COALESCE(1000000 // (60 + d.rk_dense), 0)
+       |             + COALESCE(1000000 // (60 + l.rk_lex), 0) AS rrf,
+       |           COALESCE(d.rk_dense, 0) AS rk_dense,
+       |           COALESCE(l.rk_lex, 0) AS rk_lex
+       |          FROM d10 d FULL OUTER JOIN l10 l
+       |            ON d.qid = l.qid AND d.cand = l.cand)
+       |SELECT qid, CAST(fused_rank AS INT) AS fused_rank, cand,
+       |       CAST(rrf AS BIGINT) AS rrf,
+       |       CAST(rk_dense AS BIGINT) AS rk_dense,
+       |       CAST(rk_lex AS BIGINT) AS rk_lex
+       |FROM (SELECT qid, cand, rrf, rk_dense, rk_lex,
+       |        ROW_NUMBER() OVER (PARTITION BY qid
+       |          ORDER BY rrf DESC, cand) AS fused_rank FROM fused)
+       |WHERE fused_rank <= 5 ORDER BY qid, fused_rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q182_rrf_fusion", rrfFusion, Some(rrfFusionSql),
+      "reciprocal-rank-fusion hybrid retrieval: dense cosine + lexical Jaccard lists, k=60"),
     QueryDef("q148_mmr_diverse", mmrDiverse, Some(mmrDiverseSql),
       "maximal-marginal-relevance diverse top-5 (SIGIR'98): 5-round unroll, redundancy-penalized"),
     QueryDef("q81_label_top_norm", labelTopNorm, Some(labelTopNormSql),
