@@ -170,21 +170,32 @@ object TextOps {
       .filter(col("n_occur") >= 2)
       .orderBy(col("chunk_hash"))
 
+  /** The CDC boundary expressions, shared verbatim by the batch chunk
+    * table and the streaming ingest gate (all stateless — streaming-
+    * safe). Bind order: `t` (token array) → `v` → `c` → `st`/`en`. */
+  private[graft] val cdcTokvalExpr =
+    "transform(t, x -> CAST(ascii(x) AS BIGINT)*131 + length(x))"
+  private[graft] val cdcCutsExpr =
+    "CASE WHEN size(t) >= 5 THEN filter(sequence(3, size(t) - 2), " +
+      "i -> (element_at(v, i-2)*29791 + element_at(v, i-1)*961 + " +
+      "element_at(v, i)*31 + element_at(v, i+1)) % 8 = 0) " +
+      "ELSE CAST(array() AS ARRAY<INT>) END"
+  private[graft] val cdcStartsExpr = "concat(array(0), transform(c, x -> x + 1))"
+  private[graft] val cdcEndsExpr = "concat(c, array(size(t) - 1))"
+  private[graft] val cdcChunkTextsExpr =
+    "transform(sequence(1, size(st)), j -> array_join(slice(t, " +
+      "element_at(st, j) + 1, element_at(en, j) - element_at(st, j) + 1), ' '))"
+
   /** The per-chunk table (doc_id, chunk_hash, n_tok) before the dedup
     * rollup — the unit CdC property tests pin (boundary re-alignment
     * after an edit). */
   private[graft] def cdcChunkTable(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .withColumn("v",
-        expr("transform(t, x -> CAST(ascii(x) AS BIGINT)*131 + length(x))"))
-      .withColumn("c", expr(
-        "CASE WHEN size(t) >= 5 THEN filter(sequence(3, size(t) - 2), " +
-          "i -> (element_at(v, i-2)*29791 + element_at(v, i-1)*961 + " +
-          "element_at(v, i)*31 + element_at(v, i+1)) % 8 = 0) " +
-          "ELSE CAST(array() AS ARRAY<INT>) END"))
-      .withColumn("st", expr("concat(array(0), transform(c, x -> x + 1))"))
-      .withColumn("en", expr("concat(c, array(size(t) - 1))"))
+      .withColumn("v", expr(cdcTokvalExpr))
+      .withColumn("c", expr(cdcCutsExpr))
+      .withColumn("st", expr(cdcStartsExpr))
+      .withColumn("en", expr(cdcEndsExpr))
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(st)), j -> named_struct(" +
           "'k', md5(array_join(slice(t, element_at(st, j) + 1, " +
@@ -193,28 +204,76 @@ object TextOps {
       .select(col("doc_id"), col("ch.k").as("chunk_hash"),
         col("ch.nt").as("n_tok"))
 
+  /** The q181 CDC chunk-table CTE chain, prefixed so q183 can
+    * instantiate it twice (old slice / new batch) in one oracle.
+    * Yields `<p>ch(doc_id, ch{k, nt})`. */
+  private def cdcSqlCtes(p: String, where: String): String =
+    s"""${p}t AS (SELECT doc_id, string_split(text, ' ') AS t
+       |  FROM documents WHERE $where),
+       |${p}v AS (SELECT doc_id, t,
+       |    [CAST(ascii(x) AS BIGINT)*131 + length(x) for x in t] AS v FROM ${p}t),
+       |${p}c AS (SELECT doc_id, t,
+       |    CASE WHEN len(t) >= 5 THEN
+       |      [i for i in range(3, len(t) - 1) if
+       |        (v[i-2]*29791 + v[i-1]*961 + v[i]*31 + v[i+1]) % 8 = 0]
+       |    ELSE [] END AS c
+       |  FROM ${p}v),
+       |${p}seg AS (SELECT doc_id, t,
+       |    list_prepend(0, [x + 1 for x in c]) AS st,
+       |    list_append(c, len(t) - 1) AS en
+       |  FROM ${p}c),
+       |${p}ch AS (SELECT doc_id,
+       |    unnest([{'k': md5(array_to_string(list_slice(t, st[j] + 1, en[j] + 1), ' ')),
+       |             'nt': en[j] - st[j] + 1} for j in range(1, len(st) + 1)]) AS ch
+       |  FROM ${p}seg)""".stripMargin
+
   private val cdcChunksSql =
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |v AS (SELECT doc_id, t,
-      |    [CAST(ascii(x) AS BIGINT)*131 + length(x) for x in t] AS v FROM t),
-      |c AS (SELECT doc_id, t,
-      |    CASE WHEN len(t) >= 5 THEN
-      |      [i for i in range(3, len(t) - 1) if
-      |        (v[i-2]*29791 + v[i-1]*961 + v[i]*31 + v[i+1]) % 8 = 0]
-      |    ELSE [] END AS c
-      |  FROM v),
-      |seg AS (SELECT doc_id, t,
-      |    list_prepend(0, [x + 1 for x in c]) AS st,
-      |    list_append(c, len(t) - 1) AS en
-      |  FROM c),
-      |ch AS (SELECT doc_id,
-      |    unnest([{'k': md5(array_to_string(list_slice(t, st[j] + 1, en[j] + 1), ' ')),
-      |             'nt': en[j] - st[j] + 1} for j in range(1, len(st) + 1)]) AS ch
-      |  FROM seg)
-      |SELECT ch.k AS chunk_hash, CAST(ch.nt AS INT) AS n_tok,
-      |       count(*) AS n_occur, count(DISTINCT doc_id) AS n_docs
-      |FROM ch GROUP BY 1, 2 HAVING count(*) >= 2
-      |ORDER BY chunk_hash""".stripMargin
+    s"""WITH ${cdcSqlCtes("", "TRUE")}
+       |SELECT ch.k AS chunk_hash, CAST(ch.nt AS INT) AS n_tok,
+       |       count(*) AS n_occur, count(DISTINCT doc_id) AS n_docs
+       |FROM ch GROUP BY 1, 2 HAVING count(*) >= 2
+       |ORDER BY chunk_hash""".stripMargin
+
+  /** q183: CDC DELTA-SYNC COST — the rsync measurement q181's
+    * boundaries exist for: an arriving batch (doc_id ≡ 7 mod 100, the
+    * q156/q176 delta convention) chunks content-defined and joins
+    * against the DISTINCT chunk set of the accumulated corpus; per
+    * new doc, how many chunks already exist (dedup hits — bytes that
+    * need no transfer/storage) and the novel token mass that actually
+    * costs. Because boundaries are content-defined, a new doc that is
+    * an edit of an old one reuses every chunk outside the edit — the
+    * q181 spec property, priced here.
+    *
+    * Scale shape: the old side reduces to a DISTINCT hash set (skinny,
+    * high-cardinality); the batch side is 1% of the corpus; the join
+    * ships only hashes. */
+  def cdcDelta(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val oldSet = cdcChunkTable(docs.filter(col("doc_id") % 100 =!= 7))
+      .select(col("chunk_hash")).distinct().withColumn("hit", lit(1L))
+    cdcChunkTable(docs.filter(col("doc_id") % 100 === 7))
+      .join(oldSet.hint("shuffle_hash"), Seq("chunk_hash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("hit").isNotNull, 1L).otherwise(0L)).as("n_reused"),
+        sum(when(col("hit").isNull, col("n_tok").cast("long"))
+          .otherwise(0L)).as("tokens_novel"))
+      .withColumn("reuse_frac",
+        round(col("n_reused").cast("double") / col("n_chunks"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  private val cdcDeltaSql =
+    s"""WITH ${cdcSqlCtes("o", "doc_id % 100 <> 7")},
+       |${cdcSqlCtes("nw", "doc_id % 100 = 7")},
+       |oset AS (SELECT DISTINCT ch.k AS k FROM och)
+       |SELECT n.doc_id, count(*) AS n_chunks,
+       |  CAST(SUM(CASE WHEN oset.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reused,
+       |  CAST(SUM(CASE WHEN oset.k IS NULL THEN n.ch.nt ELSE 0 END) AS BIGINT) AS tokens_novel,
+       |  round(CAST(SUM(CASE WHEN oset.k IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / count(*), 6) AS reuse_frac
+       |FROM nwch n LEFT JOIN oset ON oset.k = n.ch.k
+       |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin
 
   /** q88: the rewrite half of the C4-style pass — q86 measures, this
     * PRODUCES the deduplicated corpus: each doc reassembled from only
@@ -4094,5 +4153,7 @@ object TextOps {
     QueryDef("q45_rolling_hash", rollingHash, Some(rollingHashSql), "Karp-Rabin rolling hash"),
     QueryDef("q181_cdc_chunks", cdcChunks, Some(cdcChunksSql),
       "content-defined chunking (rolling-hash boundaries) + duplicated-chunk rollup"),
+    QueryDef("q183_cdc_delta", cdcDelta, Some(cdcDeltaSql),
+      "CDC delta-sync cost: arriving batch's chunk reuse vs novel token mass"),
     QueryDef("q43_simhash", simhash, Some(simhashSql), "16-bit simhash"))
 }

@@ -86,6 +86,30 @@ object StreamingOps {
       .dropDuplicatesWithinWatermark(Seq("k"))
       .select(col("doc_id"), col("pos"), col("col").as("chunk"))
 
+  /** q181's streaming form: CONTENT-DEFINED chunk dedup at the stream
+    * edge. Incoming docs chunk at the same 4-token rolling-hash
+    * boundaries as the batch pass (graft.ops.TextOps.cdc*Expr, shared
+    * verbatim), so an edited re-crawl of a doc re-aligns on every
+    * chunk outside the edit and the gate drops them as already-seen —
+    * the property that makes chunk dedup survive edits, applied at
+    * ingest. Only a chunk's FIRST occurrence within the watermark
+    * horizon survives; state = one md5 key per distinct chunk in the
+    * horizon (the [[chunkDedupGate]] bound), and every expression up
+    * to the dropDuplicates is stateless. */
+  def cdcDedupGate(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("v", expr(graft.ops.TextOps.cdcTokvalExpr))
+      .withColumn("c", expr(graft.ops.TextOps.cdcCutsExpr))
+      .withColumn("st", expr(graft.ops.TextOps.cdcStartsExpr))
+      .withColumn("en", expr(graft.ops.TextOps.cdcEndsExpr))
+      .select(col("doc_id"), col("ts"),
+        posexplode(expr(graft.ops.TextOps.cdcChunkTextsExpr)))
+      .withColumn("k", md5(col("col")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("k"))
+      .select(col("doc_id"), col("pos"), col("col").as("chunk"))
+
   /** q93's streaming form: per-tumbling-window heavy-hitter CANDIDATE
     * sets over the incoming word stream, via the same Misra–Gries
     * `TypedImperativeAggregate` the batch query uses. The sketch

@@ -156,6 +156,38 @@ class StreamingSpec extends AnyFunSuite with LocalSparkSuite {
     } finally q.stop()
   }
 
+  test("CDC-dedup gate: an edited re-crawl drops every chunk outside the edit") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.Doc]
+    val q = StreamingOps.cdcDedupGate(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("cdcgate").start()
+    try {
+      val words = (0 until 64).map(i => s"w${(i * 37) % 23}x${i % 7}").mkString(" ")
+      in.addData(
+        StreamingOps.Doc(1, ts("2024-01-01 10:00:00"), words),
+        // a PREFIX edit of doc 1: content-defined boundaries re-align,
+        // so the shared tail chunks are dropped as already-seen — a
+        // fixed-stride gate would keep them all (every chunk shifts)
+        StreamingOps.Doc(2, ts("2024-01-01 10:00:10"), "zq9 " + words),
+        // exact repeat: everything drops
+        StreamingOps.Doc(3, ts("2024-01-01 10:00:20"), words))
+      q.processAllAvailable()
+      val kept = spark.table("cdcgate").collect()
+        .map(r => (r.getLong(0), r.getInt(1)))
+      val n1 = kept.count(_._1 == 1L)
+      val n2 = kept.count(_._1 == 2L)
+      assert(n1 > 0, "first doc's chunks all survive")
+      assert(n2 > 0, "the edit itself is novel and survives")
+      // doc 2 kept strictly fewer chunks than doc 1 emitted: the tail
+      // re-aligned and deduped against doc 1's horizon state
+      val batchChunks = graft.ops.TextOps.cdcChunkTable(
+        Seq((2L, "zq9 " + words)).toDF("doc_id", "text")).count()
+      assert(n2 < batchChunks, s"gate kept $n2 of $batchChunks chunks")
+      assert(!kept.exists(_._1 == 3L), "exact repeat fully dropped")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: purchases match views within 30 minutes") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
