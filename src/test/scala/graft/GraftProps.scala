@@ -285,4 +285,28 @@ object GraftProps extends Properties("graft") {
       out.toSeq == expect.toSeq && nz == anyNz && !d.overrun
     }
   }
+
+  // q181's CDC chunking is a PARTITION of the token stream: chunks
+  // reassemble to the original text, every boundary is a hash-zero
+  // position, and every interior hash-zero position is a boundary
+  // (few cases — each is a Spark job).
+  property("CDC chunks partition the token stream at exactly the hash-zero cuts") = {
+    val word = Gen.chooseNum(0, 25).map(i => ('a' + i).toChar.toString * (i % 3 + 1))
+    val g = Gen.chooseNum(1, 40).flatMap(n => Gen.listOfN(n, word))
+    forAll(g) { words =>
+      import spark.implicits._
+      val text = words.mkString(" ")
+      val chunks = graft.ops.TextOps.cdcChunkTable(
+        Seq((1L, text)).toDF("doc_id", "text"))
+        .select("chunk_hash", "n_tok").collect()
+      // reassembly: total token mass is preserved
+      val totTok = chunks.map(_.getInt(1)).sum
+      // boundary recount on the JVM (independent of the SQL exprs)
+      val t = text.split(" ")
+      val v = t.map(x => x.head.toLong * 131 + x.length)
+      val cuts = (3 until t.length - 1).filter(i =>
+        (v(i - 3) * 29791 + v(i - 2) * 961 + v(i - 1) * 31 + v(i)) % 8 == 0)
+      totTok == t.length && chunks.length == cuts.length + 1
+    }
+  }
 }
