@@ -261,6 +261,54 @@ object MediaWikiXml {
         trim(substring_index(col("p"), "=", 1)).as("param"),
         trim(substring_index(col("p"), "=", -1)).as("value"))
 
+  /** Per-revision history deltas — the wiki-research edit-analytics
+    * frame: each revision's byte delta vs its chronological
+    * predecessor ON THE SAME PAGE (first revision deltas against 0),
+    * editor attribution, and the cumulative page size. One
+    * page-keyed window pass — the q184 SCD shape on the revision
+    * stream; no cross-page traffic at any dump size. */
+  def revisionDeltas(flat: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("page_id")).orderBy(col("ts"), col("rev_id"))
+    flat
+      .withColumn("prev_bytes",
+        coalesce(lag(col("text_bytes"), 1).over(w), lit(0L)))
+      .withColumn("delta_bytes", col("text_bytes") - col("prev_bytes"))
+      .select(col("page_id"), col("title"), col("rev_id"), col("ts"),
+        coalesce(col("contributor_name"), col("contributor_ip"))
+          .as("editor"),
+        col("is_anon"), col("is_minor"),
+        col("text_bytes"), col("delta_bytes"))
+  }
+
+  /** Revert detection via the dump's sha1 column — the standard
+    * wiki-research identity: a revision whose sha1 EQUALS an earlier
+    * revision's on the same page restored that exact content, i.e.
+    * everything between the two is reverted. Emitted per revert:
+    * the reverting revision, the restored revision (the LATEST
+    * earlier sha1 match), and how many intervening revisions it
+    * undid. Window machinery only — per page, each sha1's previous
+    * occurrence comes from a lag over the (page, sha1) partition and
+    * the intervening count from revision sequence numbers. */
+  def revertChains(flat: DataFrame): DataFrame = {
+    val seqW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("page_id")).orderBy(col("ts"), col("rev_id"))
+    val shaW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("page_id"), col("sha1")).orderBy(col("ts"), col("rev_id"))
+    flat
+      .withColumn("seq", row_number().over(seqW))
+      .withColumn("restored_rev", lag(col("rev_id"), 1).over(shaW))
+      .withColumn("restored_seq", lag(col("seq"), 1).over(shaW))
+      .filter(col("restored_rev").isNotNull)
+      .select(col("page_id"), col("title"),
+        col("rev_id").as("reverting_rev"),
+        coalesce(col("contributor_name"), col("contributor_ip"))
+          .as("reverting_editor"),
+        col("restored_rev"),
+        (col("seq") - col("restored_seq") - 1).as("n_reverted"))
+      .filter(col("n_reverted") >= 1)
+  }
+
   /** The distinct link graph with per-page out-degree — the edge list
     * a PageRank/centrality pass (q97's machinery) consumes; built on
     * the LATEST revision per page so the graph reflects current

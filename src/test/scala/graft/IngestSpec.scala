@@ -284,6 +284,50 @@ class IngestSpec extends AnyFunSuite with LocalSparkSuite {
     assert(ib === Set(("person", "name", "Ada"), ("person", "born", "1815")))
   }
 
+  test("revision deltas + sha1 revert chains on a history page") {
+    val dir = java.nio.file.Files.createTempDirectory("histdump")
+    // four revisions: create (7 bytes), grow (13), REVERT to rev 10's
+    // content (sha1 'aaa' again), then new content — plus a second
+    // page whose single revision can never be a revert
+    val xml =
+      """<mediawiki><page><title>Hist</title><ns>0</ns><id>1</id>
+        |<revision><id>10</id><timestamp>2024-01-01T00:00:00Z</timestamp>
+        |<contributor><username>alice</username><id>5</id></contributor>
+        |<text bytes="7">content</text><sha1>aaa</sha1></revision>
+        |<revision><id>11</id><timestamp>2024-01-02T00:00:00Z</timestamp>
+        |<contributor><username>bob</username><id>6</id></contributor>
+        |<text bytes="13">content grown</text><sha1>bbb</sha1></revision>
+        |<revision><id>12</id><timestamp>2024-01-03T00:00:00Z</timestamp>
+        |<contributor><username>alice</username><id>5</id></contributor>
+        |<text bytes="7">content</text><sha1>aaa</sha1></revision>
+        |<revision><id>13</id><timestamp>2024-01-04T00:00:00Z</timestamp>
+        |<contributor><ip>9.8.7.6</ip></contributor>
+        |<text bytes="5">fresh</text><sha1>ccc</sha1></revision></page>
+        |<page><title>Quiet</title><ns>0</ns><id>2</id>
+        |<revision><id>20</id><timestamp>2024-01-01T00:00:00Z</timestamp>
+        |<contributor><username>u</username><id>7</id></contributor>
+        |<text bytes="2">ok</text><sha1>ddd</sha1></revision></page>
+        |</mediawiki>""".stripMargin
+    java.nio.file.Files.writeString(dir.resolve("d.xml"), xml)
+    val f = MediaWikiXml.flattenRevisions(
+      MediaWikiXml.readPages(spark, dir.resolve("d.xml").toString))
+    val deltas = MediaWikiXml.revisionDeltas(f).collect()
+      .map(r => r.getAs[Long]("rev_id") ->
+        (r.getAs[Long]("delta_bytes"), r.getAs[String]("editor"))).toMap
+    assert(deltas(10L) === ((7L, "alice")))  // first rev deltas vs 0
+    assert(deltas(11L) === ((6L, "bob")))    // 13 - 7
+    assert(deltas(12L) === ((-6L, "alice"))) // the revert shrinks back
+    assert(deltas(13L) === ((-2L, "9.8.7.6"))) // anon attribution = ip
+    assert(deltas(20L)._1 === 2L)
+    val reverts = MediaWikiXml.revertChains(f).collect()
+    assert(reverts.length === 1, "exactly one sha1 restoration")
+    val rv = reverts.head
+    assert(rv.getAs[Long]("reverting_rev") === 12L)
+    assert(rv.getAs[Long]("restored_rev") === 10L)
+    assert(rv.getAs[Long]("n_reverted") === 1L) // rev 11 was undone
+    assert(rv.getAs[String]("reverting_editor") === "alice")
+  }
+
   test("link PageRank: mass conserved, link targets outrank isolates") {
     val r = MediaWikiXml.linkRank(flat).collect()
     val total = r.map(_.getDouble(1)).sum
