@@ -1412,7 +1412,47 @@ object StatsOps {
       .agg(sort_array(collect_list(struct(col("len"), col("cf")))).as("ref"))
   }
 
+  /** q185: k-ANONYMITY release gate — the census/privacy suppression
+    * rule applied to the event log before an aggregate leaves the
+    * boundary: per (event_type, hour-of-day) cell, counts release
+    * only when at least k=5 DISTINCT users contribute; thinner cells
+    * suppress, and each released row carries its type's suppressed-
+    * cell count so the consumer can see what was withheld (the
+    * complement of q59's row-level PII scrub: this is the
+    * aggregate-level leak gate). One grouped pass + a type-grain
+    * rollup join — both keys are tiny; at any log size this is one
+    * shuffle on the cell key. */
+  def kAnonymity(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+    val sup = cells.groupBy(col("event_type"))
+      .agg(sum(when(col("n_users") < 5, 1L).otherwise(0L)).as("n_suppressed"))
+    cells.filter(col("n_users") >= 5)
+      .join(broadcast(sup), Seq("event_type"))
+      .select(col("event_type"), col("hr"), col("n_events"),
+        col("n_users"), col("n_suppressed"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  private val kAnonymitySql =
+    """WITH cells AS (SELECT event_type,
+      |    CAST(extract(hour FROM ts) AS INT) AS hr,
+      |    COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+      |  FROM events GROUP BY 1, 2),
+      |sup AS (SELECT event_type,
+      |    CAST(SUM(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_suppressed
+      |  FROM cells GROUP BY 1)
+      |SELECT c.event_type, c.hr, c.n_events, c.n_users, s.n_suppressed
+      |FROM cells c JOIN sup s USING (event_type)
+      |WHERE c.n_users >= 5
+      |ORDER BY c.event_type, c.hr""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q185_k_anonymity", kAnonymity, Some(kAnonymitySql),
+      "k-anonymity release gate: per-cell aggregates suppressed below 5 distinct users"),
     QueryDef("q162_length_drift_ks", lengthDriftKs, Some(lengthDriftKsSql),
       "B102 per-source length-distribution KS drift (exact integer argmax)"),
     QueryDef("q160_vocab_coverage", vocabCoverage, Some(vocabCoverageSql),
