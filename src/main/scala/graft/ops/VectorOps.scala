@@ -2013,7 +2013,71 @@ object VectorOps {
        |          ORDER BY rrf DESC, cand) AS fused_rank FROM fused)
        |WHERE fused_rank <= 5 ORDER BY qid, fused_rank""".stripMargin
 
+  /** q186: JOHNSON–LINDENSTRAUSS projection + distortion audit — the
+    * dimensionality-reduction step an embedding pipeline runs before
+    * indexing (64 → 16 dims, a 4× storage/FLOP cut for every ANN
+    * family above): a DETERMINISTIC ±1 projection matrix
+    * (sign = parity of i·31 + j·17 — both engines compute the same
+    * integer, so the "random" matrix is reproducible anywhere), then
+    * per adjacent-id pair the squared-distance distortion
+    * ‖Pa−Pb‖² / (16·‖a−b‖²), whose concentration near 1 is the JL
+    * lemma the audit certifies on this corpus. All vector math is the
+    * proven sequential-fold pairing (dotd / list_sum), so both
+    * engines produce bit-identical doubles before the one final
+    * round(6).
+    *
+    * Scale shape: projection is map-only codegen over the scan; the
+    * pair join is a self-join on vec_id+1 (sort-free, id-keyed); no
+    * state, no skew. */
+  def jlProjection(s: SparkSession, d: String): DataFrame = {
+    val projExpr =
+      "transform(sequence(0, 15), j -> aggregate(sequence(0, 63), " +
+        "CAST(0.0 AS DOUBLE), (acc, i) -> acc + " +
+        "CAST(element_at(embedding, i + 1) AS DOUBLE) * " +
+        "CAST(1 - 2 * ((i * 31 + j * 17) % 2) AS DOUBLE)))"
+    val p = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"), expr(projExpr).as("proj"))
+    val a = p.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+      col("proj").as("pa"))
+    val b = p.select((col("vec_id") - 1).as("vec_a"), col("vec_id").as("vec_b"),
+      col("embedding").as("eb"), col("proj").as("pb"))
+    a.join(b, Seq("vec_a"))
+      .withColumn("d2o", dotd(col("ea"), col("ea"))
+        - lit(2.0) * dotd(col("ea"), col("eb")) + dotd(col("eb"), col("eb")))
+      .withColumn("d2p", dotd(col("pa"), col("pa"))
+        - lit(2.0) * dotd(col("pa"), col("pb")) + dotd(col("pb"), col("pb")))
+      .filter(col("d2o") > 0)
+      .select(col("vec_a"), col("vec_b"),
+        round(col("d2o"), 6).as("dist2_orig"),
+        round(col("d2p"), 6).as("dist2_proj"),
+        round(col("d2p") / (col("d2o") * 16), 6).as("distortion"))
+      .orderBy(col("vec_a"))
+  }
+
+  private lazy val jlProjectionSql = {
+    def dot16(a: String, b: String): String =
+      s"list_sum([$a[i]*$b[i] for i in generate_series(1,16)])"
+    val inner = "list_sum([CAST(list_extract(embedding, i+1) AS DOUBLE) * " +
+      "CAST(1 - 2*((i*31 + j*17) % 2) AS DOUBLE) for i in range(0, 64)])"
+    s"""WITH p AS (SELECT vec_id, embedding,
+       |    [$inner for j in range(0, 16)] AS proj FROM embeddings),
+       |jn AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |         a.embedding AS ea, b.embedding AS eb,
+       |         a.proj AS pa, b.proj AS pb
+       |       FROM p a JOIN p b ON b.vec_id = a.vec_id + 1),
+       |dd AS (SELECT vec_a, vec_b,
+       |    ${dotSql("ea", "ea")} - 2.0*${dotSql("ea", "eb")} + ${dotSql("eb", "eb")} AS d2o,
+       |    ${dot16("pa", "pa")} - 2.0*${dot16("pa", "pb")} + ${dot16("pb", "pb")} AS d2p
+       |  FROM jn)
+       |SELECT vec_a, vec_b, round(d2o, 6) AS dist2_orig,
+       |       round(d2p, 6) AS dist2_proj,
+       |       round(d2p / (d2o * 16), 6) AS distortion
+       |FROM dd WHERE d2o > 0 ORDER BY vec_a""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q186_jl_projection", jlProjection, Some(jlProjectionSql),
+      "Johnson-Lindenstrauss 64->16 projection with pairwise distortion audit"),
     QueryDef("q182_rrf_fusion", rrfFusion, Some(rrfFusionSql),
       "reciprocal-rank-fusion hybrid retrieval: dense cosine + lexical Jaccard lists, k=60"),
     QueryDef("q148_mmr_diverse", mmrDiverse, Some(mmrDiverseSql),
