@@ -91,7 +91,12 @@ object PlanDump {
       "q166_image_neardup" -> "B106 perceptual image dedup: graft_dhash64 scan-side (payloads never shuffle — only (id, band, 8-byte hash) rows do), df-capped 16-bit band buckets, shuffle_hash band equi-join, exact bit_count verify on the joined row",
       "q170_graph_ann_recall" -> "B109 graph-ANN serving point: rep-grain blocked graph build (memoized), broadcast-frontier beam hops, shuffle_hash seen-join against the brute-force truth — no cartesian, no sort-merge",
       "q171_wikitext_categories" -> "A16 categorylinks: scan -> codegen regexp_extract_all + array transform -> explode -> low-cardinality hash agg (only (category,count) shuffles)",
-      "q172_wikitext_templates" -> "A16 templatelinks: same map-only extract shape, parser functions filtered in the array transform before the explode")
+      "q172_wikitext_templates" -> "A16 templatelinks: same map-only extract shape, parser functions filtered in the array transform before the explode",
+      "q178_wikitext_redirects" -> "B113 redirect resolution: map-only content-start extract, then two broadcast-able dim joins on the title key (page existence + redirect self-join) — no window, no cartesian",
+      "q181_cdc_chunks" -> "B114 CDC chunking: boundaries/segments/md5 all per-row codegen list work — ONLY (md5, n_tok) pairs reach the exchange, never text; skew-free high-cardinality rollup",
+      "q182_rrf_fusion" -> "B116 RRF hybrid retrieval: both list sources at rep grain (distinct-embedding cross with broadcast queries; lexical over the memoized jaccard_docs frame), exact 11x11 member expansion, fusion join carries rank pairs only",
+      "q184_scd2_intervals" -> "B118 SCD2: lag + running-sum islands and the closing lead() all share ONE user-keyed sort — a single exchange however large the log",
+      "q186_jl_projection" -> "B121 JL projection: the 16-dim projection is map-only codegen over the scan; the distortion pair join is id-keyed (vec_id+1), no sort, no state")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")
     picks.foreach { case (name, why) =>
