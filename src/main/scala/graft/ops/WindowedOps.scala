@@ -279,7 +279,61 @@ object WindowedOps {
       |         AS is_current
       |FROM g ORDER BY user_id, valid_from""".stripMargin
 
+  /** q187: POINT-IN-TIME feature join — the feature-store op that
+    * keeps training data leakage-free: every event reads the profile
+    * state (here: the value-bucket set by the user's most recent
+    * PRECEDING signup) as of ITS OWN timestamp; events before a
+    * user's first signup get null, never a future value. Implemented
+    * as the scalable union-and-fill shape, not an event×state range
+    * join: state-change rows and probe rows merge in ONE user-keyed
+    * sort and a running last_value(ignoreNulls) carries the state
+    * forward — the q111 gap-fill pattern pointed at dimension
+    * lookups. Boundary-before-probe at equal timestamps makes a
+    * same-instant signup visible to its own event (the documented
+    * inclusive edge). Same 1-in-10 user slice as q184.
+    *
+    * Scale shape: one shuffle on user_id however large the log;
+    * per-user state is a single running value — no interval table is
+    * ever materialized or range-joined. */
+  def pitFeatures(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).filter(col("user_id") % 10 === 3)
+    // floor before the int cast: Spark CAST(double AS int) truncates
+    // while DuckDB rounds — floor makes both exact
+    val dim = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"),
+        (floor(col("value")).cast("int") % 5).as("attr"),
+        col("event_id"), lit(0).as("is_evt"))
+    val probes = ev.select(col("user_id"), col("ts"),
+      lit(null).cast("int").as("attr"), col("event_id"), lit(1).as("is_evt"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_evt"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dim.unionByName(probes)
+      .withColumn("attr_at", last(col("attr"), ignoreNulls = true).over(w))
+      .filter(col("is_evt") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"), col("attr_at"))
+      .orderBy(col("event_id"))
+  }
+
+  private val pitFeaturesSql =
+    """WITH ev AS (SELECT * FROM events WHERE user_id % 10 = 3),
+      |dim AS (SELECT user_id, ts, CAST(floor(value) AS INT) % 5 AS attr,
+      |          event_id, 0 AS is_evt
+      |        FROM ev WHERE event_type = 'signup'),
+      |pr AS (SELECT user_id, ts, CAST(NULL AS INT) AS attr,
+      |         event_id, 1 AS is_evt FROM ev),
+      |u AS (SELECT * FROM dim UNION ALL SELECT * FROM pr),
+      |f AS (SELECT user_id, ts, event_id, is_evt,
+      |        LAST_VALUE(attr IGNORE NULLS) OVER (PARTITION BY user_id
+      |          ORDER BY ts, is_evt, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS attr_at
+      |      FROM u)
+      |SELECT event_id, user_id, ts, attr_at FROM f WHERE is_evt = 1
+      |ORDER BY event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q187_pit_features", pitFeatures, Some(pitFeaturesSql),
+      "point-in-time feature join: state as of each event's own timestamp, leakage-free"),
     QueryDef("q184_scd2_intervals", scd2Intervals, Some(scd2IntervalsSql),
       "SCD type-2 dimension history: gaps-and-islands attribute runs to validity intervals"),
     QueryDef("q111_gapfill_resample", gapfillResample, Some(gapfillResampleSql),
