@@ -275,6 +275,74 @@ object TextOps {
        |FROM nwch n LEFT JOIN oset ON oset.k = n.ch.k
        |GROUP BY n.doc_id ORDER BY n.doc_id""".stripMargin
 
+  /** q188: GOPHER-RULE quality battery (Rae et al. '21 §A1.1 adapted
+    * to this corpus's shape) — the RULES complement to q41's score
+    * and q130's ensemble: each doc gets a pass/fail VERDICT per rule,
+    * every bound evaluated in EXACT integer arithmetic (cross-
+    * multiplied, never a float ratio):
+    *   R1 word count ∈ [30, 50000];
+    *   R2 mean word length ∈ [2, 10]   (2n ≤ Σlen ≤ 10n);
+    *   R3 alphabetic-word fraction ≥ 0.8 (5·n_alpha ≥ 4n);
+    *   R4 ≥ 2 stopwords from {the, a, of, to, and};
+    *   R5 duplicate-word fraction ≤ 0.5 (2·n_distinct ≥ n).
+    * Output: per (lang, source) the doc count, overall pass count,
+    * and per-rule fail counts — the dashboard a filtering run reads
+    * before committing to thresholds. One map-only codegen pass over
+    * the scan (all five rules fold over the same token array), then a
+    * tiny keyed rollup. */
+  def gopherRules(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("t", split(col("text"), " "))
+      .withColumn("n", size(col("t")).cast("long"))
+      .withColumn("sumlen",
+        expr("aggregate(t, 0L, (a, x) -> a + length(x))"))
+      .withColumn("n_alpha",
+        expr("size(filter(t, x -> x rlike '^[A-Za-z]+$'))").cast("long"))
+      .withColumn("n_stop", expr(
+        "size(filter(t, x -> x IN ('the', 'a', 'of', 'to', 'and')))").cast("long"))
+      .withColumn("n_dist", size(array_distinct(col("t"))).cast("long"))
+      .withColumn("r1", col("n") >= 30 && col("n") <= 50000)
+      .withColumn("r2", col("sumlen") >= col("n") * 2 && col("sumlen") <= col("n") * 10)
+      .withColumn("r3", col("n_alpha") * 5 >= col("n") * 4)
+      .withColumn("r4", col("n_stop") >= 2)
+      .withColumn("r5", col("n_dist") * 2 >= col("n"))
+      .withColumn("pass",
+        col("r1") && col("r2") && col("r3") && col("r4") && col("r5"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass"),
+        sum(when(!col("r1"), 1L).otherwise(0L)).as("fail_wordcount"),
+        sum(when(!col("r2"), 1L).otherwise(0L)).as("fail_wordlen"),
+        sum(when(!col("r3"), 1L).otherwise(0L)).as("fail_alpha"),
+        sum(when(!col("r4"), 1L).otherwise(0L)).as("fail_stopwords"),
+        sum(when(!col("r5"), 1L).otherwise(0L)).as("fail_dupwords"))
+      .orderBy(col("lang"), col("source"))
+
+  private val gopherRulesSql =
+    """WITH t AS (SELECT lang, source, string_split(text, ' ') AS t FROM documents),
+      |m AS (SELECT lang, source,
+      |    CAST(len(t) AS BIGINT) AS n,
+      |    CAST(list_sum([length(x) for x in t]) AS BIGINT) AS sumlen,
+      |    CAST(len([x for x in t if regexp_matches(x, '^[A-Za-z]+$')]) AS BIGINT) AS n_alpha,
+      |    CAST(len([x for x in t if x IN ('the', 'a', 'of', 'to', 'and')]) AS BIGINT) AS n_stop,
+      |    CAST(len(list_distinct(t)) AS BIGINT) AS n_dist
+      |  FROM t),
+      |v AS (SELECT lang, source,
+      |    (n >= 30 AND n <= 50000) AS r1,
+      |    (sumlen >= n * 2 AND sumlen <= n * 10) AS r2,
+      |    (n_alpha * 5 >= n * 4) AS r3,
+      |    (n_stop >= 2) AS r4,
+      |    (n_dist * 2 >= n) AS r5
+      |  FROM m)
+      |SELECT lang, source, count(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN r1 AND r2 AND r3 AND r4 AND r5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+      |  CAST(SUM(CASE WHEN NOT r1 THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordcount,
+      |  CAST(SUM(CASE WHEN NOT r2 THEN 1 ELSE 0 END) AS BIGINT) AS fail_wordlen,
+      |  CAST(SUM(CASE WHEN NOT r3 THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+      |  CAST(SUM(CASE WHEN NOT r4 THEN 1 ELSE 0 END) AS BIGINT) AS fail_stopwords,
+      |  CAST(SUM(CASE WHEN NOT r5 THEN 1 ELSE 0 END) AS BIGINT) AS fail_dupwords
+      |FROM v GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   /** q88: the rewrite half of the C4-style pass — q86 measures, this
     * PRODUCES the deduplicated corpus: each doc reassembled from only
     * its surviving (first-occurrence) chunks, in position order; a doc
@@ -4155,5 +4223,7 @@ object TextOps {
       "content-defined chunking (rolling-hash boundaries) + duplicated-chunk rollup"),
     QueryDef("q183_cdc_delta", cdcDelta, Some(cdcDeltaSql),
       "CDC delta-sync cost: arriving batch's chunk reuse vs novel token mass"),
+    QueryDef("q188_gopher_rules", gopherRules, Some(gopherRulesSql),
+      "Gopher-rule quality battery: five integer-exact pass/fail rules + per-source dashboard"),
     QueryDef("q43_simhash", simhash, Some(simhashSql), "16-bit simhash"))
 }
