@@ -13,7 +13,8 @@ object SparkEntry {
   private lazy val all: Seq[QueryDef] =
     ops.Relational.defs ++ ops.TextOps.defs ++ ops.VectorOps.defs ++
       ops.WindowedOps.defs ++ ops.UdfOps.defs ++ ops.MultimodalOps.defs ++
-      ops.CurationOps.defs ++ ops.StatsOps.defs ++ ops.WikitextOps.defs
+      ops.CurationOps.defs ++ ops.StatsOps.defs ++ ops.WikitextOps.defs ++
+      ops.SinkOps.defs
 
   /** Flagship query (broadcast star join → agg → sort) on sf0.001;
     * driver smoke-checks rows > 0. */

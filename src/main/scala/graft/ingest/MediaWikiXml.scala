@@ -259,12 +259,14 @@ object MediaWikiXml {
       .filter(col("p").contains("="))
       .select(col("page_id"), col("from_title"), col("infobox"),
         trim(substring_index(col("p"), "=", 1)).as("param"),
-        trim(substring_index(col("p"), "=", -1)).as("value"))
+        // rest-after-FIRST-'=' — real dump values routinely contain
+        // '=' (URLs, nested params); same semantics as q180's op
+        trim(expr("substring(p, instr(p, '=') + 1)")).as("value"))
 
   /** Per-revision history deltas — the wiki-research edit-analytics
     * frame: each revision's byte delta vs its chronological
-    * predecessor ON THE SAME PAGE (first revision deltas against 0),
-    * editor attribution, and the cumulative page size. One
+    * predecessor ON THE SAME PAGE (first revision deltas against 0)
+    * and editor attribution. One
     * page-keyed window pass — the q184 SCD shape on the revision
     * stream; no cross-page traffic at any dump size. */
   def revisionDeltas(flat: DataFrame): DataFrame = {

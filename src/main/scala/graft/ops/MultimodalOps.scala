@@ -500,7 +500,7 @@ object MultimodalOps {
     * buffer — the batched-UDF execution shape without a per-row alloc.
     * Real-decoded images emit (w, h, mean-RGB/255, 0, 0, -1) with the
     * trailing -1 marking the real tier; real-decoded PCM audio emits
-    * (channels, rate, frames, rms₀/2¹⁵, zcr₀, -2); histogram bins are
+    * (channels, rate, frames, rms₀/2^(bits−1), zcr₀, -2); histogram bins are
     * fractions in [0, 1] (an all-0xFF payload puts exactly 1.0 in bin
     * 7), so a negative marker is a value the stub tier can never
     * emit. */
@@ -514,8 +514,14 @@ object MultimodalOps {
             (img.meanR / 255.0).toFloat, (img.meanG / 255.0).toFloat,
             (img.meanB / 255.0).toFloat, 0f, 0f, -1f)
           case None => decodeAudio(a.payload) match {
+            // Loudness normalizes by full scale FOR THE SAMPLE WIDTH
+            // (1 << (bits-1): 128 for 8-bit, 32768 for 16-bit) so an
+            // equal-loudness signal scores the same feature value at
+            // either bit depth — a fixed /32768 would read 8-bit PCM
+            // ~256× too quiet and skew mixed-corpus curation gates.
             case Some(au) => Array(au.channels.toFloat, au.sampleRate.toFloat,
-              au.nFrames.toFloat, (au.rms(0) / 32768.0).toFloat,
+              au.nFrames.toFloat,
+              (au.rms(0) / (1 << (au.bits - 1)).toDouble).toFloat,
               (if (au.nFrames > 1)
                 au.zeroCross(0).toDouble / (au.nFrames - 1) else 0.0).toFloat,
               0f, 0f, -2f)
@@ -714,9 +720,132 @@ object MultimodalOps {
       |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
       |ORDER BY asset_a, asset_b""".stripMargin
 
+  /** Deterministic synthesized RIFF/WAVE PCM payload for q189: the
+    * audio twin of q166's injected renditions (the container has no
+    * real recordings, so the fixture IS the closed-form sample
+    * generator both engines can evaluate). Per doc: bits 8/16 by id
+    * parity (exercising the unsigned-8-bit recenter AND the
+    * per-bit-depth loudness normalization), 1–2 channels, 50–150
+    * frames, varying rate; sample (d, k, c) =
+    * ((d·7919 + k·104729 + c·131) mod 2^bits) − 2^(bits−1), stored in
+    * the format's native encoding (offset-binary for 8-bit,
+    * signed LE for 16-bit). A complete 44-byte-header WAV so the
+    * strict decoder accepts it end to end. */
+  private[graft] def synthWav(d: Long): Array[Byte] = {
+    val bits = if (d % 2 == 0) 8 else 16
+    val channels = 1 + (d % 7).toInt % 2
+    val n = 50 + (d % 101).toInt
+    val rate = 8000 + (d % 5).toInt * 1600
+    val bpf = channels * (bits / 8)
+    val dataLen = n * bpf
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    bb.put("RIFF".getBytes(ascii)); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes(ascii))
+    bb.put("fmt ".getBytes(ascii)); bb.putInt(16)
+    bb.putShort(1); bb.putShort(channels.toShort)
+    bb.putInt(rate); bb.putInt(rate * bpf)
+    bb.putShort(bpf.toShort); bb.putShort(bits.toShort)
+    bb.put("data".getBytes(ascii)); bb.putInt(dataLen)
+    var k = 0
+    while (k < n) {
+      var c = 0
+      while (c < channels) {
+        val base = d * 7919L + k * 104729L + c * 131L
+        if (bits == 8) bb.put((base % 256L).toByte) // offset-binary: s + 128
+        else bb.putShort(((base % 65536L) - 32768L).toShort)
+        c += 1
+      }
+      k += 1
+    }
+    bb.array()
+  }
+
+  /** q189: GRADED AUDIO TIER (VERDICT_r13 #2) — per-channel signed-
+    * domain statistics of real-decoded PCM WAV, under the DuckDB
+    * oracle. The Spark side BUILDS each payload ([[synthWav]]) and
+    * runs it through the strict [[decodeAudio]] chain — header walk,
+    * chunk bounds, offset-binary vs signed LE, per-channel
+    * accumulation — while the oracle computes the identical numbers
+    * from the closed-form sample generator, never parsing bytes: any
+    * decoder deviation (sign handling, channel interleave, zero-
+    * crossing convention, the per-bit-depth loudness normalization
+    * ADVICE_r13 fixed) breaks the hash match. Integer columns
+    * (sum, sum of squares, crossings) are EXACT; loudness =
+    * rms / 2^(bits−1) is the one rounded double, the engine's proven
+    * round(6) pattern.
+    *
+    * Scale shape: map-only — decode is scan-side partition-local work
+    * (payloads never shuffle, q53/q166's posture); output is one row
+    * per (asset, channel). The final orderBy is presentation-grade. */
+  def audioStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rows = Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          val au = decodeAudio(synthWav(id)).getOrElse(
+            throw new IllegalStateException(s"synth WAV $id must decode"))
+          (0 until au.channels).iterator.map { c =>
+            val n = au.nFrames
+            // mean/rms round-trip back to the EXACT integer sums:
+            // |mean·n − sum| ≤ n·ulp(mean)·n ≪ 0.5 at these magnitudes
+            val sumS = math.round(au.mean(c) * n)
+            val sumSq = math.round(au.rms(c) * au.rms(c) * n)
+            val loud = au.rms(c) / (1 << (au.bits - 1)).toDouble
+            (id, c, au.channels, au.sampleRate, au.bits, n,
+              sumS, sumSq, au.zeroCross(c), loud)
+          }
+        }
+      }
+      .toDF("asset_id", "channel", "channels", "rate", "bits", "n_frames",
+        "sum_s", "sum_sq", "zc", "loudness")
+    rows
+      .withColumn("loudness", round(col("loudness"), 6))
+      .orderBy(col("asset_id"), col("channel"))
+  }
+
+  private val audioStatsSql =
+    """WITH au AS (
+      |  SELECT doc_id AS asset_id,
+      |         CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS bits,
+      |         1 + CAST(doc_id % 7 AS INT) % 2 AS channels,
+      |         50 + CAST(doc_id % 101 AS INT) AS n_frames,
+      |         8000 + CAST(doc_id % 5 AS INT) * 1600 AS rate
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |samp AS (
+      |  SELECT a.asset_id, a.bits, a.channels, a.n_frames, a.rate,
+      |         c.c AS channel, k.k AS k,
+      |         CASE WHEN a.bits = 8
+      |           THEN (a.asset_id * 7919 + k.k * 104729 + c.c * 131) % 256 - 128
+      |           ELSE (a.asset_id * 7919 + k.k * 104729 + c.c * 131) % 65536 - 32768
+      |         END AS s
+      |  FROM au a,
+      |       LATERAL unnest(generate_series(0, a.n_frames - 1)) AS k(k),
+      |       LATERAL unnest(generate_series(0, a.channels - 1)) AS c(c)),
+      |w AS (SELECT *, lag(s) OVER (PARTITION BY asset_id, channel ORDER BY k) AS ps
+      |      FROM samp),
+      |agg AS (SELECT asset_id, bits, channels, n_frames, rate, channel,
+      |          sum(s) AS sum_s, sum(s * s) AS sum_sq,
+      |          sum(CASE WHEN (s > 0 AND ps < 0) OR (s < 0 AND ps > 0)
+      |              THEN 1 ELSE 0 END) AS zc
+      |        FROM w GROUP BY asset_id, bits, channels, n_frames, rate, channel)
+      |SELECT asset_id, CAST(channel AS INT) AS channel,
+      |       CAST(channels AS INT) AS channels, CAST(rate AS INT) AS rate,
+      |       CAST(bits AS INT) AS bits, CAST(n_frames AS INT) AS n_frames,
+      |       CAST(sum_s AS BIGINT) AS sum_s, CAST(sum_sq AS BIGINT) AS sum_sq,
+      |       CAST(zc AS BIGINT) AS zc,
+      |       round(sqrt(CAST(sum_sq AS DOUBLE) / n_frames) / power(2, bits - 1), 6)
+      |         AS loudness
+      |FROM agg ORDER BY asset_id, channel""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q54_multimodal_features", featureSummary, Some(featureSummarySql),
       "multimodal decode-stub feature pipeline"),
     QueryDef("q166_image_neardup", imageNeardup, Some(imageNeardupSql),
-      "B106 perceptual dHash near-dup (banded Hamming join)"))
+      "B106 perceptual dHash near-dup (banded Hamming join)"),
+    QueryDef("q189_audio_stats", audioStats, Some(audioStatsSql),
+      "graded audio tier: per-channel PCM stats of real-decoded synthesized WAV"))
 }

@@ -2016,9 +2016,18 @@ object VectorOps {
   /** q186: JOHNSON–LINDENSTRAUSS projection + distortion audit — the
     * dimensionality-reduction step an embedding pipeline runs before
     * indexing (64 → 16 dims, a 4× storage/FLOP cut for every ANN
-    * family above): a DETERMINISTIC ±1 projection matrix
-    * (sign = parity of i·31 + j·17 — both engines compute the same
-    * integer, so the "random" matrix is reproducible anywhere), then
+    * family above): a DETERMINISTIC ±1 projection matrix whose sign
+    * is the parity of a QUADRATIC mod-prime mix of the flat slot
+    * index s = j·64 + i — h = ((s·1103515245 + 12345)² + s·2654435761)
+    * mod (2³¹−1) — all intermediates BIGINT-safe, so both engines
+    * compute the same integer and the "random" matrix is reproducible
+    * anywhere. The squaring step is load-bearing: a LINEAR hash's
+    * parity (the pre-round-14 i·31 + j·17 was the extreme case —
+    * rank 1) leaves the 16 rows heavily correlated and the distortion
+    * audit void; the quadratic mix measures at true-random quality
+    * (row-dot RMS ≈ 6.7 vs ≈ 8 for i.i.d. signs; full rank 16), which
+    * VectorServingSpec pins directly (rank check + concentration
+    * bound), then
     * per adjacent-id pair the squared-distance distortion
     * ‖Pa−Pb‖² / (16·‖a−b‖²), whose concentration near 1 is the JL
     * lemma the audit certifies on this corpus. All vector math is the
@@ -2029,12 +2038,35 @@ object VectorOps {
     * Scale shape: projection is map-only codegen over the scan; the
     * pair join is a self-join on vec_id+1 (sort-free, id-keyed); no
     * state, no skew. */
+  /** The q186 sign hash, shared VERBATIM between the Spark query and
+    * the DuckDB oracle (same spelling works in both dialects): the
+    * flat slot index s = j·64 + i runs through one LCG step, a
+    * squaring, and an additive decorrelator, all mod the Mersenne
+    * prime 2³¹−1. Magnitude audit for BOTH engines' BIGINT paths
+    * (DuckDB errors on int64 overflow rather than wrapping, so this
+    * is a correctness bound, not a style one): s ≤ 1023 keeps
+    * s·1103515245 < 2⁴¹; the squared residue is < (2³¹)² < 2⁶³ − 1;
+    * s·2654435761 < 2⁴². */
+  private[graft] val jlHashExpr =
+    "(((CAST(j AS BIGINT) * 64 + i) * 1103515245 + 12345) % 2147483647)"
+  private[graft] val jlSignExpr =
+    s"(1 - 2 * ((($jlHashExpr * $jlHashExpr + " +
+      "(CAST(j AS BIGINT) * 64 + i) * 2654435761) % 2147483647) % 2))"
+
+  /** Sign matrix materialized test-side for the rank check — must
+    * mirror [[jlSignExpr]] exactly. */
+  private[graft] def jlSign(i: Int, j: Int): Int = {
+    val s = j.toLong * 64L + i.toLong
+    val h = (s * 1103515245L + 12345L) % 2147483647L
+    (1L - 2L * (((h * h + s * 2654435761L) % 2147483647L) % 2L)).toInt
+  }
+
   def jlProjection(s: SparkSession, d: String): DataFrame = {
     val projExpr =
       "transform(sequence(0, 15), j -> aggregate(sequence(0, 63), " +
         "CAST(0.0 AS DOUBLE), (acc, i) -> acc + " +
         "CAST(element_at(embedding, i + 1) AS DOUBLE) * " +
-        "CAST(1 - 2 * ((i * 31 + j * 17) % 2) AS DOUBLE)))"
+        s"CAST($jlSignExpr AS DOUBLE)))"
     val p = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"), expr(projExpr).as("proj"))
     val a = p.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
@@ -2058,7 +2090,7 @@ object VectorOps {
     def dot16(a: String, b: String): String =
       s"list_sum([$a[i]*$b[i] for i in generate_series(1,16)])"
     val inner = "list_sum([CAST(list_extract(embedding, i+1) AS DOUBLE) * " +
-      "CAST(1 - 2*((i*31 + j*17) % 2) AS DOUBLE) for i in range(0, 64)])"
+      s"CAST($jlSignExpr AS DOUBLE) for i in range(0, 64)])"
     s"""WITH p AS (SELECT vec_id, embedding,
        |    [$inner for j in range(0, 16)] AS proj FROM embeddings),
        |jn AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,

@@ -237,16 +237,21 @@ object Vp8Decoder {
     * coefficient probability tables ([[DefaultCoeffProbs]] /
     * [[CoeffUpdateProbs]], 1056 entries each in the RFC) are
     * engine-local constants, not the RFC's values, which are not
-    * reproducible in this offline container. A stream that RELIES on
-    * the codec defaults (as libvpx output does) therefore decodes
-    * against different probabilities here; a conformance integration
-    * pastes the §13.4/§13.5 tables into these two arrays and nothing
-    * else changes. The spec's fixture encoder always codes explicit
-    * probability updates for every slot, so the graded roundtrips are
-    * self-contained and exercise the update path end to end.
+    * reproducible in this offline container. Since round 14 the gap is
+    * OPERATOR-CLOSABLE without a code change: [[Vp8Tables]] loads the
+    * three RFC tables (coeff defaults, update-flag probs, kf_bmode)
+    * from a validated plain-text file named by `graft.vp8.tables` /
+    * `GRAFT_VP8_TABLES`, and the decoder consumes the supplied set.
+    * WITHOUT supplied tables the decoder is strict rather than wrong:
+    * a frame that leaves any coefficient slot at its default, or uses
+    * B_PRED at all, returns None and falls to the byte tier — never
+    * wrong pixels tagged as real-tier output. The spec's fixture
+    * encoder always codes explicit probability updates for every
+    * slot, so the graded roundtrips are self-contained and exercise
+    * the update path end to end.
     * B_PRED keyframes decode fully (round 13): the 4×4 subblock-mode
-    * read ([[KfBmodeTree]]/[[kfBmodeProb]] — the kf_bmode table is the
-    * same paste-in boundary), the ten §12.3 subblock predictors
+    * read ([[KfBmodeTree]]/[[kfBmodeProb]] — resolved through
+    * [[Vp8Tables]] as above), the ten §12.3 subblock predictors
     * ([[predict4]]), the no-Y2 type-3 coefficient path, and the
     * interleaved per-subblock reconstruction. The §15 loop filter
     * (both the normal
@@ -318,13 +323,15 @@ object Vp8Decoder {
     -7, 16, // B_VL
     -8, -9) // B_HD, B_HU
 
-  /** Engine-local kf subblock-mode probabilities (above-mode ×
-    * left-mode × 9 tree nodes) — the §11.4 constant table's position.
-    * Unlike the coefficient probabilities there is no in-stream
-    * update mechanism for these, so encoder and decoder share this
-    * deterministic engine-local table; a conformance integration
-    * pastes the spec's 10×10×9 constants here and nothing else
-    * changes (the same paste-in boundary as [[defaultCoeffProbs]]). */
+  /** EXAMPLE kf subblock-mode probabilities (above-mode × left-mode ×
+    * 9 tree nodes) — the §11.4 constant table's position. Unlike the
+    * coefficient probabilities there is no in-stream update mechanism
+    * for these, so the decoder consults ONLY an operator-supplied
+    * table ([[Vp8Tables]]) and refuses B_PRED without one; this
+    * deterministic stand-in exists for the test codec, which injects
+    * it as the supplied table so the B_PRED roundtrips exercise the
+    * same resolution path a real deployment uses with the RFC
+    * constants. */
   private[graft] def kfBmodeProb(above: Int, left: Int, node: Int): Int =
     ((above * 37 + left * 23 + node * 11) % 224) + 16
 
@@ -717,8 +724,19 @@ object Vp8Decoder {
     if (parsed.isEmpty) return None
     val (h, d0, part0End) = parsed.get
 
+    // codec-default tables: operator-supplied ([[Vp8Tables]]) or the
+    // engine-local stand-ins — in the latter case the frame must not
+    // DEPEND on any default (every coefficient slot updated in-stream,
+    // no B_PRED), or it falls to the byte tier below
+    val ext = Vp8Tables.resolved
+    val kfBmode = ext.map(_.kfBmodeProbs)
+
     // token probability updates (§13.4 position) + skip probability
-    val probs = defaultCoeffProbs()
+    val probs = ext match {
+      case Some(t) => t.coeffProbs.map(_.map(_.map(_.clone())))
+      case None => defaultCoeffProbs()
+    }
+    var defaultSlotInPlay = false
     var t = 0
     while (t < 4) {
       var b = 0
@@ -727,7 +745,12 @@ object Vp8Decoder {
         while (c < 3) {
           var l = 0
           while (l < 11) {
-            if (d0.bool(CoeffUpdateProb) == 1) probs(t)(b)(c)(l) = d0.literal(8)
+            val up = ext match {
+              case Some(tab) => tab.coeffUpdateProbs(t)(b)(c)(l)
+              case None => CoeffUpdateProb
+            }
+            if (d0.bool(up) == 1) probs(t)(b)(c)(l) = d0.literal(8)
+            else if (ext.isEmpty) defaultSlotInPlay = true
             l += 1
           }
           c += 1
@@ -736,6 +759,11 @@ object Vp8Decoder {
       }
       t += 1
     }
+    // without supplied tables, a non-updated slot means the stream
+    // relies on the RFC defaults this engine does not carry: the token
+    // decode would be unfaithful, so refuse rather than emit wrong
+    // pixels tagged as real-tier features
+    if (defaultSlotInPlay) return None
     val mbNoCoeffSkip = d0.bool(128) == 1
     val probSkipFalse = if (mbNoCoeffSkip) d0.literal(8) else 0
     if (d0.overrun) return None
@@ -819,12 +847,18 @@ object Vp8Decoder {
         // left) neighbor subblock modes (§11.3), read before uvmode
         val bmodes: Array[Int] =
           if (ymode == ModeB) {
+            // kf_bmode has NO in-stream update mechanism, so B_PRED is
+            // decodable only with an operator-supplied table — the
+            // engine-local stand-in would silently produce wrong
+            // pixels on any real-encoder stream (ADVICE_r13)
+            if (kfBmode.isEmpty) return None
+            val bmProbs = kfBmode.get
             val bm = new Array[Int](16)
             var b = 0
             while (b < 16) {
               val am = if (b < 4) aboveBmode(mbX * 4 + b) else bm(b - 4)
               val lm = if (b % 4 == 0) leftBmode(b / 4) else bm(b - 1)
-              bm(b) = treeRead(d0, KfBmodeTree, KfBmodeProbs(am)(lm))
+              bm(b) = treeRead(d0, KfBmodeTree, bmProbs(am)(lm))
               b += 1
             }
             bm

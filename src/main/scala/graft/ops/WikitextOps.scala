@@ -502,7 +502,11 @@ object WikitextOps {
       .filter(col("p").contains("="))
       .select(col("doc_id"), col("infobox"),
         trim(substring_index(col("p"), "=", 1)).as("param"),
-        trim(substring_index(col("p"), "=", -1)).as("v"))
+        // value = everything after the FIRST '=' (MediaWiki semantics:
+        // a parameter value may itself contain '=' — URLs, nested
+        // key=value — and all of it belongs to the value); the oracle
+        // spells the identical rest-after-first-'=' with substr/strpos
+        trim(expr("substring(p, instr(p, '=') + 1)")).as("v"))
       .groupBy(col("infobox"), col("param"))
       .agg(count(lit(1)).as("n_uses"),
         countDistinct(col("doc_id")).as("n_docs"),
@@ -529,7 +533,7 @@ object WikitextOps {
        |SELECT infobox, trim(split_part(p, '=', 1)) AS param,
        |       count(*) AS n_uses,
        |       count(DISTINCT doc_id) AS n_docs,
-       |       count(DISTINCT trim(split_part(p, '=', 2))) AS n_values
+       |       count(DISTINCT trim(substr(p, strpos(p, '=') + 1))) AS n_values
        |FROM params WHERE p LIKE '%=%'
        |GROUP BY infobox, param ORDER BY infobox, param""".stripMargin
 

@@ -225,4 +225,43 @@ class MultimodalSpec extends AnyFunSuite with LocalSparkSuite {
     assert(f(0).features(2) === 30f)
     assert(f(1).features.forall(_ >= 0f)) // text stays on the stub tier
   }
+
+  test("loudness feature is bit-depth invariant: equal-loudness 8/16-bit score the same") {
+    import spark.implicits._
+    // the same square wave at both widths: 16-bit samples are exactly
+    // 256x the 8-bit ones, so full-scale-relative loudness is equal —
+    // a fixed /32768 normalization (the ADVICE_r13 bug) would read
+    // the 8-bit rendition ~256x quieter and skew mixed-corpus gates
+    val wave8 = (0 until 40).map(i => Seq(if (i % 2 == 0) 64 else -64))
+    val wave16 = (0 until 40).map(i => Seq(if (i % 2 == 0) 16384 else -16384))
+    val ds = Seq(
+      MultimodalOps.Asset(1L, "audio", wavBytes(1, 8000, 8, wave8), 64, 16000),
+      MultimodalOps.Asset(2L, "audio", wavBytes(1, 8000, 16, wave16), 64, 16000)).toDS()
+    val f = MultimodalOps.extractFeatures(ds).collect().sortBy(_.asset_id)
+    assert(f.forall(_.features(7) === -2f), "both must hit the real audio tier")
+    assert(f(0).features(3) === 0.5f) // 64/128
+    assert(f(1).features(3) === 0.5f) // 16384/32768
+    assert(f(0).features(4) === f(1).features(4)) // identical zcr
+  }
+
+  test("q189 synthWav payloads decode strictly and match the closed form") {
+    for (id <- Seq(1L, 4L, 7L, 10L, 13L, 22L)) {
+      val wav = MultimodalOps.synthWav(id)
+      val au = MultimodalOps.decodeAudio(wav)
+      assert(au.isDefined, s"synth WAV $id")
+      val a = au.get
+      assert(a.bits === (if (id % 2 == 0) 8 else 16))
+      assert(a.channels === 1 + (id % 7).toInt % 2)
+      assert(a.nFrames === 50 + (id % 101).toInt)
+      assert(a.sampleRate === 8000 + (id % 5).toInt * 1600)
+      // channel-0 sum replayed from the generator
+      val exp = (0 until a.nFrames).map { k =>
+        val base = id * 7919L + k * 104729L
+        if (a.bits == 8) (base % 256L) - 128L else (base % 65536L) - 32768L
+      }
+      assert(math.round(a.mean(0) * a.nFrames) === exp.sum)
+      // strictness: truncation falls to the stub tier
+      assert(MultimodalOps.decodeAudio(wav.dropRight(1)).isEmpty)
+    }
+  }
 }

@@ -230,4 +230,40 @@ class VectorServingSpec extends AnyFunSuite with LocalSparkSuite {
     assert(hR >= flatR, f"hierarchy recall $hR%.3f below flat $flatR%.3f")
     assert(hC < flatC, f"hierarchy candidates $hC%.0f not below flat $flatC%.0f")
   }
+
+  test("q186 JL sign matrix has full rank 16 and distortion concentrates near 1") {
+    // rank: Gaussian elimination over the 16x64 sign matrix from the
+    // SAME hash the query computes (a sign depending only on i+j
+    // parity — the pre-round-14 bug — collapses this to rank 1 and
+    // the distortion audit measures a 1-dim projection)
+    val m = Array.tabulate(16, 64)((j, i) =>
+      graft.ops.VectorOps.jlSign(i, j).toDouble)
+    var rank = 0
+    var cc = 0
+    while (cc < 64 && rank < 16) {
+      val piv = (rank until 16).maxBy(r => math.abs(m(r)(cc)))
+      if (math.abs(m(piv)(cc)) > 1e-9) {
+        val tmp = m(piv); m(piv) = m(rank); m(rank) = tmp
+        for (r <- rank + 1 until 16) {
+          val f = m(r)(cc) / m(rank)(cc)
+          for (c <- cc until 64) m(r)(c) -= f * m(rank)(c)
+        }
+        rank += 1
+      }
+      cc += 1
+    }
+    assert(rank === 16, "JL projection matrix must have 16 independent rows")
+
+    // concentration: with k = 16 the distortion is chi2_16/16-shaped
+    // (mean 1, sd ~0.35); a rank-1 projection would scatter like
+    // chi2_1 (half the mass below 0.23). Bound the fixture's mean and
+    // the central mass, both far outside what rank 1 can satisfy.
+    val rows = graft.SparkEntry.queries("q186_jl_projection")(spark, sfDir)
+      .select(col("distortion")).collect().map(_.getDouble(0))
+    assert(rows.length > 100)
+    val mean = rows.sum / rows.length
+    assert(mean > 0.8 && mean < 1.2, s"mean distortion $mean")
+    val central = rows.count(d => d > 0.4 && d < 2.0).toDouble / rows.length
+    assert(central > 0.9, s"central mass $central")
+  }
 }

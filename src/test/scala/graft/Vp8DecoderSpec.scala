@@ -176,9 +176,15 @@ class Vp8DecoderSpec extends AnyFunSuite {
   private def encodeFrame(mbs: Seq[MbFix], mbW: Int, mbH: Int,
       segQ: Array[Int], nParts: Int, filterType: Int = 0,
       filterLevel: Int = 0, sharpness: Int = 0,
-      segF: Array[Int] = Array(0, 0, 0, 0)): Array[Byte] = {
+      segF: Array[Int] = Array(0, 0, 0, 0),
+      skipSlot: (Int, Int, Int, Int) = null): Array[Byte] = {
     import Vp8Decoder.{CoeffUpdateProb, KfYmodeProb, KfYmodeTree, KfUvModeProb, SegmentTree, UvModeTree}
     val probs = fixtureProbs()
+    // a skipped slot models a stream RELYING on the codec default:
+    // no in-stream update, and the encoder really codes tokens with
+    // the default value for that slot
+    if (skipSlot != null)
+      probs(skipSlot._1)(skipSlot._2)(skipSlot._3)(skipSlot._4) = 128
     val enc0 = new BoolEncoder
     enc0.bool(128, 0); enc0.bool(128, 0) // color space, clamping
     enc0.bool(128, 1) // segmentation enabled
@@ -200,7 +206,8 @@ class Vp8DecoderSpec extends AnyFunSuite {
     enc0.bool(128, 1) // refresh entropy probs
     // full coefficient probability update
     for (t <- 0 until 4; b <- 0 until 8; c <- 0 until 3; l <- 0 until 11) {
-      enc0.bool(CoeffUpdateProb, 1); enc0.literal(probs(t)(b)(c)(l), 8)
+      if (skipSlot == ((t, b, c, l))) enc0.bool(CoeffUpdateProb, 0)
+      else { enc0.bool(CoeffUpdateProb, 1); enc0.literal(probs(t)(b)(c)(l), 8) }
     }
     enc0.bool(128, 1) // mb_no_coeff_skip
     enc0.literal(SkipProb, 8)
@@ -744,6 +751,23 @@ class Vp8DecoderSpec extends AnyFunSuite {
 
   // ---- B_PRED (the 4×4 intra family) ---------------------------------
 
+  /** The engine-local stand-in tables, injected as the SUPPLIED table
+    * set ([[graft.ops.Vp8Tables]]): B_PRED decodes only with supplied
+    * tables, and injecting the same values the fixture encoder uses
+    * exercises the identical resolution path a deployment takes with
+    * the RFC constants. */
+  private def engineTables: graft.ops.Vp8Tables.Tables =
+    graft.ops.Vp8Tables.Tables(
+      Vp8Decoder.defaultCoeffProbs(),
+      Array.fill(4, 8, 3, 11)(Vp8Decoder.CoeffUpdateProb),
+      Vp8Decoder.KfBmodeProbs)
+
+  private def withTables[A](t: graft.ops.Vp8Tables.Tables)(body: => A): A = {
+    graft.ops.Vp8Tables.injected = Some(t)
+    try body finally graft.ops.Vp8Tables.injected = None
+  }
+
+
   /** A 2×2 frame exercising every B_* mode, cross-MB subblock-mode
     * contexts (including the implied mode of a non-B neighbor), a
     * skipped B_PRED MB, and type-3 in-block DC coefficients. */
@@ -787,6 +811,7 @@ class Vp8DecoderSpec extends AnyFunSuite {
   }
 
   test("B_PRED keyframe roundtrip: all ten 4x4 modes, contexts, interleaved recon") {
+    withTables(engineTables) {
     val (mbs, segQ) = bpredFixture()
     val webp = encodeFrame(mbs, 2, 2, segQ, nParts = 1)
     val (expY, expU, expV) = reconstructRef(mbs, 2, 2, segQ)
@@ -800,9 +825,11 @@ class Vp8DecoderSpec extends AnyFunSuite {
     }
     // the pixel tier serves it
     assert(graft.ops.MultimodalOps.decodeImage(webp).isDefined)
+    }
   }
 
   test("B_PRED + loop filter: skipped B_PRED MB still filters interior edges") {
+    withTables(engineTables) {
     val (mbs, segQ) = bpredFixture()
     val segF = Array(18, 0, 44, 31)
     for (ft <- Seq(0, 1)) {
@@ -832,16 +859,93 @@ class Vp8DecoderSpec extends AnyFunSuite {
     val moved = (for (y <- 16 until 32; x <- 16 until 32
       if u0.yAt(x, y) != f0.yAt(x, y)) yield 1).size
     assert(moved > 0, "filter must move pixels inside the skipped B_PRED MB")
+    }
   }
 
-  test("declared edge: engine-local tables only; truncated token data is None") {
+  test("declared edge: truncated token data is None") {
     val (mbs, segQ) = fixture()
     // chopping the token partition tail must fail closed, not garble
     val webp = encodeFrame(mbs, 2, 2, segQ, nParts = 1)
     assert(graft.ops.MultimodalOps.decodeImage(webp.dropRight(12)).isEmpty)
     // a B_PRED MB with default (all-B_DC) subblock modes also decodes
-    val bmbs = mbs.updated(0, mbs.head.copy(ymode = 4))
-    assert(graft.ops.MultimodalOps.decodeImage(
-      encodeFrame(bmbs, 2, 2, segQ, nParts = 1)).isDefined)
+    // — under supplied tables
+    withTables(engineTables) {
+      val bmbs = mbs.updated(0, mbs.head.copy(ymode = 4))
+      assert(graft.ops.MultimodalOps.decodeImage(
+        encodeFrame(bmbs, 2, 2, segQ, nParts = 1)).isDefined)
+    }
+  }
+
+  test("without supplied tables a B_PRED stream falls to the byte tier") {
+    val (mbs, segQ) = bpredFixture()
+    val webp = encodeFrame(mbs, 2, 2, segQ, nParts = 1)
+    // the identical bytes decode with tables and refuse without —
+    // never wrong pixels tagged as real-tier output (ADVICE_r13)
+    withTables(engineTables) {
+      assert(Vp8Decoder.decodeFrame(webp, 20, webp.length).isDefined)
+    }
+    assert(Vp8Decoder.decodeFrame(webp, 20, webp.length).isEmpty)
+    assert(graft.ops.MultimodalOps.decodeImage(webp).isEmpty)
+  }
+
+  test("a stream leaving coefficient slots at codec defaults is refused without tables") {
+    val (mbs, segQ) = fixture()
+    val webp = encodeFrame(mbs, 2, 2, segQ, nParts = 1)
+    // the fixture encoder updates every slot, so the plain stream
+    // decodes without tables
+    assert(Vp8Decoder.decodeFrame(webp, 20, webp.length).isDefined)
+    // flipping ONE update flag to "keep default" must flip the verdict
+    // to None: re-encode with a single skipped slot
+    val webp2 = encodeFrame(mbs, 2, 2, segQ, nParts = 1,
+      skipSlot = (3, 7, 2, 10))
+    assert(Vp8Decoder.decodeFrame(webp2, 20, webp2.length).isEmpty,
+      "default-reliant stream must fall to the byte tier")
+    // with supplied tables the same stream decodes (the skipped slot
+    // reads its value from the supplied defaults)
+    withTables(engineTables) {
+      assert(Vp8Decoder.decodeFrame(webp2, 20, webp2.length).isDefined)
+    }
+  }
+
+  test("Vp8Tables file loader: round-trip, shape and range validation") {
+    import graft.ops.Vp8Tables
+    val t = engineTables
+    val flat = (t.coeffProbs.flatten.flatten.flatten ++
+      t.coeffUpdateProbs.flatten.flatten.flatten ++
+      t.kfBmodeProbs.flatten.flatten)
+    assert(flat.length === 2 * 1056 + 900)
+    val text = "# graft vp8 tables\n" +
+      flat.grouped(16).map(_.mkString(" ")).mkString("\n")
+    val f = java.io.File.createTempFile("vp8tables", ".txt")
+    try {
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      w.print(text); w.close()
+      val loaded = Vp8Tables.loadFile(f)
+      assert(loaded.isDefined, "well-formed table file must load")
+      // the loaded set decodes a B_PRED stream exactly like the
+      // directly-injected engine tables
+      val (mbs, segQ) = bpredFixture()
+      val webp = encodeFrame(mbs, 2, 2, segQ, nParts = 1)
+      val viaFile = withTables(loaded.get) {
+        Vp8Decoder.decodeFrame(webp, 20, webp.length)
+      }
+      val viaInject = withTables(engineTables) {
+        Vp8Decoder.decodeFrame(webp, 20, webp.length)
+      }
+      assert(viaFile.isDefined && viaInject.isDefined)
+      for (y <- 0 until 32; x <- 0 until 32)
+        assert(viaFile.get.yAt(x, y) === viaInject.get.yAt(x, y))
+      // wrong count rejected whole
+      assert(Vp8Tables.parseText(flat.dropRight(1).mkString(" ")).isEmpty)
+      // out-of-range probability (0 and 256) rejected
+      assert(Vp8Tables.parseText(
+        (0 +: flat.tail).mkString(" ")).isEmpty)
+      assert(Vp8Tables.parseText(
+        (256 +: flat.tail).mkString(" ")).isEmpty)
+      // non-integer garbage rejected
+      assert(Vp8Tables.parseText("not a table").isEmpty)
+      // missing file is None, not an exception
+      assert(Vp8Tables.loadFile(new java.io.File(f.getPath + ".nope")).isEmpty)
+    } finally f.delete()
   }
 }
