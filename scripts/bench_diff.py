@@ -31,6 +31,9 @@ import sys
 
 RATIO = 1.5          # flag candidate_min > RATIO * best_ref
 MIN_ABS = 0.15       # ignore sub-150ms jitter: both times under this never flag
+ABS_SLACK = 0.25     # absolute slack added to every threshold (seconds):
+                     # micro-query scheduler/cache jitter is additive, not
+                     # proportional - see graft.Bench
 ROLLING = 3          # only the N most recent clean references set floors
                      # (all-time minima from one exceptional window would
                      # flag a dozen sub-second queries forever)
@@ -67,9 +70,12 @@ def main(argv):
         return 2
     cand_path = argv[1]
     ref_paths = argv[2:]
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if not ref_paths:
-        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
         ref_paths = sorted(glob.glob(os.path.join(here, "bench_refs", "*.json")))
+    # iso_floors.json is a floor sidecar, not a window reference
+    ref_paths = [p for p in ref_paths
+                 if os.path.basename(p) != "iso_floors.json"]
     if not ref_paths:
         print("bench_diff: no reference artifacts (bench_refs/ empty)")
         return 2
@@ -110,6 +116,22 @@ def main(argv):
                 continue
             if q not in best or t < best[q][0]:
                 best[q] = (t, os.path.basename(rp))
+    # isolated floors (mirrors graft.Bench, VERDICT_r13 #6): in-suite
+    # minima for sub-second queries swing 2-3x across clean windows, so
+    # the effective floor is max(rolling best, quiet-host isolated
+    # min-of-3) where bench_refs/iso_floors.json records one. sf0.1
+    # class only - scale runs keep their scale-classed rolling floors.
+    if cand_class == "sf0.1":
+        iso_path = os.path.join(here, "bench_refs", "iso_floors.json")
+        if os.path.isfile(iso_path):
+            try:
+                with open(iso_path) as f:
+                    iso = json.load(f).get("floors", {})
+                for q, t in iso.items():
+                    if q in best and t is not None and t > best[q][0]:
+                        best[q] = (t, "iso_floors.json")
+            except Exception as e:
+                print(f"WARN unreadable iso_floors.json: {e}")
     # newest ref separately: a flag must also hold round-over-round
     # (mirrors graft.Bench — a host-band shift vs an old fast reference
     # is not a regression)
@@ -142,9 +164,11 @@ def main(argv):
         bt, src = best[q]
         # candidate side scales by the band (t was measured in the slow
         # window); scaling the reference side inverted the exemption
-        if (t > RATIO * band * bt
-                and not (t < MIN_ABS * band and bt < MIN_ABS)
-                and (q not in newest or t > RATIO * band * newest[q])):
+        # +ABS_SLACK band-scaled absolute term (mirrors graft.Bench,
+        # VERDICT_r13 #6): sub-0.5s queries jitter by hundreds of ms
+        # across clean windows; a pure ratio flags them forever
+        if (t > band * (RATIO * bt + ABS_SLACK)
+                and (q not in newest or t > band * (RATIO * newest[q] + ABS_SLACK))):
             regressions.append((q, t, bt, src))
         elif bt > RATIO * t and not (t < MIN_ABS and bt < MIN_ABS):
             improvements.append((q, t, bt, src))

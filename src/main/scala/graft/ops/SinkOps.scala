@@ -47,16 +47,22 @@ object SinkOps {
       .agg(count(lit(1)).as("n_orders"),
         sum(col("o_orderkey")).as("key_sum"))
     // pass 1: the stale bulk load (overwrite drops + recreates, so the
-    // query is deterministic no matter what an earlier call left)
+    // query is deterministic no matter what an earlier call left).
+    // ONE writer task throughout: the sink frame is 25 keys on a
+    // single Derby page, so any write parallelism just queues on page
+    // locks (measured: numPartitions=4 turned this query into 81 s of
+    // embedded-Derby lock waits; 1 partition runs it in ~2 s). Sizing
+    // write parallelism to the TARGET's ingest width, not the
+    // cluster's, is exactly the guidance Sinks.writeJdbc documents.
     val stale = statsOf(orders.filter(col("o_orderkey") % 4 === 0))
-    Sinks.writeJdbc(stale, url, table)
+    Sinks.writeJdbc(stale, url, table, numPartitions = 1)
     // pass 2: fresh full stats for the odd-key half, upserted
     val fresh = statsOf(orders).filter(col("nation_key") % 2 === 1)
-    Sinks.upsertJdbc(fresh, url, table, Seq("nation_key"))
+    Sinks.upsertJdbc(fresh, url, table, Seq("nation_key"), numPartitions = 1)
     // replay the SAME upsert — exactly-once table state under the
     // at-least-once delivery A17 contracts for (idempotence is part
     // of what the oracle certifies, not just SinksSpec)
-    Sinks.upsertJdbc(fresh, url, table, Seq("nation_key"))
+    Sinks.upsertJdbc(fresh, url, table, Seq("nation_key"), numPartitions = 1)
     Sinks.readJdbc(s, url, table)
       .select(col("nation_key").cast("long"),
         col("n_orders").cast("long"), col("key_sum").cast("long"))
