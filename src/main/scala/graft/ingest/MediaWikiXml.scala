@@ -311,6 +311,97 @@ object MediaWikiXml {
       .filter(col("n_reverted") >= 1)
   }
 
+  /** WORD-level revision diff (VERDICT_r13 #5, extends B119's byte
+    * deltas): per revision, the MULTISET token difference vs its
+    * chronological parent on the same page — n_added counts token
+    * occurrences present now and absent then, n_removed the reverse
+    * (so an edit that swaps one word reads 1/1 where byte deltas read
+    * ~0, and a paste-in of a repeated word counts every copy). The
+    * first revision of a page diffs against the empty text.
+    *
+    * Shape: revisions explode to (page, seq, token) counts; the diff
+    * joins each (page, token) at seq with itself at seq−1 — ALL
+    * traffic keys on (page_id, token), never cross-page, and text
+    * itself never shuffles past the token explode. The q191 graded
+    * query runs this exact relational core on a synthesized
+    * documents-proxy history under the DuckDB oracle. */
+  def revisionWordDiff(flat: DataFrame): DataFrame = {
+    val seqW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("page_id")).orderBy(col("ts"), col("rev_id"))
+    val revs = flat.filter(col("text").isNotNull)
+      .withColumn("seq", row_number().over(seqW))
+      .select(col("page_id"), col("title"), col("rev_id"), col("seq"),
+        coalesce(col("contributor_name"), col("contributor_ip"))
+          .as("editor"),
+        col("text"))
+    val tok = revs
+      .select(col("page_id"), col("seq"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("page_id"), col("seq"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val prev = tok.select(col("page_id"), (col("seq") + 1).as("seq"),
+      col("w"), col("c").as("pc"))
+    // full outer cannot broadcast; shuffled hash avoids sort-merge's
+    // corpus-grain token sort (both sides are (page, token) fact grain)
+    val diff = tok.join(prev.hint("shuffle_hash"), Seq("page_id", "seq", "w"),
+        "full_outer")
+      .select(col("page_id"), col("seq"),
+        greatest(coalesce(col("c"), lit(0L)) - coalesce(col("pc"), lit(0L)),
+          lit(0L)).as("a"),
+        greatest(coalesce(col("pc"), lit(0L)) - coalesce(col("c"), lit(0L)),
+          lit(0L)).as("r"))
+      .groupBy(col("page_id"), col("seq"))
+      .agg(sum(col("a")).as("n_added"), sum(col("r")).as("n_removed"))
+    revs.join(diff, Seq("page_id", "seq"), "left")
+      .select(col("page_id"), col("title"), col("rev_id"), col("seq"),
+        col("editor"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
+
+  /** CONTENT PERSISTENCE / who-wrote-what (VERDICT_r13 #5): each
+    * DISTINCT token on a page is attributed to the EARLIEST revision
+    * (and so editor) that introduced it; a token survives if it still
+    * appears in the page's latest revision. Output per (page, editor):
+    * tokens introduced and tokens surviving — the standard
+    * wiki-research authorship-survival frame at distinct-token grain
+    * (occurrence-grain persistence needs full diff chains; the
+    * distinct-token tier is the scalable first cut and what the spec
+    * fixture pins). Page-keyed throughout: introductions key on
+    * (page, token), survival joins on the same key, editors ride the
+    * introduction row. */
+  def contentPersistence(flat: DataFrame): DataFrame = {
+    val seqW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("page_id")).orderBy(col("ts"), col("rev_id"))
+    val revs = flat.filter(col("text").isNotNull)
+      .withColumn("seq", row_number().over(seqW))
+      .select(col("page_id"), col("seq"),
+        coalesce(col("contributor_name"), col("contributor_ip"))
+          .as("editor"),
+        col("text"))
+    val tok = revs
+      .select(col("page_id"), col("seq"), col("editor"),
+        explode(split(col("text"), " ")).as("w"))
+    // earliest introduction of each distinct (page, token): min seq,
+    // editor recovered via the (seq, editor) struct-min trick so one
+    // aggregate carries both
+    val intro = tok
+      .groupBy(col("page_id"), col("w"))
+      .agg(min(struct(col("seq"), col("editor"))).as("first"))
+      .select(col("page_id"), col("w"), col("first.editor").as("editor"))
+    val lastSeq = revs.groupBy(col("page_id"))
+      .agg(max(col("seq")).as("last_seq"))
+    val lastToks = revs.join(lastSeq, Seq("page_id"))
+      .filter(col("seq") === col("last_seq"))
+      .select(col("page_id"), explode(split(col("text"), " ")).as("w"))
+      .distinct()
+      .withColumn("survives", lit(1L))
+    intro.join(lastToks, Seq("page_id", "w"), "left")
+      .groupBy(col("page_id"), col("editor"))
+      .agg(count(lit(1)).as("tokens_introduced"),
+        sum(coalesce(col("survives"), lit(0L))).as("tokens_surviving"))
+  }
+
   /** The distinct link graph with per-page out-degree — the edge list
     * a PageRank/centrality pass (q97's machinery) consumes; built on
     * the LATEST revision per page so the graph reflects current

@@ -537,6 +537,88 @@ object WikitextOps {
        |FROM params WHERE p LIKE '%=%'
        |GROUP BY infobox, param ORDER BY infobox, param""".stripMargin
 
+  /** q191: WORD-LEVEL REVISION DIFF (VERDICT_r13 #5) — the graded
+    * proxy of [[graft.ingest.MediaWikiXml.revisionWordDiff]]'s
+    * relational core (no XML rides the graded testdata, so the
+    * history is SYNTHESIZED the q171/q180 way: both engines build the
+    * identical three-revision sequence per document — first half of
+    * the tokens, the full text, the text minus its first quarter —
+    * and what the cross-engine hash pins is the diff machinery).
+    * Per (doc, revision): the MULTISET token difference vs the
+    * previous revision — n_added = occurrences present now and absent
+    * then, n_removed the reverse; revision 1 diffs against empty.
+    *
+    * Scale shape: one token explode → (doc, rev, token) hash counts →
+    * a self-join shifted by one revision on (doc, token) → rollup.
+    * Everything keys on (doc_id[, token]); no cross-document traffic,
+    * text never shuffles past the explode. */
+  def revisionWordDiff(s: SparkSession, d: String): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")))
+    val revs = t.select(col("doc_id"), explode(array(
+        struct(lit(1).as("rev"),
+          expr("slice(t, 1, CAST(n / 2 AS INT))").as("tk")),
+        struct(lit(2).as("rev"), col("t").as("tk")),
+        struct(lit(3).as("rev"),
+          expr("slice(t, CAST(n / 4 AS INT) + 1, n - CAST(n / 4 AS INT))")
+            .as("tk")))).as("r"))
+      .select(col("doc_id"), col("r.rev").as("rev"), col("r.tk").as("tk"))
+    val cnt = revs
+      .select(col("doc_id"), col("rev"), explode(col("tk")).as("w"))
+      .groupBy(col("doc_id"), col("rev"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val prev = cnt.select(col("doc_id"), (col("rev") + 1).as("rev"),
+      col("w"), col("c").as("pc"))
+    // full outer cannot broadcast; unhinted it falls to sort-merge — a
+    // corpus-grain token sort. Shuffled hash runs the same key'd full
+    // outer without the sort (both sides are (doc, token) fact grain)
+    val diff = cnt.join(prev.hint("shuffle_hash"), Seq("doc_id", "rev", "w"),
+        "full_outer")
+      .select(col("doc_id"), col("rev"),
+        greatest(coalesce(col("c"), lit(0L)) - coalesce(col("pc"), lit(0L)),
+          lit(0L)).as("a"),
+        greatest(coalesce(col("pc"), lit(0L)) - coalesce(col("c"), lit(0L)),
+          lit(0L)).as("r"))
+      .groupBy(col("doc_id"), col("rev"))
+      .agg(sum(col("a")).as("n_added"), sum(col("r")).as("n_removed"))
+    // the (doc, rev) grain comes from revs, NOT the diff: an empty
+    // synthetic revision (a one-token doc halves to zero) must still
+    // emit its 0/0 row in both engines
+    revs.select(col("doc_id"), col("rev"))
+      .join(diff, Seq("doc_id", "rev"), "left")
+      .select(col("doc_id"), col("rev"),
+        coalesce(col("n_added"), lit(0L)).as("n_added"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .orderBy(col("doc_id"), col("rev"))
+  }
+
+  private val revisionWordDiffSql =
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS t,
+      |                  len(string_split(text, ' ')) AS n FROM documents),
+      |revs AS (
+      |  SELECT doc_id, 1 AS rev, t[1 : n // 2] AS tk FROM t
+      |  UNION ALL SELECT doc_id, 2 AS rev, t AS tk FROM t
+      |  UNION ALL SELECT doc_id, 3 AS rev, t[n // 4 + 1 : n] AS tk FROM t),
+      |cnt AS (SELECT doc_id, rev, w, count(*) AS c
+      |        FROM (SELECT doc_id, rev, unnest(tk) AS w FROM revs)
+      |        GROUP BY doc_id, rev, w),
+      |diff AS (SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |                COALESCE(a.rev, b.rev + 1) AS rev,
+      |                greatest(COALESCE(a.c, 0) - COALESCE(b.c, 0), 0) AS ad,
+      |                greatest(COALESCE(b.c, 0) - COALESCE(a.c, 0), 0) AS rm
+      |         FROM cnt a FULL OUTER JOIN cnt b
+      |           ON a.doc_id = b.doc_id AND a.rev = b.rev + 1 AND a.w = b.w),
+      |agg AS (SELECT doc_id, rev, CAST(sum(ad) AS BIGINT) AS n_added,
+      |               CAST(sum(rm) AS BIGINT) AS n_removed
+      |        FROM diff WHERE rev <= 3 GROUP BY doc_id, rev)
+      |SELECT r.doc_id, r.rev,
+      |       COALESCE(g.n_added, 0) AS n_added,
+      |       COALESCE(g.n_removed, 0) AS n_removed
+      |FROM (SELECT DISTINCT doc_id, rev FROM revs) r
+      |LEFT JOIN agg g ON r.doc_id = g.doc_id AND r.rev = g.rev
+      |ORDER BY r.doc_id, r.rev""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q171_wikitext_categories", wikitextCategories,
       Some(wikitextCategoriesSql),
@@ -556,6 +638,9 @@ object WikitextOps {
     QueryDef("q179_wikitext_sections", wikitextSections,
       Some(wikitextSectionsSql),
       "== Heading == outline extraction + per-(level, heading) rollup"),
+    QueryDef("q191_revision_word_diff", revisionWordDiff,
+      Some(revisionWordDiffSql),
+      "word-level revision diff: multiset token add/remove per synthesized revision"),
     QueryDef("q180_wikitext_infobox", wikitextInfobox,
       Some(wikitextInfoboxSql),
       "{{Infobox}} parameter extraction + per-(type, key) rollup"))

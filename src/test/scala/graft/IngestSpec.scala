@@ -328,6 +328,47 @@ class IngestSpec extends AnyFunSuite with LocalSparkSuite {
     assert(rv.getAs[String]("reverting_editor") === "alice")
   }
 
+  test("word-level revision diff + content persistence on a known history") {
+    val dir = java.nio.file.Files.createTempDirectory("wdiffdump")
+    // multiset-sensitive history: rev2 duplicates a token, rev3 drops
+    // one copy of it and doubles another - byte deltas cannot see this
+    val xml =
+      """<mediawiki><page><title>W</title><ns>0</ns><id>1</id>
+        |<revision><id>10</id><timestamp>2024-01-01T00:00:00Z</timestamp>
+        |<contributor><username>alice</username><id>5</id></contributor>
+        |<text bytes="3">a b</text><sha1>aaa</sha1></revision>
+        |<revision><id>11</id><timestamp>2024-01-02T00:00:00Z</timestamp>
+        |<contributor><username>bob</username><id>6</id></contributor>
+        |<text bytes="7">a a b c</text><sha1>bbb</sha1></revision>
+        |<revision><id>12</id><timestamp>2024-01-03T00:00:00Z</timestamp>
+        |<contributor><username>carol</username><id>7</id></contributor>
+        |<text bytes="5">a c c</text><sha1>ccc</sha1></revision></page>
+        |</mediawiki>""".stripMargin
+    java.nio.file.Files.writeString(dir.resolve("d.xml"), xml)
+    val f = MediaWikiXml.flattenRevisions(
+      MediaWikiXml.readPages(spark, dir.resolve("d.xml").toString))
+
+    val diffs = MediaWikiXml.revisionWordDiff(f).collect()
+      .map(r => r.getAs[Long]("rev_id") ->
+        ((r.getAs[Long]("n_added"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("editor")))).toMap
+    assert(diffs(10L) === ((2L, 0L, "alice"))) // vs empty: a, b
+    // rev2 {a:2,b:1,c:1} vs rev1 {a:1,b:1}: +a +c
+    assert(diffs(11L) === ((2L, 0L, "bob")))
+    // rev3 {a:1,c:2} vs rev2 {a:2,b:1,c:1}: +c / -a -b
+    assert(diffs(12L) === ((1L, 2L, "carol")))
+
+    val pers = MediaWikiXml.contentPersistence(f).collect()
+      .map(r => r.getAs[String]("editor") ->
+        ((r.getAs[Long]("tokens_introduced"),
+          r.getAs[Long]("tokens_surviving")))).toMap
+    // intro: a,b -> alice (rev1); c -> bob (rev2); carol introduced
+    // nothing and therefore has no row. Final tokens {a, c}.
+    assert(pers === Map(
+      "alice" -> ((2L, 1L)), // a survives, b does not
+      "bob" -> ((1L, 1L))))  // c survives
+  }
+
   test("link PageRank: mass conserved, link targets outrank isolates") {
     val r = MediaWikiXml.linkRank(flat).collect()
     val total = r.map(_.getDouble(1)).sum
