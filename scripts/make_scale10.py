@@ -46,6 +46,9 @@ KEYS = {
 def main():
     con = duckdb.connect()
     con.execute("SET threads TO 16")
+    # a COPIES-branch UNION ALL parses as a COPIES-deep expression tree;
+    # the default depth cap (1000) rejects the 1000x corpus build
+    con.execute(f"SET max_expression_depth TO {max(1000, 3 * COPIES)}")
     os.makedirs(DST, exist_ok=True)
     for t, ks in KEYS.items():
         cols = [r[0] for r in

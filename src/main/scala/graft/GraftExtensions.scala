@@ -43,6 +43,20 @@ object GraftExtensions {
             s"graft_dot expects exactly 2 arguments, got ${exprs.size}")
           DotProduct(exprs.head, exprs(1))
         }),
+      (FunctionIdentifier("graft_signpack"),
+        new ExpressionInfo(classOf[graft.functions.SignPack].getName, "graft_signpack"),
+        (exprs: Seq[Expression]) => exprs match {
+          // offset/len must be INT literals: they fix the packed
+          // word's layout at plan time (SignPack codegen unrolls on
+          // them), and a column-valued width would make the word
+          // meaning row-dependent
+          case Seq(child, Literal(off: Int, IntegerType), Literal(len: Int, IntegerType)) =>
+            graft.functions.SignPack(child, off, len)
+          case Seq(_, _, _) => throw new IllegalArgumentException(
+            "graft_signpack offset and len must be INT literals")
+          case _ => throw new IllegalArgumentException(
+            s"graft_signpack expects (col, offset, len), got ${exprs.size} arguments")
+        }),
       (FunctionIdentifier("graft_hll_distinct"),
         new ExpressionInfo(classOf[HllSketchAgg].getName, "graft_hll_distinct"),
         (exprs: Seq[Expression]) => exprs match {

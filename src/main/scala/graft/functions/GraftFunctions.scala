@@ -94,6 +94,15 @@ object GraftFunctions {
   def cosineSimFast(a: Column, b: Column): Column =
     dotFast(a, b) / (sqrt(dotFast(a, a)) * sqrt(dotFast(b, b)))
 
+  /** Binary-quantization sign word (see [[SignPack]]): bit i set iff
+    * element (offset+i) of the array is > 0. len <= 63 — pack wide
+    * vectors as multiple words (q192 packs 64 dims as two 32-bit
+    * halves, the oracle-portable layout). */
+  def signPack(v: Column, offset: Int, len: Int): Column = {
+    import org.apache.spark.sql.GraftShims.{column, expression}
+    column(SignPack(expression(v), offset, len))
+  }
+
   /** MinHash family over hex digests: permutation i = rotate an md5 hex
     * string left by 2*i chars; MIN over a set approximates a random
     * permutation min. One md5 per element total (compute `md5(s)` once

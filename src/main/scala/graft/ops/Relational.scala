@@ -815,7 +815,101 @@ object Relational {
       |               INTO NAME metric VALUE value)
       |ORDER BY lang, metric""".stripMargin
 
+  /** q193: z-order data-layout audit — the file-skipping arithmetic
+    * behind Delta/Iceberg `OPTIMIZE ZORDER BY` and parquet min/max
+    * pruning, measured inside the engine. Orders map to a 4096×4096
+    * grid (x = days since 1995-01-01, y = o_custkey mod 4096); three
+    * writer layouts assign each row a "file":
+    *   - `zorder`     — top 6 bits of the 24-bit Morton interleave,
+    *     i.e. one file per quadtree cell (what a z-order writer's
+    *     range partitioner converges to on a uniform grid);
+    *   - `datesorted` — 64-day stripes (x >> 6), the single-column
+    *     sort a naive time-partitioned writer produces;
+    *   - `roundrobin` — o_orderkey mod 64, the no-layout baseline
+    *     every unsorted ingest degenerates to.
+    * For the canonical two-dimensional slice (order year 1996 AND
+    * customer band y < 512) the query reports, per layout, how many
+    * files a min/max-pruning scanner opens, the rows it reads, and
+    * the read amplification vs the true match count. The zorder
+    * layout bounds BOTH dimensions per file; datesorted bounds only
+    * x (scans every stripe of 1996 in full); roundrobin bounds
+    * nothing (scans the corpus).
+    *
+    * Scale shape: one map-only projection (the 24-term Morton sum is
+    * plain codegen'd integer arithmetic — no HOF, no UDF) + three
+    * ≤64-group aggregates. No windows, no global sort: the file id
+    * is a PURE FUNCTION of the row, so at 100 TB the audit is one
+    * pass over footer-grain stats, exactly like the real pruning it
+    * models. */
+  def zorderLayout(s: SparkSession, d: String): DataFrame = {
+    val pts = Tables.orders(s, d).select(
+      col("o_orderkey").as("k"),
+      datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("x"),
+      (col("o_custkey") % 4096).as("y"))
+    val z = (0 until 12).map(i =>
+      s"(shiftleft(cast(shiftright(x, $i) & 1 as bigint), ${2 * i}) + " +
+        s"shiftleft(cast(shiftright(y, $i) & 1 as bigint), ${2 * i + 1}))").mkString(" + ")
+    val graded = pts
+      .withColumn("z", expr(z))
+      .withColumn("matched",
+        (col("x") >= 365 && col("x") < 730 && col("y") < 512).cast("long"))
+    def layout(name: String, fileCol: Column): DataFrame =
+      graded.groupBy(fileCol.as("f"))
+        .agg(min(col("x")).as("xlo"), max(col("x")).as("xhi"),
+          min(col("y")).as("ylo"), max(col("y")).as("yhi"),
+          count(lit(1)).as("nrows"), sum(col("matched")).as("m"))
+        .withColumn("scanned",
+          (col("xlo") < 730 && col("xhi") >= 365 && col("ylo") < 512).cast("long"))
+        .agg(
+          count(lit(1)).as("files_total"),
+          sum(col("scanned")).as("files_scanned"),
+          sum(col("scanned") * col("nrows")).as("rows_scanned"),
+          sum(col("m")).as("rows_matched"))
+        .select(lit(name).as("layout"), col("files_total"),
+          col("files_scanned"), col("rows_scanned"), col("rows_matched"),
+          round(col("rows_scanned").cast("double") /
+            col("rows_matched").cast("double"), 4).as("read_amp"))
+    layout("zorder", shiftright(col("z"), 18))
+      .unionAll(layout("datesorted", shiftright(col("x"), 6)))
+      .unionAll(layout("roundrobin", col("k") % 64))
+      .orderBy(col("layout"))
+  }
+
+  private lazy val zorderLayoutSql = {
+    val z = (0 until 12).map(i =>
+      s"((CAST((x >> $i) & 1 AS BIGINT) << ${2 * i}) + " +
+        s"(CAST((y >> $i) & 1 AS BIGINT) << ${2 * i + 1}))").mkString(" + ")
+    def layout(name: String, fileExpr: String) =
+      s"""SELECT '$name' AS layout,
+         |       CAST(COUNT(*) AS BIGINT) AS files_total,
+         |       CAST(SUM(scanned) AS BIGINT) AS files_scanned,
+         |       CAST(SUM(scanned * nrows) AS BIGINT) AS rows_scanned,
+         |       CAST(SUM(m) AS BIGINT) AS rows_matched,
+         |       ROUND(CAST(SUM(scanned * nrows) AS DOUBLE) /
+         |             CAST(SUM(m) AS DOUBLE), 4) AS read_amp
+         |FROM (SELECT $fileExpr AS f,
+         |        CASE WHEN MIN(x) < 730 AND MAX(x) >= 365 AND MIN(y) < 512
+         |             THEN 1 ELSE 0 END AS scanned,
+         |        COUNT(*) AS nrows, SUM(matched) AS m
+         |      FROM graded GROUP BY 1)""".stripMargin
+    s"""WITH pts AS (SELECT o_orderkey AS k,
+       |        CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+       |        o_custkey % 4096 AS y
+       |      FROM orders),
+       |graded AS (SELECT k, x, y, $z AS z,
+       |        CASE WHEN x >= 365 AND x < 730 AND y < 512 THEN 1 ELSE 0 END AS matched
+       |      FROM pts)
+       |${layout("zorder", "z >> 18")}
+       |UNION ALL
+       |${layout("datesorted", "x >> 6")}
+       |UNION ALL
+       |${layout("roundrobin", "k % 64")}
+       |ORDER BY layout""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q193_zorder_layout", zorderLayout, Some(zorderLayoutSql),
+      "z-order vs date-sorted vs round-robin layout: file-skipping + read amplification audit"),
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql), "B10 hash aggregate"),
     QueryDef("q71_unpivot", unpivotStats, Some(unpivotStatsSql), "B24 unpivot/melt"),
     QueryDef("q02_filter_scan", filterScan, Some(filterScanSql), "B1/B2 scan + predicates"),

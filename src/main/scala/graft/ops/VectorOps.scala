@@ -2107,7 +2107,90 @@ object VectorOps {
        |FROM dd WHERE d2o > 0 ORDER BY vec_a""".stripMargin
   }
 
+  /** q192: binary-quantization (BQ) Hamming serving tier + recall
+    * audit. Each 64-dim float vector collapses to its two 32-bit sign
+    * words (graft.functions.SignPack, codegen'd) — 8 bytes total, a
+    * 32× compression over float32. Candidate scoring is
+    * bit_count(xor(w, qw)) per word pair: two codegen'd instructions
+    * per candidate, the kernel modern vector stores (FAISS binary
+    * indexes, pgvector bit columns) serve billion-scale shortlists
+    * with. The query grades BOTH operating points a deployment must
+    * choose between: direct Hamming top-10 (recall_direct) and the
+    * standard 5× oversample-then-float-rerank shortlist of 50
+    * (recall_rerank), against brute-force cosine top-10 ground truth
+    * on the q109 protocol (queries = 1% of ids, eval-time-only
+    * crossJoin; the production path scans only the 8-byte words).
+    *
+    * Scale shape: the packed table is 16 bytes/row wide (vec_id +
+    * two words) — at 10^10 vectors that is 160 GB, broadcastable per
+    * executor where the float table (2.5 TB) is not; the Hamming scan
+    * is map-only over it. Ranking ties (Hamming is integer-valued in
+    * 0..64) break by vec_id in both engines, so the shortlist and the
+    * recall counts are bit-stable. */
+  def bqHammingRecall(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.embeddings(s, d).select(
+      col("vec_id"), col("embedding"),
+      signPack(col("embedding"), 0, 32).as("w0"),
+      signPack(col("embedding"), 32, 32).as("w1"))
+    val q = base.filter(col("vec_id") % 100 === 0).select(
+      col("vec_id").as("qid"), col("embedding").as("qv"),
+      col("w0").as("qw0"), col("w1").as("qw1"))
+    val scored = base.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosineSimFast(col("embedding"), col("qv")), 6).as("cos"),
+        (bit_count(col("w0").bitwiseXOR(col("qw0"))) +
+          bit_count(col("w1").bitwiseXOR(col("qw1")))).as("hamm"))
+    val wc = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
+    val wh = Window.partitionBy(col("qid")).orderBy(col("hamm").asc, col("vec_id"))
+    // both rankings come from the one scored frame: a single shuffle
+    // on qid feeds both window sorts and the final aggregate
+    scored
+      .withColumn("rk_cos", row_number().over(wc))
+      .withColumn("rk_ham", row_number().over(wh))
+      .groupBy(col("qid"))
+      .agg(
+        sum(when(col("rk_ham") <= 10 && col("rk_cos") <= 10, 1L).otherwise(0L)).as("direct_hits"),
+        sum(when(col("rk_ham") <= 50 && col("rk_cos") <= 10, 1L).otherwise(0L)).as("rerank_hits"))
+      .select(col("qid"), col("direct_hits"), col("rerank_hits"),
+        (col("direct_hits").cast("double") / 10).as("recall_direct"),
+        (col("rerank_hits").cast("double") / 10).as("recall_rerank"))
+      .orderBy(col("qid"))
+  }
+
+  /** DuckDB twin of SignPack's 32-bit word: signs of list slice
+    * [from, from+31] (1-based, inclusive) packed little-endian. */
+  private def signPackSql(v: String, from: Int): String =
+    s"CAST(list_sum(list_transform($v[$from:${from + 31}], " +
+      s"(x, i) -> CASE WHEN x > 0 THEN CAST(1 AS BIGINT) << (i - 1) " +
+      s"ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"
+
+  private lazy val bqHammingRecallSql =
+    s"""WITH b AS (SELECT vec_id, embedding,
+       |        ${signPackSql("embedding", 1)} AS w0,
+       |        ${signPackSql("embedding", 33)} AS w1
+       |      FROM embeddings),
+       |q AS (SELECT vec_id AS qid, embedding AS qv, w0 AS qw0, w1 AS qw1
+       |      FROM b WHERE vec_id % 100 = 0),
+       |sc AS (SELECT q.qid, b.vec_id,
+       |        ${cosSql("b.embedding", "q.qv")} AS cos,
+       |        bit_count(xor(b.w0, q.qw0)) + bit_count(xor(b.w1, q.qw1)) AS hamm
+       |       FROM b, q WHERE b.vec_id <> q.qid),
+       |r AS (SELECT qid,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk_cos,
+       |        ROW_NUMBER() OVER (PARTITION BY qid ORDER BY hamm ASC, vec_id) AS rk_ham
+       |       FROM sc)
+       |SELECT qid,
+       |       CAST(SUM(CASE WHEN rk_ham <= 10 AND rk_cos <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS direct_hits,
+       |       CAST(SUM(CASE WHEN rk_ham <= 50 AND rk_cos <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS rerank_hits,
+       |       CAST(SUM(CASE WHEN rk_ham <= 10 AND rk_cos <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS recall_direct,
+       |       CAST(SUM(CASE WHEN rk_ham <= 50 AND rk_cos <= 10 THEN 1 ELSE 0 END) AS DOUBLE) / 10 AS recall_rerank
+       |FROM r GROUP BY qid ORDER BY qid""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q192_bq_hamming_recall", bqHammingRecall, Some(bqHammingRecallSql),
+      "binary-quantization Hamming tier: 2x32-bit sign words, direct@10 + 5x-oversample rerank recall"),
     QueryDef("q186_jl_projection", jlProjection, Some(jlProjectionSql),
       "Johnson-Lindenstrauss 64->16 projection with pairwise distortion audit"),
     QueryDef("q182_rrf_fusion", rrfFusion, Some(rrfFusionSql),

@@ -331,7 +331,79 @@ object WindowedOps {
       |SELECT event_id, user_id, ts, attr_at FROM f WHERE is_evt = 1
       |ORDER BY event_id""".stripMargin
 
+  /** q194: last-touch attribution — the event-analytics op every
+    * product/marketing warehouse runs nightly: each purchase is
+    * credited to the most recent preceding touch event (click / view /
+    * signup) by the same user, demoted to 'direct' when no touch
+    * exists or the touch is older than the 7-day lookback. Revenue and
+    * time-to-convert then aggregate per channel.
+    *
+    * The lookback is applied AFTER picking the last touch (a plain
+    * ROWS frame + one CASE), not as a RANGE frame — same answer for
+    * last-touch semantics, and the ROWS frame is the shape the
+    * streaming twin keeps as one value of per-user state
+    * (mapGroupsWithState: latest touch (ts, type) per user — 16 bytes
+    * — vs a RANGE frame's unbounded event buffer).
+    *
+    * The two `last(when(touch, X), ignoreNulls)` columns read ts and
+    * type from the SAME row because their CASE nulls coincide — no
+    * struct packing, no self-join. Scale shape: ONE shuffle on
+    * user_id feeds the window; the channel aggregate is 4 groups with
+    * map-side combine; ties on ts break by event_id in both engines. */
+  def lastTouchAttribution(s: SparkSession, d: String): DataFrame = {
+    val touch = col("event_type").isin("click", "view", "signup")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val purchases = Tables.events(s, d)
+      .withColumn("touch_ts", last(when(touch, col("ts")), ignoreNulls = true).over(w))
+      .withColumn("touch_type", last(when(touch, col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("delay_s",
+        round((unix_micros(col("ts")) - unix_micros(col("touch_ts"))).cast("double")
+          / 1000000.0, 4))
+      .withColumn("channel",
+        when(col("touch_ts").isNull || col("delay_s") > 7 * 86400, "direct")
+          .otherwise(col("touch_type")))
+      .withColumn("attr_delay_s", when(col("channel") =!= "direct", col("delay_s")))
+    purchases.groupBy(col("channel"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        countDistinct(col("user_id")).as("n_buyers"),
+        dsum(col("value")).as("total_value"),
+        when(count(col("attr_delay_s")) > 0,
+          round(davg(col("attr_delay_s")), 4)).as("avg_delay_s"))
+      .orderBy(col("channel"))
+  }
+
+  private lazy val lastTouchAttributionSql =
+    s"""WITH t AS (SELECT *,
+       |    last_value(CASE WHEN event_type IN ('click','view','signup') THEN ts END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_ts,
+       |    last_value(CASE WHEN event_type IN ('click','view','signup') THEN event_type END IGNORE NULLS)
+       |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch_type
+       |  FROM events),
+       |p AS (SELECT *,
+       |    ROUND(CAST(epoch_us(ts) - epoch_us(touch_ts) AS DOUBLE) / 1000000.0, 4) AS delay_s
+       |  FROM t WHERE event_type = 'purchase'),
+       |c AS (SELECT *,
+       |    CASE WHEN touch_ts IS NULL OR delay_s > ${7 * 86400} THEN 'direct'
+       |         ELSE touch_type END AS channel
+       |  FROM p)
+       |SELECT channel,
+       |       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers,
+       |       ${dsumSql("value")} AS total_value,
+       |       CASE WHEN COUNT(CASE WHEN channel <> 'direct' THEN delay_s END) > 0
+       |            THEN ROUND(${davgSql("CASE WHEN channel <> 'direct' THEN delay_s END")}, 4)
+       |            ELSE NULL END AS avg_delay_s
+       |FROM c GROUP BY channel ORDER BY channel""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q194_last_touch_attribution", lastTouchAttribution, Some(lastTouchAttributionSql),
+      "last-touch attribution: per-channel purchases, revenue, time-to-convert (7-day lookback)"),
     QueryDef("q187_pit_features", pitFeatures, Some(pitFeaturesSql),
       "point-in-time feature join: state as of each event's own timestamp, leakage-free"),
     QueryDef("q184_scd2_intervals", scd2Intervals, Some(scd2IntervalsSql),

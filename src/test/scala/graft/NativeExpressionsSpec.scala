@@ -132,6 +132,42 @@ class NativeExpressionsSpec extends AnyFunSuite with LocalSparkSuite {
     assert(nb === nh)
   }
 
+  test("SignPack matches the HOF zip_with/aggregate formulation on the corpus") {
+    import graft.functions.GraftFunctions.signPack
+    val emb = Tables.embeddings(spark, sfDir)
+    def hofWord(from: Int): org.apache.spark.sql.Column =
+      expr(s"aggregate(zip_with(slice(embedding, ${from + 1}, 32), sequence(0, 31), " +
+        s"(v, i) -> IF(v > 0f, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)")
+    val diff = emb.select(
+      signPack(col("embedding"), 0, 32).as("n0"), hofWord(0).as("h0"),
+      signPack(col("embedding"), 32, 32).as("n1"), hofWord(32).as("h1"))
+      .filter(col("n0") =!= col("h0") || col("n1") =!= col("h1"))
+    assert(diff.count() === 0)
+  }
+
+  test("SignPack eval (interpreted) agrees with the DataFrame (codegen) path and clears out-of-range bits") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.SignPack
+    val arr = Array[Any](1.0f, -2.0f, 0.0f, 3.5f) // bits 0 and 3 set
+    val viaEval = SignPack(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(
+        new GenericArrayData(arr),
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      0, 32).eval(null)
+    val viaDf = spark.range(1)
+      .select(GraftFunctions.signPack(
+        typedLit(Seq(1.0f, -2.0f, 0.0f, 3.5f)), 0, 32).as("w"))
+      .head().getLong(0)
+    assert(viaEval === 9L && viaDf === 9L)
+    // elements past the array end read as sign-clear, never garbage
+    val hi = spark.range(1)
+      .select(GraftFunctions.signPack(typedLit(Seq(1.0f, 2.0f)), 32, 32).as("w"))
+      .head().getLong(0)
+    assert(hi === 0L)
+    intercept[IllegalArgumentException] { SignPack(null, 0, 64) }
+    intercept[IllegalArgumentException] { SignPack(null, -1, 32) }
+  }
+
   test("SQL registration covers the full native-expression surface") {
     GraftExtensions.functions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
@@ -172,6 +208,8 @@ class NativeExpressionsSpec extends AnyFunSuite with LocalSparkSuite {
       .isAssignableFrom(classOf[graft.functions.BpeMergePair]))
     assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
       .isAssignableFrom(classOf[graft.functions.BigramBuckets]))
+    assert(!classOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback]
+      .isAssignableFrom(classOf[graft.functions.SignPack]))
   }
 
   test("q103's plan keeps the bloom prefilter ahead of the exact join") {

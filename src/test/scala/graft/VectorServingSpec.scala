@@ -266,4 +266,26 @@ class VectorServingSpec extends AnyFunSuite with LocalSparkSuite {
     val central = rows.count(d => d > 0.4 && d < 2.0).toDouble / rows.length
     assert(central > 0.9, s"central mass $central")
   }
+
+  test("q192 binary-quantization tier: rerank dominates direct, recall floors hold") {
+    val rows = graft.SparkEntry.queries("q192_bq_hamming_recall")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val direct = r.getAs[Long]("direct_hits")
+      val rerank = r.getAs[Long]("rerank_hits")
+      // the 50-candidate shortlist contains the 10-candidate one, so
+      // per query rerank hits can never be fewer — a violation means
+      // the two rankings disagree on the scored frame itself
+      assert(rerank >= direct, s"qid ${r.getLong(0)}: rerank $rerank < direct $direct")
+      assert(direct >= 0 && rerank <= 10)
+    }
+    // on near-random 64-dim embeddings the sign words keep enough
+    // angle information that a 5x-oversampled shortlist recovers most
+    // of the true top-10 (observed 0.68/0.74 mean at sf0.001/sf0.01);
+    // 0.5 is the floor below which the packing itself must be broken
+    // (e.g. words built from the wrong slice read as noise -> ~0.08)
+    val meanRerank = rows.map(_.getAs[Double]("recall_rerank")).sum / rows.length
+    assert(meanRerank >= 0.5, s"mean rerank recall $meanRerank")
+  }
 }
