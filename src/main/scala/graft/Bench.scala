@@ -37,8 +37,15 @@ object Bench {
     // the initial number, never widen. An earlier 4x-cores default
     // was justified by a q92 74-105 s measurement at width 8 that a
     // clean window does not reproduce — contention, not width.
-    // shuffle.partitions stays the AQE-off fallback knob.
-    val initParts = sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS", cpus)
+    // shuffle.partitions stays the AQE-off fallback knob — but an
+    // EXPLICIT wider SPARK_GRAFT_SHUFFLE must also widen the AQE
+    // initial width, or the scale recipes silently run every exchange
+    // at cpu-width: the round-14 1000x window set SHUFFLE=512 yet
+    // executed 32-wide, and q92's pinned hash build OOMed at 16x the
+    // per-partition size its guard had modeled. AQE can only coalesce
+    // DOWN, so max(cpus, shuffle) is safe at every scale.
+    val initParts = sys.env.getOrElse("SPARK_GRAFT_INIT_PARTS",
+      math.max(cpus.toInt, shuffle.toInt).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
@@ -50,6 +57,12 @@ object Bench {
       .config(Tables.NanosConf, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // scale-run knob (SCALING.md round-14): pin the recall-eval query
+    // sample to a fixed count — the |Q|×N ground truth is quadratic
+    // when |Q| tracks the corpus (the q175 1000× finding). Unset =
+    // the graded full protocol.
+    sys.env.get("SPARK_GRAFT_EVAL_QUERY_CAP")
+      .foreach(c => spark.conf.set("spark.graft.evalQueryCap", c))
     // session-scoped base-table cache: the suite reads each table ~25x,
     // so the bench session keeps them materialized (the buffer-pool
     // behavior any single-node engine gets for free) — but ONLY while

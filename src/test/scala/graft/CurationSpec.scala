@@ -316,4 +316,57 @@ class CurationSpec extends AnyFunSuite with LocalSparkSuite {
     assert(doc.forall(!_.isNullAt(3)) && evt.forall(_.isNullAt(3)))
     assert(doc.map(_.getLong(1)).sum === 500 && evt.map(_.getLong(1)).sum === 1000)
   }
+
+  test("q196 systematic PPS: exact local replay, <=5 per source, weight-monotone inclusion") {
+    val picked = CurationOps.ppsSample(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    // the selection rule replayed sequentially per source in plain
+    // Scala — any window-frame or integer-division drift breaks this
+    val replay = docs.toSeq.flatMap { case (src, rows) =>
+      val sorted = rows.toSeq.sortBy(_._2)
+      val total = sorted.map(_._3).sum
+      var cum = 0L
+      sorted.flatMap { case (_, id, w) =>
+        val before = cum; cum += w
+        if (before * 5 / total < cum * 5 / total) Some((src, id)) else None
+      }
+    }.toSet
+    assert(picked === replay)
+    picked.groupBy(_._1).foreach { case (src, s) =>
+      assert(s.size <= 5 && s.nonEmpty, s"$src picked ${s.size}")
+    }
+    // PPS property: a doc can only be skipped if its weight leaves the
+    // cumulative axis inside one slot — so every doc heavier than
+    // total/5 of its source MUST be selected
+    docs.foreach { case (src, rows) =>
+      val total = rows.map(_._3).sum
+      rows.filter(_._3 * 5 > total).foreach { case (_, id, _) =>
+        assert(picked.contains((src, id)), s"heavy doc $id of $src must be picked")
+      }
+    }
+  }
+
+  test("q195 boilerplate strip removes exactly the injected chrome for eligible sources") {
+    val out = graft.ops.TextOps.boilerplateStrip(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val nDocs = r.getAs[Long]("n_docs")
+      val removed = r.getAs[Long]("lines_removed")
+      val boiler = r.getAs[Long]("boiler_lines")
+      if (nDocs >= 3) {
+        // header + footer are the only lines shared across docs (body
+        // lines proved unique on this corpus): 2 boilerplate keys,
+        // each removed once per doc
+        assert(boiler === 2L, s"${r.getString(0)}: $boiler boiler lines")
+        assert(removed === 2L * nDocs)
+      } else {
+        assert(boiler === 0L && removed === 0L)
+      }
+      assert(r.getAs[Long]("lines_total") > removed) // bodies survive
+    }
+  }
 }

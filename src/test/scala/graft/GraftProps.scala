@@ -309,4 +309,44 @@ object GraftProps extends Properties("graft") {
       totTok == t.length && chunks.length == cuts.length + 1
     }
   }
+
+  // q196's systematic-PPS slot rule, replayed on the JVM against its
+  // defining invariants for arbitrary positive weight lists: at most
+  // k selected; exactly k when no item out-weighs a slot; every item
+  // heavier than total/k is selected; and the selection is a pure
+  // function of the weight PREFIX SUMS (appending items never changes
+  // earlier picks) — the property that makes the rule incremental.
+  property("systematic PPS: <=k picks, heavy items always picked, prefix-stable") = {
+    val g = Gen.chooseNum(1, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1L, 1000L)))
+    val k = 5
+    def pick(ws: List[Long]): List[Int] = {
+      val total = ws.sum
+      var cum = 0L
+      ws.zipWithIndex.flatMap { case (w, i) =>
+        val before = cum; cum += w
+        if (before * k / total < cum * k / total) Some(i) else None
+      }
+    }
+    forAll(g) { ws =>
+      val sel = pick(ws)
+      val total = ws.sum
+      val heavyIn = ws.zipWithIndex.filter(_._1 * k > total).map(_._2)
+        .forall(sel.contains)
+      // exactly k picks whenever no single item spans a full slot
+      val exactK = !ws.forall(_ * k <= total) || sel.size == k
+      sel.size <= k && sel.nonEmpty && heavyIn && exactK && {
+        // prefix stability: picks among the first m items are decided
+        // by the first m prefix sums alone once total is fixed — check
+        // via recomputing with the same total
+        val m = ws.size / 2
+        var cum = 0L
+        val firstHalf = ws.take(m).zipWithIndex.flatMap { case (w, i) =>
+          val before = cum; cum += w
+          if (before * k / total < cum * k / total) Some(i) else None
+        }
+        firstHalf == sel.filter(_ < m)
+      }
+    }
+  }
 }

@@ -264,4 +264,47 @@ class MultimodalSpec extends AnyFunSuite with LocalSparkSuite {
       assert(MultimodalOps.decodeAudio(wav.dropRight(1)).isEmpty)
     }
   }
+
+  test("decodeChannel0Samples matches both generators and keeps decodeAudio's strictness") {
+    for (id <- Seq(2L, 7L, 13L, 100L)) {
+      val (bits, s0) = MultimodalOps.decodeChannel0Samples(MultimodalOps.synthWav(id)).get
+      val exp = (0 until (50 + (id % 101).toInt)).map { k =>
+        val base = id * 7919L + k * 104729L
+        (if (bits == 8) (base % 256L) - 128L else (base % 65536L) - 32768L).toInt
+      }
+      assert(s0.toSeq === exp)
+      // q197's noise payload: full-gain stream matches noiseSample, the
+      // -6 dB rendition is its trunc-halved twin
+      val (nb, n0) = MultimodalOps.decodeChannel0Samples(
+        MultimodalOps.synthWavNoise(id, half = false)).get
+      val nexp = (0 until (50 + (id % 101).toInt)).map(MultimodalOps.noiseSample(id, _))
+      assert(nb === 16 && n0.toSeq === nexp)
+      val (_, h0) = MultimodalOps.decodeChannel0Samples(
+        MultimodalOps.synthWavNoise(id, half = true)).get
+      assert(h0.toSeq === nexp.map(_ / 2))
+      assert(MultimodalOps.decodeChannel0Samples(
+        MultimodalOps.synthWav(id).dropRight(1)).isEmpty)
+    }
+  }
+
+  test("q197 audio near-dup: output is exactly the rendition pairs at tiny Hamming") {
+    val rows = graft.SparkEntry.queries("q197_audio_neardup")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // fingerprints of distinct noise assets sit near Hamming 31 (the
+      // 50M-pair sweep of the generator reads min 8); anything
+      // surviving the <=3 gate must be an (original, -6dB) pair of the
+      // SAME asset — a cross-asset survivor means the fingerprint
+      // collapsed back to a phase-correlated family
+      assert(r.getAs[Long]("aid_a") === r.getAs[Long]("aid_b"))
+      assert(r.getAs[Int]("rend_a") === 0 && r.getAs[Int]("rend_b") === 1)
+      assert(r.getAs[Int]("hamming") <= 3)
+    }
+    val nAssets = Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 6 === 5).count()
+    // the +-1-LSB flip rate is ~0.003 bits/asset, so within the 3-flip
+    // pigeonhole every rendition is recovered
+    assert(rows.length === nAssets,
+      s"${rows.length} rendition pairs recovered of $nAssets assets")
+  }
 }

@@ -267,6 +267,25 @@ class VectorServingSpec extends AnyFunSuite with LocalSparkSuite {
     assert(central > 0.9, s"central mass $central")
   }
 
+  test("evalQueryCap bounds the recall-eval sample; unset keeps the full q109 protocol") {
+    val full = graft.SparkEntry.queries("q109_ann_recall")(spark, sfDir)
+      .select(col("qid")).collect().map(_.getLong(0)).toSet
+    try {
+      spark.conf.set("spark.graft.evalQueryCap", "2")
+      val capped = graft.SparkEntry.queries("q109_ann_recall")(spark, sfDir)
+        .select(col("qid")).collect().map(_.getLong(0)).toSet
+      // the cap takes the FIRST c eval ids — a deterministic prefix of
+      // the full protocol, the fixed-query-set shape a production
+      // recall job keeps as the corpus grows
+      assert(capped.size <= 2 && capped.subsetOf(full))
+      assert(capped === full.filter(_ < 200))
+    } finally spark.conf.unset("spark.graft.evalQueryCap")
+    // and with the conf back off the full sample returns
+    val again = graft.SparkEntry.queries("q109_ann_recall")(spark, sfDir)
+      .select(col("qid")).collect().map(_.getLong(0)).toSet
+    assert(again === full)
+  }
+
   test("q192 binary-quantization tier: rerank dominates direct, recall floors hold") {
     val rows = graft.SparkEntry.queries("q192_bq_hamming_recall")(spark, sfDir)
       .collect()
