@@ -401,7 +401,150 @@ object WindowedOps {
        |            ELSE NULL END AS avg_delay_s
        |FROM c GROUP BY channel ORDER BY channel""".stripMargin
 
+  /** q198: MAX CONCURRENCY per hour — the sweep-line interval
+    * analytic (peak concurrent sessions, the capacity-planning number
+    * every ops dashboard carries), built as a DISTRIBUTED prefix sum:
+    * the textbook solution is one global running sum over every
+    * interval endpoint, i.e. a single-partition sort of the corpus —
+    * the exact shape the plan guards forbid. The scalable
+    * decomposition: each event opens a 30-minute session (+1 at ts,
+    * −1 at ts+30min); (1) per-hour net sums aggregate map-side;
+    * (2) ONE bounded global window over the HOUR GRAIN (corpus
+    * span / 3600 rows — q65's documented pre-aggregated-grain
+    * exception) turns nets into each hour's starting concurrency;
+    * (3) a within-hour running sum partitioned BY hour adds the local
+    * prefix. peak(hour) = base + max(0, local prefix max): the
+    * `greatest(0, …)` covers the all-ends hour whose peak stands at
+    * its opening concurrency. At equal timestamps ends sort before
+    * starts (−1 < +1), the [a, b) convention — and within an equal
+    * (t, delta) group any order yields the same running extrema, so
+    * the peak is deterministic without a per-row tiebreak.
+    *
+    * Scale shape: one map-side explode to ±1 deltas, one hour-keyed
+    * shuffle for phases 1+3, and a ≤|hours|-row global pass — the
+    * generic recipe for ANY running-total analytic at 100 TB
+    * (cumulative revenue, live-user curves, storage watermarks). */
+  def maxConcurrency(s: SparkSession, d: String): DataFrame = {
+    val deltas = Tables.events(s, d)
+      .select(explode(array(
+        struct(col("ts").as("t"), lit(1L).as("delta")),
+        struct((col("ts") + expr("INTERVAL 30 MINUTES")).as("t"),
+          lit(-1L).as("delta")))).as("e"))
+      .select(col("e.t").as("t"), col("e.delta").as("delta"))
+      .withColumn("hstart", date_trunc("hour", col("t")))
+    val wHourly = Window.orderBy(col("hstart"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = deltas.groupBy(col("hstart"))
+      .agg(sum(col("delta")).as("net"), count(lit(1)).as("n_edges"))
+      .withColumn("base", coalesce(sum(col("net")).over(wHourly), lit(0L)))
+    val wLocal = Window.partitionBy(col("hstart"))
+      .orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val localPeak = deltas
+      .withColumn("run", sum(col("delta")).over(wLocal))
+      .groupBy(col("hstart")).agg(max(col("run")).as("local_max"))
+    base.join(localPeak, Seq("hstart"))
+      .select(col("hstart"), col("n_edges"),
+        (col("base") + greatest(lit(0L), col("local_max"))).as("peak_concurrent"))
+      .orderBy(col("hstart"))
+  }
+
+  private lazy val maxConcurrencySql =
+    """WITH deltas AS (
+      |  SELECT t, delta, date_trunc('hour', t) AS hstart FROM (
+      |    SELECT ts AS t, CAST(1 AS BIGINT) AS delta FROM events
+      |    UNION ALL
+      |    SELECT ts + INTERVAL 30 MINUTE AS t, CAST(-1 AS BIGINT) AS delta FROM events)),
+      |b AS (SELECT hstart, SUM(delta) AS net, COUNT(*) AS n_edges
+      |      FROM deltas GROUP BY hstart),
+      |base AS (SELECT hstart, n_edges,
+      |    COALESCE(SUM(net) OVER (ORDER BY hstart
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS base
+      |  FROM b),
+      |run AS (SELECT hstart,
+      |    SUM(delta) OVER (PARTITION BY hstart ORDER BY t, delta
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |  FROM deltas),
+      |lp AS (SELECT hstart, MAX(run) AS local_max FROM run GROUP BY hstart)
+      |SELECT base.hstart, CAST(base.n_edges AS BIGINT) AS n_edges,
+      |       CAST(base.base + GREATEST(0, lp.local_max) AS BIGINT) AS peak_concurrent
+      |FROM base JOIN lp ON base.hstart = lp.hstart
+      |ORDER BY base.hstart""".stripMargin
+
+  /** q199: TEMPORAL EMBARGO SPLIT — the time-series complement of
+    * q149's hash-split leakage audit (purged walk-forward splitting,
+    * the de-facto standard wherever adjacent-in-time records leak
+    * label information): train = events before (cutoff − embargo),
+    * embargoed = the 3 days before the cutoff (dropped), test = from
+    * the cutoff on. The leakage metric is the pair count a NAIVE
+    * cutoff-only split would admit — same-user (train∪embargo, test)
+    * event pairs closer than the embargo span — computed per user
+    * with one window (max pre-cutoff ts vs min post-cutoff ts), and
+    * the purged split's own count, which the construction forces to
+    * ZERO (the oracle proves it, not the comment). Output: one row
+    * per split with events, users, value mass, plus the two leakage
+    * counts. One user-keyed shuffle; everything else map-side. */
+  def temporalEmbargo(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+    val embargoS = 3 * 86400
+    val purgeStart = cutoff - expr(s"INTERVAL $embargoS SECONDS")
+    val tagged = Tables.events(s, d).withColumn("split",
+      when(col("ts") < purgeStart, "train")
+        .when(col("ts") < cutoff, "embargoed")
+        .otherwise("test"))
+    val perUser = tagged.groupBy(col("user_id")).agg(
+      max(when(col("split") === "train", col("ts"))).as("last_train"),
+      max(when(col("split") =!= "test", col("ts"))).as("last_pre"),
+      min(when(col("split") === "test", col("ts"))).as("first_test"))
+    val leak = perUser.agg(
+      sum(when(col("first_test").isNotNull && col("last_pre").isNotNull &&
+        unix_micros(col("first_test")) - unix_micros(col("last_pre"))
+          < embargoS * 1000000L, 1L).otherwise(0L)).as("naive_leaky_users"),
+      sum(when(col("first_test").isNotNull && col("last_train").isNotNull &&
+        unix_micros(col("first_test")) - unix_micros(col("last_train"))
+          < embargoS * 1000000L, 1L).otherwise(0L)).as("purged_leaky_users"))
+    tagged.groupBy(col("split")).agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("value_mass"))
+      .crossJoin(broadcast(leak))
+      .orderBy(col("split"))
+  }
+
+  private lazy val temporalEmbargoSql = {
+    val embargoUs = 3L * 86400 * 1000000
+    s"""WITH tagged AS (SELECT *,
+       |    CASE WHEN ts < TIMESTAMP '2024-01-17 00:00:00' THEN 'train'
+       |         WHEN ts < TIMESTAMP '2024-01-20 00:00:00' THEN 'embargoed'
+       |         ELSE 'test' END AS split
+       |  FROM events),
+       |pu AS (SELECT user_id,
+       |    MAX(CASE WHEN split = 'train' THEN ts END) AS last_train,
+       |    MAX(CASE WHEN split <> 'test' THEN ts END) AS last_pre,
+       |    MIN(CASE WHEN split = 'test' THEN ts END) AS first_test
+       |  FROM tagged GROUP BY user_id),
+       |leak AS (SELECT
+       |    CAST(SUM(CASE WHEN first_test IS NOT NULL AND last_pre IS NOT NULL
+       |      AND epoch_us(first_test) - epoch_us(last_pre) < $embargoUs
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS naive_leaky_users,
+       |    CAST(SUM(CASE WHEN first_test IS NOT NULL AND last_train IS NOT NULL
+       |      AND epoch_us(first_test) - epoch_us(last_train) < $embargoUs
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS purged_leaky_users
+       |  FROM pu)
+       |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_events,
+       |       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       |       ${dsumSql("value")} AS value_mass,
+       |       leak.naive_leaky_users, leak.purged_leaky_users
+       |FROM tagged, leak
+       |GROUP BY split, leak.naive_leaky_users, leak.purged_leaky_users
+       |ORDER BY split""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q198_max_concurrency", maxConcurrency, Some(maxConcurrencySql),
+      "sweep-line peak concurrency per hour: distributed prefix sum (hour-grain global + local)"),
+    QueryDef("q199_temporal_embargo", temporalEmbargo, Some(temporalEmbargoSql),
+      "purged walk-forward split: train/embargo/test masses + naive-vs-purged leakage counts"),
     QueryDef("q194_last_touch_attribution", lastTouchAttribution, Some(lastTouchAttributionSql),
       "last-touch attribution: per-channel purchases, revenue, time-to-convert (7-day lookback)"),
     QueryDef("q187_pit_features", pitFeatures, Some(pitFeaturesSql),

@@ -21,7 +21,12 @@ class AllQueriesSpec extends AnyFunSuite with LocalSparkSuite {
       // q160's rank/cumsum windows run over the top-10000
       // TakeOrderedAndProject cut — bounded BY DESIGN (a tokenizer's
       // candidate vocabulary), never corpus-grain
-      "q160_vocab_coverage")
+      "q160_vocab_coverage",
+      // q198's global window runs over the HOUR GRAIN (corpus
+      // span / 3600 rows) — the distributed-prefix-sum decomposition's
+      // bounded phase; the corpus-grain running sum is the
+      // hour-partitioned local window
+      "q198_max_concurrency")
 
   /** Queries allowed a SortMergeJoin at the test scale. At sf0.001
     * EVERY join side sits far under the broadcast threshold, so the
