@@ -790,6 +790,89 @@ object StatsOps {
        |FROM probe p JOIN cells c USING (j, b)
        |GROUP BY 1, 2 ORDER BY exact_n DESC, word""".stripMargin
 
+  /** q200: JOIN-SIZE ESTIMATION from mergeable sketches — the
+    * planning analytic a 100 TB optimizer runs before picking a join
+    * strategy: |A ⋈ B| on the order key estimated as the count-min
+    * INNER PRODUCT (AGMS/CM estimator: per depth,
+    * Σ_b cmsA[j][b]·cmsB[j][b]; min over depths), next to the exact
+    * join count that exists here only to grade the estimate. The
+    * estimate is one-sided (est ≥ exact — hash collisions only ever
+    * add mass), and its overshoot ratio is the reported number.
+    *
+    * Scale shape: each side collapses to 3×4096 exact integer
+    * counters with map-side combine (q116's posture — the engine's
+    * own hash aggregate IS the sketch builder); the inner product is
+    * a 12k-row broadcast join. A real deployment stores the per-table
+    * sketches at ingest and answers ANY pairwise join-size question
+    * without touching either table again — this query grades that
+    * answer's quality against ground truth. Counters are exact counts
+    * of md5-assigned cells: partitioning-independent, oracle-exact. */
+  /** q200's bucket: FOUR hex chars (width 65536), not q116's 4096 —
+    * the inner-product estimator's additive error is ~|A|·|B|/width,
+    * so the width must track the KEY cardinality (the point-frequency
+    * query q116 answers only needs width ≫ heavy-hitter count). At
+    * 4096 this same query reads overshoot 4.66 at sf0.01; at 65536 it
+    * sits near 1 — the width-vs-accuracy economics an operator sizes
+    * per use, 256 KB of counters either way. */
+  private def cmsBucket16(j: Int, w: Column): Column =
+    conv(substring(md5(concat_ws(":", lit(j), w)), 1, 4), 16, 10).cast("long")
+
+  private def cmsHash4Sql(j: String, w: String): String =
+    s"substr(md5(CAST($j AS VARCHAR) || ':' || $w), 1, 4)"
+
+  private def cmsBucket16Sql(h4: String): String = {
+    def dig(i: Int) =
+      s"(strpos('0123456789abcdef', substr($h4, $i, 1)) - 1)"
+    s"(${dig(1)} * 4096 + ${dig(2)} * 256 + ${dig(3)} * 16 + ${dig(4)})"
+  }
+
+  def joinSizeEstimate(s: SparkSession, d: String): DataFrame = {
+    val depths = 0 to 2
+    def sketch(keys: DataFrame): DataFrame = keys
+      .select(explode(array(depths.map(j =>
+        struct(lit(j).as("j"), cmsBucket16(j, col("k")).as("b"))): _*)).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.b").as("b"))
+      .agg(count(lit(1)).as("c"))
+    val skL = sketch(Tables.lineitem(s, d)
+      .select(col("l_orderkey").cast("string").as("k")))
+    val skO = sketch(Tables.orders(s, d)
+      .select(col("o_orderkey").cast("string").as("k")))
+    val est = skL.select(col("j"), col("b"), col("c").as("cl"))
+      .join(skO.select(col("j"), col("b"), col("c").as("co")), Seq("j", "b"))
+      .groupBy(col("j")).agg(sum(col("cl") * col("co")).as("e"))
+      .agg(min(col("e")).as("est_pairs"))
+    val exact = Tables.lineitem(s, d).select(col("l_orderkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("exact_pairs"))
+    exact.crossJoin(broadcast(est))
+      .select(col("exact_pairs"), col("est_pairs"),
+        round(col("est_pairs").cast("double") /
+          col("exact_pairs").cast("double"), 6).as("overshoot"))
+  }
+
+  private val joinSizeEstimateSql =
+    s"""WITH lu AS (SELECT CAST(l_orderkey AS VARCHAR) AS k, COUNT(*) AS n
+       |      FROM lineitem GROUP BY 1),
+       |ou AS (SELECT CAST(o_orderkey AS VARCHAR) AS k, COUNT(*) AS n
+       |      FROM orders GROUP BY 1),
+       |lh AS (SELECT k, n, j, ${cmsHash4Sql("j", "k")} AS h4
+       |      FROM lu, (SELECT unnest(generate_series(0, 2)) AS j) g),
+       |oh AS (SELECT k, n, j, ${cmsHash4Sql("j", "k")} AS h4
+       |      FROM ou, (SELECT unnest(generate_series(0, 2)) AS j) g),
+       |cl AS (SELECT j, ${cmsBucket16Sql("h4")} AS b, SUM(n) AS c FROM lh GROUP BY 1, 2),
+       |co AS (SELECT j, ${cmsBucket16Sql("h4")} AS b, SUM(n) AS c FROM oh GROUP BY 1, 2),
+       |est AS (SELECT MIN(e) AS est_pairs FROM (
+       |    SELECT l.j, SUM(l.c * o.c) AS e
+       |    FROM cl l JOIN co o ON l.j = o.j AND l.b = o.b GROUP BY l.j)),
+       |ex AS (SELECT COUNT(*) AS exact_pairs
+       |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+       |SELECT CAST(exact_pairs AS BIGINT) AS exact_pairs,
+       |       CAST(est_pairs AS BIGINT) AS est_pairs,
+       |       ROUND(CAST(est_pairs AS DOUBLE) / CAST(exact_pairs AS DOUBLE), 6)
+       |         AS overshoot
+       |FROM ex, est""".stripMargin
+
   /** The q114 profile column set — one place so the Spark projection
     * and the generated oracle can never drift. */
   private val profileCols =
@@ -1482,6 +1565,8 @@ object StatsOps {
       "log-histogram quantile sketch percentiles (B37 #4) with a bit-exact integer oracle"),
     QueryDef("q116_countmin_freq", countMinFreq, Some(countMinFreqSql),
       "count-min sketch point-frequency estimates (B37 #5) vs exact counts, md5-exact oracle"),
+    QueryDef("q200_join_size_estimate", joinSizeEstimate, Some(joinSizeEstimateSql),
+      "join-cardinality estimation: CM inner product (min over depths) vs the exact join count"),
     QueryDef("q89_percentile_summary", percentileSummary, Some(percentileSummarySql),
       "exact group percentiles (sort-based; approx twin is q27)"),
     QueryDef("q90_regression_stats", regressionStats, Some(regressionStatsSql),
