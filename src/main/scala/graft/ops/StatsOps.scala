@@ -549,6 +549,58 @@ object StatsOps {
        |WHERE value > mean + CAST(3.0 AS DOUBLE)*std
        |ORDER BY events.event_type, event_id""".stripMargin
 
+  /** q201: ROBUST outlier gate — median/MAD where q99 uses mean/σ:
+    * the modified z-score (Iglewicz–Hoaglin, 0.6745·(x−med)/MAD > 3.5)
+    * that survives the exact failure mode 3σ gates have on heavy
+    * tails — the outliers themselves inflate σ and hide each other,
+    * while the median and the median absolute deviation have 50%
+    * breakdown. Two grouped exact-percentile passes (q89's graded
+    * sort-per-group posture; at 100 TB the production swap is
+    * approx_percentile, same plan shape) with the medians ROUND(6)ed
+    * BEFORE the deviation/threshold arithmetic so both engines
+    * compare bit-identical doubles — interpolated medians are the one
+    * place the two engines' FMA orders could differ by an ulp, and a
+    * threshold count must never hang on an ulp.
+    *
+    * Output: the per-type dashboard (n, median, MAD, outlier count,
+    * max modified z) — the monitoring row a drift system keys alerts
+    * on. Everything shuffles once on event_type. */
+  def madOutliers(s: SparkSession, d: String): DataFrame = {
+    val med = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5)"), 6).as("med"))
+    val dev = Tables.events(s, d)
+      .join(broadcast(med), Seq("event_type"))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val mad = dev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(dev, 0.5)"), 6).as("mad"))
+    dev.join(broadcast(mad), Seq("event_type"))
+      .withColumn("mz", col("dev") * 0.6745 / col("mad"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("median"),
+        first(col("mad")).as("mad"),
+        sum(when(col("mz") > 3.5, 1L).otherwise(0L)).as("n_outliers"),
+        round(max(col("mz")), 6).as("max_mz"))
+      .orderBy(col("event_type"))
+  }
+
+  private val madOutliersSql =
+    """WITH med AS (SELECT event_type,
+      |    ROUND(quantile_cont(value, 0.5), 6) AS med
+      |  FROM events GROUP BY event_type),
+      |dev AS (SELECT e.event_type, ABS(e.value - m.med) AS dev, m.med
+      |  FROM events e JOIN med m ON e.event_type = m.event_type),
+      |mad AS (SELECT event_type, ROUND(quantile_cont(dev, 0.5), 6) AS mad
+      |  FROM dev GROUP BY event_type)
+      |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |       ANY_VALUE(d.med) AS median, ANY_VALUE(a.mad) AS mad,
+      |       CAST(SUM(CASE WHEN d.dev * 0.6745 / a.mad > 3.5
+      |            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       ROUND(MAX(d.dev * 0.6745 / a.mad), 6) AS max_mz
+      |FROM dev d JOIN mad a ON d.event_type = a.event_type
+      |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
+
   /** Pointwise mutual information over adjacent word pairs — the
     * collocation detector ("which words travel together?") that
     * tokenizer and phrase-mining pipelines run before vocabulary
@@ -1567,6 +1619,8 @@ object StatsOps {
       "count-min sketch point-frequency estimates (B37 #5) vs exact counts, md5-exact oracle"),
     QueryDef("q200_join_size_estimate", joinSizeEstimate, Some(joinSizeEstimateSql),
       "join-cardinality estimation: CM inner product (min over depths) vs the exact join count"),
+    QueryDef("q201_mad_outliers", madOutliers, Some(madOutliersSql),
+      "robust median/MAD outlier gate (modified z > 3.5) — the heavy-tail-safe twin of q99"),
     QueryDef("q89_percentile_summary", percentileSummary, Some(percentileSummarySql),
       "exact group percentiles (sort-based; approx twin is q27)"),
     QueryDef("q90_regression_stats", regressionStats, Some(regressionStatsSql),

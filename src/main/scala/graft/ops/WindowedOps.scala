@@ -424,13 +424,19 @@ object WindowedOps {
     * shuffle for phases 1+3, and a ≤|hours|-row global pass — the
     * generic recipe for ANY running-total analytic at 100 TB
     * (cumulative revenue, live-user curves, storage watermarks). */
-  def maxConcurrency(s: SparkSession, d: String): DataFrame = {
-    val deltas = Tables.events(s, d)
+  /** q198's ±1 session-endpoint deltas — shared VERBATIM with the
+    * streaming twin (StreamingOps.concurrencyHourlyNets), so the
+    * online hourly nets and the batch sweep can never drift. */
+  private[graft] def concurrencyDeltas(events: DataFrame): DataFrame =
+    events
       .select(explode(array(
         struct(col("ts").as("t"), lit(1L).as("delta")),
         struct((col("ts") + expr("INTERVAL 30 MINUTES")).as("t"),
           lit(-1L).as("delta")))).as("e"))
       .select(col("e.t").as("t"), col("e.delta").as("delta"))
+
+  def maxConcurrency(s: SparkSession, d: String): DataFrame = {
+    val deltas = concurrencyDeltas(Tables.events(s, d))
       .withColumn("hstart", date_trunc("hour", col("t")))
     val wHourly = Window.orderBy(col("hstart"))
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -369,6 +369,23 @@ object StreamingOps {
         col("imp_ts"), col("click_ts"))
   }
 
+  /** q198-streaming: the online phase of the sweep-line concurrency
+    * analytic — per-hour net session deltas and edge counts from the
+    * SAME ±1 endpoint construction the batch op uses
+    * (WindowedOps.concurrencyDeltas, shared verbatim), watermarked so
+    * an hour's net finalizes one hour after its last possible
+    * endpoint. The bounded hour-grain prefix pass (each hour's opening
+    * concurrency) stays a downstream batch step over these nets —
+    * running totals across an unbounded stream are exactly what the
+    * distributed decomposition keeps OUT of per-event state: the
+    * stream maintains ≤ one (net, n_edges) pair per open hour. */
+  def concurrencyHourlyNets(events: DataFrame): DataFrame =
+    graft.ops.WindowedOps.concurrencyDeltas(events)
+      .withWatermark("t", "1 hour")
+      .groupBy(window(col("t"), "1 hour"))
+      .agg(sum(col("delta")).as("net"), count(lit(1)).as("n_edges"))
+      .select(col("window.start").as("hstart"), col("net"), col("n_edges"))
+
   /** A11-streaming: continuous import. Each micro-batch appends to the
     * RDBMS through the same batched JDBC writer the batch path uses —
     * the incremental-import story for a continuously-arriving dump

@@ -40,6 +40,43 @@ class StreamingSpec extends AnyFunSuite with LocalSparkSuite {
     } finally q.stop()
   }
 
+  test("q198-streaming: hourly concurrency nets match the batch deltas, late endpoints dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.concurrencyHourlyNets(in.toDF())
+      .writeStream.outputMode("append").format("memory").queryName("conc").start()
+    try {
+      // two sessions opening 10:05/10:50: the 10:05 one CLOSES inside
+      // the 10:00 hour (+1/-1 net 0 there), the 10:50 one closes in
+      // the 11:00 hour (net +1 then -1)
+      in.addData(
+        Ev(1, ts("2024-01-01 10:05:00"), 1, "view", 1.0),
+        Ev(2, ts("2024-01-01 10:50:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(3, ts("2024-01-01 14:00:00"), 1, "click", 1.0))
+      q.processAllAvailable()
+      // a late session into the long-closed 10:00 hour must be dropped
+      in.addData(Ev(4, ts("2024-01-01 10:10:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      in.addData(Ev(5, ts("2024-01-01 17:00:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("conc").collect()
+        .map(r => r.getTimestamp(0).toString -> (r.getLong(1), r.getLong(2))).toMap
+      assert(out("2024-01-01 10:00:00.0") === (1L, 3L)) // +1+1-1; row 4 dropped
+      assert(out("2024-01-01 11:00:00.0") === (-1L, 1L)) // 10:50 session closes
+      // and the SAME data through the batch construction ties out
+      val batch = graft.ops.WindowedOps.concurrencyDeltas(
+        Seq(Ev(1, ts("2024-01-01 10:05:00"), 1, "view", 1.0),
+          Ev(2, ts("2024-01-01 10:50:00"), 1, "view", 1.0)).toDF())
+        .groupBy(date_trunc("hour", col("t")).as("h"))
+        .agg(sum(col("delta")).as("net")).collect()
+        .map(r => r.getTimestamp(0).toString -> r.getLong(1)).toMap
+      assert(batch("2024-01-01 10:00:00.0") === 1L &&
+        batch("2024-01-01 11:00:00.0") === -1L)
+    } finally q.stop()
+  }
+
   test("B40 session_window runs under readStream with a watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
