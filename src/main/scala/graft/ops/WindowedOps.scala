@@ -546,7 +546,77 @@ object WindowedOps {
        |ORDER BY split""".stripMargin
   }
 
+  /** q204: LINEAR multi-touch attribution — q194's other operating
+    * point: instead of crediting the last touch, the purchase value
+    * splits EQUALLY across every touch (click/view/signup) by the
+    * same user within the 7-day lookback; touchless purchases stay
+    * 'direct' at full value. Shape: a user-keyed self-band-join
+    * (purchases × touches, 0 < Δt ≤ 7 d) — NO window function at all,
+    * so the op has no ordering sensitivity: ties, duplicates, and
+    * arrival order cannot change a credit. Per-purchase touch counts
+    * come from the same join, and the per-channel dashboard
+    * aggregates credited value.
+    *
+    * Scale shape: ONE shuffle on user_id for the band join (per-user
+    * volumes bound the pair fan-out; at 100 TB a skewed user salts
+    * exactly like q92), then a ≤4-group rollup. The credit division
+    * value/n is one IEEE op on exact inputs — identical cross-engine;
+    * the DECIMAL(28,8) exact-sum pattern absorbs the accumulation. */
+  def linearAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"),
+        col("ts").as("pts"), col("value").as("pv"))
+    val touches = ev.filter(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id").as("tu"), col("ts").as("tts"),
+        col("event_type").as("channel"))
+    val joined = purchases.join(touches,
+      col("pu") === col("tu") &&
+        col("tts") < col("pts") &&
+        unix_micros(col("pts")) - unix_micros(col("tts")) <= 7L * 86400 * 1000000,
+      "left")
+    val counted = joined.groupBy(col("pid"), col("pv"))
+      .agg(count(col("channel")).as("n_touches"))
+    val credited = joined.filter(col("channel").isNotNull)
+      .join(counted.select(col("pid"), col("n_touches")).hint("shuffle_hash"),
+        Seq("pid"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        dsum(col("pv") / col("n_touches")).as("credited_value"))
+    val direct = counted.filter(col("n_touches") === 0)
+      .agg(count(lit(1)).as("n_credits"), dsum(col("pv")).as("credited_value"))
+      .select(lit("direct").as("channel"), col("n_credits"), col("credited_value"))
+    credited.unionByName(direct)
+      .filter(col("n_credits") > 0)
+      .orderBy(col("channel"))
+  }
+
+  private lazy val linearAttributionSql = {
+    val lookbackUs = 7L * 86400 * 1000000
+    s"""WITH p AS (SELECT event_id AS pid, user_id AS pu, ts AS pts, value AS pv
+       |      FROM events WHERE event_type = 'purchase'),
+       |t AS (SELECT user_id AS tu, ts AS tts, event_type AS channel
+       |      FROM events WHERE event_type IN ('click','view','signup')),
+       |j AS (SELECT p.pid, p.pv, t.channel
+       |      FROM p LEFT JOIN t ON p.pu = t.tu AND t.tts < p.pts
+       |        AND epoch_us(p.pts) - epoch_us(t.tts) <= $lookbackUs),
+       |c AS (SELECT pid, pv, COUNT(channel) AS n_touches FROM j GROUP BY pid, pv),
+       |cr AS (SELECT j.channel, COUNT(*) AS n_credits,
+       |        ${dsumSql("j.pv / c.n_touches")} AS credited_value
+       |       FROM j JOIN c ON j.pid = c.pid
+       |       WHERE j.channel IS NOT NULL GROUP BY j.channel),
+       |dr AS (SELECT 'direct' AS channel, COUNT(*) AS n_credits,
+       |        ${dsumSql("pv")} AS credited_value
+       |       FROM c WHERE n_touches = 0)
+       |SELECT channel, CAST(n_credits AS BIGINT) AS n_credits, credited_value
+       |FROM (SELECT * FROM cr UNION ALL SELECT * FROM dr)
+       |WHERE n_credits > 0
+       |ORDER BY channel""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q204_linear_attribution", linearAttribution, Some(linearAttributionSql),
+      "linear multi-touch attribution: equal credit across 7-day-lookback touches, no window"),
     QueryDef("q198_max_concurrency", maxConcurrency, Some(maxConcurrencySql),
       "sweep-line peak concurrency per hour: distributed prefix sum (hour-grain global + local)"),
     QueryDef("q199_temporal_embargo", temporalEmbargo, Some(temporalEmbargoSql),
