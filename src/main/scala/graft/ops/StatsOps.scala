@@ -1594,7 +1594,57 @@ object StatsOps {
       |WHERE c.n_users >= 5
       |ORDER BY c.event_type, c.hr""".stripMargin
 
+  /** q205: l-DIVERSITY release gate — the attack q185's k-anonymity
+    * alone cannot stop: a cell can have ≥5 distinct users who all
+    * share one sensitive value, so group membership still discloses
+    * it (homogeneity attack). The gate adds the diversity axis:
+    * a (event_type, hour) cell releases only when BOTH n_users ≥ 5
+    * (k-anonymity) AND the sensitive attribute — the value vigintile
+    * bucket floor(value/20), standing in for any sensitive column —
+    * shows ≥3 distinct levels (l = 3). Suppressions are reported per
+    * type SPLIT BY REASON (k-fail vs l-fail-only), the number a
+    * privacy review actually asks for: how much data the stronger
+    * gate costs beyond the weaker one.
+    *
+    * Scale shape: identical to q185 — one grouped pass (two distinct
+    * aggregates), a ≤|types| rollup broadcast back. */
+  def lDiversity(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.events(s, d)
+      .groupBy(col("event_type"), hour(col("ts")).as("hr"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(floor(col("value") / 20)).as("n_levels"))
+    val sup = cells.groupBy(col("event_type"))
+      .agg(sum(when(col("n_users") < 5, 1L).otherwise(0L)).as("sup_k"),
+        sum(when(col("n_users") >= 5 && col("n_levels") < 3, 1L).otherwise(0L))
+          .as("sup_l_only"))
+    cells.filter(col("n_users") >= 5 && col("n_levels") >= 3)
+      .join(broadcast(sup), Seq("event_type"))
+      .select(col("event_type"), col("hr"), col("n_events"),
+        col("n_users"), col("n_levels"), col("sup_k"), col("sup_l_only"))
+      .orderBy(col("event_type"), col("hr"))
+  }
+
+  private val lDiversitySql =
+    """WITH cells AS (SELECT event_type,
+      |    CAST(extract(hour FROM ts) AS INT) AS hr,
+      |    COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+      |    COUNT(DISTINCT floor(value / 20)) AS n_levels
+      |  FROM events GROUP BY 1, 2),
+      |sup AS (SELECT event_type,
+      |    CAST(SUM(CASE WHEN n_users < 5 THEN 1 ELSE 0 END) AS BIGINT) AS sup_k,
+      |    CAST(SUM(CASE WHEN n_users >= 5 AND n_levels < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS sup_l_only
+      |  FROM cells GROUP BY 1)
+      |SELECT c.event_type, c.hr, c.n_events, c.n_users,
+      |       CAST(c.n_levels AS BIGINT) AS n_levels, s.sup_k, s.sup_l_only
+      |FROM cells c JOIN sup s USING (event_type)
+      |WHERE c.n_users >= 5 AND c.n_levels >= 3
+      |ORDER BY c.event_type, c.hr""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q205_l_diversity", lDiversity, Some(lDiversitySql),
+      "l-diversity release gate: k-anonymity plus >=3 sensitive levels, suppression split by reason"),
     QueryDef("q185_k_anonymity", kAnonymity, Some(kAnonymitySql),
       "k-anonymity release gate: per-cell aggregates suppressed below 5 distinct users"),
     QueryDef("q162_length_drift_ks", lengthDriftKs, Some(lengthDriftKsSql),
