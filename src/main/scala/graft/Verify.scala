@@ -15,6 +15,17 @@ object Verify {
       .config(Tables.NanosConf, "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // The eval-query-cap knobs change the Spark-side query SET for the
+    // recall/grading queries (q109/q175/q182/q192…) while every DuckDB
+    // twin hard-codes the full %100 protocol — a capped Verify run
+    // would surface as an opaque hash mismatch instead of a clear
+    // error. They are bench-scale-run knobs only; refuse to dump.
+    require(sys.env.get("SPARK_GRAFT_EVAL_QUERY_CAP").isEmpty,
+      "SPARK_GRAFT_EVAL_QUERY_CAP is a scale-bench knob; it diverges " +
+        "from the DuckDB oracles — unset it for Verify runs")
+    require(spark.conf.getOption("spark.graft.evalQueryCap").isEmpty,
+      "spark.graft.evalQueryCap diverges from the DuckDB oracles — " +
+        "unset it for Verify runs")
     new java.io.File(outDir).mkdirs()
     // iteration knob (not used by the driver): restrict to a
     // comma-separated query-name list

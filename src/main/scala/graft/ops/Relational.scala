@@ -818,7 +818,10 @@ object Relational {
   /** q193: z-order data-layout audit — the file-skipping arithmetic
     * behind Delta/Iceberg `OPTIMIZE ZORDER BY` and parquet min/max
     * pruning, measured inside the engine. Orders map to a 4096×4096
-    * grid (x = days since 1995-01-01, y = o_custkey mod 4096); three
+    * grid (x = days since 1992-01-01 — the corpus's earliest
+    * orderdate, so every x is non-negative and the max ~2405 fits the
+    * 4096 axis with no two's-complement wrap into phantom cells;
+    * y = o_custkey mod 4096); three
     * writer layouts assign each row a "file":
     *   - `zorder`     — top 6 bits of the 24-bit Morton interleave,
     *     i.e. one file per quadtree cell (what a z-order writer's
@@ -828,7 +831,9 @@ object Relational {
     *   - `roundrobin` — o_orderkey mod 64, the no-layout baseline
     *     every unsorted ingest degenerates to.
     * For the canonical two-dimensional slice (order year 1996 AND
-    * customer band y < 512) the query reports, per layout, how many
+    * customer band y < 512 — the year bounds are day offsets FROM THE
+    * SAME EPOCH, [1461, 1827), so the leap day 1996-12-31 is inside
+    * the slice) the query reports, per layout, how many
     * files a min/max-pruning scanner opens, the rows it reads, and
     * the read amplification vs the true match count. The zorder
     * layout bounds BOTH dimensions per file; datesorted bounds only
@@ -844,7 +849,7 @@ object Relational {
   def zorderLayout(s: SparkSession, d: String): DataFrame = {
     val pts = Tables.orders(s, d).select(
       col("o_orderkey").as("k"),
-      datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long").as("x"),
+      datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast("long").as("x"),
       (col("o_custkey") % 4096).as("y"))
     val z = (0 until 12).map(i =>
       s"(shiftleft(cast(shiftright(x, $i) & 1 as bigint), ${2 * i}) + " +
@@ -852,14 +857,14 @@ object Relational {
     val graded = pts
       .withColumn("z", expr(z))
       .withColumn("matched",
-        (col("x") >= 365 && col("x") < 730 && col("y") < 512).cast("long"))
+        (col("x") >= 1461 && col("x") < 1827 && col("y") < 512).cast("long"))
     def layout(name: String, fileCol: Column): DataFrame =
       graded.groupBy(fileCol.as("f"))
         .agg(min(col("x")).as("xlo"), max(col("x")).as("xhi"),
           min(col("y")).as("ylo"), max(col("y")).as("yhi"),
           count(lit(1)).as("nrows"), sum(col("matched")).as("m"))
         .withColumn("scanned",
-          (col("xlo") < 730 && col("xhi") >= 365 && col("ylo") < 512).cast("long"))
+          (col("xlo") < 1827 && col("xhi") >= 1461 && col("ylo") < 512).cast("long"))
         .agg(
           count(lit(1)).as("files_total"),
           sum(col("scanned")).as("files_scanned"),
@@ -888,16 +893,16 @@ object Relational {
          |       ROUND(CAST(SUM(scanned * nrows) AS DOUBLE) /
          |             CAST(SUM(m) AS DOUBLE), 4) AS read_amp
          |FROM (SELECT $fileExpr AS f,
-         |        CASE WHEN MIN(x) < 730 AND MAX(x) >= 365 AND MIN(y) < 512
+         |        CASE WHEN MIN(x) < 1827 AND MAX(x) >= 1461 AND MIN(y) < 512
          |             THEN 1 ELSE 0 END AS scanned,
          |        COUNT(*) AS nrows, SUM(matched) AS m
          |      FROM graded GROUP BY 1)""".stripMargin
     s"""WITH pts AS (SELECT o_orderkey AS k,
-       |        CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
+       |        CAST(date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS x,
        |        o_custkey % 4096 AS y
        |      FROM orders),
        |graded AS (SELECT k, x, y, $z AS z,
-       |        CASE WHEN x >= 365 AND x < 730 AND y < 512 THEN 1 ELSE 0 END AS matched
+       |        CASE WHEN x >= 1461 AND x < 1827 AND y < 512 THEN 1 ELSE 0 END AS matched
        |      FROM pts)
        |${layout("zorder", "z >> 18")}
        |UNION ALL

@@ -562,6 +562,12 @@ object StatsOps {
     * place the two engines' FMA orders could differ by an ulp, and a
     * threshold count must never hang on an ulp.
     *
+    * MAD=0 (≥50% of a type's values equal the median — constant or
+    * heavily-discretized streams) is gated, not divided: the modified
+    * z is defined as 0 there, so the gate reports 0 outliers instead
+    * of Infinity/NaN rows, and engines whose float division by zero
+    * differs (older DuckDB returned NULL) can never diverge.
+    *
     * Output: the per-type dashboard (n, median, MAD, outlier count,
     * max modified z) — the monitoring row a drift system keys alerts
     * on. Everything shuffles once on event_type. */
@@ -575,7 +581,8 @@ object StatsOps {
     val mad = dev.groupBy(col("event_type"))
       .agg(round(expr("percentile(dev, 0.5)"), 6).as("mad"))
     dev.join(broadcast(mad), Seq("event_type"))
-      .withColumn("mz", col("dev") * 0.6745 / col("mad"))
+      .withColumn("mz",
+        when(col("mad") > 0, col("dev") * 0.6745 / col("mad")).otherwise(0.0))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
         first(col("med")).as("median"),
@@ -595,9 +602,10 @@ object StatsOps {
       |  FROM dev GROUP BY event_type)
       |SELECT d.event_type, CAST(COUNT(*) AS BIGINT) AS n,
       |       ANY_VALUE(d.med) AS median, ANY_VALUE(a.mad) AS mad,
-      |       CAST(SUM(CASE WHEN d.dev * 0.6745 / a.mad > 3.5
+      |       CAST(SUM(CASE WHEN a.mad > 0 AND d.dev * 0.6745 / a.mad > 3.5
       |            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-      |       ROUND(MAX(d.dev * 0.6745 / a.mad), 6) AS max_mz
+      |       ROUND(MAX(CASE WHEN a.mad > 0 THEN d.dev * 0.6745 / a.mad
+      |            ELSE 0 END), 6) AS max_mz
       |FROM dev d JOIN mad a ON d.event_type = a.event_type
       |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin
 

@@ -162,12 +162,18 @@ object TextOps {
     * counts broadcast-join in. No text ever shuffles — only 16-byte
     * hashes (the q181/q86 rule). */
   def boilerplateStrip(s: SparkSession, d: String): DataFrame = {
+    // Null/empty docs are excluded BEFORE the fixture explode and the
+    // sequence bound is clamped at 0: Spark's sequence(0,-1) yields a
+    // DESCENDING [0,-1] (phantom lines) where DuckDB's generate_series
+    // is empty — unreachable while split() returns ≥1 token, but a
+    // null text doc must not be the thing that proves that.
     val lines = Tables.documents(s, d)
+      .filter(col("text").isNotNull && length(col("text")) > 0)
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), col("source"), explode(expr(
         "concat(" +
           "array(concat('about ', source, ' terms ', source, ' contact')), " +
-          "transform(sequence(0, CAST(ceil(size(t)/12.0) AS INT) - 1), " +
+          "transform(sequence(0, greatest(0, CAST(ceil(size(t)/12.0) AS INT) - 1)), " +
           "  i -> array_join(slice(t, i*12+1, 12), ' ')), " +
           "array(concat('copyright ', source, ' all rights')))")).as("line"))
       .select(col("doc_id"), col("source"), md5(col("line")).as("k"))
@@ -188,11 +194,12 @@ object TextOps {
   }
 
   private val boilerplateStripSql =
-    """WITH lt AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    """WITH lt AS (SELECT doc_id, source, string_split(text, ' ') AS t
+      |  FROM documents WHERE text IS NOT NULL AND text <> ''),
       |ln AS (SELECT doc_id, source,
       |    md5(unnest(list_concat(list_concat(
       |      ['about ' || source || ' terms ' || source || ' contact'],
-      |      list_transform(generate_series(0, CAST(ceil(len(t)/12.0) AS BIGINT) - 1),
+      |      list_transform(generate_series(0, greatest(0, CAST(ceil(len(t)/12.0) AS BIGINT) - 1)),
       |        i -> array_to_string(list_slice(t, i*12+1, i*12+12), ' '))),
       |      ['copyright ' || source || ' all rights']))) AS k
       |  FROM lt),

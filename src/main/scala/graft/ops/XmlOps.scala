@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.ingest.MediaWikiXml
+
+/** The graded leg of the XML ingest surface (VERDICT_r14 #1): A1–A9 —
+  * the reference's actual identity — were spec-verified only because
+  * the driver testdata carries no XML. q206 closes that the way q189
+  * closed the audio decoder and q190 the JDBC sink: the query
+  * SYNTHESIZES a deterministic mini MediaWiki dump per row from a
+  * closed-form generator, parses it with `from_xml` against the
+  * DECLARED schema ([[MediaWikiXml.pageSchema]], shared verbatim with
+  * the file reader), and flattens through the REAL extraction path
+  * ([[MediaWikiXml.flattenRevisions]] — the same function the dump
+  * ingest runs). The DuckDB oracle never sees XML: it recomputes every
+  * extracted field directly from the generator's arithmetic, so any
+  * deviation in schema binding, attribute decode (`redirect@title`,
+  * `text@bytes`, `text@deleted`), the contributor tagged union,
+  * presence-as-boolean (`<minor/>`), ISO-8601 timestamp parsing, or
+  * the explode-normalize step breaks the hash match.
+  *
+  * XmlOpsSpec additionally pins graded-path ≡ real-dump-path: the same
+  * generated pages serialized to an .xml file and read back through
+  * [[MediaWikiXml.readPages]] flatten to the identical frame, so the
+  * oracle's verdict transfers to the file reader.
+  */
+object XmlOps {
+
+  /** The closed-form mini-dump generator, as a Spark SQL expression
+    * over a BIGINT column `pid`. Variation axes (all public MediaWiki
+    * export-0.10 semantics, SURVEY.md §0.2): namespace cycle {0,2,4},
+    * redirect every 7th page, restrictions every 11th, 1–3 revisions,
+    * parentid chains, anon-IP contributor every 5th (page,rev), minor
+    * presence every other, comment omission every other, deleted text
+    * every 13th, `bytes` = true byte length of the wikitext body.
+    * Everything generated is ASCII with no `&<>"` so no XML-escaping
+    * layer hides between the two engines. */
+  private val pageXmlExpr: String =
+    """concat(
+      |  '<page><title>Page ', pid, '</title><ns>', (pid % 3) * 2,
+      |  '</ns><id>', pid, '</id>',
+      |  CASE WHEN pid % 7 = 0
+      |       THEN concat('<redirect title="Page ', pid + 1, '" />') ELSE '' END,
+      |  CASE WHEN pid % 11 = 0
+      |       THEN '<restrictions>edit=sysop</restrictions>' ELSE '' END,
+      |  array_join(transform(sequence(0, CAST(pid % 3 AS INT)), r -> concat(
+      |    '<revision><id>', pid * 10 + r + 1, '</id>',
+      |    CASE WHEN r > 0 THEN concat('<parentid>', pid * 10 + r, '</parentid>')
+      |         ELSE '' END,
+      |    '<timestamp>',
+      |    date_format(timestampadd(MINUTE, CAST((pid * 7 + r * 131) % 525600 AS INT),
+      |                timestamp'2020-01-01 00:00:00'), "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+      |    '</timestamp><contributor>',
+      |    CASE WHEN (pid + r) % 5 = 0
+      |         THEN concat('<ip>10.', pid % 256, '.0.', r + 1, '</ip>')
+      |         ELSE concat('<username>user_', (pid * 13 + r) % 50,
+      |                     '</username><id>', (pid * 13 + r) % 50, '</id>') END,
+      |    '</contributor>',
+      |    CASE WHEN (pid + r) % 2 = 0 THEN '<minor />' ELSE '' END,
+      |    CASE WHEN r % 2 = 0 THEN concat('<comment>edit ', r, '</comment>')
+      |         ELSE '' END,
+      |    '<model>wikitext</model><format>text/x-wiki</format>',
+      |    CASE WHEN (pid + r) % 13 = 0 THEN '<text deleted="deleted" />'
+      |         ELSE concat('<text bytes="',
+      |                     length(concat('content of page ', pid, ' rev ', r)),
+      |                     '" xml:space="preserve">content of page ', pid,
+      |                     ' rev ', r, '</text>') END,
+      |    '<sha1>sig', pid * 10 + r + 1, '</sha1></revision>')), ''),
+      |  '</page>')""".stripMargin
+
+  /** The generated `<page>` documents at page grain — also the fixture
+    * XmlOpsSpec serializes to disk for the file-reader parity pin. */
+  def generatedPages(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id").cast("long").as("pid"))
+      .withColumn("x", expr(pageXmlExpr))
+
+  /** q206: XML INGEST under the oracle — synthesize, parse, flatten.
+    * Scale shape: ONE map-only projection (generator + from_xml +
+    * explode are all per-row, no shuffle until the output sort), which
+    * is exactly the dump-ingest plan A1–A8 run on real files. */
+  def xmlIngest(s: SparkSession, d: String): DataFrame = {
+    val parsed = generatedPages(s, d)
+      .select(from_xml(col("x"), MediaWikiXml.pageSchema).as("p"))
+      .select(col("p.*"))
+    MediaWikiXml.flattenRevisions(parsed)
+      .orderBy(col("page_id"), col("rev_id"))
+  }
+
+  private val xmlIngestSql =
+    """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS pid FROM documents),
+      |rev AS (SELECT pid, unnest(generate_series(0, pid % 3)) AS r FROM p)
+      |SELECT
+      |  pid AS page_id,
+      |  CAST((pid % 3) * 2 AS INT) AS ns,
+      |  'Page ' || pid AS title,
+      |  pid % 7 = 0 AS is_redirect,
+      |  CASE WHEN pid % 7 = 0 THEN 'Page ' || (pid + 1) END AS redirect_title,
+      |  CASE WHEN pid % 11 = 0 THEN 'edit=sysop' END AS restrictions,
+      |  CAST(pid * 10 + r + 1 AS BIGINT) AS rev_id,
+      |  CAST(CASE WHEN r > 0 THEN pid * 10 + r END AS BIGINT) AS parent_id,
+      |  TIMESTAMP '2020-01-01 00:00:00'
+      |    + ((pid * 7 + r * 131) % 525600) * INTERVAL 1 MINUTE AS ts,
+      |  CASE WHEN (pid + r) % 5 <> 0
+      |       THEN 'user_' || ((pid * 13 + r) % 50) END AS contributor_name,
+      |  CAST(CASE WHEN (pid + r) % 5 <> 0
+      |       THEN (pid * 13 + r) % 50 END AS BIGINT) AS contributor_id,
+      |  CASE WHEN (pid + r) % 5 = 0
+      |       THEN '10.' || (pid % 256) || '.0.' || (r + 1) END AS contributor_ip,
+      |  (pid + r) % 5 = 0 AS is_anon,
+      |  (pid + r) % 2 = 0 AS is_minor,
+      |  CASE WHEN r % 2 = 0 THEN 'edit ' || r END AS "comment",
+      |  'wikitext' AS model,
+      |  'text/x-wiki' AS "format",
+      |  CASE WHEN (pid + r) % 13 <> 0
+      |       THEN 'content of page ' || pid || ' rev ' || r END AS text,
+      |  CAST(CASE WHEN (pid + r) % 13 <> 0
+      |       THEN length('content of page ' || pid || ' rev ' || r) END
+      |       AS BIGINT) AS text_bytes,
+      |  'sig' || (pid * 10 + r + 1) AS sha1
+      |FROM rev ORDER BY page_id, rev_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q206_xml_ingest", xmlIngest, Some(xmlIngestSql),
+      "A1-A9 under the oracle: synthesized mini dump -> from_xml -> flatten"))
+}
