@@ -14,7 +14,7 @@ object SparkEntry {
     ops.Relational.defs ++ ops.TextOps.defs ++ ops.VectorOps.defs ++
       ops.WindowedOps.defs ++ ops.UdfOps.defs ++ ops.MultimodalOps.defs ++
       ops.CurationOps.defs ++ ops.StatsOps.defs ++ ops.WikitextOps.defs ++
-      ops.SinkOps.defs ++ ops.XmlOps.defs
+      ops.SinkOps.defs ++ ops.XmlOps.defs ++ ops.StreamGradedOps.defs
 
   /** Flagship query (broadcast star join → agg → sort) on sf0.001;
     * driver smoke-checks rows > 0. */
