@@ -714,6 +714,119 @@ object VectorOps {
        |        AND a.label IN (SELECT label FROM probe)) p
        |ORDER BY cos_sim DESC, vec_id LIMIT 5""".stripMargin
 
+  /** Exact per-cell means of an assigned (label, embedding) frame —
+    * one Lloyd M-step. Arithmetic is the [[ivfCentroids]] posture
+    * verbatim: per-coordinate exact DECIMAL(28,8) sum landed in double
+    * (dsum), ONE IEEE double division by the count — so the "training"
+    * replays bit-identically in the oracle. */
+  private[graft] def lloydMeans(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("label"), posexplode(col("embedding")))
+      .groupBy(col("label"), col("pos"))
+      .agg(dsum(col("col").cast("double")).as("csum"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), (col("csum") / col("n")).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
+      .withColumn("cnorm", dotFast(col("cv"), col("cv")))
+
+  /** One Lloyd E-step: every vector to its nearest cell under the
+    * given quantizer (the q156 assignment shape — broadcast index,
+    * map-side scoring, skew-free argmin window). */
+  private[graft] def lloydAssign(s: SparkSession, d: String,
+      cents: DataFrame): DataFrame = {
+    val aw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("score"), col("label"))
+    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("embedding"), col("label"),
+        (col("cnorm") - lit(2.0) * dotFast(col("embedding"), col("cv"))).as("score"))
+      .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("label"))
+  }
+
+  /** TRAINED quantizer, oracle-expressible (VERDICT_r14 #6): k-means
+    * with the one engine-internal degree of freedom — initialization —
+    * pinned to the label-proxy centroids, and a FIXED 2 Lloyd
+    * iterations. Returns the same (label, cv, cnorm) shape as
+    * [[ivfCentroids]]/[[ivfCentroidsLearned]], so the whole serving
+    * stack (scoring, assignment, the recall harness) can run on a
+    * LEARNED codebook whose training is itself under the hash gate —
+    * closing the gap where the only trained quantizer was
+    * driver-resident MLlib state gradable by spec alone. */
+  private[graft] def lloydCentroids(s: SparkSession, d: String): DataFrame = {
+    val c1 = lloydMeans(lloydAssign(s, d, ivfCentroids(s, d)))
+    lloydMeans(lloydAssign(s, d, c1))
+  }
+
+  /** q208: the Lloyd TRAINING TRAJECTORY under the oracle — per cell:
+    * membership after the first E-step (grades the init means),
+    * membership after the second (grades the first M-step), and the
+    * post-update inertia Σ‖e−c₂‖² over the final assignment (grades
+    * the second M-step). Every stage of the 2-iteration fit must
+    * replay bit-identically in DuckDB for the hash to match — k-means
+    * "training" as a deterministic dataflow, not driver state.
+    *
+    * Scale shape: each iteration is one broadcast of k centroid rows,
+    * one map-side scoring pass, one vec_id-keyed argmin window and one
+    * (k×64)-group mean — 2 iterations = a constant factor over the
+    * q87/q112 serving plan; nothing grows with k·N beyond the scored
+    * pairs the serving path already materializes. */
+  def lloydTrainReport(s: SparkSession, d: String): DataFrame = {
+    val a1 = lloydAssign(s, d, ivfCentroids(s, d))
+    val c1 = lloydMeans(a1)
+    val a2 = lloydAssign(s, d, c1)
+    val c2 = lloydMeans(a2)
+    val n1 = a1.groupBy(col("label")).agg(count(lit(1)).as("n1"))
+    a2.join(broadcast(c2), Seq("label"))
+      .select(col("label"),
+        (dotFast(col("embedding"), col("embedding")) + col("cnorm") -
+          lit(2.0) * dotFast(col("embedding"), col("cv"))).as("term"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n2"), dsum(col("term")).as("inertia"))
+      .join(n1, Seq("label"), "full_outer")
+      .select(col("label").as("cell"),
+        coalesce(col("n1"), lit(0L)).as("n1"),
+        coalesce(col("n2"), lit(0L)).as("n2"),
+        col("inertia"))
+      .orderBy(col("cell"))
+  }
+
+  private lazy val lloydTrainReportSql = {
+    def meansOf(src: String): String =
+      s"""SELECT label, list(c ORDER BY i) AS cv FROM (
+         |    SELECT label, i,
+         |      CAST(CAST(SUM(CAST(CAST(e AS DOUBLE) AS DECIMAL(28,8))) AS VARCHAR) AS DOUBLE)/COUNT(*) AS c
+         |    FROM (SELECT label, unnest(embedding) AS e,
+         |          generate_subscripts(embedding, 1) AS i FROM $src) t
+         |    GROUP BY label, i) u GROUP BY label""".stripMargin
+    def assignUnder(cents: String): String =
+      s"""SELECT vec_id, embedding, label FROM (
+         |    SELECT e.vec_id, e.embedding, c.label,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_sum([c.cv[i]*c.cv[i] for i in generate_series(1,64)])
+         |        - 2*list_sum([CAST(e.embedding[i] AS DOUBLE)*c.cv[i] for i in generate_series(1,64)]),
+         |        c.label) AS rn
+         |    FROM embeddings e, $cents c) z WHERE rn = 1""".stripMargin
+    s"""WITH c0 AS (${meansOf("embeddings")}),
+       |a1 AS (${assignUnder("c0")}),
+       |c1 AS (${meansOf("a1")}),
+       |a2 AS (${assignUnder("c1")}),
+       |c2 AS (SELECT label, cv,
+       |    list_sum([cv[i]*cv[i] for i in generate_series(1,64)]) AS cnorm
+       |  FROM (${meansOf("a2")}) m),
+       |n1 AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n1 FROM a1 GROUP BY label),
+       |rep AS (SELECT a.label, CAST(COUNT(*) AS BIGINT) AS n2,
+       |    ${dsumSql(s"ne + c.cnorm - 2*(${dotSql("a.embedding", "c.cv")})")} AS inertia
+       |  FROM (SELECT label, ${dotSql("embedding", "embedding")} AS ne,
+       |          embedding FROM a2) a
+       |  JOIN c2 c ON a.label = c.label
+       |  GROUP BY a.label)
+       |SELECT COALESCE(r.label, n1.label) AS cell,
+       |       COALESCE(n1.n1, 0) AS n1, COALESCE(r.n2, 0) AS n2, r.inertia
+       |FROM rep r FULL OUTER JOIN n1 ON r.label = n1.label
+       |ORDER BY cell""".stripMargin
+  }
+
   /** The IVF serving-recall harness under an ARBITRARY quantizer: the
     * q109 recall protocol (queries = vec_id % 100 = 0, ground truth =
     * brute-force ROUND(6)-cosine top-10 with vec_id tiebreak) with the
@@ -2242,6 +2355,8 @@ object VectorOps {
       "HNSW reverse-edge pruning: affected nodes re-cut to M best among old edges + adopted newcomers"),
     QueryDef("q156_ivf_delta_assign", ivfDeltaAssign, Some(ivfDeltaAssignSql),
       "B96 IVF index delta maintenance: map-only assignment of an arriving batch + drift report"),
+    QueryDef("q208_lloyd_train", lloydTrainReport, Some(lloydTrainReportSql),
+      "trained quantizer under the oracle: fixed-2-iteration Lloyd k-means trajectory + inertia"),
     QueryDef("q136_multiprobe_ann", pqRerankAnnWide, Some(pqRerankAnnWideSql),
       "B76 serving stack at multiprobe breadth 2 (recall/latency knob, oracle-pinned)"),
     QueryDef("q134_pq_rerank_ann", pqRerankAnn, Some(pqRerankAnnSql),
