@@ -614,7 +614,120 @@ object WindowedOps {
        |ORDER BY channel""".stripMargin
   }
 
+  /** q209: POSITION-BASED + TIME-DECAY attribution — the remaining two
+    * operating points of the credit family (q194 last-touch, q204
+    * linear). Same 7-day-lookback band join; what changes is the
+    * weight function, and both are chosen so the weights are
+    * cross-engine EXACT:
+    *   - position (U-shaped 40/20/40): 1 touch → 1.0; 2 → 0.5 each;
+    *     n≥3 → first and last 0.4, middles split 0.2/(n−2).
+    *   - time-decay: w = 2^(−⌊Δdays⌋), half-life one day at day grain.
+    *     ⌊Δdays⌋ is INTEGER arithmetic on epoch micros, so the
+    *     normalized share is a ratio of SMALL INTEGERS num/m
+    *     (num = 2^(6−k) ≤ 64, m = Σnum per purchase) — no pow(),
+    *     whose last ulp differs across libm implementations, anywhere
+    *     near the hash.
+    * Every weight is ROUND(·, 6)ed before it multiplies a value: the
+    * 2-dp values × 6-dp weights land ~1e-12 off an exact 8-dp grid
+    * point, so the dsum DECIMAL(28,8) quantization can never hit a
+    * tie (raw num/m terms DID: two rows at sf0.01 flipped on the
+    * engines' double→decimal tie conventions). The round itself is
+    * tie-free because a ratio with denominator < 5^6·… cannot
+    * terminate in a 5 exactly at the 7th decimal — valid while a
+    * purchase sees < 244 touches in the lookback (m < 15625); beyond
+    * that, widen the round. Corpus max here: 19.
+    * Touch order inside a purchase is pinned by (tts, touch event_id),
+    * so equal-timestamp touches cannot flip first/last credit.
+    *
+    * Scale shape: q204's band join + ONE pid-partitioned window pass
+    * (purchase-grain partitions: a few touches each, skew-free) + a
+    * ≤|channels| aggregate. */
+  def positionDecayAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("pid"), col("user_id").as("pu"),
+        col("ts").as("pts"), col("value").as("pv"))
+    val touches = ev.filter(col("event_type").isin("click", "view", "signup"))
+      .select(col("user_id").as("tu"), col("ts").as("tts"),
+        col("event_id").as("tid"), col("event_type").as("channel"))
+    val cond = col("pu") === col("tu") &&
+      col("tts") < col("pts") &&
+      unix_micros(col("pts")) - unix_micros(col("tts")) <= 7L * 86400 * 1000000
+    val w = Window.partitionBy(col("pid")).orderBy(col("tts"), col("tid"))
+    val wAll = Window.partitionBy(col("pid"))
+    val credited = purchases.join(touches, cond)
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("wpos",
+        when(col("n") === 1, 1.0).when(col("n") === 2, 0.5)
+          .when(col("rk") === 1 || col("rk") === col("n"), 0.4)
+          .otherwise(round(lit(0.2) / (col("n") - 2), 6)))
+      .withColumn("num", expr(
+        "shiftleft(1L, 6 - CAST((unix_micros(pts) - unix_micros(tts)) " +
+          "DIV 86400000000 AS INT))"))
+      .withColumn("m", sum(col("num")).over(wAll))
+      .withColumn("wdec", round(col("num").cast("double") / col("m"), 6))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_credits"),
+        dsum(col("pv") * col("wpos")).as("pos_value"),
+        dsum(col("pv") * col("wdec")).as("decay_value"))
+    val direct = purchases.join(touches, cond, "left")
+      .groupBy(col("pid"), col("pv"))
+      .agg(count(col("channel")).as("n_touches"))
+      .filter(col("n_touches") === 0)
+      .agg(count(lit(1)).as("n_credits"),
+        dsum(col("pv")).as("pos_value"), dsum(col("pv")).as("decay_value"))
+      .select(lit("direct").as("channel"), col("n_credits"),
+        col("pos_value"), col("decay_value"))
+    credited.unionByName(direct)
+      .filter(col("n_credits") > 0)
+      .orderBy(col("channel"))
+  }
+
+  private lazy val positionDecayAttributionSql = {
+    val lookbackUs = 7L * 86400 * 1000000
+    s"""WITH p AS (SELECT event_id AS pid, user_id AS pu, ts AS pts, value AS pv
+       |      FROM events WHERE event_type = 'purchase'),
+       |t AS (SELECT user_id AS tu, ts AS tts, event_id AS tid,
+       |        event_type AS channel
+       |      FROM events WHERE event_type IN ('click','view','signup')),
+       |j AS (SELECT p.pid, p.pv, p.pts, t.tts, t.tid, t.channel
+       |      FROM p JOIN t ON p.pu = t.tu AND t.tts < p.pts
+       |        AND epoch_us(p.pts) - epoch_us(t.tts) <= $lookbackUs),
+       |r AS (SELECT *,
+       |        ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tts, tid) AS rk,
+       |        COUNT(*) OVER (PARTITION BY pid) AS n,
+       |        1::BIGINT << CAST(6 - (epoch_us(pts) - epoch_us(tts))
+       |              // 86400000000 AS INT) AS num
+       |      FROM j),
+       |rw AS (SELECT *,
+       |        CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
+       |             WHEN rk = 1 OR rk = n THEN 0.4
+       |             ELSE ROUND(0.2 / (n - 2), 6) END AS wpos,
+       |        ROUND(CAST(num AS DOUBLE) /
+       |              SUM(num) OVER (PARTITION BY pid), 6) AS wdec
+       |      FROM r),
+       |cr AS (SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+       |        ${dsumSql("pv * wpos")} AS pos_value,
+       |        ${dsumSql("pv * wdec")} AS decay_value
+       |       FROM rw GROUP BY channel),
+       |c AS (SELECT p.pid, p.pv, COUNT(t.channel) AS n_touches
+       |      FROM p LEFT JOIN t ON p.pu = t.tu AND t.tts < p.pts
+       |        AND epoch_us(p.pts) - epoch_us(t.tts) <= $lookbackUs
+       |      GROUP BY p.pid, p.pv),
+       |dr AS (SELECT 'direct' AS channel, CAST(COUNT(*) AS BIGINT) AS n_credits,
+       |        ${dsumSql("pv")} AS pos_value, ${dsumSql("pv")} AS decay_value
+       |       FROM c WHERE n_touches = 0)
+       |SELECT channel, n_credits, pos_value, decay_value
+       |FROM (SELECT * FROM cr UNION ALL SELECT * FROM dr)
+       |WHERE n_credits > 0
+       |ORDER BY channel""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q209_position_decay_attribution", positionDecayAttribution,
+      Some(positionDecayAttributionSql),
+      "position-based (U-shaped) + exact-dyadic time-decay attribution over the 7-day band join"),
     QueryDef("q204_linear_attribution", linearAttribution, Some(linearAttributionSql),
       "linear multi-touch attribution: equal credit across 7-day-lookback touches, no window"),
     QueryDef("q198_max_concurrency", maxConcurrency, Some(maxConcurrencySql),
