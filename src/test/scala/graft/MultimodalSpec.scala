@@ -307,4 +307,20 @@ class MultimodalSpec extends AnyFunSuite with LocalSparkSuite {
     assert(rows.length === nAssets,
       s"${rows.length} rendition pairs recovered of $nAssets assets")
   }
+
+  test("q197 banding schemes are output-identical: quad (graded) == triple (scale path)") {
+    // both layouts carry the exact pigeonhole guarantee, so switching
+    // at the 2^18-fingerprint knee is a pure physical-plan decision —
+    // this is what lets the auto mode widen the band join at 1000x
+    // without touching the oracle
+    def rows(scheme: String) = {
+      spark.conf.set("spark.graft.hammingBands", scheme)
+      try graft.SparkEntry.queries("q197_audio_neardup")(spark, sfDir)
+        .collect().toSeq
+      finally spark.conf.unset("spark.graft.hammingBands")
+    }
+    val (quad, triple) = (rows("quad"), rows("triple"))
+    assert(quad.nonEmpty && quad == triple,
+      s"quad ${quad.length} rows vs triple ${triple.length}")
+  }
 }

@@ -257,6 +257,25 @@ class StatsOpsSpec extends AnyFunSuite with LocalSparkSuite {
     assert(keys.sameElements(keys.sorted), "probe rows not in top-k order")
   }
 
+  test("q200 graderSampleMod: default is bit-identical, sampled grader stays unbiased-shaped") {
+    // the knob samples only the GRADING join (exact_pairs), never the
+    // sketch side — est_pairs must be invariant, the default must be
+    // the unsampled truth, and the sampled grader must return the
+    // scaled key-sample estimate (keys are dense 1..N here, so the
+    // mod-4 sample covers ~1/4 of orders exactly).
+    val before = graft.ops.StatsOps.joinSizeEstimate(spark, sfDir).collect()(0)
+    spark.conf.set("spark.graft.graderSampleMod", "1")
+    val explicit1 = graft.ops.StatsOps.joinSizeEstimate(spark, sfDir).collect()(0)
+    assert(before == explicit1, "mod=1 must be identical to unset")
+    spark.conf.set("spark.graft.graderSampleMod", "4")
+    val sampled = try graft.ops.StatsOps.joinSizeEstimate(spark, sfDir).collect()(0)
+    finally spark.conf.unset("spark.graft.graderSampleMod")
+    assert(sampled.getLong(1) == before.getLong(1), "est_pairs must not change")
+    val (full, est) = (before.getLong(0).toDouble, sampled.getLong(0).toDouble)
+    assert(est > 0 && math.abs(est - full) / full < 0.2,
+      s"scaled sample $est vs full $full drifted past the uniform-key band")
+  }
+
   test("graft_heavy_hitters SQL registration validates arity and k type") {
     val (_, _, builder) = GraftExtensions.functions
       .find(_._1.funcName == "graft_heavy_hitters").get
