@@ -899,8 +899,15 @@ object StatsOps {
       .select(col("o_orderkey").cast("string").as("k")))
     val est = skL.select(col("j"), col("b"), col("c").as("cl"))
       .join(skO.select(col("j"), col("b"), col("c").as("co")), Seq("j", "b"))
-      .groupBy(col("j")).agg(sum(col("cl") * col("co")).as("e"))
-      .agg(min(col("e")).as("est_pairs"))
+      // DECIMAL through the inner product (r15 overflow audit): two
+      // hot-key buckets of ~3×10⁹ rows each put cl·co past 2⁶³, where
+      // Spark wraps SILENTLY and DuckDB errors — the one margins-table
+      // row inside plausible skew at a 10¹⁰-row corpus. A 12k-row
+      // frame pays nothing for the widening; the BIGINT landing stays
+      // exact until the estimate itself exceeds 2⁶³ pairs.
+      .groupBy(col("j"))
+      .agg(sum(col("cl").cast("decimal(20,0)") * col("co")).as("e"))
+      .agg(min(col("e")).cast("long").as("est_pairs"))
     // The exact join exists only to GRADE the estimate, and it is the
     // one piece of this query that rescans the corpus — 157 s of the
     // 157.1 s 1000× measurement. `spark.graft.graderSampleMod = f`
@@ -934,7 +941,7 @@ object StatsOps {
        |cl AS (SELECT j, ${cmsBucket16Sql("h4")} AS b, SUM(n) AS c FROM lh GROUP BY 1, 2),
        |co AS (SELECT j, ${cmsBucket16Sql("h4")} AS b, SUM(n) AS c FROM oh GROUP BY 1, 2),
        |est AS (SELECT MIN(e) AS est_pairs FROM (
-       |    SELECT l.j, SUM(l.c * o.c) AS e
+       |    SELECT l.j, SUM(CAST(l.c AS DECIMAL(20,0)) * o.c) AS e
        |    FROM cl l JOIN co o ON l.j = o.j AND l.b = o.b GROUP BY l.j)),
        |ex AS (SELECT COUNT(*) AS exact_pairs
        |    FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
