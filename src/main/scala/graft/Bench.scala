@@ -67,6 +67,10 @@ object Bench {
     // sample the grading join 1/f by key, scale the count back by f.
     sys.env.get("SPARK_GRAFT_GRADER_SAMPLE_MOD")
       .foreach(c => spark.conf.set("spark.graft.graderSampleMod", c))
+    // pin the Hamming band layout (quad|triple; default auto) — for
+    // isolated A/B of the two schemes at scale corpora
+    sys.env.get("SPARK_GRAFT_HAMMING_BANDS")
+      .foreach(c => spark.conf.set("spark.graft.hammingBands", c))
     // session-scoped base-table cache: the suite reads each table ~25x,
     // so the bench session keeps them materialized (the buffer-pool
     // behavior any single-node engine gets for free) — but ONLY while

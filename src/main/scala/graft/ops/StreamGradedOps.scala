@@ -48,9 +48,14 @@ object StreamGradedOps {
     val work = Files.createTempDirectory("q207work")
     (0 until k).foreach { i =>
       val sliceDir = work.resolve(s"s$i")
+      // repartition(1), NOT coalesce(1): coalesce collapses the whole
+      // upstream filter into the single writer task (measured: the 4
+      // staging scans were 1-thread-serial at the 24 GB corpus, most
+      // of q207's 135 s there); repartition keeps the scan wide and
+      // funnels only the slice's ts column through the one writer.
       ev.filter(col("ts").cast("long") >= lo + i * step &&
           col("ts").cast("long") < lo + (i + 1) * step)
-        .coalesce(1).write.mode("overwrite").parquet(sliceDir.toString)
+        .repartition(1).write.mode("overwrite").parquet(sliceDir.toString)
       val part = Files.list(sliceDir).filter(_.toString.endsWith(".parquet"))
         .findFirst().get()
       val dst = stage.resolve(f"slice_$i%02d.parquet")
