@@ -783,7 +783,10 @@ object VectorOps {
           lit(2.0) * dotFast(col("embedding"), col("cv"))).as("term"))
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n2"), dsum(col("term")).as("inertia"))
-      .join(n1, Seq("label"), "full_outer")
+      // k-row full outer (empty cells can differ between E-steps);
+      // broadcast hash cannot run FULL OUTER — pin shuffle_hash (the
+      // q07 posture) so the k-row frame never sorts
+      .join(n1.hint("shuffle_hash"), Seq("label"), "full_outer")
       .select(col("label").as("cell"),
         coalesce(col("n1"), lit(0L)).as("n1"),
         coalesce(col("n2"), lit(0L)).as("n2"),
