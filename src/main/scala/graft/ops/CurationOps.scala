@@ -1071,7 +1071,62 @@ object CurationOps {
       |  coalesce(a.max_run, 1) >= 4 AS degenerate
       |FROM tk t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""".stripMargin
 
+  /** q210: STRATIFIED train/val/test split with EXACT integer
+    * allocation — the split every training pipeline actually needs:
+    * per stratum (source × lang), 80/10/10 allocated by CUMULATIVE
+    * HALF-UP QUOTA BOUNDARIES (b₁ = ⌊(n·80+50)/100⌋,
+    * b₂ = ⌊(n·90+50)/100⌋; train = ranks ≤ b₁, val = (b₁, b₂],
+    * test = rest) — nested boundaries sum to n BY CONSTRUCTION, each
+    * split sits within 1 of its real quota, and the whole allocation
+    * is integer arithmetic, so both engines agree bit-for-bit with no
+    * rounding step. Membership is pinned, not just counts: rank =
+    * (md5(doc_id), doc_id) within the stratum — the q202 deterministic
+    * -random posture — and the graded id_sum breaks the hash if ONE
+    * document lands in the wrong split. Tiny strata exercise the edge
+    * cases (n=1 → 1/0/0; n=2 → 2/0/0; n=3 → 2/0/1).
+    *
+    * Scale shape: one shuffle on the stratum key, one rank window per
+    * stratum (skew-free: strata are source×lang cells), one ≤3·|strata|
+    * aggregate. The q199 temporal embargo is the TIME-aware split;
+    * this is its i.i.d. counterpart. */
+  def stratifiedSplit(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), col("lang"), col("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"), col("lang"))))
+      .withColumn("split",
+        when(col("rk") <= expr("(n * 80 + 50) div 100"), "train")
+          .when(col("rk") <= expr("(n * 90 + 50) div 100"), "val")
+          .otherwise("test"))
+      .groupBy(col("source"), col("lang"), col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .orderBy(col("source"), col("lang"), col("split"))
+  }
+
+  private val stratifiedSplitSql =
+    """WITH r AS (SELECT source, lang, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY source, lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY source, lang) AS n
+      |  FROM documents),
+      |sp AS (SELECT source, lang, doc_id,
+      |    CASE WHEN rk <= (n * 80 + 50) // 100 THEN 'train'
+      |         WHEN rk <= (n * 90 + 50) // 100 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM r)
+      |SELECT source, lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |       CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |FROM sp GROUP BY source, lang, split
+      |ORDER BY source, lang, split""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q210_stratified_split", stratifiedSplit, Some(stratifiedSplitSql),
+      "stratified 80/10/10 split: exact cumulative-quota integer allocation, md5-rank membership"),
     QueryDef("q140_dsir_weights", dsirWeights, Some(dsirWeightsSql),
       "DSIR (NeurIPS'23) importance weights: hashed-bigram log-likelihood ratio vs target slice"),
     QueryDef("q145_dsir_select", dsirSelect, Some(dsirSelectSql),

@@ -912,6 +912,67 @@ object Relational {
        |ORDER BY layout""".stripMargin
   }
 
+  /** q211: SHARD REBALANCE audit — mod-hash vs rendezvous (HRW)
+    * placement when the shard count grows 16 → 17, the decision every
+    * 100 TB storage layer faces: mod-hashing moves ~16/17 of ALL keys
+    * on a single-shard expansion (every key whose id mod 16 ≠ id mod
+    * 17 — a full-corpus reshuffle), while highest-random-weight
+    * placement (owner = argmax_j md5(key:j), Thaler/Ravishankar '96 —
+    * the scheme inside Ceph CRUSH and many shard routers) moves
+    * exactly the keys the NEW shard wins, E[1/17]. Both owners are
+    * computed MAP-ONLY (array_max over a 16/17-element transform — no
+    * explode, no window, no shuffle until the 2-row aggregate), and
+    * the argmax is a lexicographic max over md5 hex strings — no
+    * float anywhere, so both engines agree on every single owner.
+    *
+    * Output: per method, keys moved + the moved fraction, plus the
+    * max post-expansion shard population (the balance check: HRW
+    * stays ~uniform; mod stays uniform too but only by moving nearly
+    * everything). */
+  def shardRebalance(s: SparkSession, d: String): DataFrame = {
+    def hrwOwner(m: Int): Column = expr(
+      s"array_max(transform(sequence(0, ${m - 1}), " +
+        "j -> struct(md5(concat(cast(doc_id as string), ':', j)) AS h, j AS j))).j")
+    val owners = Tables.documents(s, d).select(
+      col("doc_id"),
+      (col("doc_id") % 16).as("mod16"), (col("doc_id") % 17).as("mod17"),
+      hrwOwner(16).as("hrw16"), hrwOwner(17).as("hrw17"))
+    def report(name: String, before: Column, after: Column): DataFrame =
+      owners.agg(
+        count(lit(1)).as("n_keys"),
+        sum(when(before =!= after, 1L).otherwise(0L)).as("n_moved"))
+        .select(lit(name).as("method"), col("n_keys"), col("n_moved"),
+          round(col("n_moved").cast("double") / col("n_keys"), 6).as("moved_frac"))
+    val pop = owners.groupBy(col("hrw17")).agg(count(lit(1)).as("c"))
+      .agg(max(col("c")).as("max_shard"))
+    report("hrw", col("hrw16"), col("hrw17"))
+      .unionAll(report("mod", col("mod16"), col("mod17")))
+      .crossJoin(broadcast(pop))
+      .orderBy(col("method"))
+  }
+
+  private val shardRebalanceSql = {
+    def hrw(m: Int) =
+      s"(list_sort([{'h': md5(doc_id||':'||j), 'j': j} for j in generate_series(0, ${m - 1})]))[$m].j"
+    s"""WITH o AS (SELECT doc_id, doc_id % 16 AS mod16, doc_id % 17 AS mod17,
+       |    ${hrw(16)} AS hrw16, ${hrw(17)} AS hrw17
+       |  FROM documents),
+       |pop AS (SELECT MAX(c) AS max_shard FROM
+       |  (SELECT hrw17, COUNT(*) AS c FROM o GROUP BY hrw17)),
+       |rep AS (
+       |  SELECT 'hrw' AS method, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |         CAST(SUM(CASE WHEN hrw16 <> hrw17 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+       |  FROM o
+       |  UNION ALL
+       |  SELECT 'mod' AS method, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |         CAST(SUM(CASE WHEN mod16 <> mod17 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved
+       |  FROM o)
+       |SELECT method, n_keys, n_moved,
+       |       ROUND(CAST(n_moved AS DOUBLE) / n_keys, 6) AS moved_frac,
+       |       CAST(pop.max_shard AS BIGINT) AS max_shard
+       |FROM rep, pop ORDER BY method""".stripMargin
+  }
+
   /** q202: RANGE-PARTITION split planning — the other half of the
     * q193 layout story: before a sort/range write can skip files, a
     * writer must pick split points, and THE failure mode at 100 TB is
@@ -999,6 +1060,8 @@ object Relational {
   }
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q211_shard_rebalance", shardRebalance, Some(shardRebalanceSql),
+      "shard rebalance audit 16->17: mod-hash moves ~16/17 of keys, rendezvous (HRW) moves ~1/17"),
     QueryDef("q202_range_splits", rangeSplits, Some(rangeSplitsSql),
       "range-partition planning: exact equi-depth quantile splits vs fixed-width, per-partition counts"),
     QueryDef("q193_zorder_layout", zorderLayout, Some(zorderLayoutSql),
