@@ -96,7 +96,11 @@ object PlanDump {
       "q181_cdc_chunks" -> "B114 CDC chunking: boundaries/segments/md5 all per-row codegen list work — ONLY (md5, n_tok) pairs reach the exchange, never text; skew-free high-cardinality rollup",
       "q182_rrf_fusion" -> "B116 RRF hybrid retrieval: both list sources at rep grain (distinct-embedding cross with broadcast queries; lexical over the memoized jaccard_docs frame), exact 11x11 member expansion, fusion join carries rank pairs only",
       "q184_scd2_intervals" -> "B118 SCD2: lag + running-sum islands and the closing lead() all share ONE user-keyed sort — a single exchange however large the log",
-      "q186_jl_projection" -> "B121 JL projection: the 16-dim projection is map-only codegen over the scan; the distortion pair join is id-keyed (vec_id+1), no sort, no state")
+      "q186_jl_projection" -> "B121 JL projection: the 16-dim projection is map-only codegen over the scan; the distortion pair join is id-keyed (vec_id+1), no sort, no state",
+      "q206_xml_ingest" -> "B141 graded XML ingest: generator + from_xml + explode-flatten are ONE map-only projection (the dump-ingest plan A1-A8 run on real files); the only exchange is the output sort",
+      "q208_lloyd_train" -> "B143 Lloyd training: each iteration = k-row centroid broadcast + map-side scoring + vec_id-partitioned argmin window + (k x dim)-group mean; the k-row full outer pinned shuffle_hash (broadcast cannot run FULL OUTER)",
+      "q210_stratified_split" -> "B145 stratified split: one (source,lang)-keyed exchange shared by the rank window and the count window, quota CASE map-only, <=3x|strata| rollup",
+      "q211_shard_rebalance" -> "B146 shard rebalance: BOTH placement schemes map-only (array_max over a 16/17-element transform — no explode, no window); nothing shuffles until the 2-row aggregate")
     val sb = new StringBuilder
     sb.append("# PLANS — physical-plan evidence (sf0.001, regenerate via `sbt \"runMain graft.PlanDump\"`)\n")
     picks.foreach { case (name, why) =>
