@@ -1124,7 +1124,65 @@ object CurationOps {
       |FROM sp GROUP BY source, lang, split
       |ORDER BY source, lang, split""".stripMargin
 
+  /** q212: TEMPERATURE-SCALED source mixture — the sampling-weight
+    * table the GPT-3/LLaMA lineage publishes next to every corpus:
+    * raise each source's token share to 1/T and renormalize, so small
+    * high-quality sources are upsampled (the famous >1 "epochs" column)
+    * without letting any one source dominate. T = 2 here — i.e.
+    * w = √share — because sqrt is CORRECTLY ROUNDED by IEEE-754 in
+    * both engines, unlike pow(), which q209 banned from the hash path.
+    * Determinism chain: token counts are exact integers; share is ONE
+    * IEEE division; the weight is quantized to integer MICRO-WEIGHTS
+    * (round(√share·10⁶)) so the normalizing sum is an EXACT BIGINT —
+    * no float accumulation anywhere; the final probability and the
+    * 1M-token allocation are one division / one integer div each.
+    * repeat_factor = alloc/tok is the implied epoch count per source.
+    *
+    * Complements q85 (fixed-quota mixing), q157 (waterfill caps) and
+    * q169 (DoReMi reweighting) as the simple public default between
+    * "natural sampling" and "uniform". Scale shape: one doc scan →
+    * ≤|sources| aggregate → 1-row broadcast; everything after is
+    * map-only on a 20-row frame. */
+  def temperatureMixture(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("t"))
+      .groupBy(col("source")).agg(sum(col("t")).as("tok"))
+    val tot = tok.agg(sum(col("tok")).as("total"))
+    val w = tok.crossJoin(broadcast(tot))
+      .withColumn("share", col("tok").cast("double") / col("total"))
+      .withColumn("w_int",
+        round(sqrt(col("share")) * 1000000).cast("long"))
+    val sumw = w.agg(sum(col("w_int")).as("sum_w"))
+    w.crossJoin(broadcast(sumw))
+      .select(col("source"), col("tok"),
+        round(col("share"), 6).as("share"),
+        round(col("w_int").cast("double") / col("sum_w"), 6).as("p"),
+        expr("(1000000 * w_int) div sum_w").as("alloc_tokens"))
+      .withColumn("repeat_factor",
+        round(col("alloc_tokens").cast("double") / col("tok"), 4))
+      .orderBy(col("source"))
+  }
+
+  private val temperatureMixtureSql =
+    """WITH tok AS (SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok
+      |  FROM documents GROUP BY source),
+      |tot AS (SELECT SUM(tok) AS total FROM tok),
+      |w AS (SELECT source, tok,
+      |    CAST(tok AS DOUBLE) / total AS share,
+      |    CAST(ROUND(SQRT(CAST(tok AS DOUBLE) / total) * 1000000) AS BIGINT) AS w_int
+      |  FROM tok, tot),
+      |sw AS (SELECT SUM(w_int) AS sum_w FROM w)
+      |SELECT source, tok, ROUND(share, 6) AS share,
+      |       ROUND(CAST(w_int AS DOUBLE) / sum_w, 6) AS p,
+      |       CAST((1000000 * w_int) // sum_w AS BIGINT) AS alloc_tokens,
+      |       ROUND(CAST((1000000 * w_int) // sum_w AS DOUBLE) / tok, 4)
+      |         AS repeat_factor
+      |FROM w, sw ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q212_temperature_mixture", temperatureMixture,
+      Some(temperatureMixtureSql),
+      "temperature-scaled source mixture (T=2): sqrt-share micro-weights, exact integer normalizer"),
     QueryDef("q210_stratified_split", stratifiedSplit, Some(stratifiedSplitSql),
       "stratified 80/10/10 split: exact cumulative-quota integer allocation, md5-rank membership"),
     QueryDef("q140_dsir_weights", dsirWeights, Some(dsirWeightsSql),
