@@ -1104,7 +1104,15 @@ object CurationOps {
           .when(col("rk") <= expr("(n * 90 + 50) div 100"), "val")
           .otherwise("test"))
       .groupBy(col("source"), col("lang"), col("split"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      // DECIMAL through the membership checksum (ADVICE_r15): Spark's
+      // BIGINT sum wraps SILENTLY on overflow while the DuckDB twin
+      // sums into HUGEINT and raises on the BIGINT cast — the q200
+      // divergence class. Per-stratum Σ doc_id approaches 2⁶³ at the
+      // 10⁹-row/10¹⁰-id grain; the decimal sum stays exact there and
+      // the BIGINT landing holds until the sum itself passes 2⁶³
+      // (where DuckDB raising ≻ both engines wrapping differently).
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("doc_id").cast("decimal(20,0)")).cast("long").as("id_sum"))
       .orderBy(col("source"), col("lang"), col("split"))
   }
 

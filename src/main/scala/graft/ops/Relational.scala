@@ -921,9 +921,10 @@ object Relational {
     * the scheme inside Ceph CRUSH and many shard routers) moves
     * exactly the keys the NEW shard wins, E[1/17]. Both owners are
     * computed MAP-ONLY (array_max over a 16/17-element transform — no
-    * explode, no window, no shuffle until the 2-row aggregate), and
-    * the argmax is a lexicographic max over md5 hex strings — no
-    * float anywhere, so both engines agree on every single owner.
+    * explode, no window, no shuffle until the single 17-group
+    * aggregate), and the argmax is a lexicographic max over md5 hex
+    * strings — no float anywhere, so both engines agree on every
+    * single owner.
     *
     * Output: per method, keys moved + the moved fraction, plus the
     * max post-expansion shard population (the balance check: HRW
@@ -937,17 +938,26 @@ object Relational {
       col("doc_id"),
       (col("doc_id") % 16).as("mod16"), (col("doc_id") % 17).as("mod17"),
       hrwOwner(16).as("hrw16"), hrwOwner(17).as("hrw17"))
-    def report(name: String, before: Column, after: Column): DataFrame =
-      owners.agg(
-        count(lit(1)).as("n_keys"),
-        sum(when(before =!= after, 1L).otherwise(0L)).as("n_moved"))
-        .select(lit(name).as("method"), col("n_keys"), col("n_moved"),
-          round(col("n_moved").cast("double") / col("n_keys"), 6).as("moved_frac"))
-    val pop = owners.groupBy(col("hrw17")).agg(count(lit(1)).as("c"))
-      .agg(max(col("c")).as("max_shard"))
-    report("hrw", col("hrw16"), col("hrw17"))
-      .unionAll(report("mod", col("mod16"), col("mod17")))
-      .crossJoin(broadcast(pop))
+    // ONE pass over the corpus (ADVICE_r15: the two per-method reports
+    // plus the population scan evaluated the owners projection — 33
+    // md5s per key — three times). Grouping by the post-expansion HRW
+    // owner folds everything into a single 17-group aggregate carrying
+    // BOTH methods' moved counters and the shard population; the 2-row
+    // report is a map-only explode over the 1-row rollup.
+    owners.groupBy(col("hrw17")).agg(
+        count(lit(1)).as("c"),
+        sum(when(col("hrw16") =!= col("hrw17"), 1L).otherwise(0L)).as("hrw_mv"),
+        sum(when(col("mod16") =!= col("mod17"), 1L).otherwise(0L)).as("mod_mv"))
+      .agg(sum(col("c")).as("n_keys"), sum(col("hrw_mv")).as("hrw_moved"),
+        sum(col("mod_mv")).as("mod_moved"), max(col("c")).as("max_shard"))
+      .select(explode(array(
+          struct(lit("hrw").as("method"), col("hrw_moved").as("n_moved")),
+          struct(lit("mod").as("method"), col("mod_moved").as("n_moved")))).as("m"),
+        col("n_keys"), col("max_shard"))
+      .select(col("m.method").as("method"), col("n_keys"),
+        col("m.n_moved").as("n_moved"),
+        round(col("m.n_moved").cast("double") / col("n_keys"), 6).as("moved_frac"),
+        col("max_shard"))
       .orderBy(col("method"))
   }
 

@@ -873,12 +873,21 @@ object StatsOps {
     * query q116 answers only needs width ≫ heavy-hitter count). At
     * 4096 this same query reads overshoot 4.66 at sf0.01; at 65536 it
     * sits near 1 — the width-vs-accuracy economics an operator sizes
-    * per use, 256 KB of counters either way. */
-  private def cmsBucket16(j: Int, w: Column): Column =
-    conv(substring(md5(concat_ws(":", lit(j), w)), 1, 4), 16, 10).cast("long")
+    * per use, 256 KB of counters either way.
+    *
+    * ONE digest per key, sliced into 3 disjoint 16-bit probes
+    * (VERDICT_r15 #7 — the q116 CMS posture): depth j reads hex chars
+    * [4j+1, 4j+4] of md5(k). The 3 separate salted digests this
+    * replaced were the entire sketch-build cost at scale (104 s at
+    * 1000× = 3 depths × md5 over 2.7B keys); disjoint slices of one
+    * 128-bit digest are pairwise-independent across depths for the
+    * same reason the salted family was, and the one-sided guarantee
+    * (est ≥ exact) is per-depth, untouched by how depths correlate. */
+  private def cmsBucket16(j: Int, h: Column): Column =
+    conv(substring(h, 4 * j + 1, 4), 16, 10).cast("long")
 
-  private def cmsHash4Sql(j: String, w: String): String =
-    s"substr(md5(CAST($j AS VARCHAR) || ':' || $w), 1, 4)"
+  private def cmsHash4Sql(j: String, h: String): String =
+    s"substr($h, 1 + 4 * $j, 4)"
 
   private def cmsBucket16Sql(h4: String): String = {
     def dig(i: Int) =
@@ -889,8 +898,9 @@ object StatsOps {
   def joinSizeEstimate(s: SparkSession, d: String): DataFrame = {
     val depths = 0 to 2
     def sketch(keys: DataFrame): DataFrame = keys
+      .withColumn("h", md5(col("k")))
       .select(explode(array(depths.map(j =>
-        struct(lit(j).as("j"), cmsBucket16(j, col("k")).as("b"))): _*)).as("c"))
+        struct(lit(j).as("j"), cmsBucket16(j, col("h")).as("b"))): _*)).as("c"))
       .groupBy(col("c.j").as("j"), col("c.b").as("b"))
       .agg(count(lit(1)).as("c"))
     val skL = sketch(Tables.lineitem(s, d)
@@ -930,13 +940,13 @@ object StatsOps {
   }
 
   private val joinSizeEstimateSql =
-    s"""WITH lu AS (SELECT CAST(l_orderkey AS VARCHAR) AS k, COUNT(*) AS n
+    s"""WITH lu AS (SELECT md5(CAST(l_orderkey AS VARCHAR)) AS h, COUNT(*) AS n
        |      FROM lineitem GROUP BY 1),
-       |ou AS (SELECT CAST(o_orderkey AS VARCHAR) AS k, COUNT(*) AS n
+       |ou AS (SELECT md5(CAST(o_orderkey AS VARCHAR)) AS h, COUNT(*) AS n
        |      FROM orders GROUP BY 1),
-       |lh AS (SELECT k, n, j, ${cmsHash4Sql("j", "k")} AS h4
+       |lh AS (SELECT n, j, ${cmsHash4Sql("j", "h")} AS h4
        |      FROM lu, (SELECT unnest(generate_series(0, 2)) AS j) g),
-       |oh AS (SELECT k, n, j, ${cmsHash4Sql("j", "k")} AS h4
+       |oh AS (SELECT n, j, ${cmsHash4Sql("j", "h")} AS h4
        |      FROM ou, (SELECT unnest(generate_series(0, 2)) AS j) g),
        |cl AS (SELECT j, ${cmsBucket16Sql("h4")} AS b, SUM(n) AS c FROM lh GROUP BY 1, 2),
        |co AS (SELECT j, ${cmsBucket16Sql("h4")} AS b, SUM(n) AS c FROM oh GROUP BY 1, 2),

@@ -29,42 +29,70 @@ import graft.streaming.StreamingOps
   */
 object StreamGradedOps {
 
-  /** Stage `ts` as K single-file slices in ascending time order, with
-    * both modification times and file names increasing so the file
-    * source's arrival order IS time order — the shape a log-shipping
-    * ingest delivers in production, and the precondition under which
-    * the 1-hour watermark provably never drops a row here: slice i's
-    * max event time is maxTs_i + 30 min (the −1 endpoint), so the
-    * watermark after slice i sits 30 min BEFORE the next slice's
-    * smallest endpoint, and boundary-hour windows stay unevictable
-    * until every contributing slice has arrived. */
-  private def stageSlices(s: SparkSession, d: String, k: Int): Path = {
-    val ev = Tables.events(s, d).select(col("ts"))
+  /** Stage a ts-carrying frame as K single-file slices in ascending
+    * time order, with both modification times and file names
+    * increasing so the file source's arrival order IS time order — the
+    * shape a log-shipping ingest delivers in production, and the
+    * precondition under which a 1-hour watermark provably never drops
+    * a row here: slice i's max event time is maxTs_i + 30 min (the −1
+    * endpoint), so the watermark after slice i sits 30 min BEFORE the
+    * next slice's smallest endpoint, and boundary-hour windows stay
+    * unevictable until every contributing slice has arrived.
+    *
+    * ONE PASS over the corpus (VERDICT_r15 #2: the k filtered rescans
+    * were 26.7 s of the 100× suite and most of q207's isolated 109 s
+    * at 1000×): the slice id is a map-side integer column,
+    * `repartition(k, slice)` keeps the scan wide while hash-routing
+    * each slice's rows to exactly one writer task, and
+    * `partitionBy(slice)` splits that task's output per value — one
+    * file per non-empty slice, renamed into arrival order. Slice
+    * arithmetic is unchanged from the k-pass version (same integer
+    * bounds), so the staged bytes — and the graded hash — are
+    * identical. */
+  private[graft] def stageSlices(ev: DataFrame, k: Int, stage: Path,
+      work: Path): Unit = {
     val mm = ev.agg(min(col("ts")).cast("long").as("lo"),
       max(col("ts")).cast("long").as("hi")).collect()(0) // 1 row: bounds only
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val step = math.max(1L, (hi - lo) / k + 1)
-    val stage = Files.createTempDirectory("q207stage")
-    val work = Files.createTempDirectory("q207work")
+    // (ts - lo) / step < k by construction of step; no clamp needed
+    ev.withColumn("slice",
+        ((col("ts").cast("long") - lo) / step).cast("int"))
+      .repartition(k, col("slice"))
+      .write.mode("overwrite").partitionBy("slice").parquet(work.toString)
     (0 until k).foreach { i =>
-      val sliceDir = work.resolve(s"s$i")
-      // repartition(1), NOT coalesce(1): coalesce collapses the whole
-      // upstream filter into the single writer task (measured: the 4
-      // staging scans were 1-thread-serial at the 24 GB corpus, most
-      // of q207's 135 s there); repartition keeps the scan wide and
-      // funnels only the slice's ts column through the one writer.
-      ev.filter(col("ts").cast("long") >= lo + i * step &&
-          col("ts").cast("long") < lo + (i + 1) * step)
-        .repartition(1).write.mode("overwrite").parquet(sliceDir.toString)
-      val part = Files.list(sliceDir).filter(_.toString.endsWith(".parquet"))
-        .findFirst().get()
-      val dst = stage.resolve(f"slice_$i%02d.parquet")
-      Files.move(part, dst)
-      Files.setLastModifiedTime(dst,
-        FileTime.fromMillis(1700000000000L + i * 60000L))
+      val sliceDir = work.resolve(s"slice=$i")
+      if (Files.isDirectory(sliceDir)) {
+        // try-with-resources on the directory stream (ADVICE_r15: the
+        // unclosed Files.list leaked a handle per invocation)
+        val ls = Files.list(sliceDir)
+        val part =
+          try ls.filter(_.toString.endsWith(".parquet")).findFirst().get()
+          finally ls.close()
+        val dst = stage.resolve(f"slice_$i%02d.parquet")
+        Files.move(part, dst)
+        Files.setLastModifiedTime(dst,
+          FileTime.fromMillis(1700000000000L + i * 60000L))
+      }
     }
-    stage
   }
+
+  /** Recursive delete for the staging/checkpoint temp dirs — Verify
+    * and Bench invoke each graded query twice, and scale suites were
+    * accumulating a copy of the staged columns per invocation
+    * (ADVICE_r15). Deliberately quiet on failure: cleanup must never
+    * fail a graded query. */
+  private[graft] def deleteQuietly(p: Path): Unit =
+    if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try {
+        val it = walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .iterator()
+        while (it.hasNext) {
+          try Files.deleteIfExists(it.next()) catch { case _: Exception => }
+        }
+      } finally walk.close()
+    }
 
   private val netsSchema = StructType(Seq(
     StructField("hstart", TimestampType),
@@ -81,27 +109,33 @@ object StreamGradedOps {
   def streamingConcurrency(s: SparkSession, d: String): DataFrame = {
     val url = "jdbc:derby:memory:graft_q207;create=true"
     val table = "q207_nets"
-    val stage = stageSlices(s, d, 4)
-    // fresh table per invocation (Verify and Bench call queries twice)
-    Sinks.writeJdbc(s.createDataFrame(
-      new java.util.ArrayList[Row](), netsSchema), url, table,
-      numPartitions = 1)
-    val src = s.readStream
-      .schema(StructType(Seq(StructField("ts", TimestampType))))
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stage.toString)
-    val q = StreamingOps.concurrencyHourlyNets(src)
-      .writeStream
-      .outputMode("update")
-      .option("checkpointLocation",
-        Files.createTempDirectory("q207ckpt").toString)
-      .foreachBatch { (b: Dataset[Row], _: Long) =>
-        Sinks.upsertJdbc(b.toDF(), url, table, Seq("hstart"),
-          numPartitions = 1)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    val stage = Files.createTempDirectory("q207stage")
+    val work = Files.createTempDirectory("q207work")
+    val ckpt = Files.createTempDirectory("q207ckpt")
+    try {
+      stageSlices(Tables.events(s, d).select(col("ts")), 4, stage, work)
+      // fresh table per invocation (Verify and Bench call queries twice)
+      Sinks.writeJdbc(s.createDataFrame(
+        new java.util.ArrayList[Row](), netsSchema), url, table,
+        numPartitions = 1)
+      val src = s.readStream
+        .schema(StructType(Seq(StructField("ts", TimestampType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString)
+      val q = StreamingOps.concurrencyHourlyNets(src)
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          Sinks.upsertJdbc(b.toDF(), url, table, Seq("hstart"),
+            numPartitions = 1)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally Seq(work, stage, ckpt).foreach(deleteQuietly)
+    // the returned frame reads the Derby table, not the staged files —
+    // safe to clean the staging dirs before the caller materializes it
     Sinks.readJdbc(s, url, table)
       .select(col("hstart"), col("net").cast("long"),
         col("n_edges").cast("long"))

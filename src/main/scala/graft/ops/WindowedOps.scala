@@ -626,7 +626,15 @@ object WindowedOps {
     *     normalized share is a ratio of SMALL INTEGERS num/m
     *     (num = 2^(6−k) ≤ 64, m = Σnum per purchase) — no pow(),
     *     whose last ulp differs across libm implementations, anywhere
-    *     near the hash.
+    *     near the hash. The exponent is CLAMPED at 0 (ADVICE_r15):
+    *     the band join keeps Δ ≤ 7 days INCLUSIVE, so a touch landing
+    *     exactly on the boundary has ⌊Δdays⌋ = 7 and an unclamped
+    *     6 − k = −1 — which Spark's shiftleft MASKS to 1L<<63 =
+    *     Long.MIN_VALUE (poisoning m and every wdec in the purchase)
+    *     while DuckDB's << does not, a latent cross-engine hash break.
+    *     greatest(0, 6−k) in BOTH engines gives the boundary touch the
+    *     day-6 weight; AttributionBoundarySpec pins the exact-boundary
+    *     row.
     * Every weight is ROUND(·, 6)ed before it multiplies a value: the
     * 2-dp values × 6-dp weights land ~1e-12 off an exact 8-dp grid
     * point, so the dsum DECIMAL(28,8) quantization can never hit a
@@ -663,8 +671,8 @@ object WindowedOps {
           .when(col("rk") === 1 || col("rk") === col("n"), 0.4)
           .otherwise(round(lit(0.2) / (col("n") - 2), 6)))
       .withColumn("num", expr(
-        "shiftleft(1L, 6 - CAST((unix_micros(pts) - unix_micros(tts)) " +
-          "DIV 86400000000 AS INT))"))
+        "shiftleft(1L, greatest(0, 6 - CAST((unix_micros(pts) - " +
+          "unix_micros(tts)) DIV 86400000000 AS INT)))"))
       .withColumn("m", sum(col("num")).over(wAll))
       .withColumn("wdec", round(col("num").cast("double") / col("m"), 6))
       .groupBy(col("channel"))
@@ -697,8 +705,8 @@ object WindowedOps {
        |r AS (SELECT *,
        |        ROW_NUMBER() OVER (PARTITION BY pid ORDER BY tts, tid) AS rk,
        |        COUNT(*) OVER (PARTITION BY pid) AS n,
-       |        1::BIGINT << CAST(6 - (epoch_us(pts) - epoch_us(tts))
-       |              // 86400000000 AS INT) AS num
+       |        1::BIGINT << GREATEST(0, CAST(6 - (epoch_us(pts) - epoch_us(tts))
+       |              // 86400000000 AS INT)) AS num
        |      FROM j),
        |rw AS (SELECT *,
        |        CASE WHEN n = 1 THEN 1.0 WHEN n = 2 THEN 0.5
