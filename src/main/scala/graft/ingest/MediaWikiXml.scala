@@ -66,19 +66,28 @@ object MediaWikiXml {
       .schema(pageSchema)
       .load(path)
 
+  /** The declared `<namespace>` element schema — shared verbatim
+    * between the file reader below and q214's graded from_xml path
+    * (the same schema-sharing pin q206 uses for [[pageSchema]]). */
+  val namespaceSchema: StructType = StructType(Seq(
+    StructField("_VALUE", StringType),
+    StructField("_case", StringType),
+    StructField("_key", LongType)))
+
+  /** Normalize a parsed `<namespace>` struct column set to the lookup
+    * columns — one place, so the file reader and q214 cannot drift. */
+  def namespaceCols(df: DataFrame): DataFrame =
+    df.select(col("_key").cast("int").as("ns_key"),
+      coalesce(col("_VALUE"), lit("")).as("ns_name"),
+      col("_case").as("ns_case"))
+
   /** A2: the `<siteinfo>` namespace map as a lookup table (broadcast
     * side of every classification join). key=0 has an empty name. */
   def readNamespaces(spark: SparkSession, path: String): DataFrame =
-    spark.read.format("xml")
+    namespaceCols(spark.read.format("xml")
       .option("rowTag", "namespace")
-      .schema(StructType(Seq(
-        StructField("_VALUE", StringType),
-        StructField("_case", StringType),
-        StructField("_key", LongType))))
-      .load(path)
-      .select(col("_key").cast("int").as("ns_key"),
-        coalesce(col("_VALUE"), lit("")).as("ns_name"),
-        col("_case").as("ns_case"))
+      .schema(namespaceSchema)
+      .load(path))
 
   /** A3–A8: normalize pages to revision grain with all union/presence
     * decodes applied — the golden flattened schema of FIXTURES.md §2. */

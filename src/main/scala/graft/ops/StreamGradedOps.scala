@@ -142,6 +142,94 @@ object StreamGradedOps {
       .orderBy(col("hstart"))
   }
 
+  private val attribSchema = StructType(Seq(
+    StructField("imp_id", LongType),
+    StructField("click_id", LongType),
+    StructField("user_id", LongType),
+    StructField("imp_ts", TimestampType),
+    StructField("click_ts", TimestampType)))
+
+  /** q213: the STREAM-STREAM INTERVAL JOIN under the oracle
+    * (VERDICT_r15 #1 — the stateful-join leg the q207 recipe hadn't
+    * graded): stage the events corpus as time-ordered slices, read
+    * them back as ONE file stream, split it into the view and click
+    * sides, and drive them through [[StreamingOps.attributedClicks]]
+    * (shared verbatim — the two-sided-watermark join StreamingSpec
+    * exercises) as a genuine 4-micro-batch stateful join; every
+    * append-mode emission lands through the idempotent upsert keyed on
+    * the join pair, and the table is read back sorted. The oracle is
+    * the batch interval join in plain SQL (q77's shape at the
+    * attributedClicks operating point: clicks within [imp_ts,
+    * imp_ts + 30 min] for the same user), so a match dropped by early
+    * state eviction, a buffered row the watermark lost, or a
+    * double-emitted pair under replay all break the hash.
+    *
+    * Why no row can drop here (the two-sided eviction proof the query
+    * grades): arrival order is time order, so when a click in slice j
+    * probes the impression store, the join watermark still trails
+    * slice j−1's max by the 10-min delay — and every impression a
+    * click can match has imp_ts ≥ click_ts − 30 min, which sits ABOVE
+    * the eviction line (watermark − 30 min) by construction. A click
+    * can never arrive in an earlier slice than its impression
+    * (click_ts ≥ imp_ts), so the pair is always live simultaneously.
+    *
+    * Scale shape: state = impressions within (watermark − 30 min,
+    * now] + clicks within the watermark delay — bounded buffers on
+    * two unbounded streams, the interval IS the eviction policy; the
+    * sink is one task per batch. */
+  def streamingAttribution(s: SparkSession, d: String): DataFrame = {
+    val url = "jdbc:derby:memory:graft_q213;create=true"
+    val table = "q213_attrib"
+    val stage = Files.createTempDirectory("q213stage")
+    val work = Files.createTempDirectory("q213work")
+    val ckpt = Files.createTempDirectory("q213ckpt")
+    try {
+      stageSlices(Tables.events(s, d)
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type")),
+        4, stage, work)
+      Sinks.writeJdbc(s.createDataFrame(
+        new java.util.ArrayList[Row](), attribSchema), url, table,
+        numPartitions = 1)
+      val src = s.readStream
+        .schema(StructType(Seq(
+          StructField("event_id", LongType),
+          StructField("ts", TimestampType),
+          StructField("user_id", LongType),
+          StructField("event_type",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage.toString)
+      val joined = StreamingOps.attributedClicks(
+        src.filter(col("event_type") === "view"),
+        src.filter(col("event_type") === "click"))
+      val q = joined.writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (b: Dataset[Row], _: Long) =>
+          Sinks.upsertJdbc(b.toDF(), url, table, Seq("imp_id", "click_id"),
+            numPartitions = 1)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally Seq(work, stage, ckpt).foreach(deleteQuietly)
+    Sinks.readJdbc(s, url, table)
+      .select(col("imp_id").cast("long"), col("click_id").cast("long"),
+        col("user_id").cast("long"), col("imp_ts"), col("click_ts"))
+      .orderBy(col("imp_id"), col("click_id"))
+  }
+
+  private val streamingAttributionSql =
+    """WITH i AS (SELECT event_id AS imp_id, user_id, ts AS imp_ts
+      |      FROM events WHERE event_type = 'view'),
+      |c AS (SELECT event_id AS click_id, user_id AS c_user, ts AS click_ts
+      |      FROM events WHERE event_type = 'click')
+      |SELECT imp_id, click_id, user_id, imp_ts, click_ts
+      |FROM i JOIN c ON user_id = c_user
+      |  AND click_ts >= imp_ts
+      |  AND click_ts <= imp_ts + INTERVAL 30 MINUTE
+      |ORDER BY imp_id, click_id""".stripMargin
+
   private val streamingConcurrencySql =
     """SELECT date_trunc('hour', t) AS hstart,
       |       CAST(SUM(delta) AS BIGINT) AS net,
@@ -154,5 +242,8 @@ object StreamGradedOps {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q207_streaming_concurrency", streamingConcurrency,
       Some(streamingConcurrencySql),
-      "B38+ under the oracle: multi-batch watermarked stream -> upsert -> read-back"))
+      "B38+ under the oracle: multi-batch watermarked stream -> upsert -> read-back"),
+    QueryDef("q213_streaming_attribution", streamingAttribution,
+      Some(streamingAttributionSql),
+      "B41 under the oracle: stateful stream-stream interval join, two-sided watermark eviction"))
 }

@@ -123,7 +123,73 @@ object XmlOps {
       |  'sig' || (pid * 10 + r + 1) AS sha1
       |FROM rev ORDER BY page_id, rev_id""".stripMargin
 
+  /** q214's `<namespace>` element generator — the `<siteinfo>` block's
+    * per-row closed form (keys 0–3, matching pages' ns ∈ {0,2,4} so
+    * the classify join exercises hit, miss AND the key-0 empty-name
+    * decode): key 0 is the SELF-CLOSING element a real dump header
+    * carries for the main namespace (`_VALUE` absent → '' via the
+    * shared [[MediaWikiXml.namespaceCols]] coalesce), the rest are
+    * text-bearing. */
+  private val namespaceXmlExpr: String =
+    """CASE WHEN nk = 0
+      |  THEN '<namespace key="0" case="first-letter" />'
+      |  ELSE concat('<namespace key="', nk,
+      |              '" case="first-letter">NS ', nk, '</namespace>')
+      |END""".stripMargin
+
+  /** The generated namespace lookup (parsed through the DECLARED
+    * [[MediaWikiXml.namespaceSchema]] + shared column normalizer) —
+    * also the fixture XmlOpsSpec wraps in a `<siteinfo>` file for the
+    * file-reader parity pin. */
+  def generatedNamespaces(s: SparkSession): DataFrame =
+    MediaWikiXml.namespaceCols(
+      s.range(0, 4).select(col("id").as("nk"))
+        .withColumn("x", expr(namespaceXmlExpr))
+        .select(from_xml(col("x"), MediaWikiXml.namespaceSchema).as("n"))
+        .select(col("n.*")))
+
+  /** q214: A2+A9 under the oracle (VERDICT_r15 #5) — the last
+    * relational A-legs that were spec-only: the `<siteinfo>`
+    * namespace-map decode (self-closing key-0 element included) and
+    * the REAL [[MediaWikiXml.classify]] broadcast join, run over
+    * q206's flattened revisions. The oracle recomputes the namespace
+    * name, case and is_article flag from the generator arithmetic, so
+    * a key binding lost in the attribute decode, a broken empty-name
+    * coalesce, a join that drops the unmatched-namespace rows (ns=4
+    * has no key — the LEFT join contract), or a wrong is_article
+    * conjunction all break the hash.
+    *
+    * Scale shape: q206's map-only parse + ONE broadcast hash join
+    * against a ≤|namespaces| lookup — exactly the dump-ingest classify
+    * plan A9 runs on real files. */
+  def namespaceClassify(s: SparkSession, d: String): DataFrame = {
+    val parsed = generatedPages(s, d)
+      .select(from_xml(col("x"), MediaWikiXml.pageSchema).as("p"))
+      .select(col("p.*"))
+    MediaWikiXml.classify(
+      MediaWikiXml.flattenRevisions(parsed), generatedNamespaces(s))
+      .select(col("page_id"), col("rev_id"), col("ns"),
+        col("ns_name"), col("ns_case"), col("is_article"))
+      .orderBy(col("page_id"), col("rev_id"))
+  }
+
+  private val namespaceClassifySql =
+    """WITH p AS (SELECT CAST(doc_id AS BIGINT) AS pid FROM documents),
+      |rev AS (SELECT pid, unnest(generate_series(0, pid % 3)) AS r FROM p)
+      |SELECT
+      |  pid AS page_id,
+      |  CAST(pid * 10 + r + 1 AS BIGINT) AS rev_id,
+      |  CAST((pid % 3) * 2 AS INT) AS ns,
+      |  CASE WHEN pid % 3 = 0 THEN ''
+      |       WHEN pid % 3 = 1 THEN 'NS 2' END AS ns_name,
+      |  CASE WHEN pid % 3 <= 1 THEN 'first-letter' END AS ns_case,
+      |  pid % 3 = 0 AND pid % 7 <> 0 AS is_article
+      |FROM rev ORDER BY page_id, rev_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q206_xml_ingest", xmlIngest, Some(xmlIngestSql),
-      "A1-A9 under the oracle: synthesized mini dump -> from_xml -> flatten"))
+      "A1-A9 under the oracle: synthesized mini dump -> from_xml -> flatten"),
+    QueryDef("q214_namespace_classify", namespaceClassify,
+      Some(namespaceClassifySql),
+      "A2+A9 under the oracle: siteinfo namespace decode + classify broadcast join"))
 }

@@ -35,6 +35,32 @@ class XmlOpsSpec extends AnyFunSuite with LocalSparkSuite {
     a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
 
+  test("q214 graded namespace parse == real siteinfo file-reader path") {
+    val gen = XmlOps.generatedNamespaces(spark).orderBy(col("ns_key"))
+    // serialize the SAME elements as a dump header and read them back
+    // through the rowTag reader the multistream/file ingest uses
+    val elems = spark.range(0, 4).selectExpr(
+      """CASE WHEN id = 0
+        |  THEN '<namespace key="0" case="first-letter" />'
+        |  ELSE concat('<namespace key="', id,
+        |              '" case="first-letter">NS ', id, '</namespace>')
+        |END AS x""".stripMargin)
+      .collect().map(_.getString(0))
+    val dir = Files.createTempDirectory("q214siteinfo")
+    Files.writeString(dir.resolve("h.xml"),
+      "<mediawiki><siteinfo><namespaces>\n" + elems.mkString("\n") +
+        "\n</namespaces></siteinfo></mediawiki>")
+    val viaFile = MediaWikiXml
+      .readNamespaces(spark, dir.resolve("h.xml").toString)
+      .orderBy(col("ns_key"))
+    assert(viaFile.schema == gen.schema)
+    val a = viaFile.collect(); val b = gen.collect()
+    assert(a.length == 4 && b.length == 4)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+    // the key-0 self-closing element decodes to the EMPTY name
+    assert(b.head.getString(1) == "")
+  }
+
   test("q206 generator hits every declared variation axis") {
     val f = XmlOps.xmlIngest(spark, sfDir)
     val row = f.agg(
