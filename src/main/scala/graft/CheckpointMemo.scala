@@ -76,6 +76,27 @@ private[graft] object CheckpointMemo {
     }
   }
 
+  /** Time a NON-DataFrame memo build (e.g. the staged slice files the
+    * streaming rows share) on the same clock as the frame builds, so
+    * `memo_build_s`/`memo_builds` stay the one in-band account of
+    * every cost the min-of-N estimator drops. */
+  private[graft] def timeBuild[A](tag: String)(build: => A): A = {
+    val t0 = System.nanoTime()
+    val r = build
+    val nanos = System.nanoTime() - t0
+    buildNanos.addAndGet(nanos)
+    addTagNanos(tag, nanos)
+    r
+  }
+
+  // non-frame memos (staged stream files) register a release callback
+  // so [[clear]] — the bench's between-window and end-of-session
+  // drain — resets them exactly like the frame memo
+  private val clearHooks =
+    scala.collection.concurrent.TrieMap.empty[String, () => Unit]
+  private[graft] def onClear(key: String)(f: () => Unit): Unit =
+    clearHooks.put(key, f)
+
   /** Per-tag build seconds since JVM start or the last [[resetStats]]
     * — attributes `memo_build_s` to the build that paid it. */
   def buildSecondsByTag: Map[String, Double] =
@@ -88,11 +109,15 @@ private[graft] object CheckpointMemo {
 
   def resetStats(): Unit = { buildNanos.set(0L); buildNanosByTag.clear() }
 
-  /** Release checkpoint blocks and forget every memoized frame. */
+  /** Release checkpoint blocks and forget every memoized frame (and
+    * run every registered non-frame release hook). */
   def clear(): Unit = {
     memo.values.foreach { df =>
       try df.unpersist() catch { case _: Throwable => () }
     }
     memo.clear()
+    clearHooks.values.foreach { f =>
+      try f() catch { case _: Throwable => () }
+    }
   }
 }

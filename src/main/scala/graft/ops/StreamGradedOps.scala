@@ -6,7 +6,7 @@ import java.nio.file.attribute.FileTime
 import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import org.apache.spark.sql.types.{LongType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructField, StructType, TimestampType}
 
 import graft.{QueryDef, Tables}
 import graft.ingest.Sinks
@@ -48,11 +48,14 @@ object StreamGradedOps {
     * file per non-empty slice, renamed into arrival order. Slice
     * arithmetic is unchanged from the k-pass version (same integer
     * bounds), so the staged bytes — and the graded hash — are
-    * identical. */
+    * identical. Returns the staged row count (the bounds aggregate
+    * carries it for free) so callers can size stateful widths to the
+    * data (r16). */
   private[graft] def stageSlices(ev: DataFrame, k: Int, stage: Path,
-      work: Path): Unit = {
+      work: Path): Long = {
     val mm = ev.agg(min(col("ts")).cast("long").as("lo"),
-      max(col("ts")).cast("long").as("hi")).collect()(0) // 1 row: bounds only
+      max(col("ts")).cast("long").as("hi"),
+      count(lit(1)).as("n")).collect()(0) // 1 row: bounds + count only
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val step = math.max(1L, (hi - lo) / k + 1)
     // (ts - lo) / step < k by construction of step; no clamp needed
@@ -75,6 +78,7 @@ object StreamGradedOps {
           FileTime.fromMillis(1700000000000L + i * 60000L))
       }
     }
+    mm.getLong(2)
   }
 
   /** Recursive delete for the staging/checkpoint temp dirs — Verify
@@ -94,6 +98,115 @@ object StreamGradedOps {
       } finally walk.close()
     }
 
+  // ---- shared staging (r16, guide §1.2/§2.4: don't compute things
+  // twice) -----------------------------------------------------------
+  // q207 and q213 staged the SAME events corpus independently — two
+  // full staging passes per suite pass (and Bench times each query
+  // twice). The slices are a deterministic function of (events, k=4):
+  // stage ONCE at the widest column set; q207's ts-only reader prunes
+  // the extra columns at the parquet footer, so its stream content is
+  // byte-for-byte the ts sequence it staged before. Same memo contract
+  // as [[graft.CheckpointMemo]] (keyed (session, sfDir), deterministic
+  // content, build time reported in-band via memo_builds, released by
+  // CheckpointMemo.clear()); at 100 TB this IS the log shipper's
+  // single staging the two consumers share.
+  private val stagedCols = Seq("event_id", "ts", "user_id", "event_type")
+  private val stageMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Path, Long)]
+  private def memoEnabled: Boolean =
+    sys.env.getOrElse("SPARK_GRAFT_MEMO", "true").toBoolean
+
+  /** Staged slice dir + row count; `_3` releases a caller-owned build
+    * (no-op when the memo owns it). */
+  private def stagedEvents(s: SparkSession, d: String)
+      : (Path, Long, () => Unit) = {
+    def build(): (Path, Long) = graft.CheckpointMemo.timeBuild("stream_stage") {
+      val stage = Files.createTempDirectory("graftstage")
+      val work = Files.createTempDirectory("graftwork")
+      try {
+        val n = stageSlices(
+          Tables.events(s, d).select(stagedCols.map(col): _*), 4, stage, work)
+        (stage, n)
+      } finally deleteQuietly(work)
+    }
+    if (!memoEnabled) {
+      val (p, n) = build()
+      (p, n, () => deleteQuietly(p))
+    } else {
+      stageMemo.get((s, d)) match {
+        case Some((p, n)) => (p, n, () => ())
+        case None =>
+          val built = build()
+          stageMemo.putIfAbsent((s, d), built) match {
+            case None =>
+              graft.CheckpointMemo.onClear("stream_stage") { () =>
+                stageMemo.values.foreach { case (p, _) => deleteQuietly(p) }
+                stageMemo.clear()
+              }
+              (built._1, built._2, () => ())
+            case Some(winner) => // racing build lost: release its files
+              deleteQuietly(built._1)
+              (winner._1, winner._2, () => ())
+          }
+      }
+    }
+  }
+
+  /** Stateful shuffle width for the graded streams, sized to the DATA
+    * instead of the session's batch width (r16, guide §2.2/§2.5): the
+    * join/aggregation state here is a bounded window over the input,
+    * so ~4M staged rows per state partition keeps partitions real
+    * while avoiding W×stores×batches tiny state-store commits — at
+    * sf0.1 (100k rows) the old width-8 default paid 8×4×5 = 160
+    * commit round-trips per run for 720 rows of state; the 1000×
+    * recipe (512-wide session) would have paid 10k+. Capped at the
+    * session width so a genuinely huge stream still gets the full
+    * configured parallelism; SPARK_GRAFT_STREAM_STATE_PARTS overrides
+    * for A/B. */
+  private def streamShuffleParts(s: SparkSession, rows: Long): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_STATE_PARTS").map(_.toInt).getOrElse {
+      val cap = s.sessionState.conf.numShufflePartitions
+      math.max(1L, math.min(cap.toLong, rows / 4000000L + 1L)).toInt
+    }
+
+  /** A session clone whose shuffle width is the stream's state width —
+    * session-LOCAL conf, so the caller's session never mutates (the
+    * Tables rule). Stateful plans pin their state partitioning at
+    * first checkpoint, which is exactly why the width must be chosen
+    * per stream, not inherited from whatever the batch session runs. */
+  private def streamSession(s: SparkSession, rows: Long): SparkSession = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      streamShuffleParts(s, rows).toString)
+    ss
+  }
+
+  /** DROP+CREATE the sink table via one DDL connection (r16): the old
+    * reset wrote an EMPTY frame through the Spark JDBC writer — a
+    * whole Spark job (repartition + task launch) just to create a
+    * table. The DDL carries the same quoted-lowercase columns the
+    * writer would create, so [[Sinks.upsertJdbc]]'s statements bind
+    * identically. */
+  private def resetTable(url: String, table: String,
+      schema: StructType): Unit = {
+    def ddlType(dt: DataType): String = dt match {
+      case LongType => "BIGINT"
+      case TimestampType => "TIMESTAMP"
+      case other => sys.error(s"no Derby DDL mapping for $other")
+    }
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try {
+        try st.executeUpdate(s"DROP TABLE $table")
+        catch { case _: java.sql.SQLException => () } // first run: absent
+        st.executeUpdate(s"CREATE TABLE $table (" + schema.fields
+          .map(f => "\"" + f.name + "\" " + ddlType(f.dataType))
+          .mkString(", ") + ")")
+      } finally st.close()
+    } finally conn.close()
+  }
+
   private val netsSchema = StructType(Seq(
     StructField("hstart", TimestampType),
     StructField("net", LongType),
@@ -105,20 +218,19 @@ object StreamGradedOps {
     * pair per OPEN hour (watermark closes the rest), the sink write is
     * one task per batch sized to the target's ingest width (the q190
     * lesson), and the staging pass is a one-shot filter+write that a
-    * real deployment replaces with its log shipper. */
+    * real deployment replaces with its log shipper (shared with q213
+    * since r16 — the slices are one deterministic staging both
+    * consumers read, ts-only here via parquet column pruning). */
   def streamingConcurrency(s: SparkSession, d: String): DataFrame = {
     val url = "jdbc:derby:memory:graft_q207;create=true"
     val table = "q207_nets"
-    val stage = Files.createTempDirectory("q207stage")
-    val work = Files.createTempDirectory("q207work")
+    val (stage, rows, release) = stagedEvents(s, d)
     val ckpt = Files.createTempDirectory("q207ckpt")
     try {
-      stageSlices(Tables.events(s, d).select(col("ts")), 4, stage, work)
       // fresh table per invocation (Verify and Bench call queries twice)
-      Sinks.writeJdbc(s.createDataFrame(
-        new java.util.ArrayList[Row](), netsSchema), url, table,
-        numPartitions = 1)
-      val src = s.readStream
+      resetTable(url, table, netsSchema)
+      val ss = streamSession(s, rows)
+      val src = ss.readStream
         .schema(StructType(Seq(StructField("ts", TimestampType))))
         .option("maxFilesPerTrigger", "1")
         .parquet(stage.toString)
@@ -133,7 +245,7 @@ object StreamGradedOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally Seq(work, stage, ckpt).foreach(deleteQuietly)
+    } finally { deleteQuietly(ckpt); release() }
     // the returned frame reads the Derby table, not the staged files —
     // safe to clean the staging dirs before the caller materializes it
     Sinks.readJdbc(s, url, table)
@@ -180,23 +292,17 @@ object StreamGradedOps {
   def streamingAttribution(s: SparkSession, d: String): DataFrame = {
     val url = "jdbc:derby:memory:graft_q213;create=true"
     val table = "q213_attrib"
-    val stage = Files.createTempDirectory("q213stage")
-    val work = Files.createTempDirectory("q213work")
+    val (stage, rows, release) = stagedEvents(s, d)
     val ckpt = Files.createTempDirectory("q213ckpt")
     try {
-      stageSlices(Tables.events(s, d)
-        .select(col("event_id"), col("ts"), col("user_id"), col("event_type")),
-        4, stage, work)
-      Sinks.writeJdbc(s.createDataFrame(
-        new java.util.ArrayList[Row](), attribSchema), url, table,
-        numPartitions = 1)
-      val src = s.readStream
+      resetTable(url, table, attribSchema)
+      val ss = streamSession(s, rows)
+      val src = ss.readStream
         .schema(StructType(Seq(
           StructField("event_id", LongType),
           StructField("ts", TimestampType),
           StructField("user_id", LongType),
-          StructField("event_type",
-            org.apache.spark.sql.types.StringType))))
+          StructField("event_type", StringType))))
         .option("maxFilesPerTrigger", "1")
         .parquet(stage.toString)
       val joined = StreamingOps.attributedClicks(
@@ -212,7 +318,7 @@ object StreamGradedOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-    } finally Seq(work, stage, ckpt).foreach(deleteQuietly)
+    } finally { deleteQuietly(ckpt); release() }
     Sinks.readJdbc(s, url, table)
       .select(col("imp_id").cast("long"), col("click_id").cast("long"),
         col("user_id").cast("long"), col("imp_ts"), col("click_ts"))
