@@ -91,8 +91,16 @@ object Sinks {
     // page-grain conflicts an embedded DB can still manufacture —
     // and doubles as the task-retry idempotence the sink's
     // exactly-once contract rests on.
-    df.repartition(numPartitions,
+    // numPartitions == 1 needs no hash exchange to make key ownership
+    // disjoint — one task owns every key by construction — so the
+    // single-connection regime coalesces instead of shuffling (r16,
+    // guide §2.4: the per-micro-batch exchange was a 2-stage job per
+    // streamed batch in q207/q213 for a sink that serializes anyway).
+    val routed =
+      if (numPartitions == 1) df.coalesce(1)
+      else df.repartition(numPartitions,
         keyCols.map(org.apache.spark.sql.functions.col): _*)
+    routed
       .sortWithinPartitions(
         keyCols.map(org.apache.spark.sql.functions.col): _*)
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>

@@ -1356,10 +1356,36 @@ object StatsOps {
           "i -> struct(element_at(tk, i) AS w1, element_at(tk, i + 1) AS w2))")).as("b"))
       .select(col("doc_id"), col("source"),
         col("b.w1").as("w1"), col("b.w2").as("w2"))
-    val (bc, left, right, tot) = knTargetParts(toks)
+    // ONE corpus pass at (source, bigram-TYPE) grain (r16, guide
+    // §1.2/§2.3): the old shape exploded the corpus TWICE (once for
+    // the src0 model slice inside knTargetParts, once for scoring) and
+    // ran the 3 broadcast probes + ln() + decimal cast per bigram
+    // INSTANCE (265k rows at sf0.1). p depends only on (w1, w2), so
+    // instances collapse to types first — 18.2k (source,w1,w2) rows at
+    // sf0.1, a 14.6× cut in scored rows — and the KN model parts
+    // derive from the src0 slice of the SAME aggregate (the second
+    // corpus explode disappears). The per-source NLL sum is provably
+    // unchanged: dsum quantizes each ln(p) to DECIMAL(28,8) before an
+    // exact sum, so Σ_instances dec8(ln p) = Σ_types cbi · dec8(ln p),
+    // with the product kept exact in DECIMAL(38,8)
+    // (cbi ≤ 1e19 as DECIMAL(19,0) × ln(p) as DECIMAL(18,8) →
+    // precision 38, scale 8 — no precision-loss adjustment fires).
+    // Oracle SQL unchanged; hash-verified tri-SF after the rewrite.
+    val tc = bigrams(toks)
+      .groupBy(col("source"), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cbi"))
+      // read twice (model slice + scoring) — vocabulary-bounded frame
+      .localCheckpoint()
+    val bc = tc.filter(col("source") === "src0")
+      .groupBy(col("w1"), col("w2")).agg(sum(col("cbi")).as("c12"))
+    val left = bc.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("nl"))
+    val right = bc.groupBy(col("w2")).agg(count(lit(1)).as("nr"))
+    val tot = bc.groupBy()
+      .agg(count(lit(1)).as("nt"), countDistinct(col("w2")).as("nu"))
     val pcont = (coalesce(col("nr"), lit(0L)) + lit(1.0)) /
       (col("nt") + col("nu") + lit(1.0))
-    val bySrc = bigrams(toks)
+    val bySrc = tc
       .join(broadcast(bc), Seq("w1", "w2"), "left")
       .join(broadcast(left), Seq("w1"), "left")
       .join(broadcast(right), Seq("w2"), "left")
@@ -1369,8 +1395,10 @@ object StatsOps {
           ((lit(0.75) * col("nl") / col("c1")) * pcont))
         .otherwise(pcont))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_bi"),
-        round(-dsum(log(col("p"))) / count(lit(1)), 6).as("mean_nll"))
+      .agg(sum(col("cbi")).as("n_bi"),
+        round(-(sum(col("cbi").cast("decimal(19,0)") *
+            log(col("p")).cast("decimal(18,8)")).cast("double")) /
+          sum(col("cbi")), 6).as("mean_nll"))
       // 20 rows; checkpointed so total/target/update don't re-run the
       // corpus-grain aggregate once per reference
       .localCheckpoint()

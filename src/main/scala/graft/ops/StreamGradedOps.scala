@@ -81,6 +81,21 @@ object StreamGradedOps {
     mm.getLong(2)
   }
 
+  /** Checkpoint temp dir on the fastest local medium available (r16,
+    * guide §6): the offset/commit WAL pays an fsync-latency round trip
+    * per micro-batch (~120 ms/batch measured on this host's /tmp), and
+    * a bounded AvailableNow checkpoint that is deleted after
+    * awaitTermination needs durability only for the run itself — so it
+    * rides tmpfs when present, exactly like a deployment points
+    * checkpoints at its fast local/DFS tier. Data semantics unchanged
+    * (same WAL, same replay contract within the run). */
+  private def ckptTempDir(prefix: String): Path = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (Files.isDirectory(shm) && Files.isWritable(shm))
+      Files.createTempDirectory(shm, prefix)
+    else Files.createTempDirectory(prefix)
+  }
+
   /** Recursive delete for the staging/checkpoint temp dirs — Verify
     * and Bench invoke each graded query twice, and scale suites were
     * accumulating a copy of the staged columns per invocation
@@ -225,7 +240,7 @@ object StreamGradedOps {
     val url = "jdbc:derby:memory:graft_q207;create=true"
     val table = "q207_nets"
     val (stage, rows, release) = stagedEvents(s, d)
-    val ckpt = Files.createTempDirectory("q207ckpt")
+    val ckpt = ckptTempDir("q207ckpt")
     try {
       // fresh table per invocation (Verify and Bench call queries twice)
       resetTable(url, table, netsSchema)
@@ -245,6 +260,9 @@ object StreamGradedOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      if (sys.env.contains("SPARK_GRAFT_STREAM_PROFILE"))
+        q.recentProgress.foreach(p => System.err.println(
+          s"[q207] batch ${p.batchId} rows=${p.numInputRows} " + p.durationMs))
     } finally { deleteQuietly(ckpt); release() }
     // the returned frame reads the Derby table, not the staged files —
     // safe to clean the staging dirs before the caller materializes it
@@ -293,7 +311,7 @@ object StreamGradedOps {
     val url = "jdbc:derby:memory:graft_q213;create=true"
     val table = "q213_attrib"
     val (stage, rows, release) = stagedEvents(s, d)
-    val ckpt = Files.createTempDirectory("q213ckpt")
+    val ckpt = ckptTempDir("q213ckpt")
     try {
       resetTable(url, table, attribSchema)
       val ss = streamSession(s, rows)
@@ -318,6 +336,9 @@ object StreamGradedOps {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      if (sys.env.contains("SPARK_GRAFT_STREAM_PROFILE"))
+        q.recentProgress.foreach(p => System.err.println(
+          s"[q213] batch ${p.batchId} rows=${p.numInputRows} " + p.durationMs))
     } finally { deleteQuietly(ckpt); release() }
     Sinks.readJdbc(s, url, table)
       .select(col("imp_id").cast("long"), col("click_id").cast("long"),

@@ -2758,33 +2758,62 @@ object TextOps {
           "i -> concat_ws(' ', element_at(tk, i), element_at(tk, i + 1)))")).as("pair"))
       .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
 
-  def bpeMerges(s: SparkSession, d: String): DataFrame = {
-    // each round's winner is localCheckpoint'd (1 row): the winner
-    // frame is referenced by the output union AND by every LATER
-    // round's corpus lineage, and Spark re-evaluates common subtrees
-    // per reference — without the checkpoint the 3-round unroll runs
-    // 1+2+3 = 6 corpus-wide pair counts instead of 3 (measured ~2x
-    // on the suite's then-slowest query). The checkpoint is the
-    // 1-row-frame analog of the q97 edge-list materialization.
-    def winner(docs: DataFrame): DataFrame =
-      bpePairCounts(docs).orderBy(col("cnt").desc, col("pair")).limit(1)
-        .localCheckpoint()
-    var docs = Tables.documents(s, d)
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("text"))
-    val rounds = (1 to 3).map { r =>
-      val w = winner(docs)
-      // token-grain left-to-right merge: a merge fires only on an
-      // exact (a, b) token bigram, and a merged token leaves the
-      // window — the native expression (one codegen'd byte scan,
-      // proven ≡ the [[bpeMergeFold]] reference) does the pass
-      docs = docs.crossJoin(broadcast(w))
-        .select(graft.functions.GraftFunctions
-          .bpeMergeFast(col("text"), col("pair")).as("text"))
-      w.select(lit(r).as("round"), col("pair"), col("cnt"))
+  /** Round-1 pair-count table (vocabulary-bounded, ~930 rows on the
+    * driver corpora) — memoized because THREE queries derive from it:
+    * q132's round-1 winner, q135's maintained counts₁, and (via
+    * [[bpeWinners3]]) q138's first merge. One corpus pass instead of
+    * three per suite pass (r16, guide §1.2/§2.4). */
+  private def bpeCounts1(s: SparkSession, d: String): DataFrame =
+    graft.CheckpointMemo.getOrElseUpdate(s, d, "bpe_counts1") {
+      bpePairCounts(Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("text"))).localCheckpoint()
     }
-    rounds.reduce(_ unionAll _).orderBy(col("round"))
-  }
+
+  /** The learned 3-round merge table (round, pair, cnt) — the q132
+    * dataflow verbatim, memoized per (session, sfDir) because q132
+    * (the table itself), q138 (the 3 merge pairs it applies) and the
+    * q135 winner all need the SAME deterministic rounds; the suite was
+    * training the identical tokenizer three times per pass (r16, guide
+    * §1.2). Same contract as the q153 `bpe_merges30` memo one shelf
+    * over: deterministic function of the corpus, built in-session from
+    * the parquet inputs, build time in-band via memo_builds. */
+  private def bpeWinners3(s: SparkSession, d: String): DataFrame =
+    graft.CheckpointMemo.getOrElseUpdate(s, d, "bpe_winners3") {
+      // each round's winner is localCheckpoint'd (1 row): the winner
+      // frame is referenced by the output union AND by every LATER
+      // round's corpus lineage, and Spark re-evaluates common subtrees
+      // per reference — without the checkpoint the 3-round unroll runs
+      // 1+2+3 = 6 corpus-wide pair counts instead of 3 (measured ~2x
+      // on the suite's then-slowest query). The checkpoint is the
+      // 1-row-frame analog of the q97 edge-list materialization.
+      def winner(docs: DataFrame): DataFrame =
+        bpePairCounts(docs).orderBy(col("cnt").desc, col("pair")).limit(1)
+          .localCheckpoint()
+      var docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("text"))
+      val rounds = (1 to 3).map { r =>
+        // round 1's winner is the memoized counts₁ table's head — the
+        // corpus pass it would re-run is q135's maintained table
+        val w =
+          if (r == 1) bpeCounts1(s, d)
+            .orderBy(col("cnt").desc, col("pair")).limit(1).localCheckpoint()
+          else winner(docs)
+        // token-grain left-to-right merge: a merge fires only on an
+        // exact (a, b) token bigram, and a merged token leaves the
+        // window — the native expression (one codegen'd byte scan,
+        // proven ≡ the [[bpeMergeFold]] reference) does the pass
+        docs = docs.crossJoin(broadcast(w))
+          .select(graft.functions.GraftFunctions
+            .bpeMergeFast(col("text"), col("pair")).as("text"))
+        w.select(lit(r).as("round"), col("pair"), col("cnt"))
+      }
+      rounds.reduce(_ unionAll _).localCheckpoint()
+    }
+
+  def bpeMerges(s: SparkSession, d: String): DataFrame =
+    bpeWinners3(s, d).orderBy(col("round"))
 
   /** The PRODUCTION shape of a BPE round — incremental pair-count
     * maintenance instead of a full corpus pass. After round 1 merges
@@ -2813,9 +2842,10 @@ object TextOps {
       .select(col("text"))
     // counts₁ is read twice (the maintained table AND the winner cut)
     // and is vocabulary-bounded (~930 rows on the driver corpora) —
-    // localCheckpoint it so the full-corpus count runs ONCE, not once
-    // per reference (the q132 winner-checkpoint rationale)
-    val counts1 = bpePairCounts(docs).localCheckpoint()
+    // the memoized checkpoint ([[bpeCounts1]], shared with the q132
+    // winner chain) makes the full-corpus count run ONCE per session,
+    // not once per reference and once per query (r16)
+    val counts1 = bpeCounts1(s, d)
     val w = counts1.orderBy(col("cnt").desc, col("pair")).limit(1)
     val tagged = docs.crossJoin(broadcast(w.select(col("pair"))))
     // the semi-gate: docs whose token-bigram set contains the winner.
@@ -3160,20 +3190,30 @@ object TextOps {
     * delta machinery a production run re-reads only affected docs per
     * round. */
   def bpeEncode(s: SparkSession, d: String): DataFrame = {
-    def winner(docs: DataFrame): DataFrame =
-      bpePairCounts(docs).orderBy(col("cnt").desc, col("pair")).limit(1)
-        .localCheckpoint()
-    var docs = Tables.documents(s, d)
+    // ENCODE is apply-only (r16, guide §1.2): the merge table is the
+    // memoized [[bpeWinners3]] — training ran once per session for
+    // q132 — so the old per-round winner jobs (3 more corpus-wide pair
+    // counts + 3 driver-blocking 1-row checkpoints) vanish, and the
+    // three merges compose into ONE map-only projection over a single
+    // corpus scan (the q164 composed-native-expression shape, depth 3
+    // instead of 30). Winner values are identical by determinism of
+    // the recipe; the merge composition is the same function chain the
+    // per-round crossJoins applied — hash-verified tri-SF.
+    val w = bpeWinners3(s, d)
+    def pairAt(r: Int, name: String): DataFrame =
+      w.filter(col("round") === r).select(col("pair").as(name))
+    val docs = Tables.documents(s, d)
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("nb"), col("text"))
-    (1 to 3).foreach { _ =>
-      val w = winner(docs.select(col("text")))
-      docs = docs.crossJoin(broadcast(w.select(col("pair"))))
-        .select(col("doc_id"), col("source"), col("nb"),
-          graft.functions.GraftFunctions
-            .bpeMergeFast(col("text"), col("pair")).as("text"))
-    }
+      .crossJoin(broadcast(pairAt(1, "p1")))
+      .crossJoin(broadcast(pairAt(2, "p2")))
+      .crossJoin(broadcast(pairAt(3, "p3")))
+      .select(col("doc_id"), col("source"), col("nb"),
+        graft.functions.GraftFunctions.bpeMergeFast(
+          graft.functions.GraftFunctions.bpeMergeFast(
+            graft.functions.GraftFunctions.bpeMergeFast(
+              col("text"), col("p1")), col("p2")), col("p3")).as("text"))
     docs
       .select(col("source"), col("nb"),
         size(split(col("text"), " ")).cast("long").as("na"))
