@@ -547,13 +547,11 @@ object VectorOps {
   def ivfDeltaAssign(s: SparkSession, d: String): DataFrame = {
     val all = Tables.embeddings(s, d)
     val cents = ivfCentroidsOf(all.filter(col("vec_id") % 7 =!= 0))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("score"), col("label"))
-    all.select(col("vec_id"), col("embedding"))
+    argminBy(all.select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("label"),
-        (col("cnorm") - lit(2.0) * dotFast(col("embedding"), col("cv"))).as("score"))
-      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        (col("cnorm") - lit(2.0) * dotFast(col("embedding"), col("cv"))).as("score")),
+      Seq("vec_id"), Seq.empty)
       .withColumn("is_new", col("vec_id") % 7 === 0)
       .groupBy(col("label").as("cell"))
       .agg(
@@ -652,8 +650,32 @@ object VectorOps {
   private def ivfScored(s: SparkSession, d: String): DataFrame =
     ivfScoredFrom(s, d, ivfCentroids(s, d))
 
+  /** The argmin-per-key rewrite shared by every nearest-cell
+    * assignment (r16, guide §2.3/§2.4): `row_number() OVER
+    * (PARTITION BY keys ORDER BY score, label) = 1` shuffled the FULL
+    * scored frame — k copies of every embedding — through a sort-
+    * window; `min(struct(score, label, payload...))` computes the
+    * identical row as a hash aggregate whose map-side partial combine
+    * collapses the k scored copies to one BEFORE the exchange (the
+    * scored frame is map-side generated, so all k rows of a key sit in
+    * one partition). (score, label) is unique per key — label is
+    * distinct within a key's scored rows — so the struct comparison
+    * never reaches the payload fields and the tie-break is exactly the
+    * window's. 10× fewer shuffled bytes, no sort, same rows. */
+  private def argminBy(df: DataFrame, keys: Seq[String],
+      payload: Seq[String]): DataFrame = {
+    // alias must not collide with any key/payload name (q126's key is
+    // literally "m")
+    val acc0 = df.groupBy(keys.map(col): _*)
+      .agg(min(struct((Seq("score", "label") ++ payload).map(col): _*))
+        .as("__argmin"))
+    (Seq("score", "label") ++ payload).foldLeft(acc0) { (acc, c) =>
+      acc.withColumn(c, col("__argmin").getField(c))
+    }.drop("__argmin")
+  }
+
   /** Nearest-cell assignment derived from [[ivfScored]] (argmin
-    * tie-broken on label via a vec_id-partitioned window). Memoized
+    * tie-broken on label via [[argminBy]]). Memoized
     * via localCheckpoint: q112's self-join reads it from BOTH sides
     * and q87 probes it again — without the checkpoint each reference
     * re-runs the centroid aggregate + scoring + window (the
@@ -662,11 +684,8 @@ object VectorOps {
     * checkpoint-plans-lose-stats rule). */
   private def ivfAssigned(s: SparkSession, d: String): DataFrame =
     graft.CheckpointMemo.getOrElseUpdate(s, d, "ivf_assigned") {
-      val w = org.apache.spark.sql.expressions.Window
-      ivfScored(s, d)
-        .withColumn("rn", row_number().over(
-          w.partitionBy(col("vec_id")).orderBy(col("score"), col("label"))))
-        .filter(col("rn") === 1)
+      argminBy(ivfScored(s, d), Seq("vec_id"),
+        Seq("embedding", "own_label"))
         .localCheckpoint()
     }
 
@@ -733,16 +752,13 @@ object VectorOps {
     * given quantizer (the q156 assignment shape — broadcast index,
     * map-side scoring, skew-free argmin window). */
   private[graft] def lloydAssign(s: SparkSession, d: String,
-      cents: DataFrame): DataFrame = {
-    val aw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("score"), col("label"))
-    Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      cents: DataFrame): DataFrame =
+    argminBy(Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("embedding"), col("label"),
-        (col("cnorm") - lit(2.0) * dotFast(col("embedding"), col("cv"))).as("score"))
-      .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
+        (col("cnorm") - lit(2.0) * dotFast(col("embedding"), col("cv"))).as("score")),
+      Seq("vec_id"), Seq("embedding"))
       .select(col("vec_id"), col("embedding"), col("label"))
-  }
 
   /** TRAINED quantizer, oracle-expressible (VERDICT_r14 #6): k-means
     * with the one engine-internal degree of freedom — initialization —
@@ -842,10 +858,7 @@ object VectorOps {
   private[graft] def ivfServingRecallFrom(s: SparkSession, d: String,
       cents: DataFrame, nProbe: Int): DataFrame = {
     val scored = ivfScoredFrom(s, d, cents.localCheckpoint())
-    val aw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("score"), col("label"))
-    val assigned = scored
-      .withColumn("rn", row_number().over(aw)).filter(col("rn") === 1)
+    val assigned = argminBy(scored, Seq("vec_id"), Seq("embedding"))
       .select(col("vec_id"), col("embedding"), col("label"))
     val pw = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("score"), col("label"))
@@ -1663,20 +1676,16 @@ object VectorOps {
     * the learned path feeds [[pqCentsLearned]] — same estimator,
     * different training. */
   private[graft] def pqAssignFrom(s: SparkSession, d: String,
-      cents: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-    Tables.embeddings(s, d)
+      cents: DataFrame): DataFrame =
+    argminBy(Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding"))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("m"), col("label"),
         (col("cnorm") - lit(2.0) * dotFast(
           slice(col("embedding"), col("m") * lit(8) + lit(1), lit(8)),
-          col("cv"))).as("score"))
-      .withColumn("rn", row_number().over(
-        w.partitionBy(col("vec_id"), col("m")).orderBy(col("score"), col("label"))))
-      .filter(col("rn") === 1)
+          col("cv"))).as("score")),
+      Seq("vec_id", "m"), Seq.empty)
       .select(col("vec_id"), col("m"), col("label").as("code"))
-  }
 
   /** The graded assignment (label-derived codebook), memoized — q126
     * pivots it and q127 joins it per query. */
