@@ -1034,15 +1034,21 @@ object Relational {
     def pid(splitExpr: Int => Column): Column =
       (1 to 15).map(j => when(col("k") > splitExpr(j), 1L).otherwise(0L))
         .reduce(_ + _)
-    val eq = assigned
-      .select(lit("equidepth").as("scheme"),
-        pid(j => col("q").getItem(j - 1)).as("p_id"))
-    val fw = assigned
-      .select(lit("fixedwidth").as("scheme"),
-        pid(j => col("klo") +
-          (col("khi") - col("klo")).cast("double") * (j / 16.0)).as("p_id"))
-    eq.unionAll(fw)
-      .groupBy(col("scheme"), col("p_id"))
+    // BOTH schemes' partition ids from ONE fact scan (r16, guide §2.4):
+    // the unionAll of two projections of `assigned` planned as two
+    // full lineitem scans + crossJoins; a 2-way explode per row feeds
+    // the same ≤32-group map-side-combined aggregate with half the
+    // scan/comparison work. Same (scheme, p_id) multiset — hash-
+    // verified tri-SF.
+    assigned
+      .select(explode(array(
+        struct(lit("equidepth").as("scheme"),
+          pid(j => col("q").getItem(j - 1)).as("p_id")),
+        struct(lit("fixedwidth").as("scheme"),
+          pid(j => col("klo") +
+            (col("khi") - col("klo")).cast("double") * (j / 16.0)).as("p_id"))))
+        .as("x"))
+      .groupBy(col("x.scheme").as("scheme"), col("x.p_id").as("p_id"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("scheme"), col("p_id"))
   }

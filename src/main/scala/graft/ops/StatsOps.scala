@@ -688,10 +688,19 @@ object StatsOps {
     val words = Tables.documents(s, d).select(explode(toks(col("text"))).as("w"))
     val uni = words.groupBy(col("w")).agg(count(lit(1)).as("na"))
     val vocab = uni.agg(count(lit(1)).as("v"))
-    bi.join(broadcast(biCnt), Seq("w1", "w2"))
+    // lp is a function of the bigram TYPE alone, so the ln() and both
+    // marginal lookups fold into the vocabulary-bounded model table
+    // BEFORE it broadcasts (r16, guide §1.2): scoring pays one
+    // broadcast probe per instance instead of two joins + a cross join
+    // + a ln() per corpus bigram. Identical lp values reach the same
+    // dsum — hash-verified tri-SF.
+    val ltab = biCnt
       .join(broadcast(uni.select(col("w").as("w1"), col("na"))), Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .withColumn("lp", log((col("nab") + lit(1)).cast("double") / (col("na") + col("v"))))
+      .select(col("w1"), col("w2"),
+        log((col("nab") + lit(1)).cast("double") / (col("na") + col("v")))
+          .as("lp"))
+    bi.join(broadcast(ltab), Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bi"),
         round(exp(-dsum(col("lp")) / count(lit(1))), 4).as("ppl"))
