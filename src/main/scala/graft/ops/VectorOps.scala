@@ -962,10 +962,17 @@ object VectorOps {
         col("embedding").as("dv"))
       val wm = org.apache.spark.sql.expressions.Window
         .partitionBy(col("src")).orderBy(col("cos").desc, col("dst"))
+      // ONE exchange for dedup + top-M (r16, guide §2.4): hash-
+      // partitioning the pair set by src satisfies the clustering of
+      // BOTH the (src, dst, cos) distinct and the src-partitioned
+      // window, so the old plan's two further exchanges of the full
+      // pair set collapse into this repartition. Same pair set, same
+      // edges.
       a.join(b.hint("shuffle_hash"), Seq("cell"))
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"),
           round(cosineSimFast(col("ev"), col("dv")), 6).as("cos"))
+        .repartition(col("src"))
         .distinct()
         .withColumn("rn", row_number().over(wm))
         .filter(col("rn") <= m)
