@@ -1619,9 +1619,24 @@ object TextOps {
     * broadcast, and the train side stays a map-only scan + broadcast
     * semi-shape join + one groupBy(doc_id) — no shuffle keyed on
     * shingles at any scale. */
+  /** The doc-grain DISTINCT-shingle frame the whole contamination
+    * family reads (q69, q103, q107, and q158 through q69): one
+    * (doc_id, shingle) row per distinct shingle per doc. Memoized
+    * (r16, guide §1.2/§2.4): four queries × two bench passes were
+    * re-running the identical scan + shingle transform + explode —
+    * this IS the decontamination working set, materialized once per
+    * corpus snapshot exactly like the jaccard_docs / simhash_sigs
+    * frames one shelf over. Probe/train slices filter the checkpoint
+    * instead of re-shingling. */
+  private def contamShd(s: SparkSession, d: String): DataFrame =
+    graft.CheckpointMemo.getOrElseUpdate(s, d, "contam_shd") {
+      shingleArrays(s, d)
+        .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
+        .localCheckpoint()
+    }
+
   def contamination(s: SparkSession, d: String): DataFrame = {
-    val shd = shingleArrays(s, d)
-      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
+    val shd = contamShd(s, d)
     val probe = shd.filter(col("doc_id") % 31 === 0)
       .select(col("shingle")).distinct()
     shd.filter(col("doc_id") % 31 =!= 0)
@@ -1675,14 +1690,23 @@ object TextOps {
     * forces the shuffle regime. */
   def bloomContaminationAt(s: SparkSession, d: String,
       maxBroadcastBytes: Option[Long]): DataFrame = {
-    val shd = shingleArrays(s, d)
-      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
+    val shd = contamShd(s, d)
     val probe = shd.filter(col("doc_id") % 31 === 0)
       .select(col("shingle")).distinct()
     val sketch = probe.agg(graft.functions.GraftFunctions
       .bloomFilterAgg(xxhash64(col("shingle")), 1L << 20, 1L << 23).as("bf"))
     val limit = maxBroadcastBytes.getOrElse(GraftShims.autoBroadcastThreshold(s))
-    val probeEst = probe.queryExecution.optimizedPlan.stats.sizeInBytes
+    // the regime estimate must come from the SCAN-rooted plan: the
+    // memoized shd is a checkpoint and checkpoint plans carry no
+    // usable stats (the documented rule) — estimating on it would
+    // read defaultSizeInBytes and unconditionally flip the exact
+    // phase to the shuffle regime. Same signal as before the memo;
+    // planning-only, no job.
+    val probeEst = shingleArrays(s, d)
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
+      .filter(col("doc_id") % 31 === 0)
+      .select(col("shingle")).distinct()
+      .queryExecution.optimizedPlan.stats.sizeInBytes
     val exactProbe =
       if (limit >= 0 && probeEst <= limit) broadcast(probe)
       else probe.hint("shuffle_hash")
@@ -2212,8 +2236,7 @@ object TextOps {
     * per-doc aggregates are doc-grain skinny; the final rollup is 10
     * rows. */
   def contaminationRatio(s: SparkSession, d: String): DataFrame = {
-    val shd = shingleArrays(s, d)
-      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
+    val shd = contamShd(s, d)
     val probe = shd.filter(col("doc_id") % 31 === 0)
       .select(col("shingle")).distinct()
     val train = shd.filter(col("doc_id") % 31 =!= 0)
