@@ -588,7 +588,14 @@ object Bench {
               val refClass =
                 if (refSf.isEmpty) "sf0.1" // pre-field refs were all sf0.1
                 else java.nio.file.Paths.get(refSf).getFileName.toString
-              if (node.path("clean").asBoolean(true) && refClass == sfClass)
+              // floors are also CORE-CLASSED (VERDICT_r16 #2/#7): an
+              // 8-core driver window must not be flagged against
+              // 32-core floors (q136's 7.5x 8c flag was part core
+              // effect). Legacy refs predate the field and were all
+              // 32-core runs.
+              val refCpus = node.path("cpus").asInt(32)
+              if (node.path("clean").asBoolean(true) && refClass == sfClass
+                  && refCpus == cpus.toInt)
                 Some((p, node))
               else None
             } catch { case _: Throwable => None }
@@ -675,7 +682,10 @@ object Bench {
         }.mkString("{", ",", "}")
       }
     } catch { case _: Throwable => "{}" }
-    val summary = s""""metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"passes":$repeat,"clean":$clean,"dirty_rerun":$rerun,"cold_total":${fmt(coldSum)},"memo_build_s":${fmt(memoBuildS)},"memo_builds":$memoBuilds,"sentinel_pre":${fmt(sentinelPre)},"sentinel_post":${fmt(sentinelPost)},"sentinel_max":${fmt(sentinelMax)},"io_pre":${fmt(ioPre)},"io_post":${fmt(ioPost)},"io_max":${fmt(ioMax)},"gc_sec":${fmt(gcSec)},"cache_gb_pre":${fmt(cacheGbPre)},"cache_gb_post":${fmt(cachedGb())}$rerunFields,"slowest":$slowest,"dominant":$dominant,"regressions":$regressions,"band_ratio":${fmt(bandRatio)},"sf":"$sfDir""""
+    // value_cold = value + memo_build_s (VERDICT_r16 #6): the number a
+    // memo-shift can never improve — every memo-backed claim must cite
+    // it. cpus rides along so bench_refs floors can be core-classed.
+    val summary = s""""metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"passes":$repeat,"clean":$clean,"cpus":${cpus.toInt},"dirty_rerun":$rerun,"cold_total":${fmt(coldSum)},"value_cold":${fmt(total + memoBuildS)},"memo_build_s":${fmt(memoBuildS)},"memo_builds":$memoBuilds,"sentinel_pre":${fmt(sentinelPre)},"sentinel_post":${fmt(sentinelPost)},"sentinel_max":${fmt(sentinelMax)},"io_pre":${fmt(ioPre)},"io_post":${fmt(ioPost)},"io_max":${fmt(ioMax)},"gc_sec":${fmt(gcSec)},"cache_gb_pre":${fmt(cacheGbPre)},"cache_gb_post":${fmt(cachedGb())}$rerunFields,"slowest":$slowest,"dominant":$dominant,"regressions":$regressions,"band_ratio":${fmt(bandRatio)},"sf":"$sfDir""""
     val fullJson = s"""{"queries":$qs,$summary}"""
     // ALL warnings print (and stderr flushes) BEFORE the JSON lines:
     // the driver keeps a bounded tail of the COMBINED capture and
@@ -704,7 +714,31 @@ object Bench {
     // the FILE is the canonical artifact: complete, prefix-free, and
     // immune to truncation. Same pattern as Verify's oracle_sql.json.
     println(fullJson)
-    println(s"""{$summary}""")
+    // The LAST line is what the driver parses — and it keeps only a
+    // 2000-char tail of the capture (BENCH_r13..r16 all store exactly
+    // 2000), so the full 214-query map (~8 KB) can never ride it:
+    // swapping the two lines verbatim (VERDICT_r16 #2's literal
+    // suggestion) would leave a head-truncated fragment as the last
+    // line and lose even the summary (the r5 parsed:null failure).
+    // Instead the last line carries the whole summary PLUS as many
+    // per-query entries as fit under the cap, slowest first — the
+    // queries that dominate the total and the regression signal — so
+    // PERF's per_query/scaling tables populate for the suite's heavy
+    // half while the line stays complete, parseable JSON. The full map
+    // is unchanged in line 1 and in the canonical BENCH.json file.
+    // compact core only (memo_builds/slowest/regressions/per-window
+    // fields live in line 1 + BENCH.json) so ~45 query entries fit
+    val compactSummary = s""""metric":"total","value":${fmt(total)},"unit":"sec","errors":$errors,"passes":$repeat,"clean":$clean,"cpus":${cpus.toInt},"dirty_rerun":$rerun,"cold_total":${fmt(coldSum)},"value_cold":${fmt(total + memoBuildS)},"memo_build_s":${fmt(memoBuildS)},"sentinel_max":${fmt(sentinelMax)},"io_max":${fmt(ioMax)},"gc_sec":${fmt(gcSec)},"band_ratio":${fmt(bandRatio)},"sf":"$sfDir""""
+    val tailBudget = 1900 - (compactSummary.length + "{,\"queries\":{}}".length)
+    val compactQs = {
+      val sb = new StringBuilder
+      finalResults.filter(_._2 >= 0).sortBy(-_._2).foreach { case (k, v) =>
+        val entry = (if (sb.isEmpty) "" else ",") + "\"" + k + "\":" + fmt(v)
+        if (sb.length + entry.length <= tailBudget) sb.append(entry)
+      }
+      "{" + sb.result() + "}"
+    }
+    println(s"""{$compactSummary,"queries":$compactQs}""")
     Tables.clearCache()
     CheckpointMemo.clear()
     spark.stop()

@@ -96,6 +96,12 @@ object Sinks {
     // single-connection regime coalesces instead of shuffling (r16,
     // guide §2.4: the per-micro-batch exchange was a 2-stage job per
     // streamed batch in q207/q213 for a sink that serializes anyway).
+    // CALLER TRADEOFF (ADVICE_r16): coalesce(1) also collapses the
+    // upstream stage — back to the previous shuffle boundary — into
+    // ONE task. Pass numPartitions = 1 only when the frame is already
+    // small/sink-bound (the streaming micro-batch emissions here); a
+    // heavy map-side upstream should keep numPartitions > 1 so the
+    // compute stays parallel and only the write serializes.
     val routed =
       if (numPartitions == 1) df.coalesce(1)
       else df.repartition(numPartitions,

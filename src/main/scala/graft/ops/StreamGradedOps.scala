@@ -91,9 +91,14 @@ object StreamGradedOps {
     * (same WAL, same replay contract within the run). */
   private def ckptTempDir(prefix: String): Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
-    if (Files.isDirectory(shm) && Files.isWritable(shm))
-      Files.createTempDirectory(shm, prefix)
-    else Files.createTempDirectory(prefix)
+    val p =
+      if (Files.isDirectory(shm) && Files.isWritable(shm))
+        Files.createTempDirectory(shm, prefix)
+      else Files.createTempDirectory(prefix)
+    // the chosen medium changes q207/q213 WAL-commit latency, so runs
+    // must be attributable (ADVICE_r16): say which tier this host got
+    System.err.println(s"[stream] checkpoint WAL dir: $p")
+    p
   }
 
   /** Recursive delete for the staging/checkpoint temp dirs — Verify

@@ -1630,10 +1630,17 @@ object TextOps {
     * instead of re-shingling. */
   private def contamShd(s: SparkSession, d: String): DataFrame =
     graft.CheckpointMemo.getOrElseUpdate(s, d, "contam_shd") {
-      shingleArrays(s, d)
-        .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
-        .localCheckpoint()
+      contamShdPlan(s, d).localCheckpoint()
     }
+
+  /** The pre-checkpoint plan behind [[contamShd]], factored out
+    * (ADVICE_r16) so the memo build and q103's scan-rooted regime
+    * ESTIMATE read the same lineage by construction — if the shingle
+    * recipe ever changes, the broadcast-vs-shuffle signal moves with
+    * it instead of silently diverging from the probe frame. */
+  private def contamShdPlan(s: SparkSession, d: String): DataFrame =
+    shingleArrays(s, d)
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
 
   def contamination(s: SparkSession, d: String): DataFrame = {
     val shd = contamShd(s, d)
@@ -1702,8 +1709,7 @@ object TextOps {
     // read defaultSizeInBytes and unconditionally flip the exact
     // phase to the shuffle regime. Same signal as before the memo;
     // planning-only, no job.
-    val probeEst = shingleArrays(s, d)
-      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("shingle"))
+    val probeEst = contamShdPlan(s, d)
       .filter(col("doc_id") % 31 === 0)
       .select(col("shingle")).distinct()
       .queryExecution.optimizedPlan.stats.sizeInBytes

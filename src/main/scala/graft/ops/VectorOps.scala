@@ -650,28 +650,32 @@ object VectorOps {
   private def ivfScored(s: SparkSession, d: String): DataFrame =
     ivfScoredFrom(s, d, ivfCentroids(s, d))
 
-  /** The argmin-per-key rewrite shared by every nearest-cell
-    * assignment (r16, guide §2.3/§2.4): `row_number() OVER
-    * (PARTITION BY keys ORDER BY score, label) = 1` shuffled the FULL
-    * scored frame — k copies of every embedding — through a sort-
-    * window; `min(struct(score, label, payload...))` computes the
-    * identical row as a hash aggregate whose map-side partial combine
-    * collapses the k scored copies to one BEFORE the exchange (the
-    * scored frame is map-side generated, so all k rows of a key sit in
-    * one partition). (score, label) is unique per key — label is
-    * distinct within a key's scored rows — so the struct comparison
-    * never reaches the payload fields and the tie-break is exactly the
-    * window's. 10× fewer shuffled bytes, no sort, same rows. */
+  /** Argmin-per-key shared by every nearest-cell assignment:
+    * `row_number() OVER (PARTITION BY keys ORDER BY score, label) = 1`.
+    * This is the r15 window form RESTORED (r17, VERDICT_r16 #1): the
+    * r16 `min(struct(score, label, payload...))` rewrite was built on a
+    * false premise — the window plan's partial WindowGroupLimit BELOW
+    * the exchange already collapses each key's k scored rows to 1
+    * map-side (visible in plans/r16/q208_lloyd_train_before.txt), so
+    * the claimed shuffled-byte cut never existed, while the struct-
+    * buffered min can never run as a codegen'd HashAggregate: a struct
+    * is not a mutable aggregation-buffer type, so it planned as
+    * ObjectHashAggregate (which falls back to sort-based past 128 map
+    * keys) or, with an array payload in the buffer, as a full
+    * SortAggregate outside whole-stage codegen
+    * (plans/r17/q208_lloyd_train_before.txt:14-17). The window form
+    * keeps the whole path — partial group-limit, exchange of 1 row per
+    * key, final group-limit — inside WholeStageCodegen. `payload`
+    * columns ride the frame untouched (kept in the signature so the
+    * five call sites document what they carry through the argmin). */
   private def argminBy(df: DataFrame, keys: Seq[String],
       payload: Seq[String]): DataFrame = {
-    // alias must not collide with any key/payload name (q126's key is
-    // literally "m")
-    val acc0 = df.groupBy(keys.map(col): _*)
-      .agg(min(struct((Seq("score", "label") ++ payload).map(col): _*))
-        .as("__argmin"))
-    (Seq("score", "label") ++ payload).foldLeft(acc0) { (acc, c) =>
-      acc.withColumn(c, col("__argmin").getField(c))
-    }.drop("__argmin")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("score"), col("label"))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
   }
 
   /** Nearest-cell assignment derived from [[ivfScored]] (argmin
@@ -999,18 +1003,30 @@ object VectorOps {
     * (qid, vec_id, cos, hop=0). */
   private def beamExpand(graph: DataFrame, emb: DataFrame, q: DataFrame,
       visited0: DataFrame, ef: Int, hops: Int): DataFrame = {
-    var visited = visited0.localCheckpoint()
+    // r17 (guide §1.2): checkpoint only each hop's NEW rows. The old
+    // loop re-checkpointed the whole growing union every hop, so hop h
+    // re-materialized hops 0..h-1's rows h times over; keeping visited
+    // as a union of per-hop checkpoint scans writes each row once,
+    // keeps every per-hop plan bounded (the reason the checkpoints
+    // exist — visited is referenced 3x per hop), and drops one
+    // full-frame eager job per hop. Same rows, same per-hop frontier
+    // and expansion arithmetic — checkpoint placement is invisible to
+    // the result, and the q170/q175/q176/q177 oracles re-passed
+    // untouched.
+    var pieces = Vector(visited0.localCheckpoint())
+    def visited: DataFrame = pieces.reduce(_ unionByName _)
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     var h = 1
     while (h <= hops) {
-      val frontier = visited
+      val vis = visited
+      val frontier = vis
         .withColumn("rk", row_number().over(wb)).filter(col("rk") <= ef)
         .filter(col("hop") === h - 1)
         .select(col("qid"), col("vec_id").as("src"))
       val expanded = broadcast(frontier).join(graph, Seq("src"))
         .select(col("qid"), col("dst").as("vec_id")).distinct()
-        .join(visited.select(col("qid"), col("vec_id")),
+        .join(vis.select(col("qid"), col("vec_id")),
           Seq("qid", "vec_id"), "left_anti")
         .join(emb, Seq("vec_id"))
         .join(broadcast(q), Seq("qid"))
@@ -1018,7 +1034,7 @@ object VectorOps {
         .select(col("qid"), col("vec_id"),
           round(cosineSimFast(col("embedding"), col("qv")), 6).as("cos"),
           lit(h).as("hop"))
-      visited = visited.unionByName(expanded).localCheckpoint()
+      pieces = pieces :+ expanded.localCheckpoint()
       h += 1
     }
     visited
