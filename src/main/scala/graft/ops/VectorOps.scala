@@ -547,11 +547,7 @@ object VectorOps {
   def ivfDeltaAssign(s: SparkSession, d: String): DataFrame = {
     val all = Tables.embeddings(s, d)
     val cents = ivfCentroidsOf(all.filter(col("vec_id") % 7 =!= 0))
-    argminBy(all.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("label"),
-        (col("cnorm") - lit(2.0) * dotFast(col("embedding"), col("cv"))).as("score")),
-      Seq("vec_id"), Seq.empty)
+    argminMapOnly(all.select(col("vec_id"), col("embedding")), cents)
       .withColumn("is_new", col("vec_id") % 7 === 0)
       .groupBy(col("label").as("cell"))
       .agg(
@@ -667,7 +663,10 @@ object VectorOps {
     * keeps the whole path — partial group-limit, exchange of 1 row per
     * key, final group-limit — inside WholeStageCodegen. `payload`
     * columns ride the frame untouched (kept in the signature so the
-    * five call sites document what they carry through the argmin). */
+    * call sites document what they carry through the argmin). Used
+    * where the scored frame exists anyway (ivfAssigned, the q152
+    * harness, pqAssignFrom); assignments that never need the scored
+    * frame use the shuffle-free [[argminMapOnly]] instead. */
   private def argminBy(df: DataFrame, keys: Seq[String],
       payload: Seq[String]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -752,16 +751,45 @@ object VectorOps {
       .agg(expr("transform(array_sort(collect_list(struct(pos, c))), x -> x.c)").as("cv"))
       .withColumn("cnorm", dotFast(col("cv"), col("cv")))
 
+  /** MAP-ONLY nearest-cell assignment under a small (label, cv, cnorm)
+    * quantizer (r17, guide §1.2/§2.4 — the first-principles plan): the
+    * k index rows collapse into ONE array row broadcast to every task,
+    * and each vector's argmin is a per-row `array_min` over
+    * `struct(score, label)` — struct ordering IS lexicographic
+    * (score, then label), exactly the `ORDER BY score, label` window
+    * tie-break, and the score expression `cnorm − 2·graft_dot(e, cv)`
+    * is the same Column tree the scored-frame path built, so every
+    * compared double is bit-identical and the winner is the same row.
+    * What it removes vs the windowed argmin: the k-way explode of
+    * every embedding AND the per-key exchange + group-limit — the
+    * assignment becomes one codegen'd projection with NO shuffle at
+    * any corpus size (q208's report references its assignments through
+    * 3 levels of nesting, so each removed exchange was being paid
+    * several times per invocation). Emits (vec_id, embedding, score,
+    * label). */
+  private def argminMapOnly(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val centArr = cents
+      .agg(collect_list(struct(col("label"), col("cv"), col("cnorm")))
+        .as("__cents"))
+    vecs.crossJoin(broadcast(centArr))
+      .withColumn("__best", array_min(transform(col("__cents"), c =>
+        struct(
+          (c.getField("cnorm") -
+            lit(2.0) * dotFast(col("embedding"), c.getField("cv")))
+            .as("score"),
+          c.getField("label").as("label")))))
+      .withColumn("score", col("__best").getField("score"))
+      .withColumn("label", col("__best").getField("label"))
+      .drop("__cents", "__best")
+  }
+
   /** One Lloyd E-step: every vector to its nearest cell under the
-    * given quantizer (the q156 assignment shape — broadcast index,
-    * map-side scoring, skew-free argmin window). */
+    * given quantizer — the [[argminMapOnly]] shape: broadcast index,
+    * per-row argmin, no shuffle. */
   private[graft] def lloydAssign(s: SparkSession, d: String,
       cents: DataFrame): DataFrame =
-    argminBy(Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("embedding"), col("label"),
-        (col("cnorm") - lit(2.0) * dotFast(col("embedding"), col("cv"))).as("score")),
-      Seq("vec_id"), Seq("embedding"))
+    argminMapOnly(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")), cents)
       .select(col("vec_id"), col("embedding"), col("label"))
 
   /** TRAINED quantizer, oracle-expressible (VERDICT_r14 #6): k-means
