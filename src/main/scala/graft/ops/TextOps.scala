@@ -2807,7 +2807,14 @@ object TextOps {
     * §1.2). Same contract as the q153 `bpe_merges30` memo one shelf
     * over: deterministic function of the corpus, built in-session from
     * the parquet inputs, build time in-band via memo_builds. */
-  private def bpeWinners3(s: SparkSession, d: String): DataFrame =
+  private def bpeWinners3(s: SparkSession, d: String): DataFrame = {
+    // counts₁ resolves OUTSIDE this build's timer (ADVICE_r16):
+    // winners3's cold build used to invoke counts1's cold build inside
+    // its own timed thunk, so the same wall-clock was counted under
+    // BOTH memo tags and memo_build_s overstated the in-band cost.
+    // A warm-path call is a memo hit (no job); the cold path charges
+    // each build to its own tag exactly once.
+    val counts1 = bpeCounts1(s, d)
     graft.CheckpointMemo.getOrElseUpdate(s, d, "bpe_winners3") {
       // each round's winner is localCheckpoint'd (1 row): the winner
       // frame is referenced by the output union AND by every LATER
@@ -2826,7 +2833,7 @@ object TextOps {
         // round 1's winner is the memoized counts₁ table's head — the
         // corpus pass it would re-run is q135's maintained table
         val w =
-          if (r == 1) bpeCounts1(s, d)
+          if (r == 1) counts1
             .orderBy(col("cnt").desc, col("pair")).limit(1).localCheckpoint()
           else winner(docs)
         // token-grain left-to-right merge: a merge fires only on an
@@ -2840,6 +2847,7 @@ object TextOps {
       }
       rounds.reduce(_ unionAll _).localCheckpoint()
     }
+  }
 
   def bpeMerges(s: SparkSession, d: String): DataFrame =
     bpeWinners3(s, d).orderBy(col("round"))

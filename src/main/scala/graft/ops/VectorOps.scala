@@ -1031,30 +1031,25 @@ object VectorOps {
     * (qid, vec_id, cos, hop=0). */
   private def beamExpand(graph: DataFrame, emb: DataFrame, q: DataFrame,
       visited0: DataFrame, ef: Int, hops: Int): DataFrame = {
-    // r17 (guide §1.2): checkpoint only each hop's NEW rows. The old
-    // loop re-checkpointed the whole growing union every hop, so hop h
-    // re-materialized hops 0..h-1's rows h times over; keeping visited
-    // as a union of per-hop checkpoint scans writes each row once,
-    // keeps every per-hop plan bounded (the reason the checkpoints
-    // exist — visited is referenced 3x per hop), and drops one
-    // full-frame eager job per hop. Same rows, same per-hop frontier
-    // and expansion arithmetic — checkpoint placement is invisible to
-    // the result, and the q170/q175/q176/q177 oracles re-passed
-    // untouched.
-    var pieces = Vector(visited0.localCheckpoint())
-    def visited: DataFrame = pieces.reduce(_ unionByName _)
+    // A delta-checkpoint variant (checkpoint only each hop's new rows,
+    // visited = union of per-hop checkpoint scans) was built and
+    // MEASURED in r17 and rejected: isolated clean 32-core alternating
+    // A/B read q170 2.47→3.28 s / q175 2.42→3.35 s against this form —
+    // the growing union multiplies the tiny-task count of every later
+    // hop's window and anti-join past what the saved re-materialization
+    // buys at any SF the driver benches. Whole-union checkpoints stay.
+    var visited = visited0.localCheckpoint()
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     var h = 1
     while (h <= hops) {
-      val vis = visited
-      val frontier = vis
+      val frontier = visited
         .withColumn("rk", row_number().over(wb)).filter(col("rk") <= ef)
         .filter(col("hop") === h - 1)
         .select(col("qid"), col("vec_id").as("src"))
       val expanded = broadcast(frontier).join(graph, Seq("src"))
         .select(col("qid"), col("dst").as("vec_id")).distinct()
-        .join(vis.select(col("qid"), col("vec_id")),
+        .join(visited.select(col("qid"), col("vec_id")),
           Seq("qid", "vec_id"), "left_anti")
         .join(emb, Seq("vec_id"))
         .join(broadcast(q), Seq("qid"))
@@ -1062,7 +1057,7 @@ object VectorOps {
         .select(col("qid"), col("vec_id"),
           round(cosineSimFast(col("embedding"), col("qv")), 6).as("cos"),
           lit(h).as("hop"))
-      pieces = pieces :+ expanded.localCheckpoint()
+      visited = visited.unionByName(expanded).localCheckpoint()
       h += 1
     }
     visited
